@@ -1,0 +1,63 @@
+"""Table catalog over the driver's parquet fixtures.
+
+The reference obtains its table from a live cluster (Sidecar `schema()` →
+CQL DDL → StructType, ``CassandraDataLayer.java:271,286``); here the
+catalog's job is to expose the test parquet tables as named DataFrames /
+temp views so every operator and query addresses tables by name, exactly
+like the reference's ``keyspace.table`` addressing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain ``spark.read.parquet`` so Catalyst
+    gets full pushdown/pruning (SURVEY §2.1 P1/F1 analogs are free).
+
+    Source-layer type normalization (the analog of the reference's CQL→Spark
+    converters, SURVEY §1.3): parquet TIMESTAMP(NANOS) columns arrive as
+    longs under ``nanosAsLong`` and are truncated to microsecond timestamps
+    — the same floor-truncation DuckDB applies when casting TIMESTAMP_NS."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES if
+            os.path.exists(table_path(sf_dir, name))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,260 @@
+"""Deduplication family for training-data pipelines at 100 TB scale.
+
+Exact dedup is a hash-groupBy (one shuffle on an 8-byte hash key).
+Near-dup detection follows the standard MinHash/LSH construction:
+shingle → k independent min-hashes → band buckets → bucket-join for
+candidate pairs → exact-similarity confirmation. Everything is built-in
+DataFrame ops (explode / groupBy / join) — the shuffles are on hash keys,
+uniformly distributed by construction, so the plan survives scale-up.
+
+SimHash provides a complementary bit-sketch: hamming-near vectors collide
+on rotated prefix blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.operators.text import normalized_text
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per exact text value.
+
+    groupBy on ``xxhash64(text)`` + min-id tiebreak: a single shuffle keyed
+    on an 8-byte hash. We keep (hash, text) as the grouping key so hash
+    collisions cannot merge distinct documents.
+    """
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("__h"), F.col(text_col))
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array over normalized text (distinct shingles)."""
+    words = F.split(normalized_text(col), " ")
+    return F.array_distinct(
+        F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i + 1, n)
+                ),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — k independent min-hashes per document.
+
+    Each hash function h_i(s) = xxhash64(s, seed_i); the signature is the
+    elementwise min over the document's shingle set, computed with
+    ``F.min`` after an explode — a single shuffle keyed on doc id.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    Split each signature into ``bands`` bands of r = k/bands rows; documents
+    sharing any full band land in the same bucket. A self-join *within
+    buckets only* (equi-join on the band hash — never a cross join) yields
+    candidate pairs; estimated Jaccard = fraction of equal signature
+    positions. Output: (a, b, est_jaccard) with a < b, deduped.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .dropDuplicates(["a", "b"])
+    )
+    est = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return pairs.select("a", "b", est.cast("double").alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    explode → self-join on shingle → count common shingles → Jaccard =
+    |∩| / (|A| + |B| − |∩|). The join is keyed on the shingle string, so
+    extremely common shingles would skew; for scale, pair with LSH
+    prefiltering (``minhash_lsh_candidates``) or drop top-frequency
+    shingles. Output: (a, b, jaccard) with a < b and jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = (
+        common.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "n_a"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "n_b"}), "b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("double"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, as a pure expression tree.
+
+    For each bit position, the bit is 1 iff (count of shingles whose
+    xxhash64 has that bit set) > n/2 — the classic Charikar sketch with
+    ±1 votes. Hamming-near texts share most bits.
+    """
+    sh = shingles(col, shingle_n)
+    n = F.size(sh)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_votes(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
+    bit_terms = [
+        F.when(
+            bit_votes(i) * 2 > n,
+            F.lit(1).cast("long") * F.lit(2 ** i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(num_bits - 1)  # skip the sign bit to stay positive
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return total
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash + block-rotation LSH.
+
+    Split the 64-bit sketch into ``num_blocks`` blocks; two sketches within
+    hamming distance < num_blocks must agree on at least one block
+    (pigeonhole), so an equi-join per block finds all candidates; a final
+    ``bit_count(xor)`` filter confirms. Output (a, b, hamming), a < b.
+    """
+    bits_per_block = 64 // num_blocks
+    sk = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sk")
+    )
+    blocks = sk.select(
+        "id",
+        "sk",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sk"), b * bits_per_block).bitwiseAND(
+                        F.lit((1 << bits_per_block) - 1)
+                    )
+                    for b in range(num_blocks)
+                ]
+            )
+        ).alias("block", "val"),
+    )
+    left = blocks.select(
+        F.col("id").alias("a"), F.col("sk").alias("sk_a"), "block", "val"
+    )
+    right = blocks.select(
+        F.col("id").alias("b"), F.col("sk").alias("sk_b"), "block", "val"
+    )
+    pairs = (
+        left.join(right, ["block", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sk_a", "sk_b")
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,195 @@
+"""Cassandra read-path merge semantics, Spark-first.
+
+The reference performs a client-side *compaction merge* while reading raw
+SSTables: reconcile multi-replica / multi-SSTable duplicate cells
+last-write-wins by write-timestamp, purge tombstones unconditionally, expire
+TTL'd cells, then pivot cells into rows
+(reference: ``cassandra-four-zero-bridge/.../reader/CompactionStreamScanner.java:117-157``,
+``cassandra-analytics-core/.../sparksql/SparkCellIterator.java:182-298``).
+
+Over columnar storage the idiomatic Spark equivalent is a window dedup /
+``max_by`` aggregation — one shuffle on the primary key, fully codegen'd,
+no Python in the hot path. At 100 TB the shuffle keys on (pk, ck) which is
+high-cardinality and therefore well balanced; AQE handles residual skew.
+
+Fixture encoding (FIXTURES.md §B): system columns ``writetime`` (long,
+micros), ``ttl`` (int seconds, nullable), ``tombstone`` (null | 'partition'
+| 'row' | 'cell:<col>'), ``replica_id`` (int).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+WRITETIME = "writetime"
+TTL = "ttl"
+TOMBSTONE = "tombstone"
+REPLICA_ID = "replica_id"
+
+SYSTEM_COLUMNS = (WRITETIME, TTL, TOMBSTONE, REPLICA_ID)
+
+
+def _value_columns(df: DataFrame, keys: Sequence[str]) -> list[str]:
+    excluded = set(keys) | set(SYSTEM_COLUMNS)
+    return [c for c in df.columns if c not in excluded and not c.startswith("__")]
+
+
+def _full_window(keys: Sequence[str]) -> Window:
+    """Unbounded window over the whole key group (for per-group constants)."""
+    return (
+        Window.partitionBy(*keys)
+        .orderBy(F.lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+
+def compaction_merge(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str] = (),
+    writetime_col: str = WRITETIME,
+    ttl_col: str | None = TTL,
+    tombstone_col: str | None = TOMBSTONE,
+    now_micros: int | None = None,
+    keep_writetime: bool = False,
+) -> DataFrame:
+    """Last-write-wins merge + tombstone/TTL purge over a multi-version table.
+
+    Semantics mirror ``CompactionStreamScanner`` (reference
+    ``CompactionStreamScanner.java:117-157``; deletion covers timestamps
+    <= the tombstone's timestamp, as in Cassandra's ``DeletionTime``):
+
+    1. expired TTL rows become row tombstones: ``writetime + ttl*1e6 <= now``
+    2. a partition tombstone deletes every version of its partition with
+       ``writetime <= tombstone.writetime``
+    3. a row tombstone deletes every version of its (pk, ck) row with
+       ``writetime <= tombstone.writetime``
+    4. among surviving data versions of a (pk, ck) key, the max-writetime
+       version wins; timestamp ties break toward the greater value tuple
+       (Cassandra cell reconciliation picks the lexically greater value)
+    5. a cell tombstone ``'cell:<col>'`` nulls column <col> of the winning
+       row when ``tombstone.writetime >= row.writetime``
+
+    Two window passes — one hash shuffle on the partition key, one on the
+    full primary key; all expressions stay in whole-stage codegen.
+    """
+    keys = list(partition_keys) + list(clustering_keys)
+    value_cols = _value_columns(df, keys)
+    wt = F.col(writetime_col)
+
+    # (1) TTL expiry → row tombstone.
+    if ttl_col is not None and ttl_col in df.columns:
+        if now_micros is None:
+            now_expr = F.unix_micros(F.current_timestamp())
+        else:
+            now_expr = F.lit(now_micros)
+        expired = F.col(ttl_col).isNotNull() & (
+            wt + F.col(ttl_col).cast("long") * F.lit(1_000_000) <= now_expr
+        )
+    else:
+        expired = F.lit(False)
+
+    if tombstone_col is not None and tombstone_col in df.columns:
+        kind = F.when(expired & F.col(tombstone_col).isNull(), F.lit("row")).otherwise(
+            F.col(tombstone_col)
+        )
+    else:
+        kind = F.when(expired, F.lit("row")).otherwise(F.lit(None).cast("string"))
+
+    work = df.withColumn("__kind", kind)
+    pk_win = _full_window(partition_keys)
+    key_win = _full_window(keys)
+
+    # (2) partition-tombstone watermark, (3) row-tombstone watermark,
+    # (5) cell tombstones collected per key group.
+    work = (
+        work.withColumn(
+            "__pt_wt", F.max(F.when(F.col("__kind") == "partition", wt)).over(pk_win)
+        )
+        .withColumn("__rt_wt", F.max(F.when(F.col("__kind") == "row", wt)).over(key_win))
+        .withColumn(
+            "__cells",
+            F.collect_list(
+                F.when(
+                    F.col("__kind").startswith("cell:"),
+                    F.struct(
+                        wt.alias("wt"), F.expr("substring(__kind, 6)").alias("col")
+                    ),
+                )
+            ).over(key_win),
+        )
+    )
+
+    deletion_wt = F.greatest(F.col("__pt_wt"), F.col("__rt_wt"))
+    data = work.filter(F.col("__kind").isNull()).filter(
+        deletion_wt.isNull() | (wt > deletion_wt)
+    )
+
+    # (4) LWW winner per key; ties broken by the value tuple descending.
+    order = [wt.desc()] + [F.col(c).desc_nulls_last() for c in value_cols]
+    data = data.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
+    ).filter(F.col("__rn") == 1)
+
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for c in value_cols:
+        shadowed = F.exists(
+            F.col("__cells"),
+            lambda t, c=c: (t["col"] == F.lit(c)) & (t["wt"] >= F.col(writetime_col)),
+        )
+        out_cols.append(F.when(shadowed, F.lit(None)).otherwise(F.col(c)).alias(c))
+    if keep_writetime:
+        out_cols.append(wt)
+    return data.select(*out_cols)
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Plain LWW dedup (no tombstones): keep the newest row per key.
+
+    The common fast path of M1 when the table has no deletion metadata.
+    ``tiebreakers`` make the result deterministic under equal ``order_col``.
+    """
+    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def last_modified_timestamp(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    writetime_col: str = WRITETIME,
+    out_col: str = "last_modified_timestamp",
+) -> DataFrame:
+    """Reference feature M5 (``LastModifiedTimestampDecorator.java:27-67``,
+    option ``lastModifiedColumnName``): append the max cell write-timestamp
+    per partition as an extra column."""
+    return df.withColumn(
+        out_col, F.max(F.col(writetime_col)).over(_full_window(partition_keys))
+    )
+
+
+def propagate_static_columns(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    static_cols: Sequence[str],
+) -> DataFrame:
+    """Static-column semantics (``SparkCellIterator.java:282-287``): a static
+    column has one value per *partition*; replicate it onto every row of the
+    partition (and only that partition — null where never set)."""
+    w = _full_window(partition_keys)
+    out = df
+    for c in static_cols:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -1,0 +1,265 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k as a pure expression tree
+(``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python). Scale path:
+random-hyperplane LSH bucketing so candidate generation is an equi-join on
+bucket signatures instead of a full cross product, and an IVF-style
+coarse-quantizer variant (assign to nearest of k sampled centroids, probe
+only matching cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array columns (double accumulator,
+    index order — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    One scan + a k-row global top (Spark's ``orderBy().limit(k)`` compiles
+    to TakeOrderedAndProject: per-partition heaps then a k-row merge on the
+    driver — no global sort shuffle, so this is the right plan at any scale).
+    Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN for a *small* query set: broadcast the queries, score the
+    corpus once, window-top-k per query. Corpus-side scan dominates; the
+    broadcast avoids shuffling the corpus."""
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, tiny)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(num_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane (sign) LSH.
+
+    Each table hashes a vector to a ``num_planes``-bit signature (sign of
+    dot with each plane). Candidates = vectors sharing the query's signature
+    in ANY table — a filter on precomputable bucket columns, no cross join.
+    At scale the signatures become partition/bucket columns so a query
+    prunes to matching files. Exact cosine re-ranks the candidates.
+    """
+    dim = len(query_vec)
+
+    def signature(vec: Column, table: int) -> Column:
+        planes = random_hyperplanes(dim, num_planes, seed + table)
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    def query_signature(table: int) -> int:
+        planes = random_hyperplanes(dim, num_planes, seed + table)
+        sig = 0
+        for i, plane in enumerate(planes):
+            d = sum(float(q) * p for q, p in zip(query_vec, plane))
+            if d >= 0:
+                sig |= 1 << i
+        return sig
+
+    cond = None
+    work = df
+    for t in range(num_tables):
+        col_name = f"__sig{t}"
+        work = work.withColumn(col_name, signature(F.col(vec_col), t))
+        this = F.col(col_name) == F.lit(query_signature(t))
+        cond = this if cond is None else (cond | this)
+
+    candidates = work.filter(cond)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        candidates.select(
+            F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    num_probes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: sample ``num_centroids`` vectors as coarse centroids,
+    assign every vector to its nearest centroid (broadcast centroid join),
+    probe only the ``num_probes`` cells nearest the query, exact-rerank.
+
+    At scale the assignment is precomputed once and used as a partition
+    column, turning the probe into partition pruning.
+    """
+    centroids = [
+        (i, row[vec_col])
+        for i, row in enumerate(
+            df.select(vec_col).sample(False, 1.0, seed).limit(num_centroids).collect()
+        )
+    ]
+    if not centroids:
+        return brute_force_topk(df, query_vec, k, id_col, vec_col)
+
+    def nearest_cell(vec: Column) -> Column:
+        best = None
+        for cid, cvec in centroids:
+            lit = F.array(*[F.lit(float(x)) for x in cvec])
+            d = dot(vec, lit) / (norm(vec) * norm(lit))
+            pair = F.struct(d.alias("sim"), F.lit(cid).alias("cid"))
+            best = pair if best is None else F.when(pair["sim"] > best["sim"], pair).otherwise(best)
+        return best["cid"]
+
+    def query_cells() -> list[int]:
+        sims = []
+        qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+        for cid, cvec in centroids:
+            cn = sum(x * x for x in cvec) ** 0.5 or 1.0
+            d = sum(float(a) * float(b) for a, b in zip(query_vec, cvec)) / (qn * cn)
+            sims.append((d, cid))
+        sims.sort(reverse=True)
+        return [cid for _, cid in sims[:num_probes]]
+
+    assigned = df.withColumn("__cell", nearest_cell(F.col(vec_col)))
+    probed = assigned.filter(F.col("__cell").isin(query_cells()))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        probed.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket join + exact cosine
+    confirm (a < b). The join is an equi-join on the signature, so work is
+    proportional to bucket sizes, not n²."""
+    sample = df.select(vec_col).limit(1).collect()
+    if not sample:
+        return df.sparkSession.createDataFrame([], "a long, b long, cosine_sim double")
+    dim = len(sample[0][vec_col])
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bits = [
+        F.when(
+            dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), sig.alias("__sig")
+    )
+    left = tagged.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "__sig"
+    )
+    right = tagged.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "__sig"
+    )
+    return (
+        left.join(right, "__sig")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All column expressions use built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs on the hot path, so these scale
+linearly with partitions at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword heuristic
+# language-ID. Deliberately small: the point is a cheap JVM-side signal.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " que ", " los ", " es "],
+}
+
+PUNCT_PATTERN = r"[.,!?;:]"
+TOKEN_PATTERN = r"\s+"
+# BPE-ish word/number/punct splitter: letters+digits runs or single symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, TOKEN_PATTERN))
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via a BPE-style regex (letters / digit runs /
+    single punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_PATTERN, ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append cheap quality signals: char count, token count, mean token
+    length, punctuation ratio, uppercase ratio, digit ratio."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    return (
+        df.withColumn("q_chars", n_chars)
+        .withColumn("q_tokens", n_tokens)
+        .withColumn(
+            "q_mean_token_len",
+            F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.when(n_chars > 0, punct_count(c) / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_upper_ratio",
+            F.when(
+                n_chars > 0,
+                (n_chars - F.length(F.regexp_replace(c, "[A-Z]", ""))) / n_chars,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_digit_ratio",
+            F.when(
+                n_chars > 0,
+                (n_chars - F.length(F.regexp_replace(c, "[0-9]", ""))) / n_chars,
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def language_id(col: Column | str, default: str = "unknown") -> Column:
+    """Heuristic language ID: score per language = number of marker
+    stopwords present; pick the argmax, 'unknown' when no marker hits.
+
+    Pure expression tree (contains + CASE) → codegen, broadcast-free.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    scores = [
+        (
+            lang,
+            sum(
+                (F.contains(padded, F.lit(m))).cast("int")
+                for m in markers
+            ),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit(default)
+    # Build CASE from last to first so earlier languages win score ties.
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str, algorithm: str = "md5") -> Column:
+    """Deterministic document fingerprint for exact dedup / lineage.
+
+    md5/sha2 for portable (oracle-checkable) fingerprints; xxhash64 for the
+    fast path at scale (8-byte key → cheaper shuffle than 32-hex string).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if algorithm == "md5":
+        return F.md5(c)
+    if algorithm == "sha256":
+        return F.sha2(c, 256)
+    if algorithm == "xxhash64":
+        return F.xxhash64(c)
+    raise ValueError(f"unknown fingerprint algorithm: {algorithm}")
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for near-dup shingling: lowercase, collapse
+    whitespace, strip punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )

@@ -1,0 +1,366 @@
+"""North-star LLM-data-pipeline queries (BASELINE.json): dedup family,
+similarity search, text analysis — over the ``documents`` and ``embeddings``
+fixtures.
+
+Numeric convention for vector math: per-element products are computed in
+double (IEEE-deterministic), cast to DECIMAL before the reduction so the
+sum is exact and order-insensitive, then cast back to double — identical
+in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from cassandra_analytics_spark.operators.similarity import embedding_near_dup_pairs
+from cassandra_analytics_spark.operators.text import quality_features, token_count
+from cassandra_analytics_spark.queries import query
+from cassandra_analytics_spark.queries._util import davg_sql, dsum_sql
+
+DECV = "decimal(28,12)"
+DECV_SQL = "DECIMAL(28,12)"
+
+
+def _pdot(a: Column, b: Column) -> Column:
+    """Portable dot product: double products → decimal sum → double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DECV)),
+        F.lit(0).cast(DECV),
+        lambda acc, v: (acc + v).cast(DECV),
+    ).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup: hash-groupBy on content, min-id representative.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, text_col="text", id_col="doc_id").select("doc_id", "n_copies")
+
+
+@query(
+    "dedup_fingerprint_md5",
+    oracle="""
+    SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Content fingerprinting (md5) for dedup/lineage.",
+)
+def dedup_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # seeded-hash LSH — no portable SQL equivalent
+    doc="Near-dup candidate pairs via MinHash + banded LSH "
+    "(shingle → 32 min-hashes → 8 bands → bucket equi-join).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, num_hashes=32, bands=8, shingle_n=3)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-seeded sketch — no portable SQL equivalent
+    doc="SimHash near-dup pairs: 64-bit sketch + block-rotation LSH + "
+    "hamming confirm.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=6, num_blocks=4)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=None,  # exact pairwise Jaccard via inverted index; SQL oracle
+    # would need identical shingling — kept rows-only this round
+    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(TRIM(text), '\\s+')) END) AS BIGINT)
+               AS total_tokens,
+           {davg_sql('n_chars')} AS avg_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Token counting (whitespace tokenizer) aggregated per language.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("__tokens", token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+                / F.count("n_chars")
+            ).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "text_quality_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS q_chars,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)
+               AS q_tokens,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS q_alpha_ratio,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS q_digit_ratio
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+    doc="Per-document quality scoring: char/token counts, class ratios.",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    c = F.col("text")
+    n_chars = F.length(c)
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("q_chars"),
+        token_count(c).cast("long").alias("q_tokens"),
+        (
+            (n_chars - F.length(F.regexp_replace(c, "[a-z]", ""))).cast("double")
+            / n_chars
+        ).alias("q_alpha_ratio"),
+        (
+            (n_chars - F.length(F.regexp_replace(c, "[0-9]", ""))).cast("double")
+            / n_chars
+        ).alias("q_digit_ratio"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(contains(s, ' the ') AS INT) + CAST(contains(s, ' and ') AS INT)
+                 + CAST(contains(s, ' of ') AS INT) + CAST(contains(s, ' to ') AS INT)
+                 + CAST(contains(s, ' is ') AS INT) AS en_score,
+               CAST(contains(s, ' der ') AS INT) + CAST(contains(s, ' und ') AS INT)
+                 + CAST(contains(s, ' die ') AS INT) + CAST(contains(s, ' ist ') AS INT)
+                 + CAST(contains(s, ' nicht ') AS INT) AS de_score,
+               CAST(contains(s, ' le ') AS INT) + CAST(contains(s, ' la ') AS INT)
+                 + CAST(contains(s, ' et ') AS INT) + CAST(contains(s, ' les ') AS INT)
+                 + CAST(contains(s, ' est ') AS INT) AS fr_score,
+               CAST(contains(s, ' el ') AS INT) + CAST(contains(s, ' la ') AS INT)
+                 + CAST(contains(s, ' que ') AS INT) + CAST(contains(s, ' los ') AS INT)
+                 + CAST(contains(s, ' es ') AS INT) AS es_score
+        FROM (SELECT doc_id, lang, ' ' || LOWER(text) || ' ' AS s FROM documents)
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n_docs FROM (
+        SELECT lang,
+               CASE WHEN en_score = GREATEST(en_score, de_score, fr_score, es_score)
+                         AND GREATEST(en_score, de_score, fr_score, es_score) > 0
+                    THEN 'en'
+                    WHEN de_score = GREATEST(en_score, de_score, fr_score, es_score)
+                         AND GREATEST(en_score, de_score, fr_score, es_score) > 0
+                    THEN 'de'
+                    WHEN fr_score = GREATEST(en_score, de_score, fr_score, es_score)
+                         AND GREATEST(en_score, de_score, fr_score, es_score) > 0
+                    THEN 'fr'
+                    WHEN es_score = GREATEST(en_score, de_score, fr_score, es_score)
+                         AND GREATEST(en_score, de_score, fr_score, es_score) > 0
+                    THEN 'es'
+                    ELSE 'unknown' END AS lang_guess
+        FROM scored
+    )
+    GROUP BY lang, lang_guess
+    """,
+    doc="Heuristic stopword-marker language ID (argmax of marker hits), "
+    "confusion counts vs the labeled lang column.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_guess", language_id(F.col("text")))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_COSINE_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (
+        SELECT sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                  AS {DECV_SQL})) AS DOUBLE)) AS qnorm
+        FROM (SELECT unnest(qe) AS x FROM q)
+    ),
+    prods AS (
+        SELECT e.vec_id,
+               CAST(CAST(unnest(e.embedding) AS DOUBLE)
+                    * CAST(unnest(q.qe) AS DOUBLE) AS {DECV_SQL}) AS p,
+               CAST(CAST(unnest(e.embedding) AS DOUBLE)
+                    * CAST(unnest(e.embedding) AS DOUBLE) AS {DECV_SQL}) AS sq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ),
+    sums AS (
+        SELECT vec_id,
+               CAST(SUM(p) AS DOUBLE) AS dot,
+               sqrt(CAST(SUM(sq) AS DOUBLE)) AS enorm
+        FROM prods GROUP BY vec_id
+    )
+    SELECT vec_id, dot / (enorm * qn.qnorm) AS cosine_sim
+    FROM sums, qn
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "cosine_topk_embeddings",
+    oracle=_COSINE_ORACLE,
+    doc="Brute-force cosine top-k similarity search against a query vector "
+    "(vec_id=0). zip_with/aggregate expression tree — JVM-side; top-k is "
+    "TakeOrderedAndProject.",
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import decimal
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+
+    # query norm computed the same portable way as the oracle: double
+    # squares → decimal(·,12) sum → double → sqrt
+    qnorm = math.sqrt(
+        float(
+            sum(
+                decimal.Decimal(x * x).quantize(
+                    decimal.Decimal("1E-12"), rounding=decimal.ROUND_HALF_UP
+                )
+                for x in qvec
+            )
+        )
+    )
+
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        (
+            _pdot(F.col("embedding"), q)
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x: (x.cast("double") * x.cast("double")).cast(DECV),
+                        ),
+                        F.lit(0).cast(DECV),
+                        lambda acc, v: (acc + v).cast(DECV),
+                    ).cast("double")
+                )
+                * F.lit(qnorm)
+            )
+        ).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "embedding_label_norms",
+    oracle=f"""
+    WITH sq AS (
+        SELECT vec_id, label,
+               SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {DECV_SQL}))
+                   AS sq_norm
+        FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id, label
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           sqrt(CAST(SUM(sq_norm) AS DOUBLE) / COUNT(*)) AS rms_norm
+    FROM sq
+    GROUP BY label
+    """,
+    doc="Per-label embedding RMS L2-norm (vector column aggregation; all "
+    "reductions decimal-exact, one final double sqrt).",
+)
+def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * x.cast("double")).cast(DECV),
+        ),
+        F.lit(0).cast(DECV),
+        lambda acc, v: (acc + v).cast(DECV),
+    )
+    return (
+        e.withColumn("sq_norm", sq_norm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sqrt(
+                F.sum(F.col("sq_norm")).cast("double") / F.count(F.lit(1))
+            ).alias("rms_norm"),
+        )
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=None,  # sign-LSH bucketing — seeded hyperplanes, no SQL analog
+    doc="Embedding-cosine near-dup pairs via sign-LSH bucket join + exact "
+    "cosine confirmation.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.9, num_planes=6)
