@@ -134,13 +134,20 @@ def compaction_merge(
         "__rn", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
     ).filter(F.col("__rn") == 1)
 
+    def shadowed_by_cell_tombstone(column_name: str) -> Column:
+        return F.exists(
+            F.col("__cells"),
+            lambda t: (t["col"] == F.lit(column_name))
+            & (t["wt"] >= F.col(writetime_col)),
+        )
+
     out_cols: list[Column] = [F.col(k) for k in keys]
     for c in value_cols:
-        shadowed = F.exists(
-            F.col("__cells"),
-            lambda t, c=c: (t["col"] == F.lit(c)) & (t["wt"] >= F.col(writetime_col)),
+        out_cols.append(
+            F.when(shadowed_by_cell_tombstone(c), F.lit(None))
+            .otherwise(F.col(c))
+            .alias(c)
         )
-        out_cols.append(F.when(shadowed, F.lit(None)).otherwise(F.col(c)).alias(c))
     if keep_writetime:
         out_cols.append(wt)
     return data.select(*out_cols)

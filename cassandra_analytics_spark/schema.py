@@ -1,0 +1,385 @@
+"""CQL DDL → Spark schema translation (reference operators C1/C2).
+
+The reference parses ``CREATE TABLE`` (+ ``CREATE TYPE`` UDTs) with the
+real Cassandra grammar (``cassandra-four-zero-types/.../reader/
+SchemaBuilder.java:161-183``) and converts the resulting ``CqlTable`` to a
+``StructType`` with per-field role metadata (``data/DataLayer.java:95-129``,
+converter table in ``cassandra-analytics-spark-converter/.../types/``).
+
+This module re-implements both halves natively: a small recursive-descent
+parser for the CQL we need, and the SURVEY §1.3 type-mapping table.
+Counter and duration columns are rejected exactly like the reference
+(``AbstractStreamScanner.java:84-91``, ``SparkDuration.java`` →
+NotImplementedFeatures).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+DEFAULT_DECIMAL_PRECISION = 38  # BigNumberConfig defaults (BigNumberConfig.java)
+DEFAULT_DECIMAL_SCALE = 19
+
+PARTITION_KEY = "partition_key"
+CLUSTERING = "clustering"
+STATIC = "static"
+REGULAR = "regular"
+
+
+class UnsupportedCqlType(ValueError):
+    """Raised for counter/duration, matching the reference's hard reject."""
+
+
+@dataclass
+class CqlColumn:
+    name: str
+    cql_type: str
+    kind: str = REGULAR
+    position: int = 0  # ordinal within its kind (pk index / ck index)
+    order: str = "ASC"  # clustering sort order
+
+
+@dataclass
+class CqlTable:
+    keyspace: str
+    name: str
+    columns: list[CqlColumn] = field(default_factory=list)
+
+    @property
+    def partition_keys(self) -> list[CqlColumn]:
+        return sorted(
+            (c for c in self.columns if c.kind == PARTITION_KEY),
+            key=lambda c: c.position,
+        )
+
+    @property
+    def clustering_keys(self) -> list[CqlColumn]:
+        return sorted(
+            (c for c in self.columns if c.kind == CLUSTERING),
+            key=lambda c: c.position,
+        )
+
+    @property
+    def static_columns(self) -> list[CqlColumn]:
+        return [c for c in self.columns if c.kind == STATIC]
+
+
+# --------------------------------------------------------------------------
+# CQL type expression parser
+# --------------------------------------------------------------------------
+
+_TYPE_TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|<|>|,|\(|\)|'[^']*'|\"[^\"]*\"")
+
+
+def _tokenize_type(s: str) -> list[str]:
+    return _TYPE_TOKEN.findall(s)
+
+
+class _TypeParser:
+    def __init__(self, tokens: list[str], udts: dict[str, dict[str, str]]):
+        self.tokens = tokens
+        self.pos = 0
+        self.udts = udts
+
+    def peek(self) -> str | None:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def take(self) -> str:
+        tok = self.tokens[self.pos]
+        self.pos += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.take()
+        if got != tok:
+            raise ValueError(f"expected {tok!r}, got {got!r}")
+
+    def parse(self) -> T.DataType:
+        name = self.take().lower()
+        if name == "frozen":
+            # frozenness only affects serialization (SparkFrozen.java)
+            self.expect("<")
+            inner = self.parse()
+            self.expect(">")
+            return inner
+        if name == "list" or name == "set":
+            self.expect("<")
+            elem = self.parse()
+            self.expect(">")
+            return T.ArrayType(elem)  # set→array loses set-ness (SparkSet.java)
+        if name == "map":
+            self.expect("<")
+            key = self.parse()
+            self.expect(",")
+            val = self.parse()
+            self.expect(">")
+            return T.MapType(key, val)
+        if name == "tuple":
+            self.expect("<")
+            fields = [self.parse()]
+            while self.peek() == ",":
+                self.take()
+                fields.append(self.parse())
+            self.expect(">")
+            # tuple fields named "0","1",… (SparkTuple.java:49-54)
+            return T.StructType(
+                [T.StructField(str(i), f, True) for i, f in enumerate(fields)]
+            )
+        if name in self.udts:
+            return T.StructType(
+                [
+                    T.StructField(fn, parse_cql_type(ft, self.udts), True)
+                    for fn, ft in self.udts[name].items()
+                ]
+            )
+        return _native_type(name)
+
+
+def _native_type(name: str) -> T.DataType:
+    # SURVEY §1.3 table; converter classes cited per row.
+    mapping: dict[str, T.DataType] = {
+        "ascii": T.StringType(),  # StringFeatures.java:63-65
+        "text": T.StringType(),
+        "varchar": T.StringType(),
+        "bigint": T.LongType(),  # LongFeatures.java:32-34
+        "time": T.LongType(),  # nanos-since-midnight (SparkTime.java)
+        "timestamp": T.TimestampType(),  # SparkTimestamp.java:40-62
+        "int": T.IntegerType(),  # IntFeatures.java:32-34
+        "smallint": T.ShortType(),  # SparkSmallInt.java:41
+        "tinyint": T.ByteType(),  # SparkTinyInt.java:41
+        "boolean": T.BooleanType(),  # SparkBoolean.java:40
+        "double": T.DoubleType(),  # SparkDouble.java:41
+        "float": T.FloatType(),  # SparkFloat.java:41
+        "blob": T.BinaryType(),  # BinaryFeatures.java:41-43
+        "inet": T.BinaryType(),  # SparkInet.java:39-56
+        "date": T.DateType(),  # SparkDate.java:42-84
+        "uuid": T.StringType(),  # UUIDFeatures.java:24
+        "timeuuid": T.StringType(),
+        "decimal": T.DecimalType(
+            DEFAULT_DECIMAL_PRECISION, DEFAULT_DECIMAL_SCALE
+        ),  # SparkDecimal.java:43
+        "varint": T.DecimalType(DEFAULT_DECIMAL_PRECISION, 0),  # SparkVarInt.java:44
+        "empty": T.NullType(),  # converter/types/Empty.java
+    }
+    if name in ("counter", "duration"):
+        # counter: AbstractStreamScanner.java:84-91; duration: SparkDuration.java
+        raise UnsupportedCqlType(f"CQL type {name!r} is not supported")
+    if name not in mapping:
+        raise ValueError(f"unknown CQL type {name!r}")
+    return mapping[name]
+
+
+def parse_cql_type(s: str, udts: dict[str, dict[str, str]] | None = None) -> T.DataType:
+    """Parse a CQL type expression (possibly nested) to a Spark DataType."""
+    parser = _TypeParser(_tokenize_type(s), udts or {})
+    result = parser.parse()
+    if parser.peek() is not None:
+        raise ValueError(f"trailing tokens in type {s!r}")
+    return result
+
+
+# --------------------------------------------------------------------------
+# CREATE TABLE / CREATE TYPE parsing
+# --------------------------------------------------------------------------
+
+_CREATE_TYPE = re.compile(
+    r"CREATE\s+TYPE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:(?P<ks>\"[^\"]+\"|\w+)\.)?(?P<name>\"[^\"]+\"|\w+)\s*\((?P<body>.*?)\)\s*;?",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CREATE_TABLE = re.compile(
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:(?P<ks>\"[^\"]+\"|\w+)\.)?(?P<name>\"[^\"]+\"|\w+)\s*\(",
+    re.IGNORECASE,
+)
+
+_CLUSTERING_ORDER = re.compile(
+    r"CLUSTERING\s+ORDER\s+BY\s*\((?P<body>[^)]*)\)", re.IGNORECASE
+)
+
+
+def _unquote(ident: str) -> str:
+    # case-preserving quoted identifiers (EndToEndTests.java:2408-2537)
+    if ident.startswith('"') and ident.endswith('"'):
+        return ident[1:-1]
+    return ident.lower()
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside <>, (), or quotes."""
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "<(":
+            depth += 1
+            cur.append(ch)
+        elif ch in ">)":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def parse_udts(ddl: str) -> dict[str, dict[str, str]]:
+    """Collect CREATE TYPE statements → {udt_name: {field: cql_type}}."""
+    udts: dict[str, dict[str, str]] = {}
+    for m in _CREATE_TYPE.finditer(ddl):
+        fields: dict[str, str] = {}
+        for part in _split_top_level(m.group("body")):
+            toks = part.split(None, 1)
+            if len(toks) == 2:
+                fields[_unquote(toks[0])] = toks[1].strip()
+        udts[_unquote(m.group("name"))] = fields
+    return udts
+
+
+def _extract_table_body(ddl: str, start: int) -> tuple[str, str]:
+    """Return (column body, trailing clause) of the CREATE TABLE at
+    ``start`` (index just past the opening paren)."""
+    depth, i = 1, start
+    while i < len(ddl) and depth:
+        if ddl[i] == "(":
+            depth += 1
+        elif ddl[i] == ")":
+            depth -= 1
+        i += 1
+    return ddl[start : i - 1], ddl[i:]
+
+
+def parse_create_table(ddl: str) -> CqlTable:
+    """Parse a CREATE TABLE statement (plus any CREATE TYPEs in the same
+    DDL string) into a :class:`CqlTable`.
+
+    Handles: compound partition keys ``PRIMARY KEY ((a, b), c, d)``, inline
+    primary keys, ``STATIC`` columns, ``CLUSTERING ORDER BY``, quoted
+    identifiers, nested frozen/collection/UDT/tuple types — the shapes the
+    reference's DDL cleaner handles (``utils/CqlUtils.java:121-227``).
+    """
+    udts = parse_udts(ddl)
+    m = _CREATE_TABLE.search(ddl)
+    if not m:
+        raise ValueError("no CREATE TABLE statement found")
+    keyspace = _unquote(m.group("ks")) if m.group("ks") else ""
+    table_name = _unquote(m.group("name"))
+    body, trailer = _extract_table_body(ddl, m.end())
+
+    pk_names: list[str] = []
+    ck_names: list[str] = []
+    columns: list[CqlColumn] = []
+
+    for part in _split_top_level(body):
+        upper = part.upper()
+        if upper.startswith("PRIMARY KEY"):
+            inner = part[part.index("(") + 1 : part.rindex(")")]
+            keys = _split_top_level(inner)
+            if keys and keys[0].startswith("("):
+                pk_names = [
+                    _unquote(k.strip()) for k in _split_top_level(keys[0][1:-1])
+                ]
+                ck_names = [_unquote(k.strip()) for k in keys[1:]]
+            else:
+                pk_names = [_unquote(keys[0].strip())]
+                ck_names = [_unquote(k.strip()) for k in keys[1:]]
+            continue
+        toks = part.split(None, 1)
+        if len(toks) != 2:
+            continue
+        name = _unquote(toks[0])
+        rest = toks[1].strip()
+        rest_upper = rest.upper()
+        is_static = rest_upper.endswith(" STATIC")
+        if is_static:
+            rest = rest[: -len(" STATIC")].strip()
+        inline_pk = rest_upper.endswith(" PRIMARY KEY")
+        if inline_pk:
+            rest = rest[: -len(" PRIMARY KEY")].strip()
+            pk_names = [name]
+        columns.append(
+            CqlColumn(
+                name=name,
+                cql_type=rest,
+                kind=STATIC if is_static else REGULAR,
+            )
+        )
+
+    for i, pk in enumerate(pk_names):
+        for col in columns:
+            if col.name == pk:
+                col.kind = PARTITION_KEY
+                col.position = i
+    for i, ck in enumerate(ck_names):
+        for col in columns:
+            if col.name == ck:
+                col.kind = CLUSTERING
+                col.position = i
+
+    orders = _CLUSTERING_ORDER.search(trailer)
+    if orders:
+        for part in _split_top_level(orders.group("body")):
+            toks = part.split()
+            if len(toks) >= 2:
+                cname = _unquote(toks[0])
+                for col in columns:
+                    if col.name == cname and col.kind == CLUSTERING:
+                        col.order = toks[1].upper()
+
+    if not pk_names:
+        raise ValueError("CREATE TABLE has no PRIMARY KEY")
+    return CqlTable(keyspace=keyspace, name=table_name, columns=columns)
+
+
+# --------------------------------------------------------------------------
+# CqlTable → StructType (C2: DataLayer.structType, DataLayer.java:95-129)
+# --------------------------------------------------------------------------
+
+
+def to_struct_type(table: CqlTable) -> T.StructType:
+    """Ordered StructType with role metadata per field, mirroring
+    ``DataLayer.fieldMetaData`` (``DataLayer.java:118-129``)."""
+    udts = {}  # UDTs already resolved inside cql_type strings at parse time
+    fields = []
+    for col in table.columns:
+        dtype = parse_cql_type(col.cql_type, udts)
+        meta = {
+            "kind": col.kind,
+            "position": col.position,
+            "cqlType": col.cql_type,
+        }
+        if col.kind == CLUSTERING:
+            meta["order"] = col.order
+        nullable = col.kind not in (PARTITION_KEY, CLUSTERING)
+        fields.append(T.StructField(col.name, dtype, nullable, metadata=meta))
+    return T.StructType(fields)
+
+
+def schema_for_ddl(ddl: str) -> T.StructType:
+    """One-call C1+C2: DDL string → StructType with role metadata."""
+    table = parse_create_table(ddl)
+    # resolve UDT references using the full DDL context
+    udts = parse_udts(ddl)
+    fields = []
+    for col in table.columns:
+        dtype = parse_cql_type(col.cql_type, udts)
+        meta = {"kind": col.kind, "position": col.position, "cqlType": col.cql_type}
+        if col.kind == CLUSTERING:
+            meta["order"] = col.order
+        nullable = col.kind not in (PARTITION_KEY, CLUSTERING)
+        fields.append(T.StructField(col.name, dtype, nullable, metadata=meta))
+    return T.StructType(fields)

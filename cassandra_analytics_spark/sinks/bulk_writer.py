@@ -1,0 +1,256 @@
+"""Bulk writer — the reference's sink semantics (S4/S5, W1–W4) over parquet.
+
+Reference pipeline (``sparksql/CassandraDataSink.java:40-101``,
+``bulkwriter/CassandraBulkSourceRelation.java:116-131``):
+
+1. **W1 normalize/validate** — DataFrame schema ⊆ CQL schema, every
+   pk/ck column present, no extras (``bulkwriter/TableSchema.java:240-296``)
+2. **W2 tokenize + range-partition + sort** — token per row,
+   ``repartitionAndSortWithinPartitions`` on token ranges
+   (``bulkwriter/Tokenizer.java:33-68``, ``TokenPartitioner.java``)
+3. **W3 sorted sized file emit** — roll files at a size threshold, per-file
+   digest (``bulkwriter/SortedSSTableWriter.java:132-198``,
+   ``DigestAlgorithms.java:29-47``)
+4. **W4 two-phase commit** — upload everything, then commit atomically;
+   job fails unless every range commits (``bulkwriter/StreamSession.java:124-187``)
+
+Spark-first translation: a *table* is a directory of immutable committed
+**batch** directories (the SSTable-set analog). One ``bulk_write`` =
+validate → token column → ``repartitionByRange(token)`` +
+``sortWithinPartitions(token, *ck)`` → sized parquet files into a staging
+dir → manifest with per-file digests → atomic rename to ``batch-*`` (the
+commit point). Readers list committed batches and apply the LWW
+compaction-merge — the same merge-on-read contract Cassandra gives the
+reference's bulk reader.
+
+``WriteMode.DELETE_PARTITION`` (S5, ``bulkwriter/WriteMode.java:22-25``)
+writes partition-tombstone rows that the read-side merge purges.
+``SaveMode.Overwrite`` is rejected exactly like the reference
+(``CassandraDataSink.java:96-99``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.functions.tokens import token_column
+from cassandra_analytics_spark.operators.merge import (
+    SYSTEM_COLUMNS,
+    TOMBSTONE,
+    TTL,
+    WRITETIME,
+    compaction_merge,
+)
+from cassandra_analytics_spark.schema import CqlTable
+
+
+class WriteMode(Enum):
+    APPEND = "append"
+    DELETE_PARTITION = "delete_partition"
+
+
+class BulkWriteError(ValueError):
+    pass
+
+
+@dataclass
+class WriteResult:
+    batch_dir: str
+    num_files: int
+    num_rows: int
+    manifest_path: str
+
+
+def _validate(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str],
+    table: CqlTable | None,
+) -> None:
+    """W1: every key column present; with a CQL table, DF columns must be a
+    subset of table columns and cover all keys (TableSchema.java:240-296)."""
+    cols = set(df.columns)
+    for k in list(partition_keys) + list(clustering_keys):
+        if k not in cols:
+            raise BulkWriteError(f"missing primary-key column in DataFrame: {k!r}")
+    if table is not None:
+        table_cols = {c.name for c in table.columns}
+        extra = cols - table_cols - set(SYSTEM_COLUMNS)
+        if extra:
+            raise BulkWriteError(f"DataFrame columns not in table schema: {sorted(extra)}")
+        for key_col in table.partition_keys + table.clustering_keys:
+            if key_col.name not in cols:
+                raise BulkWriteError(
+                    f"table key column missing from DataFrame: {key_col.name!r}"
+                )
+
+
+def _file_digest(path: str, algorithm: str = "md5") -> str:
+    h = hashlib.new(algorithm)
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def bulk_write(
+    df: DataFrame,
+    table_path: str,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str] = (),
+    mode: WriteMode | str = WriteMode.APPEND,
+    table: CqlTable | None = None,
+    write_timestamp_micros: int | None = None,
+    ttl_seconds: int | None = None,
+    num_partitions: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    digest_algorithm: str = "md5",
+    save_mode: str = "append",
+) -> WriteResult:
+    """Write a DataFrame as one committed batch of the table.
+
+    ``save_mode`` exists for API parity with ``df.write.mode(...)``; only
+    ``append`` is allowed — the reference rejects Overwrite because it would
+    need a TRUNCATE (``CassandraDataSink.java:96-99``).
+    """
+    if save_mode.lower() != "append":
+        raise BulkWriteError(
+            f"save mode {save_mode!r} not supported: bulk writes are append-only "
+            "SSTable-style imports (use WriteMode.DELETE_PARTITION for deletes)"
+        )
+    mode = WriteMode(mode) if isinstance(mode, str) else mode
+    # DELETE_PARTITION rows carry only partition keys (WriteMode.java:22-25)
+    required_ck = () if mode is WriteMode.DELETE_PARTITION else clustering_keys
+    _validate(df, partition_keys, required_ck, table)
+
+    wt = (
+        F.lit(write_timestamp_micros)
+        if write_timestamp_micros is not None
+        else F.lit(int(time.time() * 1_000_000))
+    )
+    if mode is WriteMode.DELETE_PARTITION:
+        # S5: rows are partition keys to delete → partition tombstones
+        out = df.select(*partition_keys).withColumn(WRITETIME, wt.cast("long"))
+        out = out.withColumn(TTL, F.lit(None).cast("int"))
+        out = out.withColumn(TOMBSTONE, F.lit("partition"))
+    else:
+        out = df.withColumn(WRITETIME, wt.cast("long"))
+        if TTL not in df.columns:
+            out = out.withColumn(TTL, F.lit(ttl_seconds).cast("int"))
+        if TOMBSTONE not in df.columns:
+            out = out.withColumn(TOMBSTONE, F.lit(None).cast("string"))
+
+    # W2: token + range partition + sort within partitions. At cluster scale
+    # repartitionByRange samples token quantiles — the analog of the
+    # reference's ring-range split; sortWithinPartitions gives each file the
+    # reference's (token, ck...) sort order.
+    out = out.withColumn("__token", token_column(*[F.col(k) for k in partition_keys]))
+    n = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    out = out.repartitionByRange(n, F.col("__token")).sortWithinPartitions(
+        "__token", *partition_keys, *required_ck
+    )
+    out = out.drop("__token")
+
+    # W3: sized sorted files into a staging dir
+    batch_id = f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    staging = os.path.join(table_path, f"_staging-{batch_id}")
+    final_dir = os.path.join(table_path, batch_id)
+    (
+        out.write.mode("errorifexists")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(staging)
+    )
+
+    # per-file digests → manifest (DigestAlgorithms.java analog; the
+    # reference defaults xxhash32 and also offers MD5 — we use MD5)
+    files = {}
+    num_rows = 0
+    for fname in sorted(os.listdir(staging)):
+        if not fname.endswith(".parquet"):
+            continue
+        fpath = os.path.join(staging, fname)
+        files[fname] = {
+            "bytes": os.path.getsize(fpath),
+            digest_algorithm: _file_digest(fpath, digest_algorithm),
+        }
+    import pyarrow.parquet as pq
+
+    for fname in files:
+        num_rows += pq.read_metadata(os.path.join(staging, fname)).num_rows
+
+    manifest = {
+        "batch": batch_id,
+        "mode": mode.value,
+        "partition_keys": list(partition_keys),
+        "clustering_keys": list(clustering_keys),
+        "digest_algorithm": digest_algorithm,
+        "num_rows": num_rows,
+        "files": files,
+    }
+    manifest_path = os.path.join(staging, "_manifest.json")
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    # W4: the commit point — a single atomic rename. Before it, readers
+    # never see the batch; after it, they always do.
+    os.rename(staging, final_dir)
+    return WriteResult(
+        batch_dir=final_dir,
+        num_files=len(files),
+        num_rows=num_rows,
+        manifest_path=os.path.join(final_dir, "_manifest.json"),
+    )
+
+
+def committed_batches(table_path: str) -> list[str]:
+    if not os.path.isdir(table_path):
+        return []
+    return sorted(
+        os.path.join(table_path, d)
+        for d in os.listdir(table_path)
+        if d.startswith("batch-") and os.path.isdir(os.path.join(table_path, d))
+    )
+
+
+def verify_digests(batch_dir: str) -> bool:
+    """Re-hash a committed batch against its manifest (the reference
+    re-opens and validates written SSTables — RecordWriter.java:351-353)."""
+    with open(os.path.join(batch_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    algo = manifest["digest_algorithm"]
+    for fname, meta in manifest["files"].items():
+        if _file_digest(os.path.join(batch_dir, fname), algo) != meta[algo]:
+            return False
+    return True
+
+
+def read_bulk_table(
+    spark: SparkSession,
+    table_path: str,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str] = (),
+    merge: bool = True,
+) -> DataFrame:
+    """Bulk-reader entry: read every committed batch and apply the LWW
+    compaction merge + tombstone purge — the read path of SURVEY §3.1 with
+    batches standing in for SSTable sets."""
+    batches = committed_batches(table_path)
+    if not batches:
+        raise FileNotFoundError(f"no committed batches under {table_path}")
+    # tombstone batches carry only key+system columns → merge schemas
+    df = spark.read.option("mergeSchema", "true").parquet(*batches)
+    if not merge:
+        return df
+    return compaction_merge(
+        df, partition_keys=partition_keys, clustering_keys=clustering_keys
+    )

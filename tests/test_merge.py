@@ -1,0 +1,139 @@
+"""compaction_merge semantics vs the reference's CompactionStreamScanner
+(FIXTURES.md §B4/B5/B6 shapes, built inline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from cassandra_analytics_spark.operators.merge import (
+    compaction_merge,
+    last_modified_timestamp,
+    latest_by_key,
+    propagate_static_columns,
+)
+
+NOW = 10_000_000_000  # micros "now" for TTL checks
+
+MV_SCHEMA = (
+    "pk string, ck int, val string, writetime long, ttl int, "
+    "tombstone string, replica_id int"
+)
+
+
+def _mv_row(pk, ck, val, wt, ttl=None, tombstone=None, replica=1):
+    return (pk, ck, val, wt, ttl, tombstone, replica)
+
+
+def test_lww_max_writetime_wins(spark):
+    rows = [
+        _mv_row("a", 1, "v1", 100, replica=1),
+        _mv_row("a", 1, "v2", 200, replica=2),
+        _mv_row("a", 1, "v3", 150, replica=3),
+        _mv_row("b", 1, "only", 50),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+    got = {(r.pk, r.ck): r.val for r in out.collect()}
+    assert got == {("a", 1): "v2", ("b", 1): "only"}
+
+
+def test_lww_tie_greater_value_wins(spark):
+    # equal writetime → greater value wins (Cassandra cell reconciliation)
+    rows = [
+        _mv_row("a", 1, "apple", 100, replica=1),
+        _mv_row("a", 1, "zebra", 100, replica=2),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+    assert out.collect()[0].val == "zebra"
+
+
+def test_partition_tombstone_purges_older_rows(spark):
+    rows = [
+        _mv_row("a", 1, "old", 100),
+        _mv_row("a", 2, "old2", 150),
+        _mv_row("a", None, None, 200, tombstone="partition"),
+        _mv_row("a", 3, "newer", 300),  # written after the delete → survives
+        _mv_row("b", 1, "keep", 100),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+    got = {(r.pk, r.ck): r.val for r in out.collect()}
+    assert got == {("a", 3): "newer", ("b", 1): "keep"}
+
+
+def test_row_tombstone(spark):
+    rows = [
+        _mv_row("a", 1, "dead", 100),
+        _mv_row("a", 1, None, 200, tombstone="row"),
+        _mv_row("a", 2, "alive", 100),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+    got = {(r.pk, r.ck): r.val for r in out.collect()}
+    assert got == {("a", 2): "alive"}
+
+
+def test_row_tombstone_older_than_data_is_ignored(spark):
+    rows = [
+        _mv_row("a", 1, None, 100, tombstone="row"),
+        _mv_row("a", 1, "rewritten", 200),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+    assert out.collect()[0].val == "rewritten"
+
+
+def test_cell_tombstone_nulls_column_keeps_row(spark):
+    rows = [
+        _mv_row("a", 1, "visible", 100),
+        _mv_row("a", 1, None, 200, tombstone="cell:val"),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+    result = out.collect()
+    assert len(result) == 1
+    assert result[0].pk == "a" and result[0].ck == 1
+    assert result[0].val is None
+
+
+def test_ttl_expiry(spark):
+    rows = [
+        _mv_row("a", 1, "expired", 100, ttl=1),  # 100 + 1e6 <= NOW → gone
+        _mv_row("b", 1, "fresh", NOW - 10, ttl=3600),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+    got = {r.pk: r.val for r in out.collect()}
+    assert got == {"b": "fresh"}
+
+
+def test_latest_by_key(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", ts=1, v="x"), Row(k="a", ts=2, v="y"), Row(k="b", ts=1, v="z")]
+    )
+    out = latest_by_key(df, ["k"], "ts")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"a": "y", "b": "z"}
+
+
+def test_last_modified_timestamp(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", writetime=5), Row(k="a", writetime=9), Row(k="b", writetime=2)]
+    )
+    out = last_modified_timestamp(df, ["k"])
+    got = {(r.k, r.writetime): r.last_modified_timestamp for r in out.collect()}
+    assert got == {("a", 5): 9, ("a", 9): 9, ("b", 2): 2}
+
+
+def test_static_column_propagation(spark):
+    df = spark.createDataFrame(
+        [
+            Row(pk=1, ck=1, s="S", v=10),
+            Row(pk=1, ck=2, s=None, v=11),
+            Row(pk=2, ck=1, s=None, v=20),  # partition never sets s → stays null
+        ]
+    )
+    out = propagate_static_columns(df, ["pk"], ["s"])
+    got = {(r.pk, r.ck): r.s for r in out.collect()}
+    assert got == {(1, 1): "S", (1, 2): "S", (2, 1): None}

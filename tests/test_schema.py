@@ -1,0 +1,133 @@
+"""CQL DDL → StructType translator (C1/C2) against reference-style DDL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from cassandra_analytics_spark.schema import (
+    UnsupportedCqlType,
+    parse_cql_type,
+    parse_create_table,
+    schema_for_ddl,
+)
+
+BASIC = """
+CREATE TABLE ks.basic_test (
+  a bigint PRIMARY KEY,
+  b bigint,
+  c text
+);
+"""
+
+COMPOUND = """
+CREATE TABLE ks.compound (
+  pk1 text,
+  pk2 int,
+  ck1 timestamp,
+  ck2 text,
+  s text STATIC,
+  val double,
+  PRIMARY KEY ((pk1, pk2), ck1, ck2)
+) WITH CLUSTERING ORDER BY (ck1 ASC, ck2 DESC);
+"""
+
+UDT = """
+CREATE TYPE ks.address (street text, city text, zip int);
+CREATE TABLE ks.people (
+  id uuid PRIMARY KEY,
+  tags set<text>,
+  scores list<frozen<tuple<int, double>>>,
+  attrs map<text, frozen<address>>,
+  addr frozen<address>
+);
+"""
+
+
+def test_basic_table():
+    t = parse_create_table(BASIC)
+    assert t.keyspace == "ks" and t.name == "basic_test"
+    assert [c.name for c in t.partition_keys] == ["a"]
+    assert [c.name for c in t.clustering_keys] == []
+    kinds = {c.name: c.kind for c in t.columns}
+    assert kinds == {"a": "partition_key", "b": "regular", "c": "regular"}
+
+
+def test_compound_keys_and_order():
+    t = parse_create_table(COMPOUND)
+    assert [c.name for c in t.partition_keys] == ["pk1", "pk2"]
+    assert [c.name for c in t.clustering_keys] == ["ck1", "ck2"]
+    orders = {c.name: c.order for c in t.clustering_keys}
+    assert orders == {"ck1": "ASC", "ck2": "DESC"}
+    assert [c.name for c in t.static_columns] == ["s"]
+
+
+def test_struct_type_roles_and_metadata():
+    st = schema_for_ddl(COMPOUND)
+    f = {x.name: x for x in st.fields}
+    assert f["pk1"].metadata["kind"] == "partition_key"
+    assert f["pk1"].nullable is False
+    assert f["ck2"].metadata["order"] == "DESC"
+    assert f["s"].metadata["kind"] == "static"
+    assert isinstance(f["val"].dataType, T.DoubleType)
+    assert isinstance(f["ck1"].dataType, T.TimestampType)
+
+
+def test_udt_tuple_collections():
+    st = schema_for_ddl(UDT)
+    f = {x.name: x for x in st.fields}
+    assert isinstance(f["id"].dataType, T.StringType)  # uuid → string
+    assert f["tags"].dataType == T.ArrayType(T.StringType())  # set → array
+    scores = f["scores"].dataType
+    assert isinstance(scores, T.ArrayType)
+    tup = scores.elementType
+    assert isinstance(tup, T.StructType)
+    assert [x.name for x in tup.fields] == ["0", "1"]  # tuple fields "0","1"
+    attrs = f["attrs"].dataType
+    assert isinstance(attrs, T.MapType)
+    assert isinstance(attrs.valueType, T.StructType)
+    addr = f["addr"].dataType
+    assert [x.name for x in addr.fields] == ["street", "city", "zip"]
+    assert isinstance(addr["zip"].dataType, T.IntegerType)
+
+
+def test_type_mapping_table():
+    cases = {
+        "ascii": T.StringType(),
+        "bigint": T.LongType(),
+        "time": T.LongType(),
+        "timestamp": T.TimestampType(),
+        "smallint": T.ShortType(),
+        "tinyint": T.ByteType(),
+        "blob": T.BinaryType(),
+        "inet": T.BinaryType(),
+        "date": T.DateType(),
+        "timeuuid": T.StringType(),
+        "decimal": T.DecimalType(38, 19),
+        "varint": T.DecimalType(38, 0),
+    }
+    for cql, expected in cases.items():
+        assert parse_cql_type(cql) == expected, cql
+
+
+def test_counter_and_duration_rejected():
+    with pytest.raises(UnsupportedCqlType):
+        parse_cql_type("counter")
+    with pytest.raises(UnsupportedCqlType):
+        parse_cql_type("duration")
+    with pytest.raises(UnsupportedCqlType):
+        schema_for_ddl("CREATE TABLE ks.t (id int PRIMARY KEY, d duration);")
+
+
+def test_quoted_identifiers_case_preserving():
+    ddl = '''CREATE TABLE "QuotedKs"."QuotedTbl" ("Id" int PRIMARY KEY, "Value" text, "select" int);'''
+    t = parse_create_table(ddl)
+    assert t.keyspace == "QuotedKs" and t.name == "QuotedTbl"
+    names = [c.name for c in t.columns]
+    assert names == ["Id", "Value", "select"]
+    assert t.partition_keys[0].name == "Id"
+
+
+def test_nested_map_of_list():
+    dt = parse_cql_type("map<text, frozen<list<int>>>")
+    assert dt == T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))
