@@ -1,0 +1,111 @@
+"""Streaming pipelines over the events table.
+
+Batch/stream parity: each streaming aggregation here has a batch twin in
+``queries/relational.py`` (events_hourly_stats, events_sessionize); tests
+assert the streaming result equals the batch result once the stream drains
+— the Kappa-architecture check.
+
+Scale posture: watermarks bound state; windowed aggs shuffle on
+(window, key) which is high-cardinality; ``session_window`` uses Spark's
+native session state store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over the events fixture (schema from a batch
+    probe; parquet nanos handled the same way as the batch source)."""
+    from cassandra_analytics_spark.catalog import load_table, table_path
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # file-source streams need a directory/glob, not a bare file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("basePath", sf_dir)
+        .parquet(os.path.join(sf_dir, "events.parquet*"))
+    )
+    if dict(batch.dtypes)["ts"] == "timestamp":
+        from pyspark.sql import types as T
+
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return stream
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type with a watermark for late data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (the streaming twin of events_sessionize)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drain the stream into an in-memory sink and return the result table
+    (test/debug harness; production would writeStream to parquet/kafka)."""
+    import tempfile
+
+    spark = stream_df.sparkSession
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt-")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint, query_name))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,46 @@
+"""Streaming/batch parity over the events fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.streaming.events_stream import (
+    events_stream,
+    run_stream_to_memory,
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    result = run_stream_to_memory(
+        windowed_event_counts(stream), "win_counts", output_mode="complete"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {
+        (r.hour, r.event_type): r.n_events for r in result.collect()
+    }
+    want = {(r.hour, r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+    assert sum(got.values()) == load_table(spark, sf_dir, "events").count()
+
+
+def test_session_windows_run(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    result = run_stream_to_memory(
+        sessionized_counts(stream), "sessions", output_mode="complete"
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    # session totals cover every event
+    assert sum(r.n_events for r in rows) == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    assert all(r.session_start <= r.session_end for r in rows)
