@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         cassandra_semantics,
         llm,
         relational,
+        relational_ext,
     )
 
     _LOADED = True

@@ -1,0 +1,346 @@
+"""Second relational coverage batch (SURVEY §2.2): percentiles, multiset
+set-ops, unionByName, collect/array functions, map extraction, regex
+groups, FILTER-style conditional aggregates, boolean aggregates, unpivot,
+date truncation, null-handling functions, IN-list pushdown (F1 analog)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.queries import query
+from cassandra_analytics_spark.queries._util import davg_sql, dsum, dsum_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_median_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.90) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact median / linear-interpolated percentiles per group.",
+)
+def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.90)).alias("p90_qty"),
+    )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="INTERSECT ALL (multiset semantics).",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="EXCEPT ALL (multiset difference).",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT c_custkey AS k, c_mktsegment AS seg, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS k, s_name AS seg, 'supplier' AS src FROM supplier
+    """,
+    doc="unionByName across differently-ordered projections.",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("customer").alias("src"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_name").alias("seg"),
+        F.col("s_suppkey").alias("k"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "array_agg_sorted",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    doc="collect_list → array_sort → array_join (ordered string agg).",
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "explode_embeddings",
+    oracle="""
+    SELECT vec_id,
+           COUNT(*) AS n_elems,
+           CAST(MIN(x) AS DOUBLE) AS min_val,
+           CAST(MAX(x) AS DOUBLE) AS max_val
+    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    GROUP BY vec_id
+    """,
+    doc="Array explode (unnest) + per-row element statistics.",
+)
+def explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.explode("embedding").alias("x"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.min("x").cast("double").alias("min_val"),
+            F.max("x").cast("double").alias("max_val"),
+        )
+    )
+
+
+@query(
+    "map_entry_extraction",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Build map<event_type,count> per user, element_at two keys — map "
+    "construction + extraction (equivalent to FILTER counts).",
+)
+def map_entry_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    return as_map.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
+    )
+
+
+@query(
+    "regexp_extract_groups",
+    oracle="""
+    SELECT CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT)
+               AS brand_num,
+           COUNT(*) AS n_parts,
+           {davg} AS avg_price
+    FROM part
+    GROUP BY brand_num
+    """.format(davg=davg_sql("p_retailprice")),
+    doc="Regex capture-group extraction + aggregation.",
+)
+def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.queries._util import davg
+
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn(
+            "brand_num",
+            F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).cast("long"),
+        )
+        .groupBy("brand_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg(F.col("p_retailprice")).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "conditional_agg_filter",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count_if(o_orderstatus = 'F') AS n_closed,
+           count_if(o_orderstatus = 'O') AS n_open,
+           {dsum_sql("CASE WHEN o_totalprice > 100000 THEN o_totalprice END")}
+               AS big_order_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="FILTER-style conditional aggregation (count_if / conditional sum).",
+)
+def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_closed"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        dsum(
+            F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
+        ).alias("big_order_total"),
+    )
+
+
+@query(
+    "bool_aggs",
+    oracle="""
+    SELECT c_nationkey,
+           bool_and(c_acctbal > -999) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Boolean aggregates (every/any).",
+)
+def bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.bool_and(F.col("c_acctbal") > -999).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "unpivot_segment_metrics",
+    oracle=f"""
+    WITH m AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               {dsum_sql('c_acctbal')} AS total_bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM m
+    UNION ALL
+    SELECT c_mktsegment, 'total_bal' AS metric, total_bal AS value FROM m
+    """,
+    doc="Unpivot (wide metrics → long rows).",
+)
+def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_customers", "total_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "date_trunc_variants",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('week', o_orderdate) AS wk,
+           date_trunc('month', o_orderdate) AS mo,
+           date_trunc('quarter', o_orderdate) AS qt,
+           date_trunc('year', o_orderdate) AS yr
+    FROM orders
+    """,
+    doc="date_trunc at week/month/quarter/year granularity.",
+)
+def date_trunc_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", d).alias("wk"),
+        F.date_trunc("month", d).alias("mo"),
+        F.date_trunc("quarter", d).alias("qt"),
+        F.date_trunc("year", d).alias("yr"),
+    )
+
+
+@query(
+    "null_handling_funcs",
+    oracle="""
+    SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           COUNT(*) AS n,
+           COUNT(NULLIF(o_orderpriority, '5-LOW')) AS n_not_low
+    FROM orders
+    GROUP BY status_label
+    """,
+    doc="NULLIF / COALESCE / null-skipping COUNT.",
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "status_label",
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")),
+        )
+        .groupBy("status_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))).alias(
+                "n_not_low"
+            ),
+        )
+    )
+
+
+@query(
+    "pk_in_list_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (3, 7, 11, 42, 100)
+    """,
+    doc="F1 partition-key EqualTo/In pushdown analog: IN-list on the "
+    "partition key reaches the parquet scan as PushedFilters "
+    "(DataLayer.java:304-337 accept-list semantics).",
+)
+def pk_in_list_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").isin(3, 7, 11, 42, 100)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )

@@ -1,0 +1,65 @@
+"""Token partitioning helpers (M4/F2/W2 analogs)."""
+
+from __future__ import annotations
+
+from cassandra_analytics_spark.functions.tokens import (
+    MAX_TOKEN,
+    MIN_TOKEN,
+    _murmur3_64,
+    token_range_splits,
+    tokenize,
+)
+
+
+def test_token_range_splits_cover_ring():
+    for n in (1, 3, 32, 100):
+        splits = token_range_splits(n)
+        assert len(splits) == n
+        assert splits[0][0] == MIN_TOKEN
+        assert splits[-1][1] == MAX_TOKEN
+        for (s1, e1), (s2, _) in zip(splits, splits[1:]):
+            assert s2 == e1 + 1  # contiguous, non-overlapping
+
+
+def test_murmur3_known_values():
+    # murmur3 x64 128 of empty input with seed 0 is 0 (published vector)
+    assert _murmur3_64(b"") == 0
+    # deterministic + full-range signed
+    t = _murmur3_64(b"hello")
+    assert t == _murmur3_64(b"hello")
+    assert MIN_TOKEN <= t <= MAX_TOKEN
+    assert _murmur3_64(b"hello") != _murmur3_64(b"hellp")
+
+
+def test_murmur3_spread():
+    tokens = [_murmur3_64(i.to_bytes(8, "big", signed=True)) for i in range(1000)]
+    assert len(set(tokens)) == 1000
+    negative = sum(1 for t in tokens if t < 0)
+    assert 300 < negative < 700  # roughly balanced over the signed range
+
+
+def test_tokenize_uniform_buckets(spark):
+    df = spark.range(10_000)
+    toks = tokenize(df, ["id"])
+    from pyspark.sql import functions as F
+
+    buckets = (
+        toks.withColumn("b", F.pmod("token", F.lit(16)))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(buckets) == 16
+    counts = [r["count"] for r in buckets]
+    assert max(counts) < 2 * min(counts)  # no pathological skew
+
+
+def test_murmur3_pandas_udf_matches_python(spark):
+    from cassandra_analytics_spark.functions.tokens import murmur3_token_for_long
+
+    df = spark.range(100)
+    got = {
+        r.id: r.token for r in murmur3_token_for_long(df, "id").collect()
+    }
+    for i in range(100):
+        assert got[i] == _murmur3_64(int(i).to_bytes(8, "big", signed=True))
