@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
         llm,
         relational,
         relational_ext,
+        temporal,
     )
 
     _LOADED = True
