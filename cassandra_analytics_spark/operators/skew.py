@@ -1,0 +1,77 @@
+"""Skew-handling primitives for hot keys at 100 TB.
+
+AQE's skew-join splitting (enabled in the session factory) covers
+sort-merge joins at runtime; these operators cover the cases AQE doesn't:
+skewed aggregation (two-phase salted partial/final) and explicitly salted
+broadcast-free joins when the hot side is known.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a salt on the hot key.
+
+    ``aggs``: out_col → (function, in_col) with function ∈ {sum, count,
+    min, max}. Phase 1 aggregates on (keys, salt) — spreading a hot key
+    over ``salt_buckets`` reducers; phase 2 merges the partials. All four
+    functions have exact merge semantics (sum↦sum, count↦sum, min↦min,
+    max↦max), so the result equals the unsalted aggregation.
+    """
+    supported = {"sum", "count", "min", "max"}
+    for out, (fn, _) in aggs.items():
+        if fn not in supported:
+            raise ValueError(f"{out}: {fn!r} has no exact partial merge")
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[
+            (
+                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(c))
+            ).alias(f"__p_{out}")
+            for out, (fn, c) in aggs.items()
+        ]
+    )
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    return phase1.groupBy(*keys).agg(
+        *[
+            merge_fn[fn](F.col(f"__p_{out}")).alias(out)
+            for out, (fn, _) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys: salt the skewed side,
+    replicate the other side across every salt bucket, join on
+    (keys, salt). Result is row-identical to the plain join; the hot key's
+    rows spread over ``salt_buckets`` tasks instead of one straggler.
+    """
+    keys = list(on)
+    left = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    right = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast(left.schema["__salt"].dataType))
+    joined = left.join(right, keys + ["__salt"], how)
+    return joined.drop("__salt")

@@ -1,0 +1,75 @@
+"""F1 pushdown accept-list semantics + skew operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.operators.skew import salted_aggregate, salted_join
+from cassandra_analytics_spark.sources.pushdown import (
+    PartitionKeyFilter,
+    classify_filters,
+    scan_with_pk_filter,
+)
+
+
+def test_classify_all_or_nothing():
+    # full pk constraint → pushable
+    pushed = classify_filters(["pk1", "pk2"], {"pk1": ["a"], "pk2": [1, 2]})
+    assert pushed is not None
+    assert sorted(pushed.key_combinations()) == [("a", 1), ("a", 2)]
+    # partial pk constraint → NOT pushable (DataLayer.java:304-337)
+    assert classify_filters(["pk1", "pk2"], {"pk1": ["a"]}) is None
+    # clustering-key-only → not pushable
+    assert classify_filters(["pk1"], {"ck": [5]}) is None
+
+
+def test_scan_with_pk_filter_guard(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = scan_with_pk_filter(orders, ["o_orderkey"], {"o_orderkey": [1, 2, 3]})
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="every partition-key column"):
+        scan_with_pk_filter(
+            orders, ["o_orderkey"], {"o_custkey": [1]}, require_full_pk=True
+        )
+    # partial filters still apply post-scan when the guard is off
+    loose = scan_with_pk_filter(orders, ["o_orderkey"], {"o_orderstatus": ["F"]})
+    assert loose.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_cartesian_key_expansion():
+    f = PartitionKeyFilter(values={"a": (1, 2), "b": ("x", "y", "z")})
+    assert len(f.key_combinations()) == 6
+
+
+def test_salted_aggregate_matches_plain(spark):
+    # heavy skew: 90% of rows share one key
+    rows = [Row(k="hot" if i % 10 else f"cold{i}", v=float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows)
+    salted = salted_aggregate(
+        df,
+        ["k"],
+        {"total": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
+        salt_buckets=16,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("mx")
+    )
+    got = {r.k: (r.total, r.n, r.mx) for r in salted.collect()}
+    want = {r.k: (r.total, r.n, r.mx) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        [Row(k=i % 3, pay=f"p{i}") for i in range(3000)]
+    )
+    right = spark.createDataFrame([Row(k=i, label=f"L{i}") for i in range(5)])
+    salted = salted_join(left, right, ["k"], salt_buckets=8)
+    plain = left.join(right, ["k"])
+    assert salted.count() == plain.count()
+    got = sorted((r.k, r.pay, r.label) for r in salted.collect())
+    want = sorted((r.k, r.pay, r.label) for r in plain.collect())
+    assert got == want
