@@ -74,8 +74,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _ensure_loaded()
 
-    # warm up the JVM + parquet footers with one tiny job
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm up the JVM, file listings and parquet footers (not query results)
+    for t in ("region", "lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -180,6 +180,29 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                AS BIGINT) AS total_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    doc="BPE-style sub-word token counting (letters / digit runs / single "
+    "symbols) per source.",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(bpe_token_count(F.col("text"))).cast("long").alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
     "lang_id_heuristic",
     oracle="""
     WITH scored AS (

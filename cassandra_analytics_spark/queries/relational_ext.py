@@ -329,6 +329,22 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_quantile",
+    oracle=None,  # approximate sketch (GK/KLL) — engine-specific by design
+    doc="approx_percentile sketch — the quantile path that scales past "
+    "exact sorting at 100 TB.",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "pk_in_list_pushdown",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

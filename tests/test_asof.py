@@ -1,0 +1,81 @@
+"""as-of join edge cases beyond the oracle query."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from cassandra_analytics_spark.operators.asof import asof_join, range_join_pairs
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="u1", lid=1, ts=_ts("2024-01-01T10:00:00")),
+            Row(k="u1", lid=2, ts=_ts("2024-01-01T12:00:00")),
+            Row(k="u2", lid=3, ts=_ts("2024-01-01T09:00:00")),  # no prior right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="u1", ts=_ts("2024-01-01T09:30:00"), price=10.0),
+            Row(k="u1", ts=_ts("2024-01-01T11:00:00"), price=20.0),
+            Row(k="u2", ts=_ts("2024-01-01T09:30:00"), price=30.0),
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _sides(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_value_cols=["price"],
+    )
+    got = {r.lid: (r.ts_asof, r.price_asof) for r in out.collect()}
+    assert got[1] == (_ts("2024-01-01T09:30:00"), 10.0)
+    assert got[2] == (_ts("2024-01-01T11:00:00"), 20.0)
+    assert got[3] == (None, None)  # u2 has no right row at or before 09:00
+
+
+def test_asof_forward(spark):
+    left, right = _sides(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_value_cols=["price"], direction="forward",
+    )
+    got = {r.lid: r.price_asof for r in out.collect()}
+    assert got[1] == 20.0  # next right at 11:00
+    assert got[2] is None  # nothing after 12:00
+    assert got[3] == 30.0
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame([Row(k="a", lid=1, ts=_ts("2024-01-01T10:00:00"))])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=_ts("2024-01-01T10:00:00"), price=1.5)]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_value_cols=["price"],
+    ).collect()
+    assert out[0].price_asof == 1.5  # <= is inclusive
+
+
+def test_range_join_exact_boundaries(spark):
+    rows = [
+        Row(k=1, i=1, ts=_ts("2024-01-01T00:00:00")),
+        Row(k=1, i=2, ts=_ts("2024-01-01T00:04:59")),  # within 5 min of i=1
+        Row(k=1, i=3, ts=_ts("2024-01-01T00:05:00")),  # exactly 5 min from i=1
+        Row(k=1, i=4, ts=_ts("2024-01-01T00:20:00")),  # out of range of all
+        Row(k=2, i=5, ts=_ts("2024-01-01T00:00:00")),  # different key
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = range_join_pairs(df, key="k", ts="ts", id_col="i", max_gap_seconds=300)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}

@@ -1,0 +1,117 @@
+"""Similarity-search operators: exact kNN, LSH and IVF approximate paths."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.fixtures import ensure_fixtures
+from cassandra_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    knn_join,
+    lsh_bucket_topk,
+)
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    ensure_fixtures(FIXTURE_DIR)
+    df = (
+        spark.read.parquet(os.path.join(FIXTURE_DIR, "docs_dedup.parquet"))
+        .select(F.col("doc_id").alias("vec_id"), "embedding", "origin_id")
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    # query an origin that has planted near-copies, so the true top-k
+    # contains genuinely close neighbors (cosine ≈ 0.99) — the regime
+    # approximate indexes are built for
+    hot_origin = (
+        emb.filter(F.col("vec_id") != F.col("origin_id"))
+        .groupBy("origin_id")
+        .count()
+        .orderBy(F.col("count").desc(), "origin_id")
+        .first()["origin_id"]
+    )
+    vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == hot_origin).collect()[0]["embedding"]
+    ]
+    return int(hot_origin), vec
+
+
+def test_brute_force_topk_self_first(emb, query_vec):
+    qid, vec = query_vec
+    top = brute_force_topk(emb, vec, k=5).collect()
+    assert len(top) == 5
+    assert top[0].vec_id == qid  # the query vector itself, cosine ≈ 1
+    assert abs(top[0].cosine_sim - 1.0) < 1e-9
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_brute_force(emb, query_vec):
+    qid, vec = query_vec
+    k = 5  # the near-copy regime: top-5 are the origin + planted copies
+    exact = {r.vec_id for r in brute_force_topk(emb, vec, k=k).collect()}
+    approx = {
+        r.vec_id
+        for r in lsh_bucket_topk(
+            emb, vec, k=k, num_planes=6, num_tables=6
+        ).collect()
+    }
+    recall = len(exact & approx) / k
+    assert recall >= 0.6, f"LSH recall {recall}"
+
+
+def test_ivf_recall_vs_brute_force(emb, query_vec):
+    qid, vec = query_vec
+    k = 5
+    exact = {r.vec_id for r in brute_force_topk(emb, vec, k=k).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_topk(
+            emb, vec, k=k, num_centroids=8, num_probes=4
+        ).collect()
+    }
+    recall = len(exact & approx) / k
+    assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_knn_join_per_query(emb, spark):
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = knn_join(queries, emb, k=3)
+    rows = out.collect()
+    assert len(rows) == 9  # 3 queries × k
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, matches in by_q.items():
+        assert matches[0].vec_id == qid  # self is nearest
+
+
+def test_embedding_near_dup_finds_planted(emb):
+    pairs = embedding_near_dup_pairs(emb, threshold=0.98, num_planes=4)
+    found = {(r.a, r.b) for r in pairs.collect()}
+    planted = {
+        (min(r.vec_id, r.origin_id), max(r.vec_id, r.origin_id))
+        for r in emb.filter(
+            (F.col("vec_id") != F.col("origin_id")) & (F.col("origin_id") < 2000)
+        ).collect()
+    }
+    if not planted:
+        pytest.skip("no planted near-dups in the sampled range")
+    recall = len(found & planted) / len(planted)
+    assert recall > 0.4, f"embedding near-dup recall {recall:.2f}"
