@@ -25,4 +25,12 @@ from cassandra_analytics_spark.session import get_session
 
 __version__ = "0.1.0"
 
-__all__ = ["get_session", "__version__"]
+__all__ = ["Engine", "get_session", "__version__"]
+
+
+def __getattr__(name):
+    if name == "Engine":  # lazy: avoid importing pyspark machinery eagerly
+        from cassandra_analytics_spark.api import Engine
+
+        return Engine
+    raise AttributeError(name)

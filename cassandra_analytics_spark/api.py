@@ -1,0 +1,85 @@
+"""User-facing facade: the one-stop surface a user of the reference
+connector would switch to.
+
+Reference usage:
+
+    spark.read.format("…CassandraDataSource").options(keyspace=…, table=…)
+    df.write.format("…CassandraDataSink").mode("append").options(…)
+
+Engine usage:
+
+    eng = Engine(spark)                       # or Engine.local()
+    df  = eng.read_table("lineitem")          # fixture catalog table
+    t   = eng.table_from_ddl(CREATE_TABLE)    # CQL DDL → schema/metadata
+    eng.bulk_write(df, "/data/tbl", ["pk"])   # tokenized sorted batches
+    out = eng.read_bulk_table("/data/tbl", ["pk"])   # merge-on-read
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_analytics_spark import catalog as _catalog
+from cassandra_analytics_spark import schema as _schema
+from cassandra_analytics_spark.operators.merge import (
+    compaction_merge,
+    last_modified_timestamp,
+    latest_by_key,
+    propagate_static_columns,
+)
+from cassandra_analytics_spark.session import get_session
+from cassandra_analytics_spark.sinks import bulk_writer as _writer
+
+
+class Engine:
+    """Session + catalog + reader/writer in one handle."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir or _catalog.DEFAULT_SF_DIR
+
+    @classmethod
+    def local(cls, sf_dir: str | None = None, **session_kwargs) -> "Engine":
+        return cls(get_session(**session_kwargs), sf_dir=sf_dir)
+
+    # -- catalog / source -------------------------------------------------
+    def read_table(self, name: str, sf_dir: str | None = None) -> DataFrame:
+        return _catalog.load_table(self.spark, sf_dir or self.sf_dir, name)
+
+    def register_views(self, sf_dir: str | None = None) -> dict[str, DataFrame]:
+        return _catalog.register_views(self.spark, sf_dir or self.sf_dir)
+
+    # -- schema (C1/C2) ---------------------------------------------------
+    @staticmethod
+    def table_from_ddl(ddl: str) -> _schema.CqlTable:
+        return _schema.parse_create_table(ddl)
+
+    @staticmethod
+    def schema_from_ddl(ddl: str):
+        return _schema.schema_for_ddl(ddl)
+
+    # -- bulk write / read (S4/S5, W1-W4) --------------------------------
+    def bulk_write(self, df: DataFrame, table_path: str, partition_keys: Sequence[str],
+                   **kwargs) -> _writer.WriteResult:
+        return _writer.bulk_write(df, table_path, partition_keys, **kwargs)
+
+    def delete_partitions(self, keys_df: DataFrame, table_path: str,
+                          partition_keys: Sequence[str], **kwargs) -> _writer.WriteResult:
+        return _writer.bulk_write(
+            keys_df, table_path, partition_keys,
+            mode=_writer.WriteMode.DELETE_PARTITION, **kwargs,
+        )
+
+    def read_bulk_table(self, table_path: str, partition_keys: Sequence[str],
+                        clustering_keys: Sequence[str] = (), merge: bool = True) -> DataFrame:
+        return _writer.read_bulk_table(
+            self.spark, table_path, partition_keys, clustering_keys, merge=merge
+        )
+
+    # -- Cassandra read semantics (M1/M5) --------------------------------
+    compaction_merge = staticmethod(compaction_merge)
+    latest_by_key = staticmethod(latest_by_key)
+    last_modified_timestamp = staticmethod(last_modified_timestamp)
+    propagate_static_columns = staticmethod(propagate_static_columns)
