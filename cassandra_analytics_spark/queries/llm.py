@@ -180,6 +180,44 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_data_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, text,
+               CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored WHERE n_tokens BETWEEN 20 AND 500
+    ),
+    deduped AS (
+        SELECT lang, text, ANY_VALUE(n_tokens) AS n_tokens
+        FROM filtered GROUP BY lang, text
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY lang
+    """,
+    doc="Composite training-data pipeline: quality filter (token-count "
+    "band) -> exact dedup -> per-language corpus stats, end to end.",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.withColumn("n_tokens", token_count(F.col("text")))
+    filtered = scored.filter(F.col("n_tokens").between(20, 500))
+    deduped = filtered.groupBy("lang", "text").agg(
+        F.any_value("n_tokens").alias("n_tokens")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "text_bpe_tokens",
     oracle="""
     SELECT source,

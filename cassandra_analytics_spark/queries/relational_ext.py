@@ -329,6 +329,42 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_time_hierarchy",
+    oracle=f"""
+    SELECT granularity, bucket, COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM (
+        SELECT 'hour' AS granularity,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, value
+        FROM events
+        UNION ALL
+        SELECT 'day', date_trunc('day', CAST(ts AS TIMESTAMP)), value FROM events
+        UNION ALL
+        SELECT 'week', date_trunc('week', CAST(ts AS TIMESTAMP)), value FROM events
+    )
+    GROUP BY granularity, bucket
+    """,
+    doc="Hypertable-style continuous rollup: the same stream aggregated at "
+    "hour/day/week granularities in one pass (multi-granularity union; at "
+    "scale the coarser levels reuse the finest partials).",
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    levels = [
+        e.select(
+            F.lit(g).alias("granularity"),
+            F.date_trunc(g, "ts").alias("bucket"),
+            "value",
+        )
+        for g in ("hour", "day", "week")
+    ]
+    unioned = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    return unioned.groupBy("granularity", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value")
+    )
+
+
+@query(
     "agg_approx_quantile",
     oracle=None,  # approximate sketch (GK/KLL) — engine-specific by design
     doc="approx_percentile sketch — the quantile path that scales past "

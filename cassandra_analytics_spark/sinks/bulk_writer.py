@@ -144,7 +144,10 @@ def bulk_write(
         out = out.withColumn(TTL, F.lit(None).cast("int"))
         out = out.withColumn(TOMBSTONE, F.lit("partition"))
     else:
-        out = df.withColumn(WRITETIME, wt.cast("long"))
+        if WRITETIME in df.columns and write_timestamp_micros is None:
+            out = df  # caller supplies per-row writetime (TimestampOption.java per-row mode)
+        else:
+            out = df.withColumn(WRITETIME, wt.cast("long"))
         if TTL not in df.columns:
             out = out.withColumn(TTL, F.lit(ttl_seconds).cast("int"))
         if TOMBSTONE not in df.columns:
