@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Defensive runtime confs: the caller may hand us a session that was
+    # not built by our factory (e.g. the round driver's). Both are
+    # runtime-settable SQL confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
