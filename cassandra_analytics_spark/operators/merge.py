@@ -129,7 +129,24 @@ def compaction_merge(
     )
 
     # (4) LWW winner per key; ties broken by the value tuple descending.
-    order = [wt.desc()] + [F.col(c).desc_nulls_last() for c in value_cols]
+    # Only orderable types participate in the tiebreak (maps are not
+    # comparable in Spark; Cassandra compares serialized bytes — the
+    # orderable-column prefix is a faithful approximation).
+    def _orderable(dtype) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.MapType):
+            return False
+        if isinstance(dtype, T.ArrayType):
+            return _orderable(dtype.elementType)
+        if isinstance(dtype, T.StructType):
+            return all(_orderable(f.dataType) for f in dtype.fields)
+        return True
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    order = [wt.desc()] + [
+        F.col(c).desc_nulls_last() for c in value_cols if _orderable(dtypes[c])
+    ]
     data = data.withColumn(
         "__rn", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
     ).filter(F.col("__rn") == 1)

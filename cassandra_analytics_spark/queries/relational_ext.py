@@ -329,6 +329,39 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_ranking_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS best_order,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Full ranking-function surface: rank/dense_rank/ntile/first_value/"
+    "cume_dist over one window definition.",
+)
+def window_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("o_orderkey").over(w).alias("best_order"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+    )
+
+
+@query(
     "rollup_time_hierarchy",
     oracle=f"""
     SELECT granularity, bucket, COUNT(*) AS n_events,
