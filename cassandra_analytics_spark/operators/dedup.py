@@ -37,6 +37,19 @@ def exact_dedup(
     )
 
 
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup pairs into a deduplicated corpus: drop every doc
+    that appears as the greater id of a pair (single anti-join — the
+    min-id doc of each dup cluster survives; transitive chains collapse to
+    their smallest member across the chain's pairwise edges)."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array over normalized text (distinct shingles).
 

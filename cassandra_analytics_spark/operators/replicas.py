@@ -1,0 +1,78 @@
+"""Replica selection + consistency-level emulation (reference M3).
+
+The reference chooses ``blockFor(CL, RF)`` replicas per token range and
+merges their SSTables (``data/PartitionedDataLayer.java:244-305``,
+``data/partitioner/ConsistencyLevel.java:26-123``). Over shared storage
+there is no availability problem to solve, but the *semantics* — how many
+replicas' data participates in a read, and that the LWW merge reconciles
+replica divergence — are reproducible over fixtures carrying a
+``replica_id`` column (FIXTURES.md §B encoding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.functions.tokens import token_column
+from cassandra_analytics_spark.operators.merge import REPLICA_ID, compaction_merge
+
+
+def block_for(consistency: str, rf: int) -> int:
+    """Replicas a read must block for (ConsistencyLevel.java:26-123)."""
+    cl = consistency.upper()
+    if cl in ("ONE", "LOCAL_ONE"):
+        return 1
+    if cl == "TWO":
+        return 2
+    if cl == "THREE":
+        return 3
+    if cl in ("QUORUM", "LOCAL_QUORUM", "EACH_QUORUM"):
+        return rf // 2 + 1
+    if cl == "ALL":
+        return rf
+    raise ValueError(f"unsupported consistency level: {consistency}")
+
+
+def select_replicas(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    consistency: str = "LOCAL_QUORUM",
+    rf: int = 3,
+    replica_col: str = REPLICA_ID,
+) -> DataFrame:
+    """Keep the rows of the ``blockFor(CL, RF)`` replicas chosen per
+    partition.
+
+    Replica preference order rotates with the token (the ring walk:
+    primary = token mod rf, then successors) so load spreads like the
+    reference's ring-aware selection. Pure expression filter — no shuffle.
+    """
+    n = block_for(consistency, rf)
+    tok = token_column(*[F.col(k) for k in partition_keys])
+    primary = F.pmod(tok, F.lit(rf))  # 0-based primary replica for this key
+    # replica r (1-based) is selected iff its ring distance from the
+    # primary is < n
+    distance = F.pmod(F.col(replica_col) - 1 - primary, F.lit(rf))
+    return df.filter(distance < n)
+
+
+def read_with_consistency(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str] = (),
+    consistency: str = "LOCAL_QUORUM",
+    rf: int = 3,
+    now_micros: int | None = None,
+) -> DataFrame:
+    """The reference's multi-replica read: select CL-many replicas per
+    partition, then compaction-merge their possibly divergent rows."""
+    selected = select_replicas(df, partition_keys, consistency, rf)
+    return compaction_merge(
+        selected,
+        partition_keys=partition_keys,
+        clustering_keys=clustering_keys,
+        now_micros=now_micros,
+    )

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) — the reference's QuickTheories
+strategy (SURVEY §5.2) carried over: random inputs, invariant assertions.
+
+Spark jobs are slow per-example, so properties are checked by generating
+one random *table* per example batch and asserting set-level invariants.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cassandra_analytics_spark.functions.tokens import MAX_TOKEN, MIN_TOKEN, _murmur3_64
+from cassandra_analytics_spark.fixtures import NOW_MICROS
+from cassandra_analytics_spark.operators.merge import compaction_merge
+
+MV_SCHEMA = (
+    "pk int, ck int, val int, writetime long, ttl int, tombstone string, "
+    "replica_id int"
+)
+
+versions = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # pk
+        st.integers(0, 2),  # ck
+        st.integers(0, 100),  # val
+        st.integers(1, 1000),  # writetime
+        st.sampled_from([None, "row", "partition", "cell:val"]),  # tombstone
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(versions)
+def test_merge_invariants(spark, rows):
+    df = spark.createDataFrame(
+        [(pk, ck, None if t else v, wt, None, t, 1) for pk, ck, v, wt, t in rows],
+        MV_SCHEMA,
+    )
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW_MICROS).collect()
+
+    by_key: dict = {}
+    for pk, ck, v, wt, t in rows:
+        by_key.setdefault((pk, ck), []).append((v, wt, t))
+
+    seen = {(r.pk, r.ck) for r in out}
+    assert len(seen) == len(out)  # (I1) at most one output row per key
+
+    for r in out:
+        hist = by_key[(r.pk, r.ck)]
+        data_wts = [wt for v, wt, t in hist if t is None]
+        assert data_wts, "output row must come from a data version"
+        max_wt = max(data_wts)
+        # (I2) winner's writetime is the max data writetime
+        # (I3) no row survives a >= row/partition tombstone
+        row_ts = [wt for _, wt, t in hist if t == "row"]
+        part_ts = [
+            wt
+            for (pk2, ck2), h in by_key.items()
+            if pk2 == r.pk
+            for _, wt, t in h
+            if t == "partition"
+        ]
+        for twt in row_ts + part_ts:
+            assert max_wt > twt
+        # (I4) cell tombstone >= winner nulls the value
+        cell_ts = [wt for _, wt, t in hist if t == "cell:val"]
+        if cell_ts and max(cell_ts) >= max_wt:
+            assert r.val is None
+
+    # (I5) keys whose newest version is a deletion never appear
+    for (pk, ck), hist in by_key.items():
+        data_wts = [wt for _, wt, t in hist if t is None]
+        del_wts = [wt for _, wt, t in hist if t in ("row", "partition")]
+        part_wts = [
+            wt
+            for (pk2, _), h in by_key.items()
+            if pk2 == pk
+            for _, wt, t in h
+            if t == "partition"
+        ]
+        covering = del_wts + part_wts
+        if not data_wts or (covering and max(covering) >= max(data_wts)):
+            assert (pk, ck) not in seen
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_murmur3_total_and_stable(data):
+    t1 = _murmur3_64(data)
+    t2 = _murmur3_64(data)
+    assert t1 == t2
+    assert MIN_TOKEN <= t1 <= MAX_TOKEN
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_murmur3_long_keys_distinct_prefix(v):
+    # serialization is injective → equal tokens only for equal keys
+    # (sanity: hashing the same long twice is stable, different longs
+    # overwhelmingly differ)
+    b = v.to_bytes(8, "big", signed=True)
+    assert _murmur3_64(b) == _murmur3_64(b)

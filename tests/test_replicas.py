@@ -1,0 +1,72 @@
+"""M3 replica-selection / consistency emulation."""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_analytics_spark.operators.merge import latest_by_key
+from cassandra_analytics_spark.operators.replicas import (
+    block_for,
+    read_with_consistency,
+    select_replicas,
+)
+
+MV_SCHEMA = (
+    "pk string, ck int, val string, writetime long, ttl int, "
+    "tombstone string, replica_id int"
+)
+
+
+def _replicated(spark, rows_per_key=1, rf=3, divergent=False):
+    rows = []
+    for k in range(200):
+        for r in range(1, rf + 1):
+            # divergent: replica 1 missed the latest write
+            wt = 100 if (divergent and r == 1) else 200
+            val = "stale" if (divergent and r == 1) else "fresh"
+            rows.append((f"k{k}", 0, val, wt, None, None, r))
+    return spark.createDataFrame(rows, MV_SCHEMA)
+
+
+def test_block_for_math():
+    assert block_for("ONE", 3) == 1
+    assert block_for("QUORUM", 3) == 2
+    assert block_for("LOCAL_QUORUM", 5) == 3
+    assert block_for("ALL", 3) == 3
+    with pytest.raises(ValueError):
+        block_for("ANY", 3)
+
+
+def test_select_replicas_counts(spark):
+    df = _replicated(spark)
+    one = select_replicas(df, ["pk"], "ONE", rf=3)
+    quorum = select_replicas(df, ["pk"], "QUORUM", rf=3)
+    allr = select_replicas(df, ["pk"], "ALL", rf=3)
+    assert one.count() == 200  # exactly one replica's copy per key
+    assert quorum.count() == 400
+    assert allr.count() == 600
+    # every key still present at CL=ONE
+    assert one.select("pk").distinct().count() == 200
+
+
+def test_quorum_read_heals_divergence(spark):
+    # replica 1 is stale; quorum (2 of 3) always includes a fresh replica
+    df = _replicated(spark, divergent=True)
+    merged = read_with_consistency(df, ["pk"], ["ck"], "QUORUM", rf=3)
+    vals = {r.val for r in merged.collect()}
+    assert vals == {"fresh"}
+    assert merged.count() == 200
+
+
+def test_consistency_result_matches_full_merge_when_in_sync(spark):
+    df = _replicated(spark)
+    for cl in ("ONE", "QUORUM", "ALL"):
+        merged = read_with_consistency(df, ["pk"], ["ck"], cl, rf=3)
+        got = {(r.pk, r.ck, r.val) for r in merged.collect()}
+        want = {
+            (r.pk, r.ck, r.val)
+            for r in latest_by_key(
+                df.drop("replica_id", "ttl", "tombstone"), ["pk", "ck"], "writetime"
+            ).collect()
+        }
+        assert got == want, cl
