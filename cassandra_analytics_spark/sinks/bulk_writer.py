@@ -243,11 +243,18 @@ def read_bulk_table(
     partition_keys: Sequence[str],
     clustering_keys: Sequence[str] = (),
     merge: bool = True,
+    as_of_batch: str | None = None,
 ) -> DataFrame:
     """Bulk-reader entry: read every committed batch and apply the LWW
     compaction merge + tombstone purge — the read path of SURVEY §3.1 with
-    batches standing in for SSTable sets."""
+    batches standing in for SSTable sets.
+
+    ``as_of_batch``: snapshot read — only batches committed up to and
+    including the named batch id participate (batch ids are
+    timestamp-ordered, so this is point-in-time time travel)."""
     batches = committed_batches(table_path)
+    if as_of_batch is not None:
+        batches = [b for b in batches if os.path.basename(b) <= as_of_batch]
     if not batches:
         raise FileNotFoundError(f"no committed batches under {table_path}")
     # tombstone batches carry only key+system columns → merge schemas
@@ -257,3 +264,43 @@ def read_bulk_table(
     return compaction_merge(
         df, partition_keys=partition_keys, clustering_keys=clustering_keys
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> WriteResult:
+    """Major compaction: merge every committed batch into one new batch
+    (LWW applied, tombstones purged) and retire the old batches.
+
+    Mirrors Cassandra compaction: read amplification drops from
+    O(#batches) to 1; row writetimes are preserved so later writes still
+    reconcile correctly. The new batch commits (atomic rename) *before*
+    old batches are removed, so concurrent readers never see a gap —
+    at worst they read duplicates, which their own merge resolves.
+    """
+    old_batches = committed_batches(table_path)
+    merged = read_bulk_table(
+        spark, table_path, partition_keys, clustering_keys, merge=False
+    )
+    compacted = compaction_merge(
+        merged,
+        partition_keys=partition_keys,
+        clustering_keys=clustering_keys,
+        keep_writetime=True,
+    )
+    result = bulk_write(
+        compacted,
+        table_path,
+        partition_keys,
+        clustering_keys,
+        num_partitions=num_partitions,
+    )
+    import shutil
+
+    for b in old_batches:
+        shutil.rmtree(b)
+    return result

@@ -1,0 +1,142 @@
+"""A real pluggable Spark source for bulk tables — the S1/S2 analog as a
+registered format, like the reference's
+``spark.read.format("….CassandraDataSource")`` entry point
+(``spark3/sparksql/CassandraDataSource.java:31-55``).
+
+Built on Spark 4's Python Data Source API:
+
+* ``spark.dataSource.register(CassandraBulkDataSource)``
+* ``spark.read.format("cassandra_bulk").option("path", dir)
+  .option("partition_keys", "pk1,pk2").load()``
+
+Planning mirrors the reference: one input partition per data file across
+committed batch dirs (M4 token-sub-range analog — files are already
+token-range-sorted by the writer), and the F1 all-or-nothing accept-list
+for partition-key EqualTo/In pushdown, evaluated against parquet via
+pyarrow predicate pushdown.
+
+The JVM parquet path (``read_bulk_table``) remains the hot path;
+this source trades throughput (Python workers, Arrow batches) for the
+pluggable-format API surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.pandas.types import from_arrow_schema
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "cassandra_bulk"
+
+
+@dataclass
+class FilePartition(InputPartition):
+    path: str
+
+
+def _data_files(table_path: str) -> list[str]:
+    import os
+
+    from cassandra_analytics_spark.sinks.bulk_writer import committed_batches
+
+    files = []
+    for batch in committed_batches(table_path):
+        for fname in sorted(os.listdir(batch)):
+            if fname.endswith(".parquet"):
+                files.append(os.path.join(batch, fname))
+    return files
+
+
+class CassandraBulkReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.table_path = options["path"]
+        self.partition_keys = [
+            k for k in options.get("partition_keys", "").split(",") if k
+        ]
+        self.require_full_pk = (
+            options.get("require_full_pk", "false").lower() == "true"
+        )
+        self.pushed: list[tuple[str, list]] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """F1 accept-list (DataLayer.java:304-337): accept EqualTo/In —
+        and only when every partition-key column is constrained."""
+        candidates: dict[str, list] = {}
+        passthrough: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                candidates.setdefault(f.attribute[0], []).append(("eq", f))
+            elif isinstance(f, In) and len(f.attribute) == 1:
+                candidates.setdefault(f.attribute[0], []).append(("in", f))
+            else:
+                passthrough.append(f)
+
+        constrained = set(candidates) & set(self.partition_keys)
+        if self.partition_keys and constrained == set(self.partition_keys):
+            for col, fs in candidates.items():
+                if col in constrained:
+                    for kind, f in fs:
+                        values = [f.value] if kind == "eq" else list(f.value)
+                        self.pushed.append((col, values))
+                else:
+                    passthrough.extend(f for _, f in fs)
+            return passthrough
+        if self.require_full_pk and self.partition_keys:
+            raise ValueError(
+                "filters must constrain every partition-key column "
+                f"({self.partition_keys}); got {sorted(candidates)}"
+            )
+        # all-or-nothing: reject everything → Spark evaluates post-scan
+        return filters
+
+    def partitions(self):
+        return [FilePartition(p) for p in _data_files(self.table_path)]
+
+    def read(self, partition: FilePartition):
+        import pyarrow.dataset as pa_ds
+
+        dataset = pa_ds.dataset(partition.path, format="parquet")
+        predicate = None
+        for col, values in self.pushed:
+            clause = pa_ds.field(col).isin(values)
+            predicate = clause if predicate is None else (predicate & clause)
+        scanner = dataset.scanner(filter=predicate)
+        yield from scanner.to_reader()
+
+
+class CassandraBulkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        files = _data_files(self.options["path"])
+        if not files:
+            raise FileNotFoundError(
+                f"no committed batches under {self.options['path']}"
+            )
+        # unify across batches (tombstone batches have fewer columns)
+        schemas = [pq.read_schema(f) for f in files]
+        import pyarrow as pa
+
+        unified = pa.unify_schemas(schemas, promote_options="default")
+        return from_arrow_schema(unified)
+
+    def reader(self, schema: StructType) -> CassandraBulkReader:
+        return CassandraBulkReader(dict(self.options))
+
+
+def register(spark) -> None:
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CassandraBulkDataSource)

@@ -1,0 +1,66 @@
+"""Pluggable-format source: spark.read.format("cassandra_bulk")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.operators.merge import compaction_merge
+from cassandra_analytics_spark.sinks.bulk_writer import bulk_write
+from cassandra_analytics_spark.sources.python_datasource import register
+
+
+@pytest.fixture(scope="module")
+def bulk_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ds") / "tbl")
+    df = spark.createDataFrame(
+        [Row(pk=i % 20, ck=i, val=f"v{i}") for i in range(500)]
+    )
+    bulk_write(df, path, ["pk"], ["ck"], write_timestamp_micros=1_000)
+    bulk_write(
+        spark.createDataFrame([Row(pk=0, ck=0, val="updated")]),
+        path, ["pk"], ["ck"], write_timestamp_micros=2_000,
+    )
+    register(spark)
+    return path
+
+
+def _load(spark, path, **options):
+    reader = spark.read.format("cassandra_bulk").option("path", path).option(
+        "partition_keys", "pk"
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_format_read_all(spark, bulk_table):
+    df = _load(spark, bulk_table)
+    assert df.count() == 501  # raw multi-version rows across batches
+    assert {"pk", "ck", "val", "writetime"} <= set(df.columns)
+
+
+def test_format_plus_merge(spark, bulk_table):
+    raw = _load(spark, bulk_table)
+    merged = compaction_merge(raw, ["pk"], ["ck"])
+    assert merged.count() == 500
+    assert merged.filter("pk = 0 and ck = 0").collect()[0].val == "updated"
+
+
+def test_full_pk_filter_pushdown(spark, bulk_table):
+    df = _load(spark, bulk_table).filter(F.col("pk") == 3)
+    rows = df.collect()
+    assert len(rows) == 25  # 500/20 per pk
+    assert all(r.pk == 3 for r in rows)
+
+
+def test_in_list_pushdown(spark, bulk_table):
+    df = _load(spark, bulk_table).filter(F.col("pk").isin(1, 2))
+    assert df.count() == 50
+
+
+def test_partial_pk_guard(spark, bulk_table):
+    strict = _load(spark, bulk_table, require_full_pk="true")
+    with pytest.raises(Exception, match="partition-key"):
+        strict.filter(F.col("ck") == 1).collect()
