@@ -103,17 +103,26 @@ def _murmur3_64(data: bytes) -> int:
         h2 = (h2 + h1) & mask
         h2 = (h2 * 5 + 0x38495AB5) & mask
 
+    # Tail: Cassandra's port XORs SIGN-EXTENDED bytes (`(long) key.get(i)`
+    # without masking — the historical quirk its token values depend on),
+    # unlike canonical murmur3's unsigned tail bytes.
     tail = data[nblocks * 16 :]
+
+    def signed(b: int) -> int:
+        return b - 256 if b >= 128 else b
+
     k1 = 0
     k2 = 0
     if len(tail) > 8:
-        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        for i in range(len(tail) - 1, 7, -1):
+            k2 ^= (signed(tail[i]) << (8 * (i - 8))) & mask
         k2 = (k2 * c2) & mask
         k2 = rotl(k2, 33)
         k2 = (k2 * c1) & mask
         h2 ^= k2
     if len(tail) > 0:
-        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        for i in range(min(len(tail), 8) - 1, -1, -1):
+            k1 ^= (signed(tail[i]) << (8 * i)) & mask
         k1 = (k1 * c1) & mask
         k1 = rotl(k1, 31)
         k1 = (k1 * c2) & mask
@@ -131,11 +140,28 @@ def _murmur3_64(data: bytes) -> int:
     return h1 - (1 << 64) if h1 >= (1 << 63) else h1
 
 
+def murmur3_token(key: bytes) -> int:
+    """Cassandra Murmur3Partitioner token for serialized key bytes:
+    hash[0] with Long.MIN_VALUE normalized to Long.MAX_VALUE (reference
+    behavior: ``Partitioner.java:54-55``)."""
+    value = _murmur3_64(key)
+    return MAX_TOKEN if value == MIN_TOKEN else value
+
+
+def random_partitioner_token(key: bytes) -> int:
+    """Cassandra RandomPartitioner token: |MD5(key)| as a BigInteger in
+    [0, 2^127) (reference behavior: ``Partitioner.java:38-47``)."""
+    import hashlib
+
+    digest = hashlib.md5(key).digest()
+    return abs(int.from_bytes(digest, "big", signed=True))
+
+
 @pandas_udf(LongType())
 def murmur3_token_bytes(key: pd.Series) -> pd.Series:
     """Exact Cassandra Murmur3 token over pre-serialized key bytes
     (vectorized pandas UDF — Arrow batches, not row-at-a-time)."""
-    return key.map(lambda b: _murmur3_64(bytes(b)))
+    return key.map(lambda b: murmur3_token(bytes(b)))
 
 
 def murmur3_token_for_long(df: DataFrame, key_col: str, out_col: str = "token") -> DataFrame:
@@ -144,7 +170,7 @@ def murmur3_token_for_long(df: DataFrame, key_col: str, out_col: str = "token") 
 
     @pandas_udf(LongType())
     def _tok(keys: pd.Series) -> pd.Series:
-        return keys.map(lambda v: _murmur3_64(int(v).to_bytes(8, "big", signed=True)))
+        return keys.map(lambda v: murmur3_token(int(v).to_bytes(8, "big", signed=True)))
 
     return df.withColumn(out_col, _tok(F.col(key_col)))
 

@@ -31,6 +31,18 @@ def test_murmur3_known_values():
     assert _murmur3_64(b"hello") != _murmur3_64(b"hellp")
 
 
+def test_murmur3_cassandra_golden_tokens():
+    """Golden values published in Cassandra documentation/tutorials for
+    `SELECT token(...)` under Murmur3Partitioner — these exercise the
+    sign-extended-tail quirk (MurmurHash.java tail switch) that canonical
+    murmur3 implementations get wrong."""
+    from cassandra_analytics_spark.functions.tokens import murmur3_token
+
+    # int (4-byte big-endian) partition keys
+    assert murmur3_token((1).to_bytes(4, "big", signed=True)) == -4069959284402364209
+    assert murmur3_token((2).to_bytes(4, "big", signed=True)) == -3248873570005575792
+
+
 def test_murmur3_spread():
     tokens = [_murmur3_64(i.to_bytes(8, "big", signed=True)) for i in range(1000)]
     assert len(set(tokens)) == 1000
