@@ -211,6 +211,87 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 10000 / COUNT(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average threshold "
+    "(decorrelated into an aggregate+join, the plan Catalyst produces for "
+    "the subquery form).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (
+            F.sum(F.floor(F.col("l_quantity") * 10000 + F.lit(0.5))).cast("double")
+            / 10000
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.pa_key)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {dsum_sql('l_quantity')} > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: IN-subquery with HAVING, decorrelated to "
+    "agg+join; top 20 by price.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregation variants: cube / rollup / grouping sets / distinct / approx
 # --------------------------------------------------------------------------
