@@ -1,0 +1,48 @@
+"""Instrumentation hooks — the reference's C8 ``Stats`` surface
+(``analytics/stats/Stats.java``: 100+ no-op-by-default callbacks around
+the scan/write path), Spark-first.
+
+Spark-native mechanism: ``DataFrame.observe`` attaches metric expressions
+that are computed *inside* the job (no extra pass) and collected on
+completion — the idiomatic replacement for callback-style stats at 100 TB
+(no driver round-trips, no Python in the data path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observed(
+    df: DataFrame,
+    name: str = "scan_stats",
+    extra_metrics: Sequence | None = None,
+) -> tuple[DataFrame, Observation]:
+    """Attach scan metrics to a DataFrame; read ``observation.get`` after
+    an action completes.
+
+    Default metrics: row count + null-free row count of the first column.
+    Additional aggregate expressions can be supplied.
+    """
+    obs = Observation(name)
+    first = F.col(df.columns[0])
+    metrics = [
+        F.count(F.lit(1)).alias("rows_read"),
+        F.count(first).alias("first_col_non_null"),
+    ]
+    if extra_metrics:
+        metrics.extend(extra_metrics)
+    return df.observe(obs, *metrics), obs
+
+
+def observed_write_metrics(result) -> dict:
+    """Normalize a bulk-writer WriteResult into the stats dictionary shape
+    the reference reports per write session (rows/files/digest info)."""
+    return {
+        "rows_written": result.num_rows,
+        "files_written": result.num_files,
+        "batch_dir": result.batch_dir,
+    }
