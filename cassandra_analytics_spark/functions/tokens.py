@@ -175,6 +175,60 @@ def murmur3_token_for_long(df: DataFrame, key_col: str, out_col: str = "token") 
     return df.withColumn(out_col, _tok(F.col(key_col)))
 
 
+def serialize_cql_value(value, cql_type: str) -> bytes:
+    """CQL wire serialization for the common partition-key types (the
+    per-type ``getByteBuffer`` of the reference's
+    ``bulkwriter/token/TokenUtils.java:57-68``)."""
+    import struct
+    import uuid as _uuid
+
+    t = cql_type.lower()
+    if t in ("bigint", "time", "counter"):
+        return int(value).to_bytes(8, "big", signed=True)
+    if t == "int":
+        return int(value).to_bytes(4, "big", signed=True)
+    if t == "smallint":
+        return int(value).to_bytes(2, "big", signed=True)
+    if t == "tinyint":
+        return int(value).to_bytes(1, "big", signed=True)
+    if t in ("text", "varchar", "ascii"):
+        return str(value).encode("utf-8")
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t == "double":
+        return struct.pack(">d", float(value))
+    if t == "float":
+        return struct.pack(">f", float(value))
+    if t == "blob":
+        return bytes(value)
+    if t in ("uuid", "timeuuid"):
+        return _uuid.UUID(str(value)).bytes
+    raise ValueError(f"unsupported partition-key type for tokenization: {cql_type}")
+
+
+def composite_key_bytes(components: Sequence[bytes]) -> bytes:
+    """Cassandra composite partition-key encoding: a single component is
+    its raw bytes; multiple components are each framed as
+    <2-byte length><bytes><0x00> (reference behavior:
+    ``bulkwriter/token/TokenUtils.java:92-120``)."""
+    comps = list(components)
+    if len(comps) == 1:
+        return comps[0]
+    out = bytearray()
+    for c in comps:
+        out += len(c).to_bytes(2, "big")
+        out += c
+        out += b"\x00"
+    return bytes(out)
+
+
+def murmur3_token_for_key(values: Sequence, cql_types: Sequence[str]) -> int:
+    """Exact Cassandra token for a (possibly composite) partition key given
+    CQL types — the driver-side analog of ``Tokenizer.getDecoratedKey``."""
+    comps = [serialize_cql_value(v, t) for v, t in zip(values, cql_types)]
+    return murmur3_token(composite_key_bytes(comps))
+
+
 def tokenize(df: DataFrame, partition_keys: Sequence[str], out_col: str = "token") -> DataFrame:
     """Append the engine token column for the given partition keys
     (bulk-writer W2 analog: ``Tokenizer.java:33-68``)."""

@@ -1,0 +1,73 @@
+"""Unit tests for the text-analysis column functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.operators.text import (
+    bpe_token_count,
+    fingerprint,
+    language_id,
+    normalized_text,
+    quality_features,
+    token_count,
+)
+
+
+def _vals(spark, texts, expr):
+    df = spark.createDataFrame([Row(t=x) for x in texts])
+    return [r.o for r in df.select(expr.alias("o")).collect()]
+
+
+def test_token_count_edges(spark):
+    got = _vals(
+        spark,
+        ["one two three", "", "   ", "single", "a  b\t c"],
+        token_count(F.col("t")),
+    )
+    assert got == [3, 0, 0, 1, 3]
+
+
+def test_bpe_token_count(spark):
+    got = _vals(spark, ["hello world42!", "a,b"], bpe_token_count(F.col("t")))
+    # hello | world | 42 | !  /  a | , | b
+    assert got == [4, 3]
+
+
+def test_language_id_markers(spark):
+    got = _vals(
+        spark,
+        [
+            "the cat and the dog is here",
+            "der hund und die katze ist nicht da",
+            "le chat et la souris est ici",
+            "xyzzy plugh",
+        ],
+        language_id(F.col("t")),
+    )
+    assert got == ["en", "de", "fr", "unknown"]
+
+
+def test_fingerprint_algorithms(spark):
+    md5s = _vals(spark, ["abc"], fingerprint(F.col("t"), "md5"))
+    assert md5s == ["900150983cd24fb0d6963f7d28e17f72"]  # published md5("abc")
+    sha = _vals(spark, ["abc"], fingerprint(F.col("t"), "sha256"))
+    assert sha[0].startswith("ba7816bf")  # published sha256("abc") prefix
+    xx = _vals(spark, ["abc", "abc"], fingerprint(F.col("t"), "xxhash64"))
+    assert xx[0] == xx[1]
+
+
+def test_normalized_text(spark):
+    got = _vals(spark, ["  Hello,   WORLD!! 123 "], normalized_text(F.col("t")))
+    assert got == ["hello world 123"]
+
+
+def test_quality_features_schema(spark):
+    df = spark.createDataFrame([Row(text="Hello World 42.")])
+    out = quality_features(df).collect()[0]
+    assert out.q_chars == 15
+    assert out.q_tokens == 3
+    assert out.q_punct_ratio > 0
+    assert out.q_upper_ratio == 2 / 15
+    assert out.q_digit_ratio == 2 / 15

@@ -43,6 +43,30 @@ def test_murmur3_cassandra_golden_tokens():
     assert murmur3_token((2).to_bytes(4, "big", signed=True)) == -3248873570005575792
 
 
+def test_composite_key_tokens():
+    from cassandra_analytics_spark.functions.tokens import (
+        composite_key_bytes,
+        murmur3_token,
+        murmur3_token_for_key,
+        serialize_cql_value,
+    )
+
+    # single-component key: raw bytes (no framing)
+    assert composite_key_bytes([b"abc"]) == b"abc"
+    assert murmur3_token_for_key([1], ["int"]) == -4069959284402364209
+    # composite framing: <len:2><bytes><0x00> per component
+    framed = composite_key_bytes([b"ab", b"\x01"])
+    assert framed == b"\x00\x02ab\x00" + b"\x00\x01\x01\x00"
+    # composite token is deterministic and differs from concatenation
+    t1 = murmur3_token_for_key(["x", 7], ["text", "int"])
+    assert t1 == murmur3_token_for_key(["x", 7], ["text", "int"])
+    assert t1 != murmur3_token(b"x" + (7).to_bytes(4, "big"))
+    # type serializations
+    assert serialize_cql_value(True, "boolean") == b"\x01"
+    assert serialize_cql_value("hi", "text") == b"hi"
+    assert len(serialize_cql_value("123e4567-e89b-12d3-a456-426614174000", "uuid")) == 16
+
+
 def test_murmur3_spread():
     tokens = [_murmur3_64(i.to_bytes(8, "big", signed=True)) for i in range(1000)]
     assert len(set(tokens)) == 1000
