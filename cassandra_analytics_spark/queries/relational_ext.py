@@ -329,6 +329,54 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_struct",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Structured JSON parsing: from_json into a typed struct, aggregate "
+    "on the extracted field.",
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = e.withColumn("props_struct", F.from_json("props", schema))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props_struct.k")).cast("long").alias("sum_k"),
+        F.max(F.col("props_struct.k")).alias("max_k"),
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           CAST(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal, c_custkey) AS DOUBLE)
+               AS bal_pct_rank
+    FROM customer
+    """,
+    doc="percent_rank window (relative standing within segment).",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).cast("double").alias("bal_pct_rank"),
+    )
+
+
+@query(
     "window_ranking_functions",
     oracle="""
     SELECT o_orderkey, o_custkey,
