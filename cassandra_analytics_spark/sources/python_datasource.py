@@ -27,10 +27,12 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import from_arrow_schema
 from pyspark.sql.types import StructType
@@ -113,6 +115,95 @@ class CassandraBulkReader(DataSourceReader):
         yield from scanner.to_reader()
 
 
+@dataclass
+class FileCommitMessage(WriterCommitMessage):
+    file_name: str
+    num_rows: int
+
+
+class CassandraBulkWriter(DataSourceWriter):
+    """Sink side of the format — the reference's 2-phase commit
+    (``StreamSession.java:124-187``): tasks stage files, the driver-side
+    ``commit`` writes the digest manifest and atomically publishes the
+    batch; ``abort`` discards the staging dir so failures leave nothing
+    visible."""
+
+    def __init__(self, options: dict, schema: StructType):
+        import time
+        import uuid
+
+        self.table_path = options["path"]
+        self.schema = schema
+        self.write_timestamp = int(
+            options.get("write_timestamp_micros", time.time() * 1_000_000)
+        )
+        self.batch_id = (
+            f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        )
+        self.staging = f"{self.table_path}/_staging-{self.batch_id}"
+
+    def write(self, iterator) -> FileCommitMessage:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [r.asDict() for r in iterator]
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        names = [f.name for f in self.schema.fields]
+        columns = {n: [r.get(n) for r in rows] for n in names}
+        if "writetime" not in columns:
+            columns["writetime"] = [self.write_timestamp] * len(rows)
+        arrow_schema = to_arrow_schema(self.schema)
+        if "writetime" not in names:
+            arrow_schema = arrow_schema.append(pa.field("writetime", pa.int64()))
+        table = pa.table(
+            {k: pa.array(v, type=arrow_schema.field(k).type) for k, v in columns.items()},
+            schema=arrow_schema,
+        )
+        pq.write_table(table, os.path.join(self.staging, fname))
+        return FileCommitMessage(file_name=fname, num_rows=len(rows))
+
+    def commit(self, messages) -> None:
+        import hashlib
+        import json
+        import os
+
+        files = {}
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            path = os.path.join(self.staging, m.file_name)
+            h = hashlib.md5()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            files[m.file_name] = {
+                "bytes": os.path.getsize(path),
+                "md5": h.hexdigest(),
+            }
+            total += m.num_rows
+        manifest = {
+            "batch": self.batch_id,
+            "mode": "append",
+            "digest_algorithm": "md5",
+            "num_rows": total,
+            "files": files,
+        }
+        with open(os.path.join(self.staging, "_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(self.staging, os.path.join(self.table_path, self.batch_id))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class CassandraBulkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -135,6 +226,15 @@ class CassandraBulkDataSource(DataSource):
 
     def reader(self, schema: StructType) -> CassandraBulkReader:
         return CassandraBulkReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> CassandraBulkWriter:
+        if overwrite:
+            # parity: Overwrite needs TRUNCATE (CassandraDataSink.java:96-99)
+            raise ValueError(
+                "cassandra_bulk is append-only: SaveMode.Overwrite is not "
+                "supported (reference rejects it: CassandraDataSink.java:96-99)"
+            )
+        return CassandraBulkWriter(dict(self.options), schema)
 
 
 def register(spark) -> None:

@@ -60,6 +60,51 @@ def test_in_list_pushdown(spark, bulk_table):
     assert df.count() == 50
 
 
+def test_format_write_then_read(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "wtbl")
+    df = spark.createDataFrame([Row(pk=i, val=f"v{i}") for i in range(100)])
+    (
+        df.write.format("cassandra_bulk")
+        .mode("append")
+        .option("path", path)
+        .option("write_timestamp_micros", "1000")
+        .save()
+    )
+    # second append updates a key; LWW merge resolves on read
+    (
+        spark.createDataFrame([Row(pk=5, val="updated")])
+        .write.format("cassandra_bulk")
+        .mode("append")
+        .option("path", path)
+        .option("write_timestamp_micros", "2000")
+        .save()
+    )
+    from cassandra_analytics_spark.sinks.bulk_writer import (
+        read_bulk_table,
+        verify_digests,
+        committed_batches,
+    )
+
+    out = read_bulk_table(spark, path, ["pk"])
+    got = {r.pk: r.val for r in out.collect()}
+    assert len(got) == 100 and got[5] == "updated"
+    for b in committed_batches(path):
+        assert verify_digests(b)
+
+
+def test_format_write_overwrite_rejected(spark, tmp_path):
+    register(spark)
+    df = spark.createDataFrame([Row(pk=1, val="x")])
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("cassandra_bulk")
+            .mode("overwrite")
+            .option("path", str(tmp_path / "t"))
+            .save()
+        )
+
+
 def test_partial_pk_guard(spark, bulk_table):
     strict = _load(spark, bulk_table, require_full_pk="true")
     with pytest.raises(Exception, match="partition-key"):
