@@ -29,12 +29,17 @@ HEADLINE = [
     "q6_forecast_revenue",
     "agg_cube_status",
     "agg_distinct_suppliers",
-    # joins
+    # joins + subqueries
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
     "join_semi_open_orders",
     "setop_except_customers",
+    # temporal joins
+    "asof_purchase_click",
+    "range_join_error_bursts",
     # windows / top-k
     "window_topk_orders_per_customer",
     "window_running_revenue",

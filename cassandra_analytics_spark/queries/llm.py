@@ -97,9 +97,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle=None,  # exact pairwise Jaccard via inverted index; SQL oracle
-    # would need identical shingling — kept rows-only this round
-    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index.",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM norm
+    ),
+    windowed AS (
+        SELECT doc_id, w, i,
+               LEAD(w, 1) OVER win AS w1,
+               LEAD(w, 2) OVER win AS w2,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_words
+        FROM words
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN w2 IS NOT NULL THEN w || ' ' || w1 || ' ' || w2
+                    WHEN i = 1 AND n_words = 2 THEN w || ' ' || w1
+                    ELSE w END AS sh
+        FROM windowed
+        WHERE w2 IS NOT NULL OR (i = 1 AND n_words < 3)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index — "
+    "oracle replicates the shingling with the same window-lead "
+    "construction in SQL.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -55,3 +55,19 @@ def test_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
     # map-side partial agg then final: two HashAggregate around one Exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    import contextlib
+    import io
+
+    from cassandra_analytics_spark.queries import REGISTRY
+
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # trigger execution so AQE finalizes the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan  # runtime partition coalescing active
