@@ -1,0 +1,62 @@
+"""Persistent signature-partitioned ANN index: pruned reads + recall."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.fixtures import ensure_fixtures
+from cassandra_analytics_spark.operators.ann_index import (
+    build_ann_index,
+    query_ann_index,
+)
+from cassandra_analytics_spark.operators.similarity import brute_force_topk
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    ensure_fixtures(FIXTURE_DIR)
+    return (
+        spark.read.parquet(os.path.join(FIXTURE_DIR, "docs_dedup.parquet"))
+        .select(F.col("doc_id").alias("vec_id"), "embedding", "origin_id")
+    )
+
+
+def test_index_prunes_partitions_and_recalls(spark, corpus, tmp_path):
+    index_path = str(tmp_path / "ann")
+    build_ann_index(corpus, index_path, num_planes=6)
+    # partition dirs exist per signature
+    sig_dirs = [d for d in os.listdir(index_path) if d.startswith("sig=")]
+    assert len(sig_dirs) > 8
+
+    hot = (
+        corpus.filter(F.col("vec_id") != F.col("origin_id"))
+        .groupBy("origin_id").count()
+        .orderBy(F.col("count").desc(), "origin_id").first()["origin_id"]
+    )
+    qvec = [
+        float(x)
+        for x in corpus.filter(F.col("vec_id") == hot).first()["embedding"]
+    ]
+
+    result = query_ann_index(spark, index_path, qvec, k=5, num_planes=6)
+    rows = result.collect()
+    # pruned scan: the sig predicate is a partition filter on the scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        result.explain("formatted")
+    plan = buf.getvalue()
+    part_filter_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_filter_lines and "sig" in part_filter_lines[0]
+
+    exact = {r.vec_id for r in brute_force_topk(corpus, qvec, k=5).collect()}
+    approx = {r.vec_id for r in rows}
+    assert len(exact & approx) / 5 >= 0.6
+    assert hot in approx  # the origin itself must be found
