@@ -329,6 +329,35 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_function_suite",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_elems,
+           CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_first,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           CAST(list_max(list_slice(embedding, 1, 8)) AS DOUBLE) AS head_max
+    FROM embeddings
+    """,
+    doc="Array-function surface: size/array_min/array_max/array_sort/"
+    "element_at/slice over the embedding column.",
+)
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_elems"),
+        F.array_min(emb).cast("double").alias("min_elem"),
+        F.array_max(emb).cast("double").alias("max_elem"),
+        F.element_at(F.array_sort(emb), 1).cast("double").alias("sorted_first"),
+        F.element_at(emb, 1).cast("double").alias("first_elem"),
+        F.array_max(F.slice(emb, 1, 8)).cast("double").alias("head_max"),
+    )
+
+
+@query(
     "events_json_struct",
     oracle=f"""
     SELECT event_type,
