@@ -13,7 +13,7 @@ on rotated prefix blocks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_analytics_spark.operators.text import normalized_text
@@ -71,42 +71,51 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh) word n-gram shingle *multiset* — narrow plan, NO shuffle.
+
+    explode the shingle start positions (``sequence``) and slice the words
+    array at each position: Generate → Project fuse into one
+    whole-stage-codegen stage, so unlike the window-``lead`` formulation
+    there is no sort and no exchange at all — shingling composes with
+    whatever shuffle the consumer needs next. ``slice`` / ``sequence`` /
+    ``concat_ws`` are ordinary codegen expressions (not lambda HOFs, which
+    Spark interprets). Documents shorter than ``n`` words yield one
+    whole-document shingle, matching :func:`shingles`. Duplicate shingles
+    are preserved; consumers that need set semantics dedupe themselves
+    (min-hash doesn't need to — ``min`` is duplicate-insensitive).
+    """
+    ws = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+    n_pos = F.greatest(F.size("__ws") - (n - 1), F.lit(1))
+    exploded = base.select(
+        "id", "__ws", F.explode(F.sequence(F.lit(0), n_pos - 1)).alias("__pos")
+    )
+    sh = F.concat_ws(" ", F.slice("__ws", F.col("__pos") + 1, F.lit(n)))
+    return exploded.select("id", sh.alias("sh"))
+
+
 def shingle_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """(id, sh) distinct word n-gram shingles, the scalable way.
+    """(id, sh) *distinct* word n-gram shingles.
 
-    posexplode the word stream, form each shingle with window ``lead()``
-    over (id, pos) — every expression stays in whole-stage codegen, the
-    only shuffle is the window hash-partition on doc id (which the
-    downstream per-doc aggregation needs anyway). Documents shorter than
-    ``n`` words yield one whole-document shingle, matching
-    :func:`shingles`.
+    :func:`shingle_stream` + one hash-aggregate shuffle on (id, sh) (with
+    map-side partial dedup). Use this when set semantics matter (Jaccard
+    counts); prefer :func:`shingle_stream` when the consumer is
+    duplicate-insensitive.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
-            "pos", "w"
-        ),
+    return shingle_stream(df, id_col=id_col, text_col=text_col, n=n).dropDuplicates(
+        ["id", "sh"]
     )
-    win = Window.partitionBy("id").orderBy("pos")
-    doc_win = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    leads = [F.lead("w", k).over(win) for k in range(1, n)]
-    n_words = F.count(F.lit(1)).over(doc_win)
-    keep = (F.lead("w", n - 1).over(win).isNotNull()) | (
-        (F.col("pos") == 0) & (n_words < n)
-    )
-    sh = words.select(
-        "id", F.concat_ws(" ", "w", *leads).alias("sh"), keep.alias("__keep")
-    ).filter(F.col("__keep"))
-    return sh.select("id", "sh").dropDuplicates(["id", "sh"])
 
 
 def minhash_signatures(
@@ -121,10 +130,12 @@ def minhash_signatures(
     Hash family from two base hashes — h_i(s) = h1(s) XOR rotl(h2(s), i):
     2 xxhash64 string evaluations per shingle instead of k, the rest is
     bitwise arithmetic (wrap-free under ANSI mode). Signature =
-    elementwise min over the document's shingle set via ``F.min`` — a
-    single shuffle keyed on doc id (shared with the shingle window).
+    elementwise min over the document's shingle stream via ``F.min``.
+    ``min`` is duplicate-insensitive, so the raw :func:`shingle_stream`
+    multiset needs no distinct pass — the groupBy on doc id is the ONLY
+    shuffle in the whole signature computation.
     """
-    pairs = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    pairs = shingle_stream(df, id_col=id_col, text_col=text_col, n=shingle_n)
     pairs = pairs.withColumn("__h1", F.xxhash64("sh")).withColumn(
         "__h2", F.xxhash64("sh", F.lit(1))
     )
@@ -147,6 +158,60 @@ def minhash_signatures(
     )
 
 
+def _bucket_candidate_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """(a, b, pa, pb) distinct candidate pairs from an LSH bucket table.
+
+    groupBy the bucket key + ``collect_list`` + in-bucket pair explosion
+    (i < j over ``sequence``/``element_at`` — plain codegen expressions),
+    instead of a bucket self-join. A self-join evaluates the *entire*
+    signature subplan twice (once per side — Catalyst does not reliably
+    reuse the exchange across differently-aliased sides); this form
+    computes signatures once and shuffles them once.
+
+    ``max_bucket`` drops pathologically hot buckets (a bucket of size m
+    emits m(m−1)/2 pairs — the standard LSH "too common to be
+    informative" cap that keeps the 100 TB worst case bounded).
+    """
+    grouped = banded.groupBy(*bucket_cols).agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p"))).alias(
+            "xs"
+        )
+    )
+    grouped = grouped.filter(
+        (F.size("xs") >= 2) & (F.size("xs") <= F.lit(max_bucket))
+    )
+    i_expl = grouped.select(
+        "xs", F.explode(F.sequence(F.lit(0), F.size("xs") - 2)).alias("__i")
+    )
+    j_expl = i_expl.select(
+        "xs",
+        "__i",
+        F.explode(F.sequence(F.col("__i") + 1, F.size("xs") - 1)).alias("__j"),
+    )
+    x = F.element_at("xs", F.col("__i") + 1)
+    y = F.element_at("xs", F.col("__j") + 1)
+    first_is_a = x["i"] < y["i"]
+    return (
+        j_expl.select(
+            F.when(first_is_a, x).otherwise(y).alias("__pa"),
+            F.when(first_is_a, y).otherwise(x).alias("__pb"),
+        )
+        .select(
+            F.col("__pa")["i"].alias("a"),
+            F.col("__pb")["i"].alias("b"),
+            F.col("__pa")["p"].alias("pa"),
+            F.col("__pb")["p"].alias("pb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -154,14 +219,16 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
     Split each signature into ``bands`` bands of r = k/bands rows; documents
-    sharing any full band land in the same bucket. A self-join *within
-    buckets only* (equi-join on the band hash — never a cross join) yields
-    candidate pairs; estimated Jaccard = fraction of equal signature
-    positions. Output: (a, b, est_jaccard) with a < b, deduped.
+    sharing any full band land in the same bucket. In-bucket pair expansion
+    (never a cross join, signatures computed once — see
+    :func:`_bucket_candidate_pairs`) yields candidate pairs; estimated
+    Jaccard = fraction of equal signature positions. Output:
+    (a, b, est_jaccard) with a < b, deduped.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -184,20 +251,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.select(
-        F.col(id_col).alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .dropDuplicates(["a", "b"])
+    pairs = _bucket_candidate_pairs(
+        banded, ["band", "bucket"], id_col, "sig", max_bucket
     )
     est = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
@@ -283,16 +341,19 @@ def simhash_sketches(
 ) -> DataFrame:
     """(id, sk) 63-bit SimHash sketches, computed the scalable way.
 
-    explode(shingle) → xxhash64 → ONE groupBy(id) with 63 conditional-sum
-    aggregates (single shuffle, map-side partial agg). This replaces the
-    per-row array-fold formulation of :func:`simhash`, which rebuilds the
-    shingle array 63 times per row and blows up codegen — at 100 TB the
-    exploded form is strictly better: linear work, one shuffle on doc id.
+    explode(shingle) → xxhash64 → distinct on (id, hash) → ONE groupBy(id)
+    with packed-lane sum aggregates (map-side partial agg). This replaces
+    the per-row array-fold formulation of :func:`simhash`, which rebuilds
+    the shingle array 63 times per row and blows up codegen — at 100 TB
+    the exploded form is strictly better: linear work, shuffles keyed on
+    doc id only. The distinct pass (simhash votes once per distinct
+    shingle) dedupes on the 8-byte hash rather than the shingle string,
+    so the exchange carries (long, long) rows, not text.
     """
     import functools
 
-    sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    sh = sh.withColumn("__h", F.xxhash64("sh"))
+    sh = shingle_stream(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    sh = sh.select("id", F.xxhash64("sh").alias("__h")).dropDuplicates(["id", "__h"])
 
     # Pack 4 per-bit vote counters into 16-bit lanes of one long, so the
     # 63 bit-votes need 16 sum aggregates instead of 63 (4x less codegen,
@@ -334,13 +395,16 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     num_blocks: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash + block-rotation LSH.
 
     Split the 64-bit sketch into ``num_blocks`` blocks; two sketches within
     hamming distance < num_blocks must agree on at least one block
-    (pigeonhole), so an equi-join per block finds all candidates; a final
-    ``bit_count(xor)`` filter confirms. Output (a, b, hamming), a < b.
+    (pigeonhole), so bucketing on each block value finds all candidates
+    (in-bucket pair expansion, sketches computed once — see
+    :func:`_bucket_candidate_pairs`); a final ``bit_count(xor)`` filter
+    confirms. Output (a, b, hamming), a < b.
     """
     bits_per_block = 64 // num_blocks
     sk = simhash_sketches(df, id_col=id_col, text_col=text_col)
@@ -358,19 +422,8 @@ def simhash_near_dup_pairs(
             )
         ).alias("block", "val"),
     )
-    left = blocks.select(
-        F.col("id").alias("a"), F.col("sk").alias("sk_a"), "block", "val"
-    )
-    right = blocks.select(
-        F.col("id").alias("b"), F.col("sk").alias("sk_b"), "block", "val"
-    )
-    pairs = (
-        left.join(right, ["block", "val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sk_a", "sk_b")
-        .dropDuplicates(["a", "b"])
-    )
-    hamming = F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b")))
+    pairs = _bucket_candidate_pairs(blocks, ["block", "val"], "id", "sk", max_bucket)
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -226,9 +226,13 @@ def embedding_near_dup_pairs(
     num_planes: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-LSH bucket join + exact cosine
-    confirm (a < b). The join is an equi-join on the signature, so work is
-    proportional to bucket sizes, not n²."""
+    """Embedding-cosine near-dup pairs: sign-LSH bucketing + exact cosine
+    confirm (a < b). Candidates come from in-bucket pair expansion
+    (signatures computed once, never a cross join — see
+    ``dedup._bucket_candidate_pairs``), so work is proportional to bucket
+    sizes, not n²."""
+    from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
+
     sample = df.select(vec_col).limit(1).collect()
     if not sample:
         return df.sparkSession.createDataFrame([], "a long, b long, cosine_sim double")
@@ -244,22 +248,13 @@ def embedding_near_dup_pairs(
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    tagged = df.select(
-        F.col(id_col), F.col(vec_col), sig.alias("__sig")
-    )
-    left = tagged.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "__sig"
-    )
-    right = tagged.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "__sig"
-    )
+    tagged = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    pairs = _bucket_candidate_pairs(tagged, ["__sig"], id_col, vec_col, 10000)
     return (
-        left.join(right, "__sig")
-        .filter(F.col("a") < F.col("b"))
-        .select(
+        pairs.select(
             "a",
             "b",
-            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+            cosine(F.col("pa"), F.col("pb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
