@@ -197,16 +197,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
     """,
-    doc="TPC-H Q13: left-outer join preserved under COUNT(col) null "
-    "semantics, then a second aggregation over the group sizes.",
+    doc="TPC-H Q13: left-outer count distribution. Scale note: orders is "
+    "pre-aggregated to (custkey, count) BEFORE the outer join — the join "
+    "then carries one row per customer instead of one per order (~10x "
+    "less shuffle at TPC-H ratios); COUNT(col) null semantics are "
+    "recovered with coalesce(cnt, 0). Catalyst does not perform this "
+    "aggregate-pushdown-through-outer-join rewrite itself.",
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    o_cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    per_cust = c.join(o_cnt, c.c_custkey == o_cnt.o_custkey, "left_outer").select(
+        "c_custkey", F.coalesce(F.col("__cnt"), F.lit(0)).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")
@@ -316,6 +322,78 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "stat_moments_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_disc,
+           sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             / CAST(n AS DOUBLE) AS stddev_pop_qty,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 100.0)
+             AS covar_pop_qty_disc
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(qx) AS sx, SUM(dy) AS sy,
+             SUM(qx * qx) AS sxx, SUM(dy * dy) AS syy,
+             SUM(qx * dy) AS sxy
+      FROM (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qx,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dy
+        FROM lineitem
+      ) q
+      GROUP BY l_returnflag
+    ) m
+    ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr / stddev_pop / covar_pop) computed "
+    "cross-engine-exactly: quantize to integer, sum exact long moments in "
+    "one map-side-combined aggregation, apply the closed-form identities "
+    "once per group in IEEE doubles. Native corr()/stddev() are "
+    "order-sensitive float reductions and cannot hash-match across "
+    "engines; the moment form is also the scalable one (single shuffle).",
+)
+def stat_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qx = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    dy = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    m = (
+        li.select("l_returnflag", qx.alias("qx"), dy.alias("dy"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+            F.sum(F.col("qx") * F.col("dy")).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "l_returnflag",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_disc"
+        ),
+        (F.sqrt(n * sxx - sx * sx) / n).alias("stddev_pop_qty"),
+        ((n * sxy - sx * sy) / (n * n * F.lit(100.0))).alias("covar_pop_qty_disc"),
+    ).orderBy("l_returnflag")
 
 
 @query(

@@ -87,6 +87,62 @@ def sessionized_counts(
     )
 
 
+def click_purchase_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    max_gap_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks at most ``max_gap_minutes`` earlier.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so Spark can expire join state (unbounded
+    stream-stream joins otherwise buffer forever). Scale posture: state is
+    keyed on user_id (maximum-cardinality, uniform) and bounded to the
+    interval width by the watermark — the 100 TB/day case holds as long
+    as the gap stays a constant window.
+
+    Batch twin: the identical join expression over the batch table (the
+    condition compiles to an equi-join on user_id with a range residual).
+    """
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,

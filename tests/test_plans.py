@@ -71,3 +71,37 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     plan = buf.getvalue()
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan  # runtime partition coalescing active
+
+
+def test_q7_double_dim_join_broadcasts(spark, sf_dir):
+    # nation joins twice under different aliases; both + supplier broadcast,
+    # the lineitem spine is never sort-merge-joined
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    # EXISTS compiles to a semi join (broadcast or shuffled-hash), never a
+    # full join followed by dedup
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q19_join_stays_hash_based(spark, sf_dir):
+    # Catalyst extracts the common p_partkey equi-key from the OR-of-ANDs
+    # predicate; the join must not degrade to BroadcastNestedLoop/cartesian
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_lsh_single_signature_evaluation(spark, sf_dir):
+    # in-bucket pair expansion computes the signature subplan once: exactly
+    # one scan of documents in the whole candidate-pair plan (a bucket
+    # self-join would scan + aggregate it twice)
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan

@@ -44,3 +44,22 @@ def test_session_windows_run(spark, sf_dir):
         spark, sf_dir, "events"
     ).count()
     assert all(r.session_start <= r.session_end for r in rows)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from cassandra_analytics_spark.streaming.events_stream import (
+        click_purchase_interval_join,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    result = run_stream_to_memory(
+        click_purchase_interval_join(stream, stream),
+        "cp_join",
+        output_mode="append",
+    )
+    batch = load_table(spark, sf_dir, "events")
+    want_df = click_purchase_interval_join(batch, batch)
+    got = {(r.click_id, r.purchase_id) for r in result.collect()}
+    want = {(r.click_id, r.purchase_id) for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0
