@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cassandra_analytics_spark.operators.similarity import (
     cosine,
     dot,
+    lit_vector,
     random_hyperplanes,
 )
 
@@ -23,7 +24,7 @@ def _signature_column(vec_col: str, dim: int, num_planes: int, seed: int):
     planes = random_hyperplanes(dim, num_planes, seed)
     bits = [
         F.when(
-            dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0,
+            dot(F.col(vec_col), lit_vector(plane)) >= 0,
             F.lit(1 << i),
         ).otherwise(F.lit(0))
         for i, plane in enumerate(planes)
@@ -82,7 +83,7 @@ def query_ann_index(
             probes.add(qsig ^ (1 << i))
     index = spark.read.parquet(index_path)
     candidates = index.filter(F.col("sig").isin(sorted(probes)))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vector(query_vec)
     return (
         candidates.select(
             F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")

@@ -136,25 +136,22 @@ def minhash_signatures(
     shuffle in the whole signature computation.
     """
     pairs = shingle_stream(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    pairs = pairs.withColumn("__h1", F.xxhash64("sh")).withColumn(
-        "__h2", F.xxhash64("sh", F.lit(1))
-    )
+    pairs = pairs.selectExpr("id", "xxhash64(sh) AS __h1", "xxhash64(sh, 1) AS __h2")
 
-    def rotl(c, i):
+    # Build the whole signature as ONE generated SQL expression — the
+    # column-by-column Column-API construction costs a py4j round-trip per
+    # operator (hundreds of driver RPCs ≈ seconds of plan-build latency
+    # per query; the logical plan is identical either way).
+    def rotl(i: int) -> str:
         if i == 0:
-            return c
-        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+            return "__h2"
+        return f"(shiftleft(__h2, {i}) | shiftrightunsigned(__h2, {64 - i}))"
 
-    mins = [
-        F.min(F.col("__h1").bitwiseXOR(rotl(F.col("__h2"), i * 7 % 64))).alias(
-            f"__m{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    agg = pairs.groupBy(F.col("id").alias(id_col)).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    mins = ", ".join(
+        f"min(__h1 ^ {rotl(i * 7 % 64)})" for i in range(num_hashes)
+    )
+    return pairs.groupBy(F.col("id").alias(id_col)).agg(
+        F.expr(f"array({mins})").alias("sig")
     )
 
 
@@ -350,43 +347,35 @@ def simhash_sketches(
     shingle) dedupes on the 8-byte hash rather than the shingle string,
     so the exchange carries (long, long) rows, not text.
     """
-    import functools
-
     sh = shingle_stream(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    sh = sh.select("id", F.xxhash64("sh").alias("__h")).dropDuplicates(["id", "__h"])
+    sh = sh.selectExpr("id", "xxhash64(sh) AS __h").dropDuplicates(["id", "__h"])
 
     # Pack 4 per-bit vote counters into 16-bit lanes of one long, so the
     # 63 bit-votes need 16 sum aggregates instead of 63 (4x less codegen,
-    # same single shuffle). Lane capacity 65535 shingles per doc.
+    # same single shuffle). Lane capacity 65535 shingles per doc. Both the
+    # packed sums and the 63-term sketch reconstruction are generated SQL
+    # strings — one py4j call each instead of one per operator (the
+    # Column-API form spent ~2 s per query on driver RPCs building the
+    # identical logical plan).
     lanes_per_word = 4
     num_words = (num_bits + lanes_per_word - 1) // lanes_per_word
     packed_sums = []
     for w in range(num_words):
-        expr = F.lit(0).cast("long")
-        for lane in range(lanes_per_word):
-            bit = w * lanes_per_word + lane
-            if bit >= num_bits:
-                continue
-            expr = expr + F.shiftleft(
-                F.shiftrightunsigned("__h", bit).bitwiseAND(F.lit(1)).cast("long"),
-                16 * lane,
-            )
-        packed_sums.append(F.sum(expr).alias(f"__w{w}"))
+        lanes = [
+            f"shiftleft(CAST(shiftrightunsigned(__h, {w * lanes_per_word + lane}) "
+            f"& 1 AS BIGINT), {16 * lane})"
+            for lane in range(lanes_per_word)
+            if w * lanes_per_word + lane < num_bits
+        ]
+        packed_sums.append(F.expr(f"sum({' + '.join(lanes)})").alias(f"__w{w}"))
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *packed_sums)
 
     terms = []
     for i in range(num_bits):
         w, lane = divmod(i, lanes_per_word)
-        votes = F.shiftrightunsigned(F.col(f"__w{w}"), 16 * lane).bitwiseAND(
-            F.lit(0xFFFF)
-        )
-        terms.append(
-            F.when(votes * 2 > F.col("__n"), F.lit(2**i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sketch = functools.reduce(lambda a, b: a + b, terms)
-    return counts.select("id", sketch.alias("sk"))
+        votes = f"(shiftrightunsigned(__w{w}, {16 * lane}) & 65535)"
+        terms.append(f"IF({votes} * 2 > __n, CAST({2**i} AS BIGINT), 0L)")
+    return counts.select("id", F.expr(" + ".join(terms)).alias("sk"))
 
 
 def simhash_near_dup_pairs(

@@ -14,6 +14,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def lit_vector(values: list[float]) -> Column:
+    """A literal array<double> built with ONE driver call.
+
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element —
+    ~0.2 s of plan-build latency for a 64-dim vector. A generated SQL
+    string is a single call; ``CAST('<repr>' AS DOUBLE)`` round-trips the
+    IEEE value exactly.
+    """
+    body = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
+    return F.expr(f"array({body})")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Elementwise dot product of two array columns (double accumulator,
     index order — deterministic)."""
@@ -52,7 +64,7 @@ def brute_force_topk(
     driver — no global sort shuffle, so this is the right plan at any scale).
     Ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vector(query_vec)
     scored = df.select(
         F.col(id_col),
         cosine(F.col(vec_col), q).alias("cosine_sim"),
@@ -126,7 +138,7 @@ def lsh_bucket_topk(
         planes = random_hyperplanes(dim, num_planes, seed + table)
         bits = [
             F.when(
-                dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, F.lit(1 << i)
+                dot(vec, lit_vector(plane)) >= 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
             for i, plane in enumerate(planes)
         ]
@@ -153,7 +165,7 @@ def lsh_bucket_topk(
         cond = this if cond is None else (cond | this)
 
     candidates = work.filter(cond)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vector(query_vec)
     return (
         candidates.select(
             F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
@@ -192,7 +204,7 @@ def ivf_topk(
     def nearest_cell(vec: Column) -> Column:
         best = None
         for cid, cvec in centroids:
-            lit = F.array(*[F.lit(float(x)) for x in cvec])
+            lit = lit_vector(cvec)
             d = dot(vec, lit) / (norm(vec) * norm(lit))
             pair = F.struct(d.alias("sim"), F.lit(cid).alias("cid"))
             best = pair if best is None else F.when(pair["sim"] > best["sim"], pair).otherwise(best)
@@ -210,7 +222,7 @@ def ivf_topk(
 
     assigned = df.withColumn("__cell", nearest_cell(F.col(vec_col)))
     probed = assigned.filter(F.col("__cell").isin(query_cells()))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vector(query_vec)
     return (
         probed.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -240,7 +252,7 @@ def embedding_near_dup_pairs(
     planes = random_hyperplanes(dim, num_planes, seed)
     bits = [
         F.when(
-            dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0,
+            dot(F.col(vec_col), lit_vector(plane)) >= 0,
             F.lit(1 << i),
         ).otherwise(F.lit(0))
         for i, plane in enumerate(planes)

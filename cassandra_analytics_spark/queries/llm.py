@@ -20,7 +20,10 @@ from cassandra_analytics_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from cassandra_analytics_spark.operators.similarity import embedding_near_dup_pairs
+from cassandra_analytics_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    lit_vector,
+)
 from cassandra_analytics_spark.operators.text import quality_features, token_count
 from cassandra_analytics_spark.queries import query
 from cassandra_analytics_spark.queries._util import davg_sql, dsum_sql
@@ -380,7 +383,7 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     qvec = [float(x) for x in qrow["embedding"]]
-    q = F.array(*[F.lit(x) for x in qvec])
+    q = lit_vector(qvec)
 
     # query norm computed the same portable way as the oracle: double
     # squares → decimal(·,12) sum → double → sqrt
