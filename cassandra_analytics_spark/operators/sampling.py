@@ -1,0 +1,64 @@
+"""Deterministic dataset splitting & sampling for training-data pipelines.
+
+A 100 TB corpus needs train/val/test assignment that is (a) stable across
+runs and engines — re-ingesting a document must never move it between
+splits (that leaks test data into training), (b) computable row-local —
+no shuffle, no global state, (c) skew-free. Content/id hashing gives all
+three: split = f(md5(id)), a pure projection that composes with any scan.
+
+``sampleBy`` (seeded Bernoulli per stratum) covers proportional
+down-sampling where cross-engine stability isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5 is bit-identical everywhere; the first 4 hex chars give 2^16
+# uniform buckets — plenty for percent-resolution splits.
+_BUCKETS = 100
+
+
+def hash_bucket(col: Column | str, num_buckets: int = _BUCKETS) -> Column:
+    """Uniform stable bucket in [0, num_buckets) from md5 of the value's
+    string form. Engine-portable (the DuckDB oracle reproduces it exactly:
+    ``('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 4))::BIGINT %
+    num_buckets``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hex4 = F.substring(F.md5(c.cast("string")), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("long") % num_buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a stable 'train'/'val'/'test' assignment column.
+
+    Pure projection — no shuffle, no RNG state; the assignment of a row
+    depends only on its id, so incremental ingests and re-runs agree.
+    """
+    b = hash_bucket(id_col)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): one scan, row-local
+    coin flips, no shuffle. Deterministic for a fixed seed + partitioning
+    within Spark (not portable across engines — pair with
+    :func:`hash_split` when cross-run stability matters)."""
+    return df.sampleBy(stratum_col, fractions, seed)

@@ -469,3 +469,63 @@ def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, threshold=0.9, num_planes=6)
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (
+      SELECT CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM (
+        SELECT (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT)
+                 % 100 AS b,
+               n_chars
+        FROM documents
+      ) h
+    ) s
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Stable 80/10/10 train/val/test assignment by md5 id-hash "
+    "(operators/sampling.hash_split): pure projection, no shuffle, no RNG "
+    "state — a re-ingested document never migrates between splits. "
+    "Cross-engine-exact: md5 is bit-identical in Spark and DuckDB.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, id_col="doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "stratified_sample_langs",
+    oracle=None,  # seeded Bernoulli sampling — RNG not portable to SQL
+    doc="Per-language stratified down-sampling (sampleBy): row-local "
+    "seeded coin flips, one scan, no shuffle; counts per language after "
+    "sampling.",
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    fractions = {lang: 0.5 for lang in langs}
+    return (
+        stratified_sample(d, "lang", fractions)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
