@@ -35,6 +35,8 @@ HEADLINE = [
     "q10_returned_items",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
     "join_semi_open_orders",
     "setop_except_customers",
     # temporal joins

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         relational,
         relational_ext,
         temporal,
+        tpch_derived,
         tpch_suite,
     )
 

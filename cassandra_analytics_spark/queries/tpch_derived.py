@@ -1,0 +1,529 @@
+"""Third TPC-H-style batch: the shapes that need a ``partsupp`` table
+(Q2/Q9/Q11/Q16/Q20) plus the remaining no-new-table shapes (Q12/Q15/Q21).
+
+The fixture star schema has no partsupp, so these queries run over a
+**deterministically derived** partsupp view: the distinct
+``(l_partkey, l_suppkey)`` pairs observed in lineitem, with
+``ps_availqty`` / ``ps_supplycost`` computed by pure integer arithmetic
+on the keys. The oracle SQL performs the *identical* derivation, so the
+value-hash comparison stays exact — this exercises the real TPC-H plan
+shapes (correlated min, profit bridge join, NOT-IN, availability
+threshold) without inventing data.
+
+Column adaptations (fixtures lack the TPC-H columns):
+* ship mode (Q12) := CASE l_linenumber % 3 (no ``l_shipmode``),
+* "late" (Q21)    := l_shipdate > o_orderdate + 60 days (no
+  commit/receipt dates),
+* part filters use the fixture vocabularies (p_type ∈ {ECONOMY..},
+  p_name two-word strings).
+
+Scale notes (100 TB posture): partsupp is bounded by |part|x|supplier|
+(key-pair domain), orders of magnitude smaller than lineitem, and is
+built with one distinct-aggregation shuffle on (partkey, suppkey) then
+reused; every dimension side broadcasts. Q21 resolves the EXISTS /
+NOT-EXISTS pair with two passes over the same order-partitioned
+aggregate rather than three self-joins of lineitem — one shuffle on
+orderkey total. Q15's scalar max is a one-row broadcast, not a driver
+collect.
+
+Reference parity: relational surface delegated to Spark by the reference
+(SURVEY §2.2; `cassandra-analytics-core/src/main/spark3/org/apache/
+cassandra/spark/sparksql/CassandraDataSource.java:31-55` exposes plain
+DataFrames that TPC-H-style plans run over).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.queries import query
+from cassandra_analytics_spark.queries._util import dsum, dsum_sql
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp view derived from lineitem's observed (part, supp) pairs.
+
+    availqty/supplycost are pure key arithmetic — deterministic, engine
+    portable, and exactly mirrored by ``PARTSUPP_SQL``.
+    """
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((pk * 31 + sk * 17) % 100 + 1).cast("int").alias("ps_availqty"),
+            (((pk * 7 + sk * 13) % 90000).cast("double") / 100 + 100).alias(
+                "ps_supplycost"
+            ),
+        )
+    )
+
+
+PARTSUPP_SQL = """
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 31 + ps_suppkey * 17) % 100 + 1 AS INTEGER) AS ps_availqty,
+         CAST((ps_partkey * 7 + ps_suppkey * 13) % 90000 AS DOUBLE) / 100 + 100 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+"""
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL})
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_suppkey, ps_supplycost
+    FROM part
+    JOIN partsupp ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 (adapted: derived partsupp, fixture part vocabulary): "
+    "correlated MIN decorrelated to a per-part min-cost join.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # all EU offers; the part filter prunes before the min (same result:
+    # the correlated subquery's min is per-part over EU offers only)
+    eu_offers = ps.join(F.broadcast(eu_supp), ps.ps_suppkey == eu_supp.s_suppkey)
+    min_cost = eu_offers.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu_offers.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            ["ps_partkey"],
+        )
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_suppkey", "ps_supplycost")
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL})
+    SELECT nation, o_year, {dsum_sql('amount')} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 (adapted: derived partsupp, p_name LIKE '%red%'): "
+    "profit bridge join lineitem⋈part⋈supplier⋈partsupp⋈orders⋈nation.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    ps = derived_partsupp(spark, sf_dir)
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL}),
+    natval AS (
+      SELECT n_name, {dsum_sql('ps_supplycost * ps_availqty')} AS value
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, value
+    FROM natval
+    WHERE value > (SELECT SUM(value) FROM natval) * 0.02
+    ORDER BY value DESC, n_name
+    """,
+    doc="TPC-H Q11 (adapted: per-nation instead of per-part groups, "
+    "derived partsupp): group value vs scalar fraction-of-total subquery.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    natval = (
+        ps.join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
+    )
+    threshold = natval.agg(F.sum("value").alias("total"))
+    return (
+        natval.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("total") * 0.02)
+        .select("n_name", "value")
+        .orderBy(F.desc("value"), "n_name")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT ship_mode,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM (
+      SELECT CASE CAST(l_linenumber % 3 AS INTEGER)
+               WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'SHIP' ELSE 'TRUCK'
+             END AS ship_mode,
+             o_orderpriority
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) t
+    GROUP BY ship_mode
+    ORDER BY ship_mode
+    """,
+    doc="TPC-H Q12 (adapted: ship mode derived from l_linenumber %% 3 — "
+    "fixtures have no l_shipmode): conditional counts per mode.",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    mode = (
+        F.when((F.col("l_linenumber") % 3).cast("int") == 0, "REG AIR")
+        .when((F.col("l_linenumber") % 3).cast("int") == 1, "SHIP")
+        .otherwise("TRUCK")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(mode.alias("ship_mode"), high.alias("is_high"))
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: quarterly revenue view + scalar MAX subquery. The max "
+    "is computed over the already-deterministic fixed-point sums, so the "
+    "double equality is engine-exact.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL})
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (adapted: derived partsupp; negative-balance suppliers "
+    "play the 'Customer Complaints' exclusion): NOT-IN anti-join + "
+    "COUNT(DISTINCT).",
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        ps.join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=f"""
+    WITH partsupp AS ({PARTSUPP_SQL}),
+    qty97 AS (
+      SELECT l_partkey, l_suppkey, {dsum_sql('l_quantity')} AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        JOIN qty97 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_availqty > 0.5 * qty
+      )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 (adapted: derived partsupp; year-1997 shipments): "
+    "availability-threshold semi-join chain.",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = derived_partsupp(spark, sf_dir)
+    qty97 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+    )
+    promo_supps = (
+        ps.join(
+            qty97,
+            (ps.ps_partkey == qty97.l_partkey) & (ps.ps_suppkey == qty97.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            promo_supps,
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 (adapted: 'late' = shipped >60 days after order date — "
+    "fixtures lack commit/receipt dates; three-nation filter): the "
+    "EXISTS/NOT-EXISTS pair is resolved with one per-order aggregate "
+    "(distinct suppliers, distinct late suppliers) broadcast-joined back "
+    "— one orderkey shuffle instead of two lineitem self-joins.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lines = li.join(o_f, li.l_orderkey == o_f.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    # per-order supplier stats: how many distinct suppliers total / late
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    # l1: late lines of suppliers in the probed nations, joined to the
+    # per-order stats; EXISTS(other supplier) == n_supps > 1;
+    # NOT EXISTS(other late supplier) == the only late supplier is l1's
+    nat_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lines.filter(F.col("is_late"))
+        .join(per_order, ["l_orderkey"])
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -105,3 +105,35 @@ def test_lsh_single_signature_evaluation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, plan
+
+
+def test_q9_dims_broadcast_single_spine_shuffle(spark, sf_dir):
+    # part/supplier/partsupp/nation all broadcast; lineitem⋈orders is the
+    # only shuffled join, then one aggregation exchange — the plan a 100 TB
+    # run needs (the spine is never re-partitioned for a dimension)
+    import re
+
+    plan = _plan(spark, sf_dir, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # real (non-broadcast) shuffles: partsupp distinct, group-by, sort
+    shuffles = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(shuffles) <= 4, plan
+
+
+def test_q21_single_lineitem_pass(spark, sf_dir):
+    # the EXISTS / NOT-EXISTS pair must come from the per-order aggregate,
+    # not two extra lineitem self-joins: lineitem is scanned at most twice
+    # (spine + aggregate input), never three times
+    import re
+
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    scans = re.findall(r"^\(\d+\) Scan parquet.*lineitem", plan, flags=re.M)
+    assert len(scans) <= 2, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 2
+
+
+def test_q2_min_cost_reuses_offers(spark, sf_dir):
+    # correlated MIN is decorrelated into a per-part aggregate over the
+    # same EU-offers subplan — no nested-loop re-evaluation per part
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
