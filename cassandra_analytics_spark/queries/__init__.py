@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         temporal,
         tpch_derived,
         tpch_suite,
+        windows_sketches,
     )
 
     _LOADED = True

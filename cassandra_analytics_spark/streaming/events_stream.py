@@ -165,3 +165,26 @@ def run_stream_to_memory(
     query.processAllAvailable()
     query.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_events_stream(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key only
+    until the watermark passes it, so state is bounded by (arrival rate x
+    watermark) instead of growing with the whole stream — the property a
+    100 TB/day ingest needs. Duplicates arriving within the watermark
+    window of the first occurrence are dropped; rows are emitted
+    immediately (append mode), not held until window close.
+
+    Batch twin: ``dropDuplicates(keys)`` over the full table (streaming
+    result equals batch exactly when all duplicates arrive inside the
+    watermark, as in replay/at-least-once delivery).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

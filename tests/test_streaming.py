@@ -63,3 +63,27 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     want = {(r.click_id, r.purchase_id) for r in want_df.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    # feed every event twice (two unions of the same file stream — the
+    # at-least-once replay case); the watermarked dedup must restore
+    # exactly the batch-distinct row set
+    from cassandra_analytics_spark.catalog import load_table
+    from cassandra_analytics_spark.streaming.events_stream import (
+        dedup_events_stream,
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    s = events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    out = run_stream_to_memory(
+        dedup_events_stream(doubled),
+        "dedup_stream_test",
+        output_mode="append",
+    )
+    batch = load_table(spark, sf_dir, "events")
+    assert out.count() == batch.dropDuplicates(["event_id"]).count()
+    # no duplicate survived
+    assert out.select("event_id").distinct().count() == out.count()
