@@ -98,9 +98,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, max_hamming=6, num_blocks=4)
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=r"""
+NGRAM_PAIRS_SQL = r"""
     WITH norm AS (
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
@@ -140,7 +138,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = a
     JOIN sizes sb ON sb.doc_id = b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
-    """,
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=NGRAM_PAIRS_SQL,
     doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index — "
     "oracle replicates the shingling with the same window-lead "
     "construction in SQL.",
@@ -148,6 +151,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6)
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({NGRAM_PAIRS_SQL}),
+    sym AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION
+      SELECT b AS u, a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Transitive duplicate-cluster assignment: n-gram Jaccard pairs "
+    "resolved to connected components (operators/graph.py min-label "
+    "propagation); singletons keep their own id. Oracle computes the "
+    "same closure with a recursive CTE.",
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6)
+    return (
+        dedup_clusters(d.select("doc_id"), pairs)
+        .select("doc_id", "component")
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -165,21 +165,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year DESC
     """,
     doc="TPC-H Q9 (adapted: derived partsupp, p_name LIKE '%red%'): "
-    "profit bridge join lineitem⋈part⋈supplier⋈partsupp⋈orders⋈nation.",
+    "profit join lineitem⋈part⋈supplier⋈orders⋈nation. The partsupp "
+    "bridge join of the oracle is INLINED on the Spark side: partsupp is "
+    "keyed by exactly lineitem's (partkey, suppkey) pairs and "
+    "ps_supplycost is pure key arithmetic, so the join is a no-op filter "
+    "plus a computed column — view inlining removes a full lineitem "
+    "distinct + shuffle from the plan (the 100 TB-right rewrite; the "
+    "oracle keeps the join form and the results hash-match).",
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    ps = derived_partsupp(spark, sf_dir)
+    supplycost = (
+        (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 90000
+    ).cast("double") / 100 + 100
     profit = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.withColumn("ps_supplycost", supplycost)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(
             F.broadcast(_t(spark, sf_dir, "supplier")),
             li.l_suppkey == F.col("s_suppkey"),
-        )
-        .join(
-            F.broadcast(ps),
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
         .join(
             _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),

@@ -1,0 +1,46 @@
+"""Connected-components correctness: chains, overlapping edges, disjoint
+clusters, singletons — the cases the one-pass pair heuristic gets wrong."""
+
+from __future__ import annotations
+
+from cassandra_analytics_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    keep_cluster_representatives,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = connected_components(df).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # path 1-2, 2-3, 3-4: one component rooted at 1 (needs >1 round)
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_overlapping_edges_one_component(spark):
+    # (a,c),(b,c): the drop-greater heuristic keeps a AND b; CC must not
+    assert _cc(spark, [(1, 3), (2, 3)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (11, 12)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_singletons_get_own_cluster(spark):
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (9, "w")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    clustered = {
+        r["doc_id"]: r["component"] for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert clustered == {1: 1, 2: 1, 3: 1, 9: 9}
+    reps = sorted(
+        r["doc_id"] for r in keep_cluster_representatives(docs, pairs).collect()
+    )
+    assert reps == [1, 9]
