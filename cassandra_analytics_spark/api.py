@@ -83,3 +83,32 @@ class Engine:
     latest_by_key = staticmethod(latest_by_key)
     last_modified_timestamp = staticmethod(last_modified_timestamp)
     propagate_static_columns = staticmethod(propagate_static_columns)
+
+    # -- training-data pipeline (north-star extensions) -------------------
+    @staticmethod
+    def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        from cassandra_analytics_spark.operators.graph import dedup_clusters
+
+        return dedup_clusters(df, pairs, id_col=id_col)
+
+    @staticmethod
+    def keep_cluster_representatives(
+        df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    ) -> DataFrame:
+        from cassandra_analytics_spark.operators.graph import (
+            keep_cluster_representatives,
+        )
+
+        return keep_cluster_representatives(df, pairs, id_col=id_col)
+
+    @staticmethod
+    def tfidf_scores(df: DataFrame, query_terms: list[str], **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.text import tfidf_scores
+
+        return tfidf_scores(df, query_terms, **kwargs)
+
+    @staticmethod
+    def bm25_scores(df: DataFrame, query_terms: list[str], **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.text import bm25_scores
+
+        return bm25_scores(df, query_terms, **kwargs)

@@ -133,3 +133,106 @@ def normalized_text(col: Column | str) -> Column:
             F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
         )
     )
+
+
+def tfidf_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    log_idf: bool = False,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document TF-IDF relevance for a bag of query terms.
+
+    Pipeline: normalize → split (doc length = array size, NO explode
+    needed for it) → explode + filter to the query terms only (the
+    exploded stream carries just matching tokens, so the shuffle is
+    proportional to matches, not corpus tokens) → per-(doc, term) counts
+    → tiny per-term doc-frequency aggregate (broadcast) → one fixed-point
+    sum per doc.
+
+    idf defaults to the *rational* form (N+1)/(df+1), whose IEEE division
+    is bit-identical across engines (a SQL oracle can reproduce it
+    exactly); ``log_idf=True`` applies ln() on top for the classical
+    weighting (engine-exactness of libm log is not guaranteed — keep it
+    out of oracle-checked paths).
+
+    Scale: at 100 TB the only corpus-sized shuffle is the (doc, term)
+    count keyed on doc id; doc-frequency and N are term-cardinality
+    aggregates that broadcast.
+    """
+    c_id, c_txt = F.col(id_col), F.col(text_col)
+    words = df.select(c_id.alias("id"), F.split(normalized_text(c_txt), " ").alias("ws"))
+    doclen = words.select("id", F.size("ws").alias("len"))
+    hits = (
+        words.select("id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(*query_terms))
+    )
+    tf = hits.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.countDistinct("id").alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    idf = F.col("n_plus") / F.col("df_plus")
+    if log_idf:
+        idf = F.log(idf)
+    term_score = (F.col("tf").cast("double") / F.col("len")) * idf
+    return (
+        tf.join(doclen, "id")
+        .join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(n_docs))
+        .withColumn("n_plus", (F.col("n") + 1).cast("double"))
+        .withColumn("df_plus", F.col("df") + 1)
+        .groupBy("id")
+        .agg(
+            (
+                F.sum(F.floor(term_score * fp_scale + F.lit(0.5))).cast("double")
+                / fp_scale
+            ).alias("score")
+        )
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance: same distributed shape as
+    :func:`tfidf_scores` (match-only explode, broadcast df/N/avglen, one
+    doc-keyed aggregation) with saturating tf and length normalization:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avglen))
+
+    Not oracle-checked (libm ln equality across engines is not
+    guaranteed); ranking behavior unit-tested.
+    """
+    c_id, c_txt = F.col(id_col), F.col(text_col)
+    words = df.select(c_id.alias("id"), F.split(normalized_text(c_txt), " ").alias("ws"))
+    doclen = words.select("id", F.size("ws").alias("len"))
+    hits = (
+        words.select("id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(*query_terms))
+    )
+    tf = hits.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.countDistinct("id").alias("df"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("len").alias("avglen")
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(doclen, "id")
+        .join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.sum(term_score).alias("score"))
+        .select(F.col("id").alias(id_col), "score")
+    )

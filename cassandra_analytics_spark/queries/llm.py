@@ -191,6 +191,58 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf_search",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM norm
+    ),
+    doclen AS (
+        SELECT doc_id, COUNT(*) AS len FROM words GROUP BY doc_id
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM words WHERE w IN ('spark', 'merge', 'vector')
+        GROUP BY doc_id, w
+    ),
+    dfreq AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id,
+           CAST(SUM(CAST(FLOOR(
+             (CAST(tf.tf AS DOUBLE) / doclen.len)
+               * (CAST(n.n + 1 AS DOUBLE) / (dfreq.df + 1))
+               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS score
+    FROM tf
+    JOIN doclen USING (doc_id)
+    JOIN dfreq USING (w)
+    CROSS JOIN n
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 50
+    """,
+    doc="TF-IDF relevance search for a term set (rational idf "
+    "(N+1)/(df+1) for cross-engine-exact division; fixed-point score "
+    "sum). Only matching tokens are shuffled; df/N broadcast.",
+)
+def text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.text import tfidf_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        tfidf_scores(d, ["spark", "merge", "vector"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

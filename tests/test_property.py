@@ -103,3 +103,44 @@ def test_murmur3_long_keys_distinct_prefix(v):
     # overwhelmingly differ)
     b = v.to_bytes(8, "big", signed=True)
     assert _murmur3_64(b) == _murmur3_64(b)
+
+
+# -- connected components vs a reference union-find -----------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_lists)
+def test_connected_components_match_union_find(spark, edges):
+    from cassandra_analytics_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical root = min node of each component
+    expected = {}
+    for n in parent:
+        root = find(n)
+        expected[n] = min(m for m in parent if find(m) == root)
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected

@@ -71,3 +71,47 @@ def test_quality_features_schema(spark):
     assert out.q_punct_ratio > 0
     assert out.q_upper_ratio == 2 / 15
     assert out.q_digit_ratio == 2 / 15
+
+
+def test_tfidf_log_idf_ranks_rarer_terms_higher(spark):
+    from cassandra_analytics_spark.operators.text import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common common"),
+            (2, "common common common common"),
+            (3, "word word word word"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in tfidf_scores(docs, ["rare", "common"], log_idf=True).collect()
+    }
+    # doc 3 has no query term → no row; doc 1 holds the only 'rare' token
+    # → beats doc 2 even though doc 2 is pure 'common'
+    assert set(scores) == {1, 2}
+    assert scores[1] > scores[2] > 0.0
+
+
+def test_bm25_saturates_and_length_normalizes(spark):
+    from cassandra_analytics_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common common"),
+            (2, "common common common common"),
+            (3, "word word word word"),
+            (4, "rare word word word word word word word word word word word"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, ["rare", "common"]).collect()
+    }
+    assert set(scores) == {1, 2, 4}
+    # doc 1: rare + 3x common beats everything; long doc 4 is
+    # length-penalized below doc 1 despite also holding 'rare'
+    assert scores[1] > scores[4]
+    assert scores[1] > scores[2] > 0.0
