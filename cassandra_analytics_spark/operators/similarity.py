@@ -202,13 +202,23 @@ def ivf_topk(
         return brute_force_topk(df, query_vec, k, id_col, vec_col)
 
     def nearest_cell(vec: Column) -> Column:
-        best = None
-        for cid, cvec in centroids:
-            lit = lit_vector(cvec)
-            d = dot(vec, lit) / (norm(vec) * norm(lit))
-            pair = F.struct(d.alias("sim"), F.lit(cid).alias("cid"))
-            best = pair if best is None else F.when(pair["sim"] > best["sim"], pair).otherwise(best)
-        return best["cid"]
+        # array_max over (sim, cid) structs: expression size is LINEAR in
+        # the centroid count. (A folded when/otherwise chain embeds the
+        # running best twice per step — exponential tree, OOMs the
+        # analyzer beyond ~10 centroids.)
+        pairs = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(vec, lit_vector(cvec))
+                        / (norm(vec) * norm(lit_vector(cvec)))
+                    ).alias("sim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        return F.array_max(pairs)["cid"]
 
     def query_cells() -> list[int]:
         sims = []

@@ -622,3 +622,90 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal + ANN index registry surface (operators tested in
+# tests/test_multimodal.py / tests/test_similarity.py; registered here so
+# the driver's correctness report exercises the plumbing end-to-end)
+# --------------------------------------------------------------------------
+
+
+def _synthetic_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal table derived from documents: the text
+    bytes stand in for an image blob (the container has no image libs —
+    SURVEY-sanctioned stub), metadata typed per MULTIMODAL_SCHEMA."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.substring("text", 1, 32).alias("caption"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("w"),
+            (F.col("n_chars") % 480).cast("int").alias("h"),
+            F.when(F.col("lang") == "en", "image/png")
+            .otherwise("image/jpeg")
+            .alias("mime"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_blob_stats",
+    oracle="""
+    SELECT CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+           COUNT(*) AS n_items,
+           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           AVG(octet_length(CAST(text AS BLOB))) AS avg_bytes,
+           AVG(n_chars % 640) AS avg_width,
+           AVG(n_chars % 480) AS avg_height
+    FROM documents
+    GROUP BY 1
+    ORDER BY mime
+    """,
+    doc="Metadata-only multimodal scan (operators/multimodal.py "
+    "multimodal_stats): blob sizes per mime WITHOUT decoding — column "
+    "pruning keeps pixels out of the plan (testLargeBlobExclude posture, "
+    "EndToEndTests.java:1978).",
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.multimodal import multimodal_stats
+
+    return multimodal_stats(_synthetic_multimodal(spark, sf_dir)).orderBy("mime")
+
+
+@query(
+    "multimodal_image_features",
+    oracle=None,  # mapInPandas decode-stub path; entropy floats are
+    # python-side — rows-only check
+    doc="Arrow-batched mapInPandas feature extraction over blob columns "
+    "(decode stubbed: no image libs in container; batch shape, schema, "
+    "blob pruning are the real plumbing).",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    return extract_image_features(
+        _synthetic_multimodal(spark, sf_dir), fake_decode=True
+    ).orderBy("id")
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=None,  # centroid sampling is partition-order-dependent — rows-only
+    doc="IVF-style ANN top-20: coarse centroids → broadcast cell "
+    "assignment → probe 4 nearest cells → exact rerank (the "
+    "partition-pruning scale path; persistent variant in "
+    "operators/ann_index.py).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return ivf_topk(emb, qvec, k=20)
