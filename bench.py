@@ -45,6 +45,7 @@ HEADLINE = [
     # windows / top-k
     "window_topk_orders_per_customer",
     "window_running_revenue",
+    "window_range_frame_revenue",
     "topk_global_orders",
     # events / sessionization
     "events_hourly_stats",
@@ -59,6 +60,8 @@ HEADLINE = [
     "cosine_topk_embeddings",
     "text_token_stats",
     "lang_id_heuristic",
+    "text_pii_scrub",
+    "text_tfidf_search",
 ]
 
 
