@@ -335,20 +335,29 @@ def simhash_sketches(
     text_col: str = "text",
     shingle_n: int = 2,
     num_bits: int = 63,
+    distinct_shingles: bool = False,
 ) -> DataFrame:
     """(id, sk) 63-bit SimHash sketches, computed the scalable way.
 
-    explode(shingle) → xxhash64 → distinct on (id, hash) → ONE groupBy(id)
-    with packed-lane sum aggregates (map-side partial agg). This replaces
-    the per-row array-fold formulation of :func:`simhash`, which rebuilds
-    the shingle array 63 times per row and blows up codegen — at 100 TB
-    the exploded form is strictly better: linear work, shuffles keyed on
-    doc id only. The distinct pass (simhash votes once per distinct
-    shingle) dedupes on the 8-byte hash rather than the shingle string,
-    so the exchange carries (long, long) rows, not text.
+    explode(shingle) → xxhash64 → ONE groupBy(id) with packed-lane sum
+    aggregates (map-side partial agg). This replaces the per-row
+    array-fold formulation of :func:`simhash`, which rebuilds the shingle
+    array 63 times per row and blows up codegen — at 100 TB the exploded
+    form is strictly better: linear work, shuffles keyed on doc id only.
+
+    ``distinct_shingles=False`` (default) is frequency-WEIGHTED SimHash —
+    Charikar's original, features voting by occurrence count. Its only
+    exchange is the per-id partial-aggregate output (rows ≈ |docs| ×
+    partitions), because the packed sums combine map-side.
+    ``distinct_shingles=True`` votes once per distinct shingle (set
+    semantics, like the MinHash path) at the cost of a corpus-token-scale
+    distinct shuffle on (id, 8-byte hash) — measured +0.3 s of a 1.3 s
+    pipeline at sf0.1, and the dominant exchange at scale.
     """
     sh = shingle_stream(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    sh = sh.selectExpr("id", "xxhash64(sh) AS __h").dropDuplicates(["id", "__h"])
+    sh = sh.selectExpr("id", "xxhash64(sh) AS __h")
+    if distinct_shingles:
+        sh = sh.dropDuplicates(["id", "__h"])
 
     # Pack 4 per-bit vote counters into 16-bit lanes of one long, so the
     # 63 bit-votes need 16 sum aggregates instead of 63 (4x less codegen,
