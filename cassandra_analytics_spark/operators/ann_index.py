@@ -16,7 +16,10 @@ from cassandra_analytics_spark.operators.similarity import (
     cosine,
     dot,
     lit_vector,
+    nearest_cells_for,
+    nearest_centroid_cell,
     random_hyperplanes,
+    sample_centroids,
 )
 
 
@@ -60,6 +63,66 @@ def build_ann_index(
         _signature_column(vec_col, dim, num_planes, seed).alias("sig"),
     )
     tagged.write.mode("overwrite").partitionBy("sig").parquet(index_path)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the corpus partitioned by IVF cell (nearest centroid).
+
+    Centroids come from :func:`similarity.sample_centroids` (min-wise
+    hash sample — uniform over the whole corpus regardless of data
+    order). The centroid list is also persisted next to the cells so a
+    query session does not need the original corpus. Returns the
+    centroids for convenience.
+    """
+    centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
+    tagged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_centroid_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_centroids")
+    return centroids
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_probes: int = 4,
+) -> DataFrame:
+    """Top-k over the ``num_probes`` nearest cells only — the ``cell``
+    filter is a partition-column predicate, so Spark reads just those
+    directories (partition pruning; no corpus scan)."""
+    centroids = [
+        (r.cid, list(r.centroid))
+        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+    ]
+    cells = nearest_cells_for(query_vec, centroids, num_probes)
+    index = spark.read.parquet(index_path)
+    candidates = index.filter(F.col("cell").isin(cells))
+    q = lit_vector(query_vec)
+    return (
+        candidates.select(
+            F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def query_ann_index(

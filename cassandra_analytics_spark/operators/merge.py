@@ -55,6 +55,7 @@ def compaction_merge(
     tombstone_col: str | None = TOMBSTONE,
     now_micros: int | None = None,
     keep_writetime: bool = False,
+    cell_lww: bool = False,
 ) -> DataFrame:
     """Last-write-wins merge + tombstone/TTL purge over a multi-version table.
 
@@ -75,9 +76,26 @@ def compaction_merge(
 
     Two window passes — one hash shuffle on the partition key, one on the
     full primary key; all expressions stay in whole-stage codegen.
+
+    ``cell_lww=True`` switches step 4 to Cassandra's true *per-cell*
+    reconciliation (``SparkCellIterator.java:204-231``, exercised by the
+    reference's partial-row/upsert suites ``EndToEndTests.java:789,831,
+    2058-2246``): each row version contributes its **non-null** cells
+    independently, and every column independently keeps the max-writetime
+    cell (ties toward the greater value). Convention for row-encoded
+    fixtures: NULL in a version means "column not written in this version"
+    — an upsert that wrote only column ``c`` at t2 must NOT null out
+    columns written at t1. Writing an explicit CQL NULL is a cell delete
+    and is encoded as a ``'cell:<col>'`` tombstone row instead. The
+    merged row's ``keep_writetime`` value is the max surviving version
+    timestamp. Physically this replaces the second window pass with a
+    hash aggregation of ``max_by`` expressions — still ONE shuffle on the
+    full primary key, with map-side partial aggregation (better than the
+    window at 100 TB: partial aggs collapse versions before the exchange).
     """
     keys = list(partition_keys) + list(clustering_keys)
-    value_cols = _value_columns(df, keys)
+    system = [writetime_col] + [c for c in (ttl_col, tombstone_col) if c]
+    value_cols = _value_columns(df, list(keys) + system)
     wt = F.col(writetime_col)
 
     # (1) TTL expiry → row tombstone.
@@ -144,6 +162,38 @@ def compaction_merge(
         return True
 
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    if cell_lww:
+        # Per-cell reconciliation: every column keeps its own max-writetime
+        # non-null cell, minus cells shadowed by a 'cell:<col>' tombstone
+        # (shadow covers cell writetimes <= the tombstone's, as in row mode).
+        def _cell_shadow(col_name: str) -> Column:
+            return F.exists(
+                F.col("__cells"),
+                lambda t: (t["col"] == F.lit(col_name)) & (t["wt"] >= wt),
+            )
+
+        # Materialize each cell's ordering key as a plain column first:
+        # lambdas/aliases inside aggregate expressions trip Spark's
+        # lateral-alias analysis, and plain columns keep codegen simple.
+        for c in value_cols:
+            valid = F.col(c).isNotNull() & ~_cell_shadow(c)
+            if _orderable(dtypes[c]):
+                order_key = F.when(
+                    valid, F.struct(wt.alias("__wt"), F.col(c).alias("__v"))
+                )
+            else:
+                order_key = F.when(valid, F.struct(wt.alias("__wt")))
+            data = data.withColumn(f"__ord_{c}", order_key)
+        # max_by skips rows whose ordering key is NULL, so invalid cells
+        # never participate; all-null columns stay NULL.
+        aggs: list[Column] = [
+            F.max_by(F.col(c), F.col(f"__ord_{c}")).alias(c) for c in value_cols
+        ]
+        if keep_writetime:
+            aggs.append(F.max(wt).alias(writetime_col))
+        return data.groupBy(*keys).agg(*aggs)
+
     order = [wt.desc()] + [
         F.col(c).desc_nulls_last() for c in value_cols if _orderable(dtypes[c])
     ]

@@ -175,6 +175,73 @@ def lsh_bucket_topk(
     )
 
 
+def sample_centroids(
+    df: DataFrame,
+    num_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic uniform centroid sample: min-wise hash selection.
+
+    Order by ``xxhash64(id, seed)`` and take the first k — under hash
+    uniformity this is a uniform random k-sample of the corpus, immune to
+    partition order / sort order / clustering of the input (a
+    ``limit(k)`` without the hash ordering just takes the first k rows in
+    partition order, which collapses IVF recall on sorted data). One
+    TakeOrderedAndProject job (per-partition k-row heaps, k-row driver
+    merge) — no count pass, no full shuffle, scale-safe.
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(num_centroids)
+        .collect()
+    )
+    return [(i, row[vec_col]) for i, row in enumerate(rows)]
+
+
+def nearest_centroid_cell(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Cell id of the max-cosine centroid for ``vec``.
+
+    array_max over (sim, cid) structs: expression size is LINEAR in the
+    centroid count. (A folded when/otherwise chain embeds the running
+    best twice per step — exponential tree, OOMs the analyzer beyond
+    ~10 centroids.)
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                (
+                    dot(vec, lit_vector(cvec))
+                    / (norm(vec) * norm(lit_vector(cvec)))
+                ).alias("sim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return F.array_max(pairs)["cid"]
+
+
+def nearest_cells_for(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    num_probes: int,
+) -> list[int]:
+    """The ``num_probes`` cell ids nearest the query (driver-side, tiny)."""
+    sims = []
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    for cid, cvec in centroids:
+        cn = sum(x * x for x in cvec) ** 0.5 or 1.0
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, cvec)) / (qn * cn)
+        sims.append((d, cid))
+    sims.sort(reverse=True)
+    return [cid for _, cid in sims[:num_probes]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -185,53 +252,25 @@ def ivf_topk(
     num_probes: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-style ANN: sample ``num_centroids`` vectors as coarse centroids,
-    assign every vector to its nearest centroid (broadcast centroid join),
-    probe only the ``num_probes`` cells nearest the query, exact-rerank.
+    """IVF-style ANN: sample ``num_centroids`` vectors as coarse centroids
+    (min-wise hash sample — see :func:`sample_centroids`), assign every
+    vector to its nearest centroid (broadcast centroid join), probe only
+    the ``num_probes`` cells nearest the query, exact-rerank.
 
     At scale the assignment is precomputed once and used as a partition
-    column, turning the probe into partition pruning.
+    column, turning the probe into partition pruning
+    (:func:`cassandra_analytics_spark.operators.ann_index.build_ivf_index`).
     """
-    centroids = [
-        (i, row[vec_col])
-        for i, row in enumerate(
-            df.select(vec_col).sample(False, 1.0, seed).limit(num_centroids).collect()
-        )
-    ]
+    centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
     if not centroids:
         return brute_force_topk(df, query_vec, k, id_col, vec_col)
 
-    def nearest_cell(vec: Column) -> Column:
-        # array_max over (sim, cid) structs: expression size is LINEAR in
-        # the centroid count. (A folded when/otherwise chain embeds the
-        # running best twice per step — exponential tree, OOMs the
-        # analyzer beyond ~10 centroids.)
-        pairs = F.array(
-            *[
-                F.struct(
-                    (
-                        dot(vec, lit_vector(cvec))
-                        / (norm(vec) * norm(lit_vector(cvec)))
-                    ).alias("sim"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in centroids
-            ]
-        )
-        return F.array_max(pairs)["cid"]
-
-    def query_cells() -> list[int]:
-        sims = []
-        qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
-        for cid, cvec in centroids:
-            cn = sum(x * x for x in cvec) ** 0.5 or 1.0
-            d = sum(float(a) * float(b) for a, b in zip(query_vec, cvec)) / (qn * cn)
-            sims.append((d, cid))
-        sims.sort(reverse=True)
-        return [cid for _, cid in sims[:num_probes]]
-
-    assigned = df.withColumn("__cell", nearest_cell(F.col(vec_col)))
-    probed = assigned.filter(F.col("__cell").isin(query_cells()))
+    assigned = df.withColumn(
+        "__cell", nearest_centroid_cell(F.col(vec_col), centroids)
+    )
+    probed = assigned.filter(
+        F.col("__cell").isin(nearest_cells_for(query_vec, centroids, num_probes))
+    )
     q = lit_vector(query_vec)
     return (
         probed.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))

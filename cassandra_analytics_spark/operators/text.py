@@ -200,6 +200,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    fp_scale: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance: same distributed shape as
     :func:`tfidf_scores` (match-only explode, broadcast df/N/avglen, one
@@ -208,8 +209,14 @@ def bm25_scores(
         idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
         s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avglen))
 
-    Not oracle-checked (libm ln equality across engines is not
-    guaranteed); ranking behavior unit-tested.
+    ``fp_scale`` makes the result engine-exact (oracle-checkable): the
+    idf is rounded to 1/fp_scale immediately after the ln (libm's last
+    ulp leaves the comparison), every other operation is IEEE-754
+    exact-rounded arithmetic on identical expression trees, and the
+    per-doc term sum runs over fixed-point BIGINTs, whose addition is
+    order-independent (float summation order is not deterministic under
+    parallel aggregation). Without ``fp_scale`` raw doubles are
+    returned (not oracle-safe).
     """
     c_id, c_txt = F.col(id_col), F.col(text_col)
     words = df.select(c_id.alias("id"), F.split(normalized_text(c_txt), " ").alias("ws"))
@@ -226,13 +233,22 @@ def bm25_scores(
     idf = F.log(
         1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
+    if fp_scale is not None:
+        idf = F.floor(idf * fp_scale + F.lit(0.5)) / fp_scale
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
     term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    if fp_scale is not None:
+        score = (
+            F.sum(F.floor(term_score * fp_scale + F.lit(0.5))).cast("double")
+            / fp_scale
+        ).alias("score")
+    else:
+        score = F.sum(term_score).alias("score")
     return (
         tf.join(doclen, "id")
         .join(F.broadcast(dfreq), "w")
         .join(F.broadcast(stats))
         .groupBy("id")
-        .agg(F.sum(term_score).alias("score"))
+        .agg(score)
         .select(F.col("id").alias(id_col), "score")
     )

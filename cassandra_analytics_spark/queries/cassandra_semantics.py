@@ -43,6 +43,59 @@ def lww_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lww_partial_upsert",
+    oracle="""
+    SELECT user_id, event_type,
+           arg_max(amount, event_id) FILTER (WHERE amount IS NOT NULL) AS amount,
+           arg_max(tag, event_id) FILTER (WHERE tag IS NOT NULL) AS tag,
+           MAX(event_id) AS wt
+    FROM (
+        SELECT user_id, event_type, event_id,
+               CASE WHEN event_id % 3 <> 0 THEN value END AS amount,
+               CASE WHEN event_id % 2 = 0
+                    THEN event_type || '-' || CAST(event_id % 7 AS VARCHAR) END AS tag
+        FROM events
+    ) v
+    GROUP BY user_id, event_type
+    """,
+    doc="M1 per-CELL last-write-wins (partial-row upserts): each version "
+    "writes a subset of columns (NULL = not written); every column "
+    "independently keeps its max-writetime cell, so an upsert that wrote "
+    "only `tag` at t2 does not null out `amount` from t1 "
+    "(SparkCellIterator.java:204-231, EndToEndTests.java:789,831). "
+    "Physically a single hash aggregation of max_by — one shuffle with "
+    "map-side combine; versions collapse before the exchange at 100 TB.",
+)
+def lww_partial_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.merge import compaction_merge
+
+    e = load_table(spark, sf_dir, "events")
+    # Derive a deterministic multi-version fixture: event_id is the unique
+    # write-timestamp; each version writes `amount` only when id%3!=0 and
+    # `tag` only when id%2==0 — partial upserts by construction.
+    versions = e.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("wt"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("amount"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat_ws("-", "event_type", (F.col("event_id") % 7).cast("string")),
+        ).alias("tag"),
+    )
+    return compaction_merge(
+        versions,
+        partition_keys=["user_id"],
+        clustering_keys=["event_type"],
+        writetime_col="wt",
+        ttl_col=None,
+        tombstone_col=None,
+        cell_lww=True,
+        keep_writetime=True,
+    )
+
+
+@query(
     "lmt_last_modified",
     oracle="""
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

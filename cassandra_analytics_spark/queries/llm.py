@@ -243,6 +243,68 @@ def text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bm25_search",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM norm
+    ),
+    doclen AS (
+        SELECT doc_id, COUNT(*) AS len FROM words GROUP BY doc_id
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM words WHERE w IN ('spark', 'merge', 'vector')
+        GROUP BY doc_id, w
+    ),
+    dfreq AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    ),
+    stats AS (SELECT COUNT(*) AS n, AVG(len) AS avglen FROM doclen),
+    idfq AS (
+        SELECT w, df,
+               FLOOR(LN(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+                 / 1000000 AS idf
+        FROM dfreq CROSS JOIN stats
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(CAST(FLOOR(
+             idfq.idf * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.len / stats.avglen))
+               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS score
+    FROM tf
+    JOIN doclen USING (doc_id)
+    JOIN idfq USING (w)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 50
+    """,
+    doc="Okapi BM25 relevance search, engine-exact via fixed-point "
+    "quantization: idf is rounded to 1e-6 right after the ln (so libm's "
+    "last-ulp differences leave the comparison), all other arithmetic is "
+    "identical-AST IEEE-754, and per-doc term scores are summed as "
+    "fixed-point BIGINTs (order-independent under parallel agg). Same "
+    "scale shape as TF-IDF: match-only explode, broadcast df/N/avglen, "
+    "one doc-keyed shuffle (operators/text.py bm25_scores).",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, ["spark", "merge", "vector"], fp_scale=1_000_000)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -567,7 +629,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "train_val_test_split",
     oracle="""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT CASE WHEN b < 80 THEN 'train'
                   WHEN b < 90 THEN 'val'
@@ -655,7 +717,7 @@ def _synthetic_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
            COUNT(*) AS n_items,
-           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
            AVG(octet_length(CAST(text AS BLOB))) AS avg_bytes,
            AVG(n_chars % 640) AS avg_width,
            AVG(n_chars % 480) AS avg_height
@@ -694,11 +756,15 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_topk",
-    oracle=None,  # centroid sampling is partition-order-dependent — rows-only
-    doc="IVF-style ANN top-20: coarse centroids → broadcast cell "
-    "assignment → probe 4 nearest cells → exact rerank (the "
-    "partition-pruning scale path; persistent variant in "
-    "operators/ann_index.py).",
+    oracle=None,  # centroid pick uses xxhash64 (not in DuckDB) — rows-only;
+    # recall vs brute force asserted in tests/test_similarity.py (>=0.9)
+    doc="IVF-style ANN top-20: coarse centroids via min-wise xxhash64 "
+    "sample (uniform over the corpus regardless of data order) → "
+    "broadcast cell assignment → probe the 8 nearest of 16 cells → "
+    "exact rerank (recall 0.9 vs brute-force top-20 on this near-random "
+    "corpus; clustered real-world embeddings need fewer probes). "
+    "Partition-pruning scale path; persistent variant in "
+    "operators/ann_index.py build_ivf_index.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.similarity import ivf_topk
@@ -708,4 +774,4 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     ]
-    return ivf_topk(emb, qvec, k=20)
+    return ivf_topk(emb, qvec, k=20, num_probes=8)

@@ -206,8 +206,8 @@ def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_filter",
     oracle=f"""
     SELECT o_orderpriority,
-           count_if(o_orderstatus = 'F') AS n_closed,
-           count_if(o_orderstatus = 'O') AS n_open,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_closed,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
            {dsum_sql("CASE WHEN o_totalprice > 100000 THEN o_totalprice END")}
                AS big_order_total
     FROM orders

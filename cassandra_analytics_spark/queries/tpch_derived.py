@@ -256,10 +256,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle="""
     SELECT ship_mode,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM (
       SELECT CASE CAST(l_linenumber % 3 AS INTEGER)
                WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'SHIP' ELSE 'TRUCK'

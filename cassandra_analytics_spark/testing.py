@@ -101,6 +101,14 @@ def compare_query(name: str, spark, sf_dir: str) -> CompareResult:
     a = _normalize(sdf)
     b = _normalize(odf)
     for col in a.columns:
+        # The driver's value-hash is TYPE-sensitive (a DuckDB HUGEINT sum
+        # poisons the hash even when every value equals the Spark bigint).
+        # Mirror that: post-normalization dtypes must agree exactly.
+        if str(a[col].dtype) != str(b[col].dtype):
+            mismatches.append(
+                f"col {col}: dtype differs: spark={a[col].dtype} oracle={b[col].dtype}"
+            )
+    for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         bad = [
             (i, x, y)

@@ -137,3 +137,109 @@ def test_static_column_propagation(spark):
     out = propagate_static_columns(df, ["pk"], ["s"])
     got = {(r.pk, r.ck): r.s for r in out.collect()}
     assert got == {(1, 1): "S", (1, 2): "S", (2, 1): None}
+
+
+# ---------------------------------------------------------------------------
+# Per-cell LWW (cell_lww=True): partial-row upserts, SparkCellIterator.java
+# :204-231 / EndToEndTests.java:789,831 testPartialRows + upsert suites.
+# ---------------------------------------------------------------------------
+
+MC_SCHEMA = (
+    "pk string, ck int, a string, b string, writetime long, ttl int, "
+    "tombstone string, replica_id int"
+)
+
+
+def _mc_row(pk, ck, a, b, wt, ttl=None, tombstone=None, replica=1):
+    return (pk, ck, a, b, wt, ttl, tombstone, replica)
+
+
+def test_cell_lww_partial_upsert_preserves_older_columns(spark):
+    # B4 shape: v1 writes (a, b) at t1; v2 upserts ONLY b at t2.
+    # Whole-row LWW would null out a — per-cell LWW must keep a=t1 value.
+    rows = [
+        _mc_row("k", 1, "a1", "b1", 100),
+        _mc_row("k", 1, None, "b2", 200),  # partial upsert: only b written
+    ]
+    df = spark.createDataFrame(rows, MC_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW, cell_lww=True)
+    r = out.collect()[0]
+    assert (r.a, r.b) == ("a1", "b2")
+
+
+def test_cell_lww_vs_row_lww_divergence(spark):
+    # The same fixture under row-mode LWW loses column a — documents the
+    # semantic difference rather than leaving it implicit.
+    rows = [
+        _mc_row("k", 1, "a1", "b1", 100),
+        _mc_row("k", 1, None, "b2", 200),
+    ]
+    df = spark.createDataFrame(rows, MC_SCHEMA)
+    row_mode = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW).collect()[0]
+    assert row_mode.a is None  # whole-row winner drops the older cell
+    cell_mode = compaction_merge(
+        df, ["pk"], ["ck"], now_micros=NOW, cell_lww=True
+    ).collect()[0]
+    assert cell_mode.a == "a1"
+
+
+def test_cell_lww_tie_greater_value_wins(spark):
+    rows = [
+        _mc_row("k", 1, "apple", None, 100),
+        _mc_row("k", 1, "zebra", None, 100),
+    ]
+    df = spark.createDataFrame(rows, MC_SCHEMA)
+    out = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW, cell_lww=True)
+    assert out.collect()[0].a == "zebra"
+
+
+def test_cell_lww_cell_tombstone_shadows_older_cells_only(spark):
+    rows = [
+        _mc_row("k", 1, "a1", "b1", 100),
+        _mc_row("k", 1, None, None, 200, tombstone="cell:a"),
+        _mc_row("k", 1, "a3", None, 300),  # re-written after the delete
+    ]
+    df = spark.createDataFrame(rows, MC_SCHEMA)
+    r = compaction_merge(
+        df, ["pk"], ["ck"], now_micros=NOW, cell_lww=True
+    ).collect()[0]
+    assert (r.a, r.b) == ("a3", "b1")
+    # without the re-write the tombstone nulls a but keeps the row + b
+    df2 = spark.createDataFrame(
+        [
+            _mc_row("k", 1, "a1", "b1", 100),
+            _mc_row("k", 1, None, None, 200, tombstone="cell:a"),
+        ],
+        MC_SCHEMA,
+    )
+    r2 = compaction_merge(
+        df2, ["pk"], ["ck"], now_micros=NOW, cell_lww=True
+    ).collect()[0]
+    assert (r2.a, r2.b) == (None, "b1")
+
+
+def test_cell_lww_row_tombstone_then_partial_rewrite(spark):
+    # row tombstone at t2 kills both t1 cells; a partial write at t3
+    # resurrects ONLY the written column.
+    rows = [
+        _mc_row("k", 1, "a1", "b1", 100),
+        _mc_row("k", 1, None, None, 200, tombstone="row"),
+        _mc_row("k", 1, None, "b3", 300),
+    ]
+    df = spark.createDataFrame(rows, MC_SCHEMA)
+    r = compaction_merge(
+        df, ["pk"], ["ck"], now_micros=NOW, cell_lww=True
+    ).collect()[0]
+    assert (r.a, r.b) == (None, "b3")
+
+
+def test_cell_lww_keep_writetime_is_max_surviving_version(spark):
+    rows = [
+        _mc_row("k", 1, "a1", None, 100),
+        _mc_row("k", 1, None, "b2", 250),
+    ]
+    df = spark.createDataFrame(rows, MC_SCHEMA)
+    r = compaction_merge(
+        df, ["pk"], ["ck"], now_micros=NOW, cell_lww=True, keep_writetime=True
+    ).collect()[0]
+    assert r.writetime == 250
