@@ -56,10 +56,28 @@ def token_range_splits(num_splits: int) -> list[tuple[int, int]]:
 
 def assign_token_range(token: Column, num_splits: int) -> Column:
     """Map a token to its sub-range index (the Spark partition id the
-    reference would assign — F2 ``SparkRangeFilter.java:28-56``)."""
+    reference would assign — F2 ``SparkRangeFilter.java:28-56``).
+
+    ``token - MIN_TOKEN`` in long arithmetic overflows for every token
+    >= 0 (ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode), so the
+    rebase and division run in DECIMAL(38,0) — exact over the full 2^64
+    ring, still codegen. Decimal division rounds to 6 fractional digits,
+    which can push the quotient across an integer boundary; the
+    floor candidate is corrected with exact integer comparisons
+    (true floor k satisfies k*w <= u < (k+1)*w, and the candidate is
+    within +/-1 of it).
+    """
     width = (MAX_TOKEN - MIN_TOKEN) // num_splits
-    idx = ((token - F.lit(MIN_TOKEN)) / F.lit(width)).cast("long")
-    return F.least(idx, F.lit(num_splits - 1))
+    dec = "DECIMAL(38,0)"
+    u = token.cast(dec) - F.expr(f"CAST('{MIN_TOKEN}' AS {dec})")
+    w = F.expr(f"CAST('{width}' AS {dec})")
+    q = F.floor(u / w).cast(dec)
+    q = (
+        F.when(q * w > u, q - 1)
+        .when((q + 1) * w <= u, q + 1)
+        .otherwise(q)
+    )
+    return F.least(q.cast("long"), F.lit(num_splits - 1))
 
 
 def _murmur3_64(data: bytes) -> int:

@@ -265,16 +265,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
     explode → self-join on shingle → count common shingles → Jaccard =
     |∩| / (|A| + |B| − |∩|). The join is keyed on the shingle string, so
-    extremely common shingles would skew; for scale, pair with LSH
-    prefiltering (``minhash_lsh_candidates``) or drop top-frequency
-    shingles. Output: (a, b, jaccard) with a < b and jaccard >= threshold.
+    a stop-shingle appearing in m documents emits m(m−1)/2 join rows —
+    the skew that kills this plan at 100 TB. ``max_shingle_df`` is the
+    guard: shingles whose document frequency exceeds the cap are dropped
+    from BOTH the intersection and the per-document set sizes (one tiny
+    aggregate → broadcast anti-join, mirroring the ``max_bucket`` cap on
+    the LSH path), bounding the worst bucket at cap·(cap−1)/2 pairs.
+    High-df shingles carry no dedup signal (they are corpus boilerplate),
+    so capped Jaccard stays a faithful near-dup score — and it remains
+    deterministic and SQL-expressible, so the oracle mirrors it exactly.
+    Output: (a, b, jaccard) with a < b and jaccard >= threshold.
     """
     sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         sh.alias("x")
@@ -359,20 +375,26 @@ def simhash_sketches(
     if distinct_shingles:
         sh = sh.dropDuplicates(["id", "__h"])
 
-    # Pack 4 per-bit vote counters into 16-bit lanes of one long, so the
-    # 63 bit-votes need 16 sum aggregates instead of 63 (4x less codegen,
-    # same single shuffle). Lane capacity 65535 shingles per doc. Both the
-    # packed sums and the 63-term sketch reconstruction are generated SQL
-    # strings — one py4j call each instead of one per operator (the
-    # Column-API form spent ~2 s per query on driver RPCs building the
-    # identical logical plan).
-    lanes_per_word = 4
+    # Pack 2 per-bit vote counters into 32-bit lanes of one long, so the
+    # 63 bit-votes need 32 sum aggregates instead of 63 (2x less codegen,
+    # same single shuffle). Lane capacity: the HIGH lane's shifted
+    # contribution must stay under 2^63 under ANSI sum, giving 2^31-1
+    # shingles per doc — effectively unbounded for real documents (the
+    # previous 16-bit packing silently overflowed a lane into the
+    # adjacent bit's counter at 65536 shingles, corrupting the sketch).
+    # Both the packed sums and the 63-term sketch reconstruction are
+    # generated SQL strings — one py4j call each instead of one per
+    # operator (the Column-API form spent ~2 s per query on driver RPCs
+    # building the identical logical plan).
+    lanes_per_word = 2
+    lane_bits = 32
+    lane_mask = (1 << lane_bits) - 1
     num_words = (num_bits + lanes_per_word - 1) // lanes_per_word
     packed_sums = []
     for w in range(num_words):
         lanes = [
             f"shiftleft(CAST(shiftrightunsigned(__h, {w * lanes_per_word + lane}) "
-            f"& 1 AS BIGINT), {16 * lane})"
+            f"& 1 AS BIGINT), {lane_bits * lane})"
             for lane in range(lanes_per_word)
             if w * lanes_per_word + lane < num_bits
         ]
@@ -382,7 +404,7 @@ def simhash_sketches(
     terms = []
     for i in range(num_bits):
         w, lane = divmod(i, lanes_per_word)
-        votes = f"(shiftrightunsigned(__w{w}, {16 * lane}) & 65535)"
+        votes = f"(shiftrightunsigned(__w{w}, {lane_bits * lane}) & {lane_mask})"
         terms.append(f"IF({votes} * 2 > __n, CAST({2**i} AS BIGINT), 0L)")
     return counts.select("id", F.expr(" + ".join(terms)).alias("sk"))
 

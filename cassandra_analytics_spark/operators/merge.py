@@ -55,6 +55,7 @@ def compaction_merge(
     tombstone_col: str | None = TOMBSTONE,
     now_micros: int | None = None,
     keep_writetime: bool = False,
+    keep_ttl: bool = False,
     cell_lww: bool = False,
 ) -> DataFrame:
     """Last-write-wins merge + tombstone/TTL purge over a multi-version table.
@@ -192,6 +193,9 @@ def compaction_merge(
         ]
         if keep_writetime:
             aggs.append(F.max(wt).alias(writetime_col))
+        if keep_ttl and ttl_col is not None and ttl_col in df.columns:
+            # row-level TTL travels with the newest surviving version
+            aggs.append(F.max_by(F.col(ttl_col), wt).alias(ttl_col))
         return data.groupBy(*keys).agg(*aggs)
 
     order = [wt.desc()] + [
@@ -217,6 +221,11 @@ def compaction_merge(
         )
     if keep_writetime:
         out_cols.append(wt)
+    if keep_ttl and ttl_col is not None and ttl_col in df.columns:
+        # the winning row version's (still unexpired) TTL survives the
+        # merge — compaction must not strip a live TTL (ADVICE r1:
+        # otherwise the row never expires after a compaction)
+        out_cols.append(F.col(ttl_col))
     return data.select(*out_cols)
 
 

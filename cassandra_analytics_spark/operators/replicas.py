@@ -59,6 +59,39 @@ def select_replicas(
     return df.filter(distance < n)
 
 
+def select_replicas_repair_aware(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    consistency: str = "LOCAL_QUORUM",
+    rf: int = 3,
+    replica_col: str = REPLICA_ID,
+    repaired_col: str = "repaired",
+) -> DataFrame:
+    """Incremental-repair-aware replica selection
+    (``PartitionedDataLayer.java:434-495``, ``SingleReplica.isRepairPrimary``).
+
+    Repaired SSTables are identical on every replica by definition (that
+    is what repair established), so the reference streams them from ONE
+    designated *repair primary* per token range and skips them on the
+    other replicas — reading them CL-many times would merge the same data
+    repeatedly for nothing. Unrepaired SSTables may diverge, so those are
+    still read from ``blockFor(CL, RF)`` replicas and reconciled by the
+    LWW merge.
+
+    Fixture encoding: ``repaired`` boolean per row (null = unrepaired).
+    The repair primary is the ring-walk primary (distance 0). Pure
+    expression filter — no shuffle, composes with the merge's exchange.
+    """
+    n = block_for(consistency, rf)
+    tok = token_column(*[F.col(k) for k in partition_keys])
+    primary = F.pmod(tok, F.lit(rf))
+    distance = F.pmod(F.col(replica_col) - 1 - primary, F.lit(rf))
+    is_repaired = F.coalesce(F.col(repaired_col), F.lit(False))
+    return df.filter(
+        F.when(is_repaired, distance == 0).otherwise(distance < n)
+    )
+
+
 def read_with_consistency(
     df: DataFrame,
     partition_keys: Sequence[str],
@@ -66,10 +99,17 @@ def read_with_consistency(
     consistency: str = "LOCAL_QUORUM",
     rf: int = 3,
     now_micros: int | None = None,
+    repaired_col: str | None = None,
 ) -> DataFrame:
     """The reference's multi-replica read: select CL-many replicas per
-    partition, then compaction-merge their possibly divergent rows."""
-    selected = select_replicas(df, partition_keys, consistency, rf)
+    partition (repair-primary-aware when ``repaired_col`` is given), then
+    compaction-merge their possibly divergent rows."""
+    if repaired_col is not None and repaired_col in df.columns:
+        selected = select_replicas_repair_aware(
+            df, partition_keys, consistency, rf, repaired_col=repaired_col
+        ).drop(repaired_col)
+    else:
+        selected = select_replicas(df, partition_keys, consistency, rf)
     return compaction_merge(
         selected,
         partition_keys=partition_keys,

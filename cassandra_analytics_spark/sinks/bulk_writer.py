@@ -78,7 +78,13 @@ def _validate(
     table: CqlTable | None,
 ) -> None:
     """W1: every key column present; with a CQL table, DF columns must be a
-    subset of table columns and cover all keys (TableSchema.java:240-296)."""
+    subset of table columns and cover all keys (TableSchema.java:240-296).
+
+    Clustering keys are enforced only when the caller requires them:
+    DELETE_PARTITION rows carry just partition keys (WriteMode.java's
+    delete-partition rows hold pk columns only), so a table with
+    clustering keys must still accept a pk-only delete batch.
+    """
     cols = set(df.columns)
     for k in list(partition_keys) + list(clustering_keys):
         if k not in cols:
@@ -88,7 +94,10 @@ def _validate(
         extra = cols - table_cols - set(SYSTEM_COLUMNS)
         if extra:
             raise BulkWriteError(f"DataFrame columns not in table schema: {sorted(extra)}")
-        for key_col in table.partition_keys + table.clustering_keys:
+        required = list(table.partition_keys)
+        if clustering_keys:
+            required += list(table.clustering_keys)
+        for key_col in required:
             if key_col.name not in cols:
                 raise BulkWriteError(
                     f"table key column missing from DataFrame: {key_col.name!r}"
@@ -272,15 +281,25 @@ def compact_table(
     partition_keys: Sequence[str],
     clustering_keys: Sequence[str] = (),
     num_partitions: int | None = None,
+    purge_tombstones: bool = False,
 ) -> WriteResult:
     """Major compaction: merge every committed batch into one new batch
-    (LWW applied, tombstones purged) and retire the old batches.
+    (LWW applied) and retire the old batches.
 
     Mirrors Cassandra compaction: read amplification drops from
-    O(#batches) to 1; row writetimes are preserved so later writes still
-    reconcile correctly. The new batch commits (atomic rename) *before*
-    old batches are removed, so concurrent readers never see a gap —
-    at worst they read duplicates, which their own merge resolves.
+    O(#batches) to 1; row writetimes AND live TTLs are preserved so later
+    writes still reconcile correctly and TTL'd rows still expire after
+    compaction. By default the newest tombstone per scope is carried into
+    the compacted batch (Cassandra's gc_grace discipline: purging a
+    tombstone while a write with an older timestamp can still arrive
+    resurrects deleted data — and ``bulk_write`` accepts caller-supplied
+    write timestamps, so that hazard is real here). Pass
+    ``purge_tombstones=True`` only when no batch with older writetimes
+    can ever be ingested again (the gc_grace-elapsed analog).
+
+    The new batch commits (atomic rename) *before* old batches are
+    removed, so concurrent readers never see a gap — at worst they read
+    duplicates, which their own merge resolves.
     """
     old_batches = committed_batches(table_path)
     merged = read_bulk_table(
@@ -291,7 +310,19 @@ def compact_table(
         partition_keys=partition_keys,
         clustering_keys=clustering_keys,
         keep_writetime=True,
+        keep_ttl=True,
     )
+    if not purge_tombstones and TOMBSTONE in merged.columns:
+        # newest tombstone per (pk, ck, kind) scope still shields its
+        # range; re-emit it so the shield survives the compaction
+        from cassandra_analytics_spark.operators.merge import latest_by_key
+
+        tombs = latest_by_key(
+            merged.filter(F.col(TOMBSTONE).isNotNull()),
+            keys=[*partition_keys, *clustering_keys, TOMBSTONE],
+            order_col=WRITETIME,
+        )
+        compacted = compacted.unionByName(tombs, allowMissingColumns=True)
     result = bulk_write(
         compacted,
         table_path,

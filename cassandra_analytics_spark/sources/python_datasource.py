@@ -46,15 +46,27 @@ class FilePartition(InputPartition):
 
 
 def _data_files(table_path: str) -> list[str]:
+    """Data files of every committed batch, trusting each batch's
+    manifest: a retried/speculative task can leave an orphan duplicate
+    parquet in a batch dir, and directory listing would read it twice.
+    The manifest records exactly the files the committing attempt owns.
+    Batches without a manifest (foreign writers) fall back to listing."""
+    import json
     import os
 
     from cassandra_analytics_spark.sinks.bulk_writer import committed_batches
 
     files = []
     for batch in committed_batches(table_path):
-        for fname in sorted(os.listdir(batch)):
-            if fname.endswith(".parquet"):
-                files.append(os.path.join(batch, fname))
+        manifest_path = os.path.join(batch, "_manifest.json")
+        if os.path.isfile(manifest_path):
+            with open(manifest_path) as f:
+                listed = sorted(json.load(f).get("files", {}))
+            files.extend(os.path.join(batch, fname) for fname in listed)
+        else:
+            for fname in sorted(os.listdir(batch)):
+                if fname.endswith(".parquet"):
+                    files.append(os.path.join(batch, fname))
     return files
 
 
@@ -196,6 +208,15 @@ class CassandraBulkWriter(DataSourceWriter):
         }
         with open(os.path.join(self.staging, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
+        # Task-commit protocol: only files named in a WriterCommitMessage
+        # belong to this batch. A retried or speculative task may have
+        # left an orphan parquet in the shared staging dir — publishing
+        # it would duplicate rows (the JVM path is safe because Spark's
+        # file committer owns that problem). Delete unlisted files before
+        # the atomic publish.
+        for fname in os.listdir(self.staging):
+            if fname.endswith(".parquet") and fname not in files:
+                os.remove(os.path.join(self.staging, fname))
         os.rename(self.staging, os.path.join(self.table_path, self.batch_id))
 
     def abort(self, messages) -> None:

@@ -64,3 +64,88 @@ def test_compaction_preserves_semantics(spark, tmp_path):
     assert {
         r.v for r in read_bulk_table(spark, path, ["k"]).filter("k=0").collect()
     } == {"new0"}
+
+
+def test_compaction_preserves_live_ttl(spark, tmp_path):
+    """A row whose TTL has not yet expired must keep its TTL through
+    compaction and still expire afterwards (ADVICE r1)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    now_us = int(_time.time() * 1_000_000)
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="ttl'd"), Row(k=2, v="forever")]),
+        path, ["k"], write_timestamp_micros=now_us, ttl_seconds=3600,
+    )
+    # give k=2 no ttl by rewriting it without one, newer
+    bulk_write(
+        spark.createDataFrame([Row(k=2, v="forever")]),
+        path, ["k"], write_timestamp_micros=now_us + 1,
+    )
+    compact_table(spark, path, ["k"])
+    raw = read_bulk_table(spark, path, ["k"], merge=False)
+    ttls = {r.k: r.ttl for r in raw.select("k", "ttl").collect()}
+    assert ttls[1] == 3600  # live TTL survived compaction
+    # and the TTL still takes effect: read "as of" a future now
+    from cassandra_analytics_spark.operators.merge import compaction_merge
+
+    future = now_us + 7200 * 1_000_000
+    rows = {
+        r.k
+        for r in compaction_merge(raw, ["k"], now_micros=future).collect()
+    }
+    assert rows == {2}  # k=1 expired after compaction
+
+
+def test_compaction_keeps_tombstone_shield(spark, tmp_path):
+    """A batch ingested after compaction with a writetime below the
+    purged tombstone's must NOT resurrect deleted data (gc_grace)."""
+    path = str(tmp_path / "tbl")
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="dead"), Row(k=2, v="alive")]),
+        path, ["k"], write_timestamp_micros=1_000,
+    )
+    bulk_write(
+        spark.createDataFrame([Row(k=1)]), path, ["k"],
+        mode=WriteMode.DELETE_PARTITION, write_timestamp_micros=5_000,
+    )
+    compact_table(spark, path, ["k"])  # default: tombstones carried over
+    # late-arriving batch with an OLDER writetime than the delete
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="zombie")]),
+        path, ["k"], write_timestamp_micros=2_000,
+    )
+    got = {r.k: r.v for r in read_bulk_table(spark, path, ["k"]).collect()}
+    assert got == {2: "alive"}  # no resurrection
+
+    # purge_tombstones=True is the explicit gc_grace-elapsed escape hatch
+    compact_table(spark, path, ["k"], purge_tombstones=True)
+    raw_cols = read_bulk_table(spark, path, ["k"], merge=False)
+    assert raw_cols.filter("tombstone IS NOT NULL").count() == 0
+
+
+def test_delete_partition_validates_with_clustered_table(spark, tmp_path):
+    """DELETE_PARTITION rows carry only pk columns; validation must not
+    demand the table's clustering keys (ADVICE r1)."""
+    from cassandra_analytics_spark.schema import parse_create_table
+
+    ddl = (
+        "CREATE TABLE ks.t (pk bigint, ck int, v text, "
+        "PRIMARY KEY (pk, ck))"
+    )
+    table = parse_create_table(ddl)
+    path = str(tmp_path / "tbl")
+    bulk_write(
+        spark.createDataFrame([Row(pk=1, ck=1, v="x")]), path, ["pk"], ["ck"],
+        table=table, write_timestamp_micros=1_000,
+    )
+    # pk-only delete batch against the clustered table: must validate
+    bulk_write(
+        spark.createDataFrame([Row(pk=1)]), path, ["pk"], ["ck"],
+        table=table, mode=WriteMode.DELETE_PARTITION,
+        write_timestamp_micros=2_000,
+    )
+    got = read_bulk_table(spark, path, ["pk"], ["ck"]).collect()
+    assert got == []

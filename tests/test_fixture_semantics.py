@@ -111,3 +111,59 @@ def test_minhash_recall_on_planted_near_dups(spark, fixtures):
         pytest.skip("limit cut off planted dups")
     recall = len(found & planted) / len(planted)
     assert recall > 0.5, f"minhash recall too low: {recall:.2f}"
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    from cassandra_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 2000 docs all sharing one boilerplate stop-shingle ("common header
+    # line"), plus one genuine near-dup pair. Uncapped, the stop-shingle
+    # alone would emit ~2M join rows; with the cap the hot shingle is
+    # dropped and only the real pair survives.
+    rows = [
+        (i, f"common header line unique{i} tail{i} word{i} extra{i}")
+        for i in range(2000)
+    ]
+    rows.append((9001, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((9002, "the quick brown fox jumps over the lazy dog now"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(
+        df, shingle_n=3, threshold=0.5, max_shingle_df=50
+    ).collect()
+    assert {(r.a, r.b) for r in pairs} == {(9001, 9002)}
+
+
+def test_ngram_jaccard_cap_none_keeps_boilerplate_pairs(spark):
+    from cassandra_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    # sanity: without the cap the boilerplate shingle does create pairs
+    rows = [
+        (1, "shared boilerplate text alpha beta"),
+        (2, "shared boilerplate text gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.1).collect()
+    assert len(uncapped) == 1
+    capped = ngram_jaccard_pairs(
+        df, shingle_n=3, threshold=0.1, max_shingle_df=1
+    ).collect()
+    assert capped == []
+
+
+def test_simhash_long_document_no_lane_overflow(spark):
+    from cassandra_analytics_spark.operators.dedup import simhash_sketches
+
+    # ~70k shingles: past the old 16-bit lane capacity (65535), where the
+    # packed counters silently overflowed into the adjacent bit.
+    long_text = " ".join(f"w{i}" for i in range(70_001))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, long_text), (3, "totally different short doc")],
+        "doc_id long, text string",
+    )
+    sk = {r.id: r.sk for r in simhash_sketches(df).collect()}
+    assert sk[1] == sk[2]  # identical docs → identical sketch
+    assert sk[1] >= 0
+    # a 70k-shingle doc has every lane near 70k votes; the sketch must
+    # still be a valid 63-bit value, not lane-bleed garbage
+    assert sk[1] < 2**63
+    assert sk[1] != sk[3]

@@ -109,3 +109,45 @@ def test_partial_pk_guard(spark, bulk_table):
     strict = _load(spark, bulk_table, require_full_pk="true")
     with pytest.raises(Exception, match="partition-key"):
         strict.filter(F.col("ck") == 1).collect()
+
+
+def test_orphan_task_file_not_published(spark, tmp_path):
+    """A speculative/retried task's orphan file (present in staging,
+    absent from every WriterCommitMessage) must not reach the published
+    batch nor be read back."""
+    import json
+    import os
+
+    from cassandra_analytics_spark.sources.python_datasource import (
+        CassandraBulkWriter,
+        _data_files,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    writer = CassandraBulkWriter(
+        {"path": path, "write_timestamp_micros": "1000"}, schema
+    )
+
+    from pyspark.sql import Row
+
+    msg = writer.write(iter([Row(k=1, v="a"), Row(k=2, v="b")]))
+    # simulate the zombie attempt: an extra parquet lands in staging but
+    # its commit message is lost
+    orphan = os.path.join(writer.staging, "part-orphan.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": [1], "v": ["dup"], "writetime": [999]}), orphan)
+    writer.commit([msg])
+
+    batch_dir = os.path.join(path, writer.batch_id)
+    assert not os.path.exists(os.path.join(batch_dir, "part-orphan.parquet"))
+    with open(os.path.join(batch_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert list(manifest["files"]) == [msg.file_name]
+    assert [os.path.basename(p) for p in _data_files(path)] == [msg.file_name]

@@ -70,3 +70,75 @@ def test_consistency_result_matches_full_merge_when_in_sync(spark):
             ).collect()
         }
         assert got == want, cl
+
+
+# ---------------------------------------------------------------------------
+# Repair-primary selection (PartitionedDataLayer.java:434-495,
+# SingleReplica.isRepairPrimary): repaired SSTables stream from ONE
+# designated replica per range; unrepaired from blockFor-many.
+# ---------------------------------------------------------------------------
+
+MVR_SCHEMA = (
+    "pk string, ck int, val string, writetime long, ttl int, "
+    "tombstone string, replica_id int, repaired boolean"
+)
+
+
+def _repaired_fixture(spark, rf=3):
+    rows = []
+    for k in range(100):
+        for r in range(1, rf + 1):
+            # one repaired row (identical on every replica) and one
+            # unrepaired row whose replica 2 copy carries a newer write
+            rows.append((f"k{k}", 0, "repaired-val", 100, None, None, r, True))
+            wt = 300 if r == 2 else 200
+            val = "unrep-new" if r == 2 else "unrep-old"
+            rows.append((f"k{k}", 1, val, wt, None, None, r, False))
+    return spark.createDataFrame(rows, MVR_SCHEMA)
+
+
+def test_repair_primary_reads_repaired_once(spark):
+    from cassandra_analytics_spark.operators.replicas import (
+        select_replicas_repair_aware,
+    )
+
+    df = _repaired_fixture(spark)
+    sel = select_replicas_repair_aware(df, ["pk"], "QUORUM", rf=3)
+    rep = sel.filter("repaired")
+    unrep = sel.filter("NOT repaired")
+    # repaired rows: exactly ONE replica's copy per key (the primary);
+    # unrepaired rows: blockFor(QUORUM, 3) = 2 copies per key
+    assert rep.count() == 100
+    assert rep.select("pk").distinct().count() == 100
+    assert unrep.count() == 200
+    # the split changes which rows participate vs plain selection
+    plain = select_replicas(df, ["pk"], "QUORUM", rf=3)
+    assert plain.filter("repaired").count() == 200
+
+
+def test_repair_aware_read_merges_unrepaired_divergence(spark):
+    df = _repaired_fixture(spark)
+    out = read_with_consistency(
+        df, ["pk"], ["ck"], consistency="ALL", rf=3, repaired_col="repaired"
+    )
+    got = {(r.pk, r.ck): r.val for r in out.collect()}
+    for k in range(100):
+        assert got[(f"k{k}", 0)] == "repaired-val"
+        # CL=ALL reads every unrepaired replica → newest write wins
+        assert got[(f"k{k}", 1)] == "unrep-new"
+
+
+def test_repair_aware_read_one_may_miss_unrepaired_divergence(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.operators.replicas import (
+        select_replicas_repair_aware,
+    )
+
+    df = _repaired_fixture(spark)
+    # At CL=ONE only the primary's unrepaired copy participates: for keys
+    # whose primary is NOT replica 2, the newer write on replica 2 is
+    # invisible — exactly Cassandra's CL=ONE staleness.
+    sel = select_replicas_repair_aware(df, ["pk"], "ONE", rf=3)
+    vals = {r.val for r in sel.filter("NOT repaired").collect()}
+    assert "unrep-old" in vals  # some keys read a stale copy

@@ -55,3 +55,30 @@ def test_stratified_sample_seed_deterministic(spark, sf_dir):
     b = sorted(r.doc_id for r in stratified_sample(d, "lang", fr, seed=7).collect())
     assert a == b
     assert 0 < len(a) < d.count()
+
+
+def test_stratified_sample_langs_plan_has_no_driver_jobs(spark):
+    """Building the registered query's DataFrame must not launch any Spark
+    job (the round-1 version collect()ed distinct strata per query)."""
+    from cassandra_analytics_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    import inspect
+
+    from cassandra_analytics_spark.operators.sampling import stratified_sample
+
+    # the query function must not enumerate strata with a driver action
+    src = inspect.getsource(REGISTRY["stratified_sample_langs"].fn)
+    assert ".collect()" not in src and ".distinct()" not in src
+
+    # and the sampling operator itself is a pure projection: building the
+    # plan over an in-memory df launches zero Spark jobs (parquet scans
+    # account for their own footer-inference job, measured separately)
+    base = spark.createDataFrame(
+        [(i, ["de", "en", "es"][i % 3]) for i in range(30)], "id long, lang string"
+    )
+    all_before = spark._jsc.sc().dagScheduler().nextJobId()
+    df = stratified_sample(base, "lang", {"de": 0.5, "en": 0.5, "es": 0.5})
+    all_after = spark._jsc.sc().dagScheduler().nextJobId()
+    assert all_after == all_before, "plan construction launched a Spark job"
+    assert df.schema is not None

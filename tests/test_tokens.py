@@ -99,3 +99,34 @@ def test_murmur3_pandas_udf_matches_python(spark):
     }
     for i in range(100):
         assert got[i] == _murmur3_64(int(i).to_bytes(8, "big", signed=True))
+
+
+def test_assign_token_range_full_ring(spark):
+    """Regression: tokens >= 0 overflowed the long rebase (ANSI
+    ARITHMETIC_OVERFLOW); the decimal form must bucket the entire ring
+    consistently with token_range_splits boundaries."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.functions.tokens import (
+        MAX_TOKEN,
+        MIN_TOKEN,
+        assign_token_range,
+        token_range_splits,
+    )
+
+    for n in (1, 3, 32):
+        splits = token_range_splits(n)
+        probe = []
+        for i, (start, end) in enumerate(splits):
+            probe += [(start, i), (end, i), ((start + end) // 2, i)]
+        probe += [(0, None), (MAX_TOKEN, n - 1), (MIN_TOKEN, 0), (1, None), (-1, None)]
+        df = spark.createDataFrame(
+            [(t,) for t, _ in probe], "token long"
+        ).withColumn("idx", assign_token_range(F.col("token"), n))
+        got = {r.token: r.idx for r in df.collect()}
+        for t, expect in probe:
+            # every token must fall in the split whose bounds contain it
+            s, e = splits[got[t]]
+            assert s <= t <= e, f"n={n} token={t} -> idx {got[t]} [{s},{e}]"
+            if expect is not None:
+                assert got[t] == expect, f"n={n} token={t}"
