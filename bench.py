@@ -76,10 +76,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS: smoke-test knob — forcing a high
+    # partition count (e.g. 256) exposes plans that only look good
+    # because few partitions hide an exchange (PERF.md high-partition run)
+    sp = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        cpus if str(cpus).isdigit() else "32",
+    )
     spark = get_session(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32,
+        shuffle_partitions=int(sp),
     )
     spark.sparkContext.setLogLevel("ERROR")
     _ensure_loaded()
