@@ -100,7 +100,9 @@ def compaction_merge(
     wt = F.col(writetime_col)
 
     # (1) TTL expiry → row tombstone.
-    if ttl_col is not None and ttl_col in df.columns:
+    has_ttl = ttl_col is not None and ttl_col in df.columns
+    has_tombstones = tombstone_col is not None and tombstone_col in df.columns
+    if has_ttl:
         if now_micros is None:
             now_expr = F.unix_micros(F.current_timestamp())
         else:
@@ -111,41 +113,52 @@ def compaction_merge(
     else:
         expired = F.lit(False)
 
-    if tombstone_col is not None and tombstone_col in df.columns:
+    if has_tombstones:
         kind = F.when(expired & F.col(tombstone_col).isNull(), F.lit("row")).otherwise(
             F.col(tombstone_col)
         )
     else:
         kind = F.when(expired, F.lit("row")).otherwise(F.lit(None).cast("string"))
 
-    work = df.withColumn("__kind", kind)
-    pk_win = _full_window(partition_keys)
-    key_win = _full_window(keys)
+    no_deletes = not has_ttl and not has_tombstones
+    if no_deletes:
+        # Fast path: no deletion metadata at all → no version can be a
+        # tombstone, so the three watermark/cell window passes would
+        # compute constant nulls at the cost of two extra exchanges.
+        # Straight to the LWW step — ONE shuffle total.
+        data = df
+    else:
+        work = df.withColumn("__kind", kind)
+        pk_win = _full_window(partition_keys)
+        key_win = _full_window(keys)
 
-    # (2) partition-tombstone watermark, (3) row-tombstone watermark,
-    # (5) cell tombstones collected per key group.
-    work = (
-        work.withColumn(
-            "__pt_wt", F.max(F.when(F.col("__kind") == "partition", wt)).over(pk_win)
+        # (2) partition-tombstone watermark, (3) row-tombstone watermark,
+        # (5) cell tombstones collected per key group.
+        work = (
+            work.withColumn(
+                "__pt_wt",
+                F.max(F.when(F.col("__kind") == "partition", wt)).over(pk_win),
+            )
+            .withColumn(
+                "__rt_wt", F.max(F.when(F.col("__kind") == "row", wt)).over(key_win)
+            )
+            .withColumn(
+                "__cells",
+                F.collect_list(
+                    F.when(
+                        F.col("__kind").startswith("cell:"),
+                        F.struct(
+                            wt.alias("wt"), F.expr("substring(__kind, 6)").alias("col")
+                        ),
+                    )
+                ).over(key_win),
+            )
         )
-        .withColumn("__rt_wt", F.max(F.when(F.col("__kind") == "row", wt)).over(key_win))
-        .withColumn(
-            "__cells",
-            F.collect_list(
-                F.when(
-                    F.col("__kind").startswith("cell:"),
-                    F.struct(
-                        wt.alias("wt"), F.expr("substring(__kind, 6)").alias("col")
-                    ),
-                )
-            ).over(key_win),
-        )
-    )
 
-    deletion_wt = F.greatest(F.col("__pt_wt"), F.col("__rt_wt"))
-    data = work.filter(F.col("__kind").isNull()).filter(
-        deletion_wt.isNull() | (wt > deletion_wt)
-    )
+        deletion_wt = F.greatest(F.col("__pt_wt"), F.col("__rt_wt"))
+        data = work.filter(F.col("__kind").isNull()).filter(
+            deletion_wt.isNull() | (wt > deletion_wt)
+        )
 
     # (4) LWW winner per key; ties broken by the value tuple descending.
     # Only orderable types participate in the tiebreak (maps are not
@@ -169,6 +182,8 @@ def compaction_merge(
         # non-null cell, minus cells shadowed by a 'cell:<col>' tombstone
         # (shadow covers cell writetimes <= the tombstone's, as in row mode).
         def _cell_shadow(col_name: str) -> Column:
+            if no_deletes:
+                return F.lit(False)
             return F.exists(
                 F.col("__cells"),
                 lambda t: (t["col"] == F.lit(col_name)) & (t["wt"] >= wt),
@@ -206,6 +221,8 @@ def compaction_merge(
     ).filter(F.col("__rn") == 1)
 
     def shadowed_by_cell_tombstone(column_name: str) -> Column:
+        if no_deletes:
+            return F.lit(False)
         return F.exists(
             F.col("__cells"),
             lambda t: (t["col"] == F.lit(column_name))

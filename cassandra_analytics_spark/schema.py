@@ -23,6 +23,34 @@ from pyspark.sql import types as T
 DEFAULT_DECIMAL_PRECISION = 38  # BigNumberConfig defaults (BigNumberConfig.java)
 DEFAULT_DECIMAL_SCALE = 19
 
+
+@dataclass(frozen=True)
+class BigNumberConfig:
+    """Per-read decimal sizing knob (reference
+    ``cassandra-analytics-common/.../bridge/BigNumberConfig.java``): CQL
+    ``decimal`` maps to ``DecimalType(big_decimal_precision,
+    big_decimal_scale)`` and ``varint`` to
+    ``DecimalType(big_integer_precision, big_integer_scale)``. The
+    defaults are the reference's 38/19 (note Spark's own SQL default is
+    38/18 — the reference deliberately sizes one digit wider in scale)."""
+
+    big_decimal_precision: int = DEFAULT_DECIMAL_PRECISION
+    big_decimal_scale: int = DEFAULT_DECIMAL_SCALE
+    big_integer_precision: int = DEFAULT_DECIMAL_PRECISION
+    big_integer_scale: int = 0
+
+    def __post_init__(self) -> None:
+        for p in (self.big_decimal_precision, self.big_integer_precision):
+            if not 1 <= p <= 38:
+                raise ValueError(f"decimal precision out of range [1,38]: {p}")
+        if not 0 <= self.big_decimal_scale <= self.big_decimal_precision:
+            raise ValueError("big_decimal_scale must be in [0, precision]")
+        if not 0 <= self.big_integer_scale <= self.big_integer_precision:
+            raise ValueError("big_integer_scale must be in [0, precision]")
+
+
+DEFAULT_BIG_NUMBER_CONFIG = BigNumberConfig()
+
 PARTITION_KEY = "partition_key"
 CLUSTERING = "clustering"
 STATIC = "static"
@@ -79,10 +107,16 @@ def _tokenize_type(s: str) -> list[str]:
 
 
 class _TypeParser:
-    def __init__(self, tokens: list[str], udts: dict[str, dict[str, str]]):
+    def __init__(
+        self,
+        tokens: list[str],
+        udts: dict[str, dict[str, str]],
+        big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
+    ):
         self.tokens = tokens
         self.pos = 0
         self.udts = udts
+        self.big_numbers = big_numbers
 
     def peek(self) -> str | None:
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
@@ -131,14 +165,18 @@ class _TypeParser:
         if name in self.udts:
             return T.StructType(
                 [
-                    T.StructField(fn, parse_cql_type(ft, self.udts), True)
+                    T.StructField(
+                        fn, parse_cql_type(ft, self.udts, self.big_numbers), True
+                    )
                     for fn, ft in self.udts[name].items()
                 ]
             )
-        return _native_type(name)
+        return _native_type(name, self.big_numbers)
 
 
-def _native_type(name: str) -> T.DataType:
+def _native_type(
+    name: str, big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG
+) -> T.DataType:
     # SURVEY §1.3 table; converter classes cited per row.
     mapping: dict[str, T.DataType] = {
         "ascii": T.StringType(),  # StringFeatures.java:63-65
@@ -159,9 +197,11 @@ def _native_type(name: str) -> T.DataType:
         "uuid": T.StringType(),  # UUIDFeatures.java:24
         "timeuuid": T.StringType(),
         "decimal": T.DecimalType(
-            DEFAULT_DECIMAL_PRECISION, DEFAULT_DECIMAL_SCALE
-        ),  # SparkDecimal.java:43
-        "varint": T.DecimalType(DEFAULT_DECIMAL_PRECISION, 0),  # SparkVarInt.java:44
+            big_numbers.big_decimal_precision, big_numbers.big_decimal_scale
+        ),  # SparkDecimal.java:43, sized by BigNumberConfig
+        "varint": T.DecimalType(
+            big_numbers.big_integer_precision, big_numbers.big_integer_scale
+        ),  # SparkVarInt.java:44
         "empty": T.NullType(),  # converter/types/Empty.java
     }
     if name in ("counter", "duration"):
@@ -172,9 +212,13 @@ def _native_type(name: str) -> T.DataType:
     return mapping[name]
 
 
-def parse_cql_type(s: str, udts: dict[str, dict[str, str]] | None = None) -> T.DataType:
+def parse_cql_type(
+    s: str,
+    udts: dict[str, dict[str, str]] | None = None,
+    big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
+) -> T.DataType:
     """Parse a CQL type expression (possibly nested) to a Spark DataType."""
-    parser = _TypeParser(_tokenize_type(s), udts or {})
+    parser = _TypeParser(_tokenize_type(s), udts or {}, big_numbers)
     result = parser.parse()
     if parser.peek() is not None:
         raise ValueError(f"trailing tokens in type {s!r}")
@@ -350,13 +394,18 @@ def parse_create_table(ddl: str) -> CqlTable:
 # --------------------------------------------------------------------------
 
 
-def to_struct_type(table: CqlTable) -> T.StructType:
+def to_struct_type(
+    table: CqlTable,
+    big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
+) -> T.StructType:
     """Ordered StructType with role metadata per field, mirroring
-    ``DataLayer.fieldMetaData`` (``DataLayer.java:118-129``)."""
+    ``DataLayer.fieldMetaData`` (``DataLayer.java:118-129``). The
+    ``big_numbers`` knob sizes decimal/varint per read, as the
+    reference's per-job ``BigNumberConfig`` option does."""
     udts = {}  # UDTs already resolved inside cql_type strings at parse time
     fields = []
     for col in table.columns:
-        dtype = parse_cql_type(col.cql_type, udts)
+        dtype = parse_cql_type(col.cql_type, udts, big_numbers)
         meta = {
             "kind": col.kind,
             "position": col.position,
@@ -369,14 +418,17 @@ def to_struct_type(table: CqlTable) -> T.StructType:
     return T.StructType(fields)
 
 
-def schema_for_ddl(ddl: str) -> T.StructType:
+def schema_for_ddl(
+    ddl: str,
+    big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
+) -> T.StructType:
     """One-call C1+C2: DDL string → StructType with role metadata."""
     table = parse_create_table(ddl)
     # resolve UDT references using the full DDL context
     udts = parse_udts(ddl)
     fields = []
     for col in table.columns:
-        dtype = parse_cql_type(col.cql_type, udts)
+        dtype = parse_cql_type(col.cql_type, udts, big_numbers)
         meta = {"kind": col.kind, "position": col.position, "cqlType": col.cql_type}
         if col.kind == CLUSTERING:
             meta["order"] = col.order

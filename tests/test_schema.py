@@ -131,3 +131,39 @@ def test_quoted_identifiers_case_preserving():
 def test_nested_map_of_list():
     dt = parse_cql_type("map<text, frozen<list<int>>>")
     assert dt == T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))
+
+
+def test_big_number_config_sizes_decimals():
+    """BigNumberConfig.java parity: decimal/varint precision+scale are a
+    per-read knob, not constants."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from cassandra_analytics_spark.schema import (
+        BigNumberConfig,
+        parse_cql_type,
+        schema_for_ddl,
+    )
+
+    assert parse_cql_type("decimal") == T.DecimalType(38, 19)
+    assert parse_cql_type("varint") == T.DecimalType(38, 0)
+    cfg = BigNumberConfig(
+        big_decimal_precision=20,
+        big_decimal_scale=4,
+        big_integer_precision=30,
+        big_integer_scale=0,
+    )
+    assert parse_cql_type("decimal", big_numbers=cfg) == T.DecimalType(20, 4)
+    assert parse_cql_type("varint", big_numbers=cfg) == T.DecimalType(30, 0)
+    # nested positions honor the knob too (list<frozen<decimal>> etc.)
+    assert parse_cql_type("list<frozen<decimal>>", big_numbers=cfg) == T.ArrayType(
+        T.DecimalType(20, 4)
+    )
+    ddl = "CREATE TABLE ks.t (pk bigint PRIMARY KEY, d decimal, v varint)"
+    st = schema_for_ddl(ddl, big_numbers=cfg)
+    assert st["d"].dataType == T.DecimalType(20, 4)
+    assert st["v"].dataType == T.DecimalType(30, 0)
+    with pytest.raises(ValueError):
+        BigNumberConfig(big_decimal_precision=39)
+    with pytest.raises(ValueError):
+        BigNumberConfig(big_decimal_scale=40)
