@@ -58,6 +58,11 @@ _ROUND_PRIORITY: list[str] = [
     # new this round
     "lww_partial_upsert",
     "text_bm25_search",
+    # new this round: driver rows for previously pytest-only operator
+    # classes (S4/W1-W4 bulk write+read, M2 cell pivot, M3 replica reads)
+    "bulk_write_roundtrip",
+    "cell_pivot_roundtrip",
+    "replica_read_all",
     # never-checked: TPC-H suite
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -93,10 +98,11 @@ _ROUND_PRIORITY: list[str] = [
     "unpivot_segment_metrics",
     "conditional_agg_filter",
     "bool_aggs",
+    # never-checked: the only driver rows for their operator class
+    "pk_in_list_pushdown",
+    "topk_global_orders",
     # never-checked: scalar / array / map / regex / null suites
     "scalar_math_funcs",
-    "case_when_tiering",
-    "date_trunc_variants",
     "null_handling_funcs",
     "array_function_suite",
     "array_agg_sorted",
@@ -104,12 +110,13 @@ _ROUND_PRIORITY: list[str] = [
     "map_entry_extraction",
     "regexp_extract_groups",
     "text_pii_scrub",
-    # never-checked: misc relational
-    "topk_global_orders",
     "distinct_part_attrs",
+    # --- anything below here falls OUTSIDE a 50-entry driver window; all
+    # are variants of categories already driver-green in r01 — rotate to
+    # the front in round 3 ---
     "having_big_customers",
-    "pk_in_list_pushdown",
-    # never-checked but cheapest to defer (variants of green set ops)
+    "case_when_tiering",
+    "date_trunc_variants",
     "setop_intersect_all",
     "setop_except_all",
     "setop_union_by_name",

@@ -19,7 +19,7 @@ from cassandra_analytics_spark.operators.merge import (
 )
 from cassandra_analytics_spark.operators.partition_stats import partition_sizes
 from cassandra_analytics_spark.queries import query
-from cassandra_analytics_spark.queries._util import dsum_sql
+from cassandra_analytics_spark.queries._util import dsum, dsum_sql
 
 
 @query(
@@ -111,6 +111,136 @@ def lmt_last_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_modified_timestamp(
         e, partition_keys=["user_id"], writetime_col="ts"
     ).select("event_id", "user_id", "ts", "last_modified_timestamp")
+
+
+@query(
+    "bulk_write_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="S4/W1-W4 + S2 end-to-end: orders flow through the full bulk-write "
+    "pipeline (validate -> token -> repartitionByRange+sort -> sized files "
+    "-> md5 manifest -> atomic rename commit) into a scratch table dir, "
+    "read back through the committed-batch reader + LWW merge, then "
+    "aggregated; the oracle aggregates the source directly, so any row "
+    "lost, duplicated, or corrupted by the writer/reader breaks the hash "
+    "(the reference's write-then-read-back Tester.java pattern).",
+)
+def bulk_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_spark.sinks.bulk_writer import (
+        bulk_write,
+        read_bulk_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="cas_bulk_roundtrip_")
+    bulk_write(
+        o,
+        path,
+        partition_keys=["o_orderkey"],
+        write_timestamp_micros=1_000_000,
+        num_partitions=8,
+    )
+    back = read_bulk_table(spark, path, partition_keys=["o_orderkey"])
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "cell_pivot_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+    doc="M2 cell->row pivot end-to-end: rows explode into the sparse "
+    "timestamped cell stream (one cell per non-null column + row marker, "
+    "rows_to_cells) and pivot back via groupBy+pivot with per-cell "
+    "max_by LWW (SparkCellIterator.java:182-298, FullRowBuilder.java). "
+    "The oracle is the identity projection, so the pivot must "
+    "reconstruct every row exactly.",
+)
+def cell_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.cell_pivot import (
+        cell_pivot,
+        rows_to_cells,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    cells = rows_to_cells(
+        o.withColumn("writetime", F.lit(1_000)),
+        partition_keys=["o_orderkey"],
+        value_columns=["o_orderstatus", "o_orderpriority"],
+    )
+    return cell_pivot(
+        cells,
+        partition_keys=["o_orderkey"],
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+@query(
+    "replica_read_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice + 1.0 AS price
+    FROM orders
+    """,
+    doc="M3 multi-replica read at CL=ALL: the fixture fans each order out "
+    "to RF=3 replica copies where replica 2 carries a newer write "
+    "(writetime 2000, price+1) and replicas 1/3 the stale original; "
+    "replica selection keeps blockFor(ALL,3)=3 copies and the LWW merge "
+    "must surface the newest write for every key "
+    "(PartitionedDataLayer.java:244-305 + CompactionStreamScanner "
+    "semantics). Oracle computes the healed value directly.",
+)
+def replica_read_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.replicas import (
+        read_with_consistency,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    copies = o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("replica_id"),
+                        F.lit(2_000 if r == 2 else 1_000)
+                        .cast("long")
+                        .alias("writetime"),
+                        (
+                            F.col("o_totalprice") + (1.0 if r == 2 else 0.0)
+                        ).alias("price"),
+                    )
+                    for r in (1, 2, 3)
+                ]
+            )
+        ).alias("__c"),
+    ).select(
+        "o_orderkey",
+        F.col("__c.replica_id").alias("replica_id"),
+        F.col("__c.writetime").alias("writetime"),
+        F.col("__c.price").alias("price"),
+    )
+    return read_with_consistency(
+        copies, partition_keys=["o_orderkey"], consistency="ALL", rf=3
+    )
 
 
 @query(
