@@ -313,6 +313,40 @@ def ngram_jaccard_pairs(
     return joined.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >=
+    ``min_overlap`` distinct word n-grams with any benchmark/eval
+    document are flagged (the standard eval-leakage guard for
+    training-corpus construction).
+
+    Scale shape: the benchmark side is an eval set — tiny relative to a
+    100 TB corpus — so its distinct shingle set BROADCASTS and the join
+    is map-side; the only shuffle is the per-doc overlap count keyed on
+    doc id, proportional to *matching* shingles, not corpus tokens.
+    Output: (id, n_overlap) for flagged documents.
+    """
+    corpus_sh = shingle_pairs(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
+    bench_sh = (
+        shingle_pairs(benchmark, id_col=id_col, text_col=text_col, n=shingle_n)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
+
+
 def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2) -> Column:
     """64-bit SimHash over word shingles, as a pure expression tree.
 

@@ -82,6 +82,79 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4-style quality rules
+    that catch boilerplate and degenerate generations):
+
+    * ``n_tokens`` — total word tokens,
+    * ``distinct_ratio`` — distinct words / total (low = repetitive),
+    * ``top_word_ratio`` — most frequent word's share of the doc,
+    * ``dup_bigram_ratio`` — fraction of word bigrams that are repeats.
+
+    One explode + one doc-keyed aggregation per granularity (map-side
+    combine); every expression stays JVM-side. Ratios divide exact
+    integer counts as doubles — engine-exact, oracle-checkable.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__ws"),
+    )
+    unigrams = words.select("id", F.explode("__ws").alias("w"))
+    wc = unigrams.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = wc.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+
+    bi = words.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("__ws") - 2, F.lit(0)))
+        ).alias("__i"),
+        F.col("__ws"),
+    ).filter(F.col("__i") < F.size("__ws") - 1)
+    bigrams = bi.select(
+        "id",
+        F.concat_ws(
+            " ",
+            F.element_at("__ws", F.col("__i") + 1),
+            F.element_at("__ws", F.col("__i") + 2),
+        ).alias("bg"),
+    )
+    bc = bigrams.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_bi = bc.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.col("c") - 1).alias("n_dup_bigrams"),
+    )
+
+    return (
+        per_doc.join(per_doc_bi, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("distinct_ratio"),
+            (
+                F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("top_word_ratio"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("n_dup_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_ratio"),
+        )
+    )
+
+
 def language_id(col: Column | str, default: str = "unknown") -> Column:
     """Heuristic language ID: score per language = number of marker
     stopwords present; pick the argmax, 'unknown' when no marker hits.

@@ -312,6 +312,125 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontaminate_benchmark",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM norm
+    ),
+    windowed AS (
+        SELECT doc_id, w, i,
+               LEAD(w, 1) OVER win AS w1,
+               LEAD(w, 2) OVER win AS w2,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_words
+        FROM words
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN w2 IS NOT NULL THEN w || ' ' || w1 || ' ' || w2
+                    WHEN i = 1 AND n_words = 2 THEN w || ' ' || w1
+                    ELSE w END AS sh
+        FROM windowed
+        WHERE w2 IS NOT NULL OR (i = 1 AND n_words < 3)
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_overlap
+    FROM sh s JOIN bench USING (sh)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    HAVING COUNT(*) >= 3
+    ORDER BY s.doc_id
+    """,
+    doc="Benchmark decontamination (eval-leakage guard): training docs "
+    "sharing >=3 distinct word 3-grams with the benchmark subset "
+    "(doc_id % 97 == 0 stands in for an eval set) are flagged. The "
+    "benchmark shingle set BROADCASTS (eval sets are tiny vs a 100 TB "
+    "corpus); the only shuffle is the per-doc overlap count over "
+    "matching shingles (operators/dedup.py contamination_overlap).",
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup import contamination_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(
+        corpus, bench, shingle_n=3, min_overlap=3
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM norm
+    ),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               MAX(c) AS top_c
+        FROM wc GROUP BY doc_id
+    ),
+    bigrams AS (
+        SELECT doc_id, w || ' ' || LEAD(w, 1) OVER win AS bg
+        FROM words
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY LEAD(w, 1) OVER win IS NOT NULL
+    ),
+    bc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    per_doc_bi AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c - 1) AS BIGINT) AS n_dup_bigrams
+        FROM bc GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           p.n_tokens,
+           CAST(p.n_distinct AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+               AS distinct_ratio,
+           CAST(p.top_c AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+               AS top_word_ratio,
+           CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+                THEN CAST(b.n_dup_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_ratio
+    FROM per_doc p LEFT JOIN per_doc_bi b USING (doc_id)
+    """,
+    doc="Gopher/C4-style repetition quality signals per document: "
+    "distinct-word ratio, top-word share, duplicate-bigram fraction — "
+    "the boilerplate/degenerate-text filters of training-corpus "
+    "construction. Exact-integer ratios divided as doubles: "
+    "engine-exact (operators/text.py repetition_stats).",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

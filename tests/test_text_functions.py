@@ -115,3 +115,52 @@ def test_bm25_saturates_and_length_normalizes(spark):
     # length-penalized below doc 1 despite also holding 'rare'
     assert scores[1] > scores[4]
     assert scores[1] > scores[2] > 0.0
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    from cassandra_analytics_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # degenerate doc: one distinct word, every bigram a repeat
+    assert got[1].n_tokens == 6
+    assert got[1].distinct_ratio == 1 / 6
+    assert got[1].top_word_ratio == 1.0
+    assert got[1].dup_bigram_ratio == 4 / 5
+    # healthy doc: all words distinct, no repeated bigrams
+    assert got[2].distinct_ratio == 1.0
+    assert got[2].dup_bigram_ratio == 0.0
+    # single-token doc: no bigrams → ratio 0, no div-by-zero
+    assert got[3].n_tokens == 1
+    assert got[3].dup_bigram_ratio == 0.0
+
+
+def test_contamination_overlap_flags_leaked_docs(spark):
+    from cassandra_analytics_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris and it is large")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quiz answer the capital of france is paris obviously"),
+            (2, "completely unrelated text about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id: r.n_overlap
+        for r in contamination_overlap(
+            corpus, bench, shingle_n=3, min_overlap=2
+        ).collect()
+    }
+    assert 1 in flagged and flagged[1] >= 2  # leaked doc caught
+    assert 2 not in flagged  # clean doc passes
