@@ -332,7 +332,12 @@ def contamination_overlap(
     doc id, proportional to *matching* shingles, not corpus tokens.
     Output: (id, n_overlap) for flagged documents.
     """
-    corpus_sh = shingle_pairs(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
+    # Corpus side stays the raw shingle MULTISET (shingle_stream — no
+    # shuffle): deduping corpus shingles before the benchmark filter
+    # would cost a corpus-token-scale distinct exchange. Instead the
+    # broadcast join filters map-side first, and the distinct-overlap
+    # count (countDistinct) shuffles only the MATCHING shingles.
+    corpus_sh = shingle_stream(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
     bench_sh = (
         shingle_pairs(benchmark, id_col=id_col, text_col=text_col, n=shingle_n)
         .select("sh")
@@ -341,7 +346,7 @@ def contamination_overlap(
     return (
         corpus_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("sh").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
         .select(F.col("id").alias(id_col), "n_overlap")
     )
