@@ -137,3 +137,46 @@ def test_q2_min_cost_reuses_offers(spark, sf_dir):
     # same EU-offers subplan — no nested-loop re-evaluation per part
     plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def _exec_plan(spark, sf_dir, name: str) -> str:
+    """executedPlan string (simple mode — names exchanges explicitly)."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lww_partial_upsert_single_exchange(spark, sf_dir):
+    """Deletion-free per-cell LWW must be ONE aggregation with one
+    exchange — no tombstone window passes (the r2 merge fast path).
+    (Struct-keyed max_by compiles to SortAggregate — fine: still partial
+    + final around a single exchange.)"""
+    plan = _exec_plan(spark, sf_dir, "lww_partial_upsert")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_bm25_broadcasts_corpus_stats(spark, sf_dir):
+    """df/N/avglen are term-cardinality aggregates — they must broadcast,
+    never shuffle the per-doc side against them."""
+    plan = _exec_plan(spark, sf_dir, "text_bm25_search")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set shingles broadcast; no corpus-scale pre-join distinct."""
+    plan = _exec_plan(spark, sf_dir, "decontaminate_benchmark")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_replica_read_all_fast_path(spark, sf_dir):
+    """CL=ALL read over a tombstone-free fixture takes the single-shuffle
+    merge fast path: only the LWW rank window remains (with the
+    WindowGroupLimit top-1 pushdown), no tombstone watermark windows."""
+    plan = _exec_plan(spark, sf_dir, "replica_read_all")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan  # rank-1 filter pushed into the sort
+    assert plan.count("Window [") == 1  # no extra watermark windows

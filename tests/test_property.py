@@ -144,3 +144,55 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["a", "b"])
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Per-cell LWW (cell_lww=True) vs a direct Python model — the reference's
+# randomized upsert suites (EndToEndTests.java:2058-2246) carried over.
+# ---------------------------------------------------------------------------
+
+cell_versions = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # pk
+        st.one_of(st.none(), st.integers(0, 50)),  # col a (None = not written)
+        st.one_of(st.none(), st.integers(0, 50)),  # col b
+        st.integers(1, 500),  # writetime
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cell_versions)
+def test_cell_lww_matches_python_model(spark, rows):
+    df = spark.createDataFrame(
+        [(pk, a, b, wt) for pk, a, b, wt in rows],
+        "pk int, a int, b int, writetime long",
+    )
+    out = {
+        r.pk: (r.a, r.b)
+        for r in compaction_merge(
+            df, ["pk"], ttl_col=None, tombstone_col=None, cell_lww=True
+        ).collect()
+    }
+
+    # Python model: per column independently, keep the value of the cell
+    # with max (writetime, value) among versions where it was written.
+    model: dict = {}
+    for pk, a, b, wt in rows:
+        cur = model.setdefault(pk, {"a": None, "b": None})
+        for col, v in (("a", a), ("b", b)):
+            if v is None:
+                continue
+            best = cur[col]
+            if best is None or (wt, v) > best:
+                cur[col] = (wt, v)
+    expect = {
+        pk: (
+            cur["a"][1] if cur["a"] else None,
+            cur["b"][1] if cur["b"] else None,
+        )
+        for pk, cur in model.items()
+    }
+    assert out == expect
