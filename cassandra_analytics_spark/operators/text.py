@@ -208,6 +208,49 @@ def normalized_text(col: Column | str) -> Column:
     )
 
 
+def _term_frequency_table(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, len, w, tf) rows for every (document, matching query term).
+
+    Single-pass core shared by TF-IDF and BM25: ONE normalization + ONE
+    explode, then ONE per-doc aggregation computing the document length
+    and every query term's count together (``count_if`` per term —
+    codegen, map-side partial agg collapses to ≤ docs×partitions rows
+    before the exchange), unpivoted to long form with ``stack``. The
+    previous two-branch formulation normalized and split the corpus
+    twice (doclen branch + hits branch), shuffled the matching tokens on
+    (id, w), and joined doclen back on — three corpus-touching steps
+    this removes. The only shuffle is the doc-keyed partial aggregate.
+    """
+    for t in query_terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"query term not expressible as literal: {t!r}")
+    c_id, c_txt = F.col(id_col), F.col(text_col)
+    words = df.select(
+        c_id.alias("id"),
+        F.explode(F.split(normalized_text(c_txt), " ")).alias("w"),
+    )
+    per_doc = words.groupBy("id").agg(
+        F.count(F.lit(1)).alias("len"),
+        *[
+            F.count_if(F.col("w") == term).alias(f"__tf_{i}")
+            for i, term in enumerate(query_terms)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{term}', __tf_{i}" for i, term in enumerate(query_terms)
+    )
+    return per_doc.select(
+        "id",
+        "len",
+        F.expr(f"stack({len(query_terms)}, {stack_args}) AS (w, tf)"),
+    ).filter(F.col("tf") > 0)
+
+
 def tfidf_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -218,12 +261,10 @@ def tfidf_scores(
 ) -> DataFrame:
     """Per-document TF-IDF relevance for a bag of query terms.
 
-    Pipeline: normalize → split (doc length = array size, NO explode
-    needed for it) → explode + filter to the query terms only (the
-    exploded stream carries just matching tokens, so the shuffle is
-    proportional to matches, not corpus tokens) → per-(doc, term) counts
-    → tiny per-term doc-frequency aggregate (broadcast) → one fixed-point
-    sum per doc.
+    Pipeline: the single-pass (id, len, w, tf) core
+    (:func:`_term_frequency_table` — one normalization, one explode, one
+    doc-keyed shuffle) → tiny per-term doc-frequency aggregate
+    (broadcast) → one fixed-point sum per doc.
 
     idf defaults to the *rational* form (N+1)/(df+1), whose IEEE division
     is bit-identical across engines (a SQL oracle can reproduce it
@@ -231,18 +272,11 @@ def tfidf_scores(
     weighting (engine-exactness of libm log is not guaranteed — keep it
     out of oracle-checked paths).
 
-    Scale: at 100 TB the only corpus-sized shuffle is the (doc, term)
-    count keyed on doc id; doc-frequency and N are term-cardinality
+    Scale: at 100 TB the only corpus-sized exchange is the per-doc
+    partial aggregate; doc-frequency and N are term-cardinality
     aggregates that broadcast.
     """
-    c_id, c_txt = F.col(id_col), F.col(text_col)
-    words = df.select(c_id.alias("id"), F.split(normalized_text(c_txt), " ").alias("ws"))
-    doclen = words.select("id", F.size("ws").alias("len"))
-    hits = (
-        words.select("id", F.explode("ws").alias("w"))
-        .filter(F.col("w").isin(*query_terms))
-    )
-    tf = hits.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _term_frequency_table(df, query_terms, id_col, text_col)
     dfreq = tf.groupBy("w").agg(F.countDistinct("id").alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     idf = F.col("n_plus") / F.col("df_plus")
@@ -250,8 +284,7 @@ def tfidf_scores(
         idf = F.log(idf)
     term_score = (F.col("tf").cast("double") / F.col("len")) * idf
     return (
-        tf.join(doclen, "id")
-        .join(F.broadcast(dfreq), "w")
+        tf.join(F.broadcast(dfreq), "w")
         .join(F.broadcast(n_docs))
         .withColumn("n_plus", (F.col("n") + 1).cast("double"))
         .withColumn("df_plus", F.col("df") + 1)
@@ -276,8 +309,9 @@ def bm25_scores(
     fp_scale: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance: same distributed shape as
-    :func:`tfidf_scores` (match-only explode, broadcast df/N/avglen, one
-    doc-keyed aggregation) with saturating tf and length normalization:
+    :func:`tfidf_scores` (single-pass term-frequency core, broadcast
+    df/N/avglen, one doc-keyed aggregation) with saturating tf and
+    length normalization:
 
         idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
         s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avglen))
@@ -291,14 +325,11 @@ def bm25_scores(
     parallel aggregation). Without ``fp_scale`` raw doubles are
     returned (not oracle-safe).
     """
-    c_id, c_txt = F.col(id_col), F.col(text_col)
-    words = df.select(c_id.alias("id"), F.split(normalized_text(c_txt), " ").alias("ws"))
-    doclen = words.select("id", F.size("ws").alias("len"))
-    hits = (
-        words.select("id", F.explode("ws").alias("w"))
-        .filter(F.col("w").isin(*query_terms))
+    tf = _term_frequency_table(df, query_terms, id_col, text_col)
+    doclen = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(normalized_text(F.col(text_col)), " ")).alias("len"),
     )
-    tf = hits.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.countDistinct("id").alias("df"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n"), F.avg("len").alias("avglen")
@@ -317,9 +348,10 @@ def bm25_scores(
         ).alias("score")
     else:
         score = F.sum(term_score).alias("score")
+    # tf already carries each doc's len (single-pass core) — no doclen
+    # join; doclen exists only to feed the 1-row corpus stats broadcast.
     return (
-        tf.join(doclen, "id")
-        .join(F.broadcast(dfreq), "w")
+        tf.join(F.broadcast(dfreq), "w")
         .join(F.broadcast(stats))
         .groupBy("id")
         .agg(score)
