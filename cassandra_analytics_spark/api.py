@@ -73,9 +73,11 @@ class Engine:
         )
 
     def read_bulk_table(self, table_path: str, partition_keys: Sequence[str],
-                        clustering_keys: Sequence[str] = (), merge: bool = True) -> DataFrame:
+                        clustering_keys: Sequence[str] = (), merge: bool = True,
+                        cell_lww: bool = False) -> DataFrame:
         return _writer.read_bulk_table(
-            self.spark, table_path, partition_keys, clustering_keys, merge=merge
+            self.spark, table_path, partition_keys, clustering_keys,
+            merge=merge, cell_lww=cell_lww,
         )
 
     # -- Cassandra read semantics (M1/M5) --------------------------------
@@ -112,3 +114,34 @@ class Engine:
         from cassandra_analytics_spark.operators.text import bm25_scores
 
         return bm25_scores(df, query_terms, **kwargs)
+
+    @staticmethod
+    def repetition_stats(df: DataFrame, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.text import repetition_stats
+
+        return repetition_stats(df, **kwargs)
+
+    @staticmethod
+    def contamination_overlap(
+        corpus: DataFrame, benchmark: DataFrame, **kwargs
+    ) -> DataFrame:
+        from cassandra_analytics_spark.operators.dedup import contamination_overlap
+
+        return contamination_overlap(corpus, benchmark, **kwargs)
+
+    @staticmethod
+    def salted_aggregate(df: DataFrame, keys: Sequence[str], aggs: dict, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.skew import salted_aggregate
+
+        return salted_aggregate(df, keys, aggs, **kwargs)
+
+    @staticmethod
+    def build_ivf_index(df: DataFrame, index_path: str, **kwargs):
+        from cassandra_analytics_spark.operators.ann_index import build_ivf_index
+
+        return build_ivf_index(df, index_path, **kwargs)
+
+    def query_ivf_index(self, index_path: str, query_vec: list[float], **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.ann_index import query_ivf_index
+
+        return query_ivf_index(self.spark, index_path, query_vec, **kwargs)

@@ -244,6 +244,49 @@ def replica_read_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_returnflag",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_quantity')} AS total_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Salted two-phase aggregation on a 3-value (maximally hot) key: "
+    "phase 1 aggregates on (key, salt) spreading each hot key over 16 "
+    "reducers, phase 2 merges partials with exact merge semantics — the "
+    "result must equal the plain GROUP BY, which is what the oracle "
+    "computes (operators/skew.py salted_aggregate; the hand-rolled "
+    "salting path for when AQE's runtime skew handling is not enough).",
+)
+def skew_salted_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.skew import salted_aggregate
+    from cassandra_analytics_spark.queries._util import M
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__q_fixed", F.floor(F.col("l_quantity") * M + F.lit(0.5))
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_items": ("count", "l_returnflag"),
+            "__q_sum": ("sum", "__q_fixed"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        (F.col("__q_sum").cast("double") / M).alias("total_qty"),
+        "max_price",
+    ).orderBy("l_returnflag")
+
+
+@query(
     "partition_size_orders",
     oracle="""
     SELECT o_custkey,

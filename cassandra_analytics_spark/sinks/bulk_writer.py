@@ -253,6 +253,7 @@ def read_bulk_table(
     clustering_keys: Sequence[str] = (),
     merge: bool = True,
     as_of_batch: str | None = None,
+    cell_lww: bool = False,
 ) -> DataFrame:
     """Bulk-reader entry: read every committed batch and apply the LWW
     compaction merge + tombstone purge — the read path of SURVEY §3.1 with
@@ -260,7 +261,11 @@ def read_bulk_table(
 
     ``as_of_batch``: snapshot read — only batches committed up to and
     including the named batch id participate (batch ids are
-    timestamp-ordered, so this is point-in-time time travel)."""
+    timestamp-ordered, so this is point-in-time time travel).
+
+    ``cell_lww``: per-column reconciliation for upsert-style tables
+    (partial writes leave unwritten columns NULL; Cassandra keeps the
+    older cells — see ``compaction_merge``)."""
     batches = committed_batches(table_path)
     if as_of_batch is not None:
         batches = [b for b in batches if os.path.basename(b) <= as_of_batch]
@@ -271,7 +276,10 @@ def read_bulk_table(
     if not merge:
         return df
     return compaction_merge(
-        df, partition_keys=partition_keys, clustering_keys=clustering_keys
+        df,
+        partition_keys=partition_keys,
+        clustering_keys=clustering_keys,
+        cell_lww=cell_lww,
     )
 
 

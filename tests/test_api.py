@@ -31,3 +31,45 @@ def test_engine_lifecycle(spark, sf_dir, tmp_path):
     views = eng.register_views()
     assert "orders" in views
     assert spark.sql("SELECT count(*) FROM orders").collect()[0][0] > 0
+
+
+def test_engine_cell_lww_bulk_roundtrip(spark, tmp_path):
+    """Upsert-style table through the facade: partial writes must not
+    null out earlier columns when read with cell_lww=True."""
+    from pyspark.sql import Row
+
+    from cassandra_analytics_spark.api import Engine
+
+    eng = Engine(spark)
+    path = str(tmp_path / "tbl")
+    eng.bulk_write(
+        spark.createDataFrame([Row(k=1, a="a1", b="b1")]), path, ["k"],
+        write_timestamp_micros=1_000,
+    )
+    eng.bulk_write(
+        spark.createDataFrame([(1, None, "b2")], "k bigint, a string, b string"),
+        path, ["k"], write_timestamp_micros=2_000,
+    )
+    row_mode = eng.read_bulk_table(path, ["k"]).collect()[0]
+    assert row_mode.a is None  # whole-row winner
+    cell_mode = eng.read_bulk_table(path, ["k"], cell_lww=True).collect()[0]
+    assert (cell_mode.a, cell_mode.b) == ("a1", "b2")
+
+
+def test_engine_new_pipeline_surface(spark):
+    from cassandra_analytics_spark.api import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    )
+    assert eng.repetition_stats(docs).count() == 2
+    flagged = eng.contamination_overlap(
+        docs.filter("doc_id = 1"), docs.filter("doc_id = 2"), min_overlap=1
+    )
+    assert flagged.count() == 1
+    agg = eng.salted_aggregate(
+        docs, ["doc_id"], {"n": ("count", "doc_id")}, salt_buckets=4
+    )
+    assert agg.count() == 2
