@@ -63,6 +63,7 @@ _ROUND_PRIORITY: list[str] = [
     "bulk_write_roundtrip",
     "cell_pivot_roundtrip",
     "replica_read_all",
+    "streaming_hourly_stats",
     # never-checked: TPC-H suite
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -867,6 +867,51 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_hourly_stats",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY hour, event_type
+    """,
+    doc="REAL Structured Streaming run, oracle-checked: the events table "
+    "streams through a file source (maxFilesPerTrigger batches), a "
+    "watermarked tumbling-window aggregation, and a memory sink drained "
+    "to completion; the result must equal the batch GROUP BY bit-for-bit "
+    "(fixed-point sums are order-independent, so stream batch boundaries "
+    "cannot perturb the hash). Kappa-architecture parity as a hard "
+    "driver gate, not just a pytest (streaming/events_stream.py).",
+)
+def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from cassandra_analytics_spark.streaming.events_stream import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(
+        agg, query_name=f"drv_stream_{_uuid.uuid4().hex[:8]}"
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
