@@ -912,6 +912,87 @@ def streaming_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_sessionize",
+    oracle="""
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT user_id,
+               CASE WHEN LAG(tsu) OVER w IS NULL THEN 1
+                    WHEN epoch_us(tsu) - epoch_us(LAG(tsu) OVER w) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    )
+    GROUP BY user_id
+    """,
+    doc="Native streaming session windows oracle-checked against the "
+    "batch lag-gap sessionization: session_window(ts, 30 min) merges "
+    "events whose gaps are under the threshold, which is exactly the "
+    "lag-gap>30min session-break rule (boundary-equal gaps do not occur "
+    "in the fixture — verified). Runs the REAL streaming state-store "
+    "path (complete mode, memory sink) and must match the SQL "
+    "sessionization row-for-row.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from cassandra_analytics_spark.streaming.events_stream import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=1)
+    sessions = (
+        stream.withWatermark("ts", "24 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    drained = run_stream_to_memory(
+        sessions, query_name=f"drv_sessions_{_uuid.uuid4().hex[:8]}"
+    )
+    return drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "streaming_dedup_union",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    doc="Streaming exact dedup under duplicate delivery: the events file "
+    "stream unioned with itself (every row delivered twice — the "
+    "at-least-once replay case) through dropDuplicatesWithinWatermark "
+    "on event_id must emit each event exactly once; the oracle is the "
+    "original table. Bounded state: one entry per key only until the "
+    "watermark passes it (streaming/events_stream.py "
+    "dedup_events_stream).",
+)
+def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from cassandra_analytics_spark.streaming.events_stream import (
+        dedup_events_stream,
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    doubled = events_stream(spark, sf_dir).unionAll(events_stream(spark, sf_dir))
+    deduped = dedup_events_stream(doubled, watermark="24 hours").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return run_stream_to_memory(
+        deduped,
+        query_name=f"drv_dedup_{_uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
