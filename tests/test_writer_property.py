@@ -37,3 +37,51 @@ def test_roundtrip_preserves_rows(spark, tmp_path_factory, rows):
         (r.k, r.v_long, r.v_str, r.v_double, r.v_bool) for r in out.collect()
     )
     assert got == sorted(data)
+
+
+# ---------------------------------------------------------------------------
+# Randomized multi-batch upsert round-trip — the reference's EndToEndTests
+# backbone (write several generations, read back, last-write-wins per
+# CELL) against a Python reconciliation model.
+# ---------------------------------------------------------------------------
+
+upsert_batches = st.lists(  # each batch: list of (key, a-or-None, b-or-None)
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.one_of(st.none(), st.integers(0, 99)),
+            st.one_of(st.none(), st.integers(0, 99)),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(upsert_batches)
+def test_multibatch_upsert_roundtrip_cell_lww(spark, tmp_path_factory, batches):
+    path = str(tmp_path_factory.mktemp("prop_upsert") / "tbl")
+    model: dict = {}
+    for wt, batch in enumerate(batches, start=1):
+        # one batch may hit the same key twice; within a batch the write
+        # timestamp ties and Cassandra reconciliation takes the greater
+        # value — drop in-batch duplicates (keep the LAST row per key) to
+        # keep the model simple and the batch a valid upsert set
+        dedup = {}
+        for k, a, b in batch:
+            dedup[k] = (a, b)
+        rows = [(k, a, b) for k, (a, b) in dedup.items()]
+        df = spark.createDataFrame(rows, "k int, a int, b int")
+        bulk_write(df, path, ["k"], write_timestamp_micros=wt * 1000)
+        for k, a, b in rows:
+            cur = model.setdefault(k, [None, None])
+            if a is not None:
+                cur[0] = a
+            if b is not None:
+                cur[1] = b
+    out = read_bulk_table(spark, path, ["k"], cell_lww=True)
+    got = {r.k: (r.a, r.b) for r in out.collect()}
+    assert got == {k: tuple(v) for k, v in model.items()}
