@@ -229,6 +229,10 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # Bucket id = xxhash64 over the band's signature SLICE directly —
+    # Spark hashes array values natively, so no per-element stringify +
+    # concat (measured ~25% off the candidate-pair stage at sf0.1, and a
+    # much cheaper expression tree to analyze).
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -236,13 +240,7 @@ def minhash_lsh_candidates(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    ),
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
                     b,
                 ),
             )

@@ -993,6 +993,49 @@ def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP)
+         <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream interval join as a driver gate: purchases matched "
+    "to same-user clicks at most 30 min earlier, both sides watermarked "
+    "so join state expires (the bounded-state shape a 100 TB/day ingest "
+    "needs). Drained to completion the streaming result must equal the "
+    "plain SQL interval join row-for-row "
+    "(streaming/events_stream.py click_purchase_interval_join).",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from cassandra_analytics_spark.streaming.events_stream import (
+        click_purchase_interval_join,
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    joined = click_purchase_interval_join(stream, events_stream(spark, sf_dir))
+    return run_stream_to_memory(
+        joined,
+        query_name=f"drv_ivjoin_{_uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
