@@ -26,8 +26,19 @@ qs = mod.queries()
 sqls = mod.oracle_sql()
 assert set(sqls) <= set(qs), "oracle_sql keys not subset of queries"
 
-# the two session-sensitive paths: nanos timestamps + window over events
-for name in ("events_hourly_stats", "lww_latest_events", "q1_pricing_summary"):
+# session-sensitive paths: nanos timestamps + window over events, plus
+# the round-2 classes that do real side work under the driver's session —
+# streaming (file source, state store, memory sink), the bulk-write
+# round-trip (temp-dir write + committed-batch read), and the per-cell
+# LWW aggregation
+for name in (
+    "events_hourly_stats",
+    "lww_latest_events",
+    "q1_pricing_summary",
+    "lww_partial_upsert",
+    "bulk_write_roundtrip",
+    "streaming_hourly_stats",
+):
     n = qs[name](spark, "/root/testdata/sf0.001").count()
     assert n > 0, name
 print("FOREIGN_SESSION_OK")
