@@ -1036,6 +1036,52 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_profile",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState) as a "
+    "driver gate: a per-user running profile — count, fixed-point value "
+    "sum, last event time — maintained incrementally in Arrow-batched "
+    "pandas with one state tuple per user, drained and compared to the "
+    "batch GROUP BY. Fixed-point state accumulation makes the emitted "
+    "totals independent of batch boundaries and row order, so the "
+    "stateful path is hash-exact against SQL "
+    "(streaming/stateful.py user_profiles).",
+)
+def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from cassandra_analytics_spark.streaming.events_stream import (
+        events_stream,
+        run_stream_to_memory,
+    )
+    from cassandra_analytics_spark.streaming.stateful import user_profiles
+
+    stream = events_stream(spark, sf_dir)
+    drained = run_stream_to_memory(
+        user_profiles(stream),
+        query_name=f"drv_profile_{_uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    # update-mode memory sink appends one row per (user, micro-batch);
+    # the profile is monotone in n_events, so the final state is the max
+    final = drained.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value", "last_ts")).alias("__s")
+    )
+    return final.select(
+        "user_id",
+        F.col("__s.n_events").alias("n_events"),
+        F.col("__s.total_value").alias("total_value"),
+        F.col("__s.last_ts").alias("last_ts"),
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,

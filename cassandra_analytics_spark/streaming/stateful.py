@@ -34,10 +34,13 @@ PROFILE_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_fixed", LongType()),
         StructField("last_us", LongType()),
     ]
 )
+
+
+_FP = 10_000  # fixed-point scale (the repo-wide dsum convention)
 
 
 def _update_profile(
@@ -45,20 +48,27 @@ def _update_profile(
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total, last_us = state.get
+        n, total_fixed, last_us = state.get
     else:
-        n, total, last_us = 0, 0.0, 0
+        n, total_fixed, last_us = 0, 0, 0
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # fixed-point accumulation: float sums depend on addition order
+        # (batch boundaries, row order), integer sums do not — the
+        # emitted total is bit-identical to the batch dsum convention
+        import numpy as np
+
+        total_fixed += int(
+            np.floor(pdf["value"].to_numpy(dtype="float64") * _FP + 0.5).sum()
+        )
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, total, last_us))
+    state.update((n, total_fixed, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [total_fixed / _FP],
             "last_ts": [pd.Timestamp(last_us, unit="us")],
         }
     )
