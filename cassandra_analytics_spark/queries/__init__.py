@@ -64,6 +64,8 @@ _ROUND_PRIORITY: list[str] = [
     "cell_pivot_roundtrip",
     "replica_read_all",
     "streaming_hourly_stats",
+    "streaming_interval_join",
+    "streaming_stateful_profile",
     # never-checked: TPC-H suite
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -109,12 +111,12 @@ _ROUND_PRIORITY: list[str] = [
     "array_agg_sorted",
     "explode_embeddings",
     "map_entry_extraction",
-    "regexp_extract_groups",
     "text_pii_scrub",
-    "distinct_part_attrs",
     # --- anything below here falls OUTSIDE a 50-entry driver window; all
     # are variants of categories already driver-green in r01 — rotate to
     # the front in round 3 ---
+    "regexp_extract_groups",
+    "distinct_part_attrs",
     "having_big_customers",
     "case_when_tiering",
     "date_trunc_variants",
