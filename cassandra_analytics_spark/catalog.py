@@ -51,8 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # parquet TIMESTAMP without UTC adjustment → NTZ; normalize to
+            # TIMESTAMP (session tz is UTC above, so values are unchanged)
+            # so event-time functions (unix_micros, watermarks) resolve.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

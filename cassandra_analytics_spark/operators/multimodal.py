@@ -3,24 +3,33 @@
 Maps to the reference's blob handling (SURVEY §1.3 ``blob`` → BinaryType;
 large-blob pruning exercised by ``EndToEndTests.java:1978
 testLargeBlobExclude``). The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, ``mapInPandas`` UDF signatures — is real and tested;
-the actual image/audio decode is STUBBED because codec libraries are not
-available in this container:
+Arrow batch shape, ``mapInPandas`` UDF signatures — is real and tested.
 
-* with a decoder lib present, ``decode_image`` would hand bytes to it;
-* here it raises ``NotImplementedError`` unless ``fake=True``, in which
-  case a **deterministic fake decode** (byte-statistics standing in for
-  pixel statistics) exercises the full pipeline.
+Feature extraction is **codec-free but real**: no image library exists in
+this container (SURVEY-sanctioned), so instead of decoding pixels we
+compute genuine functions of the raw bytes —
+
+* container format via magic-number sniffing (PNG/JPEG/GIF/BMP/WEBP),
+* image dimensions parsed from the container header (PNG IHDR, GIF
+  logical screen descriptor, BMP BITMAPINFOHEADER, JPEG SOFn segment
+  walk, WEBP VP8X) in pure Python,
+* byte-level statistics (mean byte value, Shannon entropy of the byte
+  histogram) vectorized with numpy inside the Arrow batch.
+
+Pixel-array decode (``decode_image``) remains a clearly-marked stub: it
+raises ``NotImplementedError`` until a codec library is present.
 
 Design for 100 TB: blobs ride in their own column so column pruning keeps
 them out of metadata-only scans (parquet column chunks are skipped
-entirely); decode runs in ``mapInPandas`` over Arrow batches — one Python
-worker round-trip per batch, not per row; ``batch_size_hint`` rows per
-batch bounds worker memory for large blobs.
+entirely); inspection runs in ``mapInPandas`` over Arrow batches — one
+Python worker round-trip per batch, not per row; ``batch_size_hint`` rows
+per batch bounds worker memory for large blobs.
 """
 
 from __future__ import annotations
 
+import math
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -50,18 +59,120 @@ MULTIMODAL_SCHEMA = T.StructType(
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("mean_byte", T.DoubleType(), True),
-        T.StructField("entropy", T.DoubleType(), True),
         T.StructField("w", T.IntegerType(), True),
         T.StructField("h", T.IntegerType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("entropy", T.DoubleType(), True),
     ]
 )
 
 
+def sniff_format(content: bytes) -> str | None:
+    """Container format from magic numbers — no codec needed."""
+    if content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if content.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if content.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if content.startswith(b"BM"):
+        return "bmp"
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def parse_dimensions(content: bytes, fmt: str | None) -> tuple[int, int] | None:
+    """(width, height) parsed from the container header, pure Python.
+
+    Covers the dimension encodings of the common raster containers:
+    PNG IHDR (big-endian u32 at offset 16/20), GIF logical screen
+    descriptor (little-endian u16 at 6/8), BMP BITMAPINFOHEADER
+    (little-endian i32 at 18/22; height may be negative = top-down),
+    JPEG SOFn marker walk (big-endian u16 height/width), WEBP VP8X
+    extended header (24-bit little-endian width-1/height-1).
+    """
+    try:
+        if fmt == "png" and len(content) >= 24 and content[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", content[16:24])
+            return int(w), int(h)
+        if fmt == "gif" and len(content) >= 10:
+            w, h = struct.unpack("<HH", content[6:10])
+            return int(w), int(h)
+        if fmt == "bmp" and len(content) >= 26:
+            w, h = struct.unpack("<ii", content[18:26])
+            return int(w), abs(int(h))
+        if fmt == "jpeg":
+            return _jpeg_dimensions(content)
+        if fmt == "webp" and len(content) >= 30 and content[12:16] == b"VP8X":
+            w = int.from_bytes(content[24:27], "little") + 1
+            h = int.from_bytes(content[27:30], "little") + 1
+            return w, h
+    except struct.error:
+        return None
+    return None
+
+
+def _jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
+    """Walk JPEG segments to the first SOFn frame header.
+
+    SOF markers are 0xFFC0–0xFFCF excluding C4 (DHT), C8 (JPG) and CC
+    (DAC); the frame header carries height then width as big-endian u16
+    at offsets 5 and 7 past the marker.
+    """
+    i, n = 2, len(content)
+    while i + 9 < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers have no length field
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+            return int(w), int(h)
+        seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    return None
+
+
+def inspect_image_bytes(content: bytes) -> dict:
+    """Codec-free byte inspection: format, header dimensions, byte stats."""
+    n = len(content)
+    fmt = sniff_format(content)
+    dims = parse_dimensions(content, fmt)
+    if n == 0:
+        return {
+            "format": fmt,
+            "n_bytes": 0,
+            "w": None,
+            "h": None,
+            "mean_byte": 0.0,
+            "entropy": 0.0,
+        }
+    import numpy as np
+
+    arr = np.frombuffer(content, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / n
+    return {
+        "format": fmt,
+        "n_bytes": n,
+        "w": dims[0] if dims else None,
+        "h": dims[1] if dims else None,
+        "mean_byte": float(arr.mean()),
+        "entropy": float(-(p * np.log2(p)).sum()),
+    }
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
-    """Decode one image blob. STUB: real decode needs an image codec
-    (PIL/opencv), not present in this container."""
+    """Decode one image blob to pixel statistics. STUB: real pixel decode
+    needs an image codec (PIL/opencv), not present in this container.
+    Header-level inspection does NOT need this — see
+    ``inspect_image_bytes``."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -72,11 +183,9 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
         raise NotImplementedError("real decode path not wired yet")
     if not fake:
         raise NotImplementedError(
-            "image decoding requires a codec library (PIL/opencv); "
-            "pass fake=True for the deterministic byte-stats fake"
+            "pixel decoding requires a codec library (PIL/opencv); "
+            "byte-level features come from inspect_image_bytes instead"
         )
-    import math
-
     n = len(content)
     if n == 0:
         return {"n_bytes": 0, "mean_byte": 0.0, "entropy": 0.0}
@@ -91,39 +200,38 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
 def extract_image_features(
     df: DataFrame,
     batch_size_hint: int = 256,
-    fake_decode: bool = True,
 ) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches.
 
     One pandas DataFrame per Arrow batch in, one out — the canonical shape
-    for any decode / feature-extract / resize stage. The blob column is
+    for any decode / feature-extract / resize stage. Features are real
+    functions of the bytes (``inspect_image_bytes``); the blob column is
     pruned from the output so downstream stages never reshuffle gigabytes
     of pixels."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_image(bytes(c) if c is not None else b"", fake=fake_decode)
+                inspect_image_bytes(bytes(c) if c is not None else b"")
                 for c in pdf["content"]
             ]
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "id": pdf["id"].astype("int64"),
+                    "format": [f["format"] for f in feats],
                     "n_bytes": [f["n_bytes"] for f in feats],
+                    "w": pd.array([f["w"] for f in feats], dtype="Int32"),
+                    "h": pd.array([f["h"] for f in feats], dtype="Int32"),
                     "mean_byte": [f["mean_byte"] for f in feats],
                     "entropy": [f["entropy"] for f in feats],
-                    "w": [m["w"] if m is not None else None for m in pdf["meta"]],
-                    "h": [m["h"] if m is not None else None for m in pdf["meta"]],
                 }
             )
-            yield out
 
     spark = df.sparkSession
-    with_conf = df
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
     )
-    return with_conf.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+    return df.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample(

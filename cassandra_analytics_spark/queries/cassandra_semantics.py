@@ -350,3 +350,162 @@ def static_column_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.max("o_orderpriority").over(w).alias("static_priority"),
     )
+
+
+@query(
+    "bundle_write_restore",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="W4 S3-compat blob-upload transport end-to-end "
+    "(SSTablesBundler.java:39-49, BundleManifest.java, "
+    "BlobDataTransferApi.java): orders run the full write pipeline into "
+    "token-ordered zip BUNDLES + manifest in an object-store dir "
+    "(atomic-rename commit), then the restore-slice path verifies "
+    "digests, unpacks every overlapping bundle into a committed batch, "
+    "and the merged read-back is aggregated; the oracle aggregates the "
+    "source directly, so any row lost or duplicated anywhere in "
+    "bundle -> store -> restore breaks the hash.",
+)
+def bundle_write_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+    from cassandra_analytics_spark.sinks.bundles import (
+        bundle_write,
+        restore_bundles,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    store = tempfile.mkdtemp(prefix="cas_bundle_store_")
+    table = tempfile.mkdtemp(prefix="cas_bundle_tbl_")
+    res = bundle_write(
+        o,
+        store,
+        partition_keys=["o_orderkey"],
+        write_timestamp_micros=1_000_000,
+        num_partitions=8,
+    )
+    restore_bundles(spark, res.job_dir, table)
+    back = read_bulk_table(spark, table, partition_keys=["o_orderkey"])
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "nested_struct_explode",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROW_NUMBER() OVER (
+                    PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity, l_extendedprice
+                ) - 1 AS INT) AS pos,
+           CAST(n_lines AS INT) AS n_lines,
+           l_linenumber, l_quantity, l_extendedprice
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+        FROM lineitem
+    )
+    WHERE l_quantity > 45
+    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    """,
+    doc="Nested complex types round-trip (UDT/frozen-list semantics, "
+    "EndToEndTests.java:1881-1921 testUdt/testListOfUdts posture): "
+    "lineitems collect into an array<struct> per order (sort_array for "
+    "deterministic element order), then posexplode + field access "
+    "rebuilds the flat rows with their array position. The oracle "
+    "recomputes position as a window rank over the raw table, so struct "
+    "construction, array sorting, explode, and field extraction must all "
+    "be exact. The array element filter runs as a FILTER higher-order "
+    "function inside the array before exploding.",
+)
+def nested_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("lines")
+    )
+    # position BEFORE filtering would disagree with the oracle's
+    # rank-over-filtered-rows; filter the array first (HOF), then explode.
+    kept = nested.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.filter("lines", lambda x: x["l_quantity"] > 45).alias("kept"),
+    )
+    return (
+        kept.select(
+            "l_orderkey",
+            "n_lines",
+            F.posexplode("kept").alias("pos", "line"),
+        )
+        .select(
+            "l_orderkey",
+            F.col("pos").cast("int").alias("pos"),
+            "n_lines",
+            F.col("line.l_linenumber").alias("l_linenumber"),
+            F.col("line.l_quantity").alias("l_quantity"),
+            F.col("line.l_extendedprice").alias("l_extendedprice"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "nested_map_clustering",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS status_keys,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_partial
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY custkey
+    """,
+    doc="Map-typed column semantics (map<text,bigint> as a CQL collection, "
+    "EndToEndTests map/clustering coverage): per-customer order counts "
+    "build into a map keyed by order status (map_from_entries over "
+    "sorted entries for deterministic key order), then map_keys / "
+    "cardinality / element_at read it back. element_at on an absent key "
+    "yields NULL, matching the oracle's no-ELSE SUM CASE. One shuffle "
+    "(the count agg); map construction is a second map-side-only agg "
+    "over the same keys.",
+)
+def nested_map_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = counts.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("by_status")
+    )
+    return mapped.select(
+        F.col("o_custkey").alias("custkey"),
+        F.cardinality("by_status").cast("int").alias("n_statuses"),
+        F.array_join(F.map_keys("by_status"), ",").alias("status_keys"),
+        F.element_at("by_status", "O").alias("n_open"),
+        F.element_at("by_status", "F").alias("n_filled"),
+        F.element_at("by_status", "P").alias("n_partial"),
+    ).orderBy("custkey")

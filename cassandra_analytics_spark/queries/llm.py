@@ -821,20 +821,55 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _be32(col: F.Column) -> F.Column:
+    """Big-endian u32 bytes of an int column (PNG IHDR field encoding)."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def _le16(col: F.Column) -> F.Column:
+    """Little-endian u16 bytes of an int column (GIF screen descriptor)."""
+    return F.unhex(
+        F.concat(
+            F.lpad(F.hex(col % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(col / 256).cast("int") % 256), 2, "0"),
+        )
+    )
+
+
 def _synthetic_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic multimodal table derived from documents: the text
-    bytes stand in for an image blob (the container has no image libs —
-    SURVEY-sanctioned stub), metadata typed per MULTIMODAL_SCHEMA."""
+    """Deterministic multimodal table derived from documents: each blob is
+    a REAL container header (valid PNG signature+IHDR for ``en`` docs, GIF
+    logical screen descriptor otherwise — dimensions derived from
+    n_chars) followed by the text bytes as payload. No codec library is
+    needed to build or inspect these (SURVEY-sanctioned), but the headers
+    are bit-exact per the container specs, so header parsing downstream
+    is a real computation. Built entirely JVM-side (concat/unhex/lpad/hex
+    — codegen, no Python in the blob-construction path)."""
     d = load_table(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 640).cast("int")
+    h = (F.col("n_chars") % 480).cast("int")
+    # PNG: 8-byte signature, IHDR length(13) + tag, w/h be32, bit depth 8,
+    # color type 6, 3 zero bytes => 29-byte header. GIF: "GIF89a" + w/h
+    # le16 => 10-byte header.
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
+        _be32(w),
+        _be32(h),
+        F.lit(b"\x08\x06\x00\x00\x00"),
+        F.encode("text", "UTF-8"),
+    )
+    gif = F.concat(
+        F.lit(b"GIF89a"), _le16(w), _le16(h), F.encode("text", "UTF-8")
+    )
     return d.select(
         F.col("doc_id").cast("long").alias("id"),
-        F.encode("text", "UTF-8").alias("content"),
+        F.when(F.col("lang") == "en", png).otherwise(gif).alias("content"),
         F.substring("text", 1, 32).alias("caption"),
         F.struct(
-            (F.col("n_chars") % 640).cast("int").alias("w"),
-            (F.col("n_chars") % 480).cast("int").alias("h"),
+            w.alias("w"),
+            h.alias("h"),
             F.when(F.col("lang") == "en", "image/png")
-            .otherwise("image/jpeg")
+            .otherwise("image/gif")
             .alias("mime"),
         ).alias("meta"),
     )
@@ -843,10 +878,12 @@ def _synthetic_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_blob_stats",
     oracle="""
-    SELECT CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+    SELECT CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/gif' END AS mime,
            COUNT(*) AS n_items,
-           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
-           AVG(octet_length(CAST(text AS BLOB))) AS avg_bytes,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 29 ELSE 10 END
+                    + octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           AVG(CASE WHEN lang = 'en' THEN 29 ELSE 10 END
+               + octet_length(CAST(text AS BLOB))) AS avg_bytes,
            AVG(n_chars % 640) AS avg_width,
            AVG(n_chars % 480) AS avg_height
     FROM documents
@@ -866,20 +903,35 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_features",
-    oracle=None,  # mapInPandas decode-stub path; entropy floats are
-    # python-side — rows-only check
-    doc="Arrow-batched mapInPandas feature extraction over blob columns "
-    "(decode stubbed: no image libs in container; batch shape, schema, "
-    "blob pruning are the real plumbing).",
+    oracle="""
+    SELECT doc_id AS id,
+           CASE WHEN lang = 'en' THEN 'png' ELSE 'gif' END AS format,
+           CAST(CASE WHEN lang = 'en' THEN 29 ELSE 10 END
+                + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(n_chars % 640 AS INT) AS w,
+           CAST(n_chars % 480 AS INT) AS h
+    FROM documents
+    ORDER BY id
+    """,
+    doc="Arrow-batched mapInPandas codec-free image inspection "
+    "(operators/multimodal.py inspect_image_bytes): magic-number format "
+    "sniff + header-parsed dimensions (PNG IHDR / GIF screen descriptor) "
+    "over real container bytes built JVM-side. The oracle recomputes the "
+    "expected header fields from documents, so the Spark side proves the "
+    "byte construction AND the pure-Python header parsing agree bit-for-"
+    "bit. Entropy/mean-byte features (float, python-side libm) are "
+    "projected out here and covered by tests/test_multimodal.py.",
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.multimodal import (
         extract_image_features,
     )
 
-    return extract_image_features(
-        _synthetic_multimodal(spark, sf_dir), fake_decode=True
-    ).orderBy("id")
+    return (
+        extract_image_features(_synthetic_multimodal(spark, sf_dir))
+        .select("id", "format", "n_bytes", "w", "h")
+        .orderBy("id")
+    )
 
 
 @query(

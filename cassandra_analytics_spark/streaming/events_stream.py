@@ -43,6 +43,11 @@ def events_stream(
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    # Watermarks require TIMESTAMP (with local tz); parquet TIMESTAMP
+    # without UTC adjustment arrives as TIMESTAMP_NTZ. Session tz is UTC
+    # (catalog.load_table), so the cast is value-preserving.
+    if dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

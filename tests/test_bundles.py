@@ -1,0 +1,153 @@
+"""S3-compat bundle transport (W4 blob-upload path): bundle → store →
+restore-slice → committed batch → merged read-back equality."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.functions.tokens import token_column
+from cassandra_analytics_spark.sinks.bulk_writer import (
+    BulkWriteError,
+    committed_batches,
+    read_bulk_table,
+)
+from cassandra_analytics_spark.sinks.bundles import (
+    bundle_write,
+    restore_bundles,
+    store_jobs,
+)
+
+
+def _docs(spark, n=200):
+    return spark.createDataFrame(
+        [Row(id=i, ck=i % 3, val=f"v{i}") for i in range(n)]
+    )
+
+
+def test_bundle_restore_roundtrip(spark, tmp_path):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    src = _docs(spark)
+
+    res = bundle_write(
+        src, store, ["id"], ["ck"],
+        write_timestamp_micros=1_000, num_partitions=4,
+    )
+    assert res.num_bundles >= 1 and res.num_rows == 200
+    assert store_jobs(store) == [res.job_dir]
+    manifest = json.load(open(res.manifest_path))
+    assert manifest["num_rows"] == 200
+
+    restore_bundles(spark, res.job_dir, table)
+    assert len(committed_batches(table)) == 1
+    back = read_bulk_table(spark, table, ["id"], ["ck"])
+    got = {(r.id, r.ck): r.val for r in back.collect()}
+    want = {(r.id, r.ck): r.val for r in src.collect()}
+    assert got == want
+
+
+def test_multiple_bundles_and_token_bounds(spark, tmp_path):
+    store = str(tmp_path / "store")
+    # tiny cap forces one member per bundle
+    res = bundle_write(
+        _docs(spark), store, ["id"],
+        write_timestamp_micros=1_000, num_partitions=4, max_bundle_bytes=1,
+    )
+    assert res.num_bundles == 4
+    # bundles cover contiguous, non-overlapping, increasing token spans
+    spans = [(b.start_token, b.end_token) for b in res.bundles]
+    assert spans == sorted(spans)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+
+def test_restore_slice_prunes_by_token_range(spark, tmp_path):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    src = _docs(spark)
+    res = bundle_write(
+        src, store, ["id"],
+        write_timestamp_micros=1_000, num_partitions=4, max_bundle_bytes=1,
+    )
+    # restore only the first bundle's span
+    lo, hi = res.bundles[0].start_token, res.bundles[0].end_token
+    result = restore_bundles(spark, res.job_dir, table, token_range=(lo, hi))
+    assert result.num_files == 1
+
+    # every restored row's token is inside the slice, and the restored
+    # rows are exactly the source rows hashing into it
+    back = read_bulk_table(spark, table, ["id"], merge=False)
+    toks = [r.t for r in back.select(
+        token_column(F.col("id")).alias("t")).collect()]
+    assert toks and all(lo <= t <= hi for t in toks)
+    expected = src.withColumn("t", token_column(F.col("id"))).filter(
+        (F.col("t") >= lo) & (F.col("t") <= hi)
+    ).count()
+    assert back.count() == expected
+
+
+def test_restore_verifies_digests(spark, tmp_path):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    res = bundle_write(
+        _docs(spark), store, ["id"], write_timestamp_micros=1_000,
+        num_partitions=2,
+    )
+    # corrupt one bundle in the store
+    victim = os.path.join(res.job_dir, res.bundles[0].name)
+    os.chmod(victim, 0o644)
+    with open(victim, "r+b") as f:
+        f.seek(30)
+        f.write(b"\xde\xad")
+    with pytest.raises(BulkWriteError, match="digest mismatch"):
+        restore_bundles(spark, res.job_dir, table)
+    # nothing partial committed
+    assert committed_batches(table) == []
+
+
+def test_no_overlapping_bundles_raises(spark, tmp_path):
+    store = str(tmp_path / "store")
+    res = bundle_write(
+        _docs(spark), store, ["id"], write_timestamp_micros=1_000,
+        num_partitions=2,
+    )
+    hi = max(b.end_token for b in res.bundles)
+    with pytest.raises(BulkWriteError, match="no bundles overlap"):
+        restore_bundles(
+            spark, res.job_dir, str(store) + "-tbl", token_range=(hi + 1, hi + 2)
+        )
+
+
+def test_restored_batch_interoperates_with_bulk_write(spark, tmp_path):
+    """A restored batch and a direct bulk_write batch merge together."""
+    from cassandra_analytics_spark.sinks.bulk_writer import bulk_write
+
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    v1 = _docs(spark, n=50)
+    res = bundle_write(v1, store, ["id"], ["ck"], write_timestamp_micros=1_000)
+    restore_bundles(spark, res.job_dir, table)
+
+    v2 = spark.createDataFrame([Row(id=7, ck=1, val="updated")])
+    bulk_write(v2, table, ["id"], ["ck"], write_timestamp_micros=2_000)
+
+    out = read_bulk_table(spark, table, ["id"], ["ck"])
+    got = {(r.id, r.ck): r.val for r in out.collect()}
+    assert got[(7, 1)] == "updated"
+    assert len(got) == 50
+
+
+def test_bundle_zip_members_are_stored_not_deflated(spark, tmp_path):
+    store = str(tmp_path / "store")
+    res = bundle_write(
+        _docs(spark), store, ["id"], write_timestamp_micros=1_000,
+        num_partitions=2,
+    )
+    with zipfile.ZipFile(os.path.join(res.job_dir, res.bundles[0].name)) as zf:
+        assert all(i.compress_type == zipfile.ZIP_STORED for i in zf.infolist())

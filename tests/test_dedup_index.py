@@ -1,0 +1,160 @@
+"""Incremental bucketed MinHash-LSH index: correctness vs the one-shot
+path, and the plan-level guarantee that the corpus side of the
+incremental candidate join is NOT re-shuffled (the whole point)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from cassandra_analytics_spark.operators.dedup import minhash_lsh_candidates
+from cassandra_analytics_spark.operators.dedup_index import (
+    LshIndexSpec,
+    append_to_index,
+    banded_rows,
+    build_index,
+    incremental_candidates,
+)
+
+SPEC = LshIndexSpec(num_hashes=16, bands=4, shingle_n=3, num_buckets=4)
+
+
+def _doc(i: int, text: str) -> Row:
+    return Row(doc_id=i, text=text)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill every evening"
+    )
+    corpus = [
+        _doc(i, f"{base} variant {i} " + "filler words " * (i % 5))
+        for i in range(40)
+    ]
+    # new batch: 5 near-dups of corpus docs + 2 near-dups of each other
+    # + 3 unrelated docs
+    batch = (
+        [_doc(100 + i, f"{base} variant {i} " + "filler words " * (i % 5) + "tail")
+         for i in range(5)]
+        + [_doc(200, base + " tweaked once"), _doc(201, base + " tweaked once more")]
+        + [_doc(300 + i, f"completely different text number {i} " * 6)
+           for i in range(3)]
+    )
+    return spark.createDataFrame(corpus), spark.createDataFrame(batch)
+
+
+def test_incremental_matches_oneshot(spark, corpus_and_batch, tmp_path_factory):
+    corpus, batch = corpus_and_batch
+    table = "lsh_idx_correctness"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_index(corpus, table, SPEC)
+
+    inc = {
+        (r.a, r.b): r.est_jaccard
+        for r in incremental_candidates(spark, table, batch, SPEC).collect()
+    }
+    full = minhash_lsh_candidates(
+        corpus.unionByName(batch),
+        num_hashes=SPEC.num_hashes,
+        bands=SPEC.bands,
+        shingle_n=SPEC.shingle_n,
+    )
+    new_ids = {r.doc_id for r in batch.collect()}
+    want = {
+        (r.a, r.b): r.est_jaccard
+        for r in full.collect()
+        if r.a in new_ids or r.b in new_ids
+    }
+    assert inc == want
+    # sanity: the planted near-dups actually surface
+    assert any(a in new_ids or b in new_ids for a, b in inc)
+    assert (200, 201) in inc
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_append_then_next_batch_sees_previous(spark, corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    table = "lsh_idx_append"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_index(corpus, table, SPEC)
+    append_to_index(batch, table, SPEC)
+
+    batch2 = spark.createDataFrame(
+        [_doc(999, "the quick brown fox jumps over the lazy dog again and "
+                   "again while the cat watches from the warm windowsill "
+                   "every evening tweaked once")]
+    )
+    pairs = {
+        (r.a, r.b)
+        for r in incremental_candidates(spark, table, batch2, SPEC).collect()
+    }
+    # doc 999 is a near-dup of 200/201 which live only in the appended batch
+    assert (200, 999) in pairs or (201, 999) in pairs
+    spark.sql(f"DROP TABLE {table}")
+
+
+def _exchange_count(df) -> int:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return plan.count(") Exchange")
+
+
+def test_corpus_side_is_not_shuffled(spark, corpus_and_batch):
+    """The bucketed index join must not re-shuffle the corpus: the same
+    probe against an identical but UNBUCKETED table plans exactly one
+    more Exchange (the corpus side's)."""
+    corpus, batch = corpus_and_batch
+    bucketed, flat = "lsh_idx_bucketed", "lsh_idx_flat"
+    for t in (bucketed, flat):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_index(corpus, bucketed, SPEC)
+    banded_rows(corpus, SPEC).write.format("parquet").saveAsTable(flat)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kwargs = dict(
+            spec=SPEC, broadcast_new=False, include_new_new=False
+        )
+        df_bucketed = incremental_candidates(spark, bucketed, batch, **kwargs)
+        n_bucketed = _exchange_count(df_bucketed)
+        n_flat = _exchange_count(
+            incremental_candidates(spark, flat, batch, **kwargs)
+        )
+        assert n_flat == n_bucketed + 1
+        # and the join really consumes the scan's bucketing (the scan
+        # renders bucket info only when the plan exploits it)
+        plan = df_bucketed._sc._jvm.PythonSQLUtils.explainString(
+            df_bucketed._jdf.queryExecution(), "formatted"
+        )
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in (bucketed, flat):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_broadcast_probe_is_fully_exchange_free_on_corpus(
+    spark, corpus_and_batch
+):
+    """broadcast_new=True: the join is BroadcastHashJoin — the corpus
+    side reads bucketed files with no Exchange anywhere above its scan;
+    the only hash Exchanges left are the probe's own signature groupBy
+    and the final pair dedup."""
+    corpus, batch = corpus_and_batch
+    table = "lsh_idx_bcast"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_index(corpus, table, SPEC)
+    df = incremental_candidates(
+        spark, table, batch, SPEC, broadcast_new=True, include_new_new=False
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    # probe groupBy + dropDuplicates = the only hash exchanges
+    assert plan.count(") Exchange") == 2
+    spark.sql(f"DROP TABLE {table}")

@@ -1,9 +1,11 @@
-"""Multimodal column plumbing: binary + metadata, mapInPandas features,
-frame sampling, metadata-only scans."""
+"""Multimodal column plumbing: binary + metadata, codec-free byte
+inspection (magic numbers, header-parsed dimensions, entropy),
+mapInPandas features, frame sampling, metadata-only scans."""
 
 from __future__ import annotations
 
 import math
+import struct
 
 import pytest
 
@@ -12,22 +14,103 @@ from cassandra_analytics_spark.operators.multimodal import (
     decode_image,
     extract_image_features,
     frame_sample,
+    inspect_image_bytes,
     multimodal_stats,
+    parse_dimensions,
+    sniff_format,
 )
+
+
+def _png(w: int, h: int, payload: bytes = b"") -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+        + payload
+    )
+
+
+def _gif(w: int, h: int, payload: bytes = b"") -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + payload
+
+
+def _bmp(w: int, h: int) -> bytes:
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 10
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI, APP0 segment (16 bytes), SOF0 with height/width, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", h, w
+    ) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _webp(w: int, h: int) -> bytes:
+    return (
+        b"RIFF\x00\x00\x00\x00WEBPVP8X"
+        + b"\x00" * 8
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
 
 
 @pytest.fixture(scope="module")
 def mm_df(spark):
+    """200 valid PNG blobs with parseable headers + random payload."""
     import numpy as np
 
     rng = np.random.default_rng(42)
     rows = []
     for i in range(200):
-        blob = bytes(rng.integers(0, 256, size=500 + i).astype("uint8"))
+        payload = bytes(rng.integers(0, 256, size=500 + i).astype("uint8"))
+        blob = _png(64 + i % 8, 48 + i % 8, payload)
         rows.append(
             (i, blob, f"caption {i}", (64 + i % 8, 48 + i % 8, "image/png"))
         )
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def test_sniff_format_magics():
+    assert sniff_format(_png(1, 1)) == "png"
+    assert sniff_format(_gif(1, 1)) == "gif"
+    assert sniff_format(_bmp(1, 1)) == "bmp"
+    assert sniff_format(_jpeg(1, 1)) == "jpeg"
+    assert sniff_format(_webp(1, 1)) == "webp"
+    assert sniff_format(b"") is None
+    assert sniff_format(b"plain text, not an image") is None
+
+
+@pytest.mark.parametrize(
+    "blob,wh",
+    [
+        (_png(640, 480), (640, 480)),
+        (_gif(320, 200), (320, 200)),
+        (_bmp(1024, 768), (1024, 768)),
+        (_bmp(1024, -768), (1024, 768)),  # top-down BMP: negative height
+        (_jpeg(1920, 1080), (1920, 1080)),
+        (_webp(300, 150), (300, 150)),
+    ],
+)
+def test_parse_dimensions(blob, wh):
+    assert parse_dimensions(blob, sniff_format(blob)) == wh
+
+
+def test_parse_dimensions_truncated_header():
+    assert parse_dimensions(_png(9, 9)[:20], "png") is None
+    assert parse_dimensions(b"GIF89a\x01", "gif") is None
+    assert parse_dimensions(b"\xff\xd8\xff\xe0", "jpeg") is None
+
+
+def test_inspect_image_bytes_stats():
+    flat = inspect_image_bytes(bytes(range(256)))
+    assert flat["n_bytes"] == 256
+    assert flat["mean_byte"] == 127.5
+    assert math.isclose(flat["entropy"], 8.0)
+    assert inspect_image_bytes(b"")["n_bytes"] == 0
+    # constant bytes → zero entropy
+    assert inspect_image_bytes(b"\x07" * 100)["entropy"] == 0.0
 
 
 def test_decode_stub_contract():
@@ -43,16 +126,29 @@ def test_extract_image_features(mm_df):
     out = extract_image_features(mm_df).collect()
     assert len(out) == 200
     by_id = {r.id: r for r in out}
-    assert by_id[0].n_bytes == 500
-    assert by_id[199].n_bytes == 699
+    assert by_id[0].n_bytes == 500 + 29  # payload + PNG header
+    assert by_id[199].n_bytes == 699 + 29
+    assert all(r.format == "png" for r in out)
+    # dimensions parsed FROM the bytes, not copied from metadata
+    assert by_id[0].w == 64 and by_id[0].h == 48
+    assert by_id[7].w == 71 and by_id[7].h == 55
     assert all(0 <= r.mean_byte <= 255 for r in out)
     assert all(0 <= r.entropy <= 8.0 for r in out)
-    assert by_id[0].w == 64 and by_id[0].h == 48
+
+
+def test_extract_features_non_image_bytes(spark):
+    df = spark.createDataFrame(
+        [(1, b"not an image at all", "c", (0, 0, "text/plain"))],
+        MULTIMODAL_SCHEMA,
+    )
+    row = extract_image_features(df).collect()[0]
+    assert row.format is None and row.w is None and row.h is None
+    assert row.n_bytes == 19
 
 
 def test_frame_sample(mm_df):
     frames = frame_sample(mm_df, frame_bytes=100, every_nth=2)
-    rows = frames.filter("id = 0").collect()  # 500 bytes → 5 frames → idx 0,2,4
+    rows = frames.filter("id = 0").collect()  # 529 bytes → 5 frames → idx 0,2,4
     offsets = sorted(r.frame_offset for r in rows)
     assert offsets == [0, 2, 4]
     assert all(len(r.frame) == 100 for r in rows)
@@ -64,4 +160,4 @@ def test_multimodal_stats_metadata_only(mm_df):
     s = stats[0]
     assert s.mime == "image/png"
     assert s.n_items == 200
-    assert s.total_bytes == sum(500 + i for i in range(200))
+    assert s.total_bytes == sum(529 + i for i in range(200))
