@@ -15,6 +15,40 @@ token-range-sorted by the writer), and the F1 all-or-nothing accept-list
 for partition-key EqualTo/In pushdown, evaluated against parquet via
 pyarrow predicate pushdown.
 
+Reader options, mirroring the reference's ``ClientConfig.java:48-83``
+surface where it has a meaning over committed parquet batches:
+
+===========================  ==============================================
+option                        behavior
+===========================  ==============================================
+``path``                      table directory (required)
+``partition_keys``            comma-separated partition-key columns (F1)
+``require_full_pk``           reject scans whose filters don't pin the pk
+``snapshot``                  snapshot read: only batches committed at or
+                              before this batch id are visible (the
+                              ``snapshotName`` analog; accepts
+                              ``as_of_batch`` as an alias)
+``last_modified_column_name`` append a timestamp column aliased from each
+                              row's write-timestamp
+                              (``LAST_MODIFIED_COLUMN_NAME_KEY`` /
+                              ``aliasLastModifiedTimestamp``; the
+                              partition-level max is the separate M5
+                              operator ``operators/merge.py``)
+``default_parallelism``       × ``num_cores`` = target input-partition
+``num_cores``                 count, the reference's
+                              ``TokenPartitioner.java:76-120`` split math:
+                              fewer files than target → files split at
+                              parquet row-group boundaries; more → token-
+                              adjacent files packed per partition
+===========================  ==============================================
+
+Options with no analog over shared committed storage (documented n/a, as
+in COVERAGE.md): sidecar contact points/port, dc, createSnapshot/
+clearSnapshot (writers commit immutable batches), consistencyLevel (S2
+local reads), sizing/maxPartitionSize (row groups are pre-sized by the
+writer), useIncrementalRepair, quote_identifiers (schema comes from
+parquet, not CQL re-parsing).
+
 The JVM parquet path (``read_bulk_table``) remains the hot path;
 this source trades throughput (Python workers, Arrow batches) for the
 pluggable-format API surface.
@@ -42,22 +76,32 @@ FORMAT_NAME = "cassandra_bulk"
 
 @dataclass
 class FilePartition(InputPartition):
-    path: str
+    """One scan unit: a file, optionally narrowed to specific row groups
+    (the reference's Spark-partition ⊂ token-range split,
+    ``TokenPartitioner.java:76-120``)."""
+
+    units: list  # [(path, row_group_ids | None), ...]
 
 
-def _data_files(table_path: str) -> list[str]:
+def _data_files(table_path: str, snapshot: str | None = None) -> list[str]:
     """Data files of every committed batch, trusting each batch's
     manifest: a retried/speculative task can leave an orphan duplicate
     parquet in a batch dir, and directory listing would read it twice.
     The manifest records exactly the files the committing attempt owns.
-    Batches without a manifest (foreign writers) fall back to listing."""
+    Batches without a manifest (foreign writers) fall back to listing.
+    ``snapshot`` restricts to batches committed at or before that batch
+    id (batch ids are millisecond-ordered, so lexicographic ≤ is a
+    point-in-time snapshot)."""
     import json
     import os
 
     from cassandra_analytics_spark.sinks.bulk_writer import committed_batches
 
     files = []
-    for batch in committed_batches(table_path):
+    batches = committed_batches(table_path)
+    if snapshot is not None:
+        batches = [b for b in batches if os.path.basename(b) <= snapshot]
+    for batch in batches:
         manifest_path = os.path.join(batch, "_manifest.json")
         if os.path.isfile(manifest_path):
             with open(manifest_path) as f:
@@ -70,6 +114,10 @@ def _data_files(table_path: str) -> list[str]:
     return files
 
 
+def _snapshot_option(options: dict) -> str | None:
+    return options.get("snapshot") or options.get("as_of_batch")
+
+
 class CassandraBulkReader(DataSourceReader):
     def __init__(self, options: dict):
         self.table_path = options["path"]
@@ -79,6 +127,11 @@ class CassandraBulkReader(DataSourceReader):
         self.require_full_pk = (
             options.get("require_full_pk", "false").lower() == "true"
         )
+        self.snapshot = _snapshot_option(options)
+        self.lmt_column = options.get("last_modified_column_name")
+        parallelism = int(options.get("default_parallelism", "0"))
+        cores = int(options.get("num_cores", "1"))
+        self.target_partitions = parallelism * cores if parallelism > 0 else 0
         self.pushed: list[tuple[str, list]] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -113,18 +166,73 @@ class CassandraBulkReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        return [FilePartition(p) for p in _data_files(self.table_path)]
+        files = _data_files(self.table_path, self.snapshot)
+        target = self.target_partitions
+        if target <= 0 or target == len(files):
+            return [FilePartition([(p, None)]) for p in files]
+
+        units: list[tuple[str, list | None]] = []
+        if len(files) < target:
+            # fewer files than requested parallelism: split each file at
+            # row-group boundaries (the row group is the Summary.db-like
+            # seekable unit — splitting below it would re-read pages)
+            import math
+
+            import pyarrow.parquet as pq
+
+            per_file = math.ceil(target / len(files))
+            for p in files:
+                n = pq.read_metadata(p).num_row_groups
+                step = max(1, math.ceil(n / per_file))
+                for s in range(0, n, step):
+                    units.append((p, list(range(s, min(s + step, n)))))
+        else:
+            units = [(p, None) for p in files]
+
+        # pack token-adjacent units into at most `target` partitions —
+        # contiguous chunks keep each task inside a contiguous token span
+        k = min(target, len(units))
+        bounds = [round(i * len(units) / k) for i in range(k + 1)]
+        return [
+            FilePartition(units[bounds[i] : bounds[i + 1]])
+            for i in range(k)
+            if bounds[i] < bounds[i + 1]
+        ]
 
     def read(self, partition: FilePartition):
         import pyarrow.dataset as pa_ds
 
-        dataset = pa_ds.dataset(partition.path, format="parquet")
         predicate = None
         for col, values in self.pushed:
             clause = pa_ds.field(col).isin(values)
             predicate = clause if predicate is None else (predicate & clause)
-        scanner = dataset.scanner(filter=predicate)
-        yield from scanner.to_reader()
+        for path, row_groups in partition.units:
+            dataset = pa_ds.dataset(path, format="parquet")
+            for frag in dataset.get_fragments():
+                sub = (
+                    frag
+                    if row_groups is None
+                    else frag.subset(row_group_ids=row_groups)
+                )
+                scanner = pa_ds.Scanner.from_fragment(sub, filter=predicate)
+                for batch in scanner.to_reader():
+                    yield self._decorate(batch)
+
+    def _decorate(self, batch):
+        """Append the lastModifiedColumnName column when requested
+        (aliasLastModifiedTimestamp: write-timestamp surfaced as a
+        TIMESTAMP column; rows here are whole-row writes, so the row's
+        writetime IS its last-modified time)."""
+        if self.lmt_column is None:
+            return batch
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        wt = batch.column("writetime")
+        lmt = pc.cast(wt, pa.timestamp("us"))
+        return batch.append_column(
+            pa.field(self.lmt_column, pa.timestamp("us")), lmt
+        )
 
 
 @dataclass
@@ -233,7 +341,9 @@ class CassandraBulkDataSource(DataSource):
     def schema(self) -> StructType:
         import pyarrow.parquet as pq
 
-        files = _data_files(self.options["path"])
+        files = _data_files(
+            self.options["path"], _snapshot_option(dict(self.options))
+        )
         if not files:
             raise FileNotFoundError(
                 f"no committed batches under {self.options['path']}"
@@ -243,6 +353,9 @@ class CassandraBulkDataSource(DataSource):
         import pyarrow as pa
 
         unified = pa.unify_schemas(schemas, promote_options="default")
+        lmt = self.options.get("last_modified_column_name")
+        if lmt:
+            unified = unified.append(pa.field(lmt, pa.timestamp("us")))
         return from_arrow_schema(unified)
 
     def reader(self, schema: StructType) -> CassandraBulkReader:

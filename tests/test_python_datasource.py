@@ -151,3 +151,50 @@ def test_orphan_task_file_not_published(spark, tmp_path):
         manifest = json.load(f)
     assert list(manifest["files"]) == [msg.file_name]
     assert [os.path.basename(p) for p in _data_files(path)] == [msg.file_name]
+
+
+def test_snapshot_option_point_in_time(spark, bulk_table):
+    """snapshot=<first batch id> hides the second batch (snapshotName
+    analog: read a fixed point in time)."""
+    from cassandra_analytics_spark.sinks.bulk_writer import committed_batches
+    import os
+
+    first = os.path.basename(committed_batches(bulk_table)[0])
+    df = _load(spark, bulk_table, snapshot=first)
+    assert df.count() == 500  # the pk=0 update batch is invisible
+    assert df.filter("pk = 0 and ck = 0").collect()[0].val == "v0"
+
+
+def test_last_modified_column_name(spark, bulk_table):
+    df = _load(spark, bulk_table, last_modified_column_name="lmt")
+    assert dict(df.dtypes)["lmt"] == "timestamp"
+    import datetime as dt
+
+    rows = df.filter("pk = 0 and ck = 0").collect()
+    got = {(r.val, r.lmt) for r in rows}
+    epoch = dt.datetime(1970, 1, 1)
+    assert got == {
+        ("v0", epoch + dt.timedelta(microseconds=1_000)),
+        ("updated", epoch + dt.timedelta(microseconds=2_000)),
+    }
+
+
+def test_parallelism_options_split_row_groups(spark, bulk_table):
+    """default_parallelism × num_cores above the file count splits scan
+    partitions at row-group boundaries without changing results."""
+    base = _load(spark, bulk_table)
+    split = _load(
+        spark, bulk_table, default_parallelism="8", num_cores="2"
+    )
+    assert split.count() == base.count()
+    assert sorted(r.ck for r in split.filter("pk = 3").collect()) == sorted(
+        r.ck for r in base.filter("pk = 3").collect()
+    )
+    assert split.rdd.getNumPartitions() >= base.rdd.getNumPartitions()
+
+
+def test_parallelism_options_pack_files(spark, bulk_table):
+    """Target below the file count packs token-adjacent files together."""
+    packed = _load(spark, bulk_table, default_parallelism="2", num_cores="1")
+    assert packed.rdd.getNumPartitions() <= 2
+    assert packed.count() == 501
