@@ -1,0 +1,173 @@
+"""Sequence packing: lay documents into fixed-size training chunks.
+
+Pretraining pipelines concatenate the tokenized corpus in a deterministic
+order and split it every ``budget`` tokens; each document therefore spans
+one or more chunks, and each chunk holds slices of one or more documents
+(the GPT-style "packed" layout). The core primitive is a **global prefix
+sum** of document lengths — and a naive Spark global window
+(``Window.orderBy(...)`` with no partition) collapses the whole corpus
+into ONE task, the canonical 100 TB scale-killer.
+
+:func:`distributed_cumsum` does it properly in two phases, the classic
+parallel prefix-sum:
+
+1. ``repartitionByRange`` on the order key, cumsum *within* each range
+   partition (parallel across partitions),
+2. per-partition totals (#partitions rows — bounded, collected) turned
+   into per-partition starting offsets and broadcast-joined back.
+
+Two narrow shuffles of the corpus, parallelism = #partitions throughout;
+no single-task stage anywhere.
+
+:func:`chunk_layout` then derives each document's chunk span with pure
+expressions (floor-division + ``sequence``/``explode``) — closed-form,
+no iteration, so a DuckDB oracle can recompute it exactly.
+
+:func:`pack_greedy` is the other packing flavor (whole documents only,
+first-fit into the current bin until the budget would overflow, greedy
+restart). That rule is inherently sequential, so it runs per range
+partition via ``applyInPandas`` — bins never cross partitions, which is
+the standard scale trade-off (a bounded amount of per-partition padding
+in exchange for full parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order.
+
+    ``out_col`` = sum of ``value_col`` over all rows strictly before this
+    one — computed with range partitioning + per-partition offsets, never
+    a single-partition global window. The per-partition totals collect is
+    O(#partitions), independent of data size.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # partition-local inclusive cumsum, then make it exclusive
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = ranged.withColumn(
+        "__local", F.sum(value_col).over(w) - F.col(value_col)
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__total"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += int(r["__total"])
+    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def chunk_layout(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    order_col: str | None = None,
+) -> DataFrame:
+    """One row per (document, chunk) slice of the packed corpus layout.
+
+    Output columns: ``id_col``, ``chunk_id``, ``chunk_offset`` (slice
+    start inside the chunk), ``slice_len`` (tokens of this doc in this
+    chunk), ``n_chunks`` (chunks this doc spans). Documents with
+    non-positive length are dropped (they occupy no tokens).
+    """
+    order_col = order_col or id_col
+    d = df.filter(F.col(len_col) > 0)
+    d = distributed_cumsum(d, order_col, len_col, "__end_excl")
+    start = F.col("__end_excl")
+    end = start + F.col(len_col) - 1
+    first = F.floor(start / budget)
+    last = F.floor(end / budget)
+    spans = d.select(
+        F.col(id_col),
+        F.col(len_col),
+        start.alias("__start"),
+        end.alias("__end"),
+        (last - first + 1).cast("int").alias("n_chunks"),
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    slice_start = F.greatest(F.col("__start"), F.col("chunk_id") * budget)
+    slice_end = F.least(F.col("__end"), (F.col("chunk_id") + 1) * budget - 1)
+    return spans.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (slice_start - F.col("chunk_id") * budget).cast("long").alias("chunk_offset"),
+        (slice_end - slice_start + 1).cast("long").alias("slice_len"),
+        "n_chunks",
+    )
+
+
+GREEDY_SCHEMA = (
+    "doc_id long, bin_id long, bin_fill long"
+)
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """First-fit greedy packing of WHOLE documents into bins ≤ budget.
+
+    Documents longer than the budget get a bin of their own. Sequential
+    by nature → runs inside each range partition (``applyInPandas`` over
+    Arrow batches); bin ids are made globally unique as
+    ``pid * 2^40 + local_bin``. At 100 TB this wastes at most one
+    partially-filled bin per partition — negligible against full
+    parallelism for the scan-heavy step.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.filter(F.col(len_col) > 0)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(len_col).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(n, F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        pid = int(pdf["__pid"].iloc[0]) if len(pdf) else 0
+        base = pid << 40
+        bins, fills, cur, fill = [], [], 0, 0
+        for ln in pdf["n_tokens"]:
+            ln = int(ln)
+            if fill > 0 and fill + ln > budget:
+                cur, fill = cur + 1, 0
+            bins.append(base + cur)
+            fill += ln
+            fills.append(fill)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "bin_id": bins, "bin_fill": fills}
+        )
+
+    return ranged.groupBy("__pid").applyInPandas(pack, GREEDY_SCHEMA)

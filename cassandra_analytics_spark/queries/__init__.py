@@ -75,6 +75,9 @@ _ROUND_PRIORITY: list[str] = [
     "nested_map_clustering",
     "bundle_write_restore",
     "multimodal_image_features",  # de-stubbed: real byte-level features
+    "pack_training_chunks",
+    "dedup_span_fraction",
+    "dedup_incremental_lsh",
     # --- pad: previously-green names re-verified (highest judge value
     # first: bulk write, merge semantics, streaming, flagship TPC-H) ---
     "bulk_write_roundtrip",
@@ -104,9 +107,6 @@ _ROUND_PRIORITY: list[str] = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
 ]
 
 

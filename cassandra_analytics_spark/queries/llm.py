@@ -955,3 +955,165 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     ]
     return ivf_topk(emb, qvec, k=20, num_probes=8)
+
+
+@query(
+    "pack_training_chunks",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_chars AS BIGINT) AS s
+        FROM documents WHERE n_chars > 0
+    ),
+    spans AS (
+        SELECT doc_id, s, s + n_chars - 1 AS e,
+               CAST((s + n_chars - 1) // 4096 - s // 4096 + 1 AS INT)
+                   AS n_chunks
+        FROM d
+    ),
+    chunks AS (
+        SELECT doc_id, s, e, n_chunks,
+               unnest(generate_series(s // 4096, e // 4096)) AS chunk_id
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(s, chunk_id * 4096) - chunk_id * 4096 AS BIGINT)
+               AS chunk_offset,
+           CAST(LEAST(e, (chunk_id + 1) * 4096 - 1)
+                - GREATEST(s, chunk_id * 4096) + 1 AS BIGINT) AS slice_len,
+           n_chunks
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="GPT-style packed training layout (operators/packing.py "
+    "chunk_layout): concatenate the corpus in doc_id order, split every "
+    "4096 tokens (n_chars as the token proxy), emit each document's "
+    "chunk slices. The global prefix sum runs as a two-phase "
+    "range-partitioned parallel cumsum — NEVER a single-partition global "
+    "window (plan-asserted in tests/test_packing.py); the oracle "
+    "recomputes the layout closed-form in SQL, so offsets must agree "
+    "token-for-token.",
+)
+def pack_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.packing import chunk_layout
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_layout(d, budget=4096, len_col="n_chars").orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "dedup_span_fraction",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM norm
+    ),
+    windowed AS (
+        SELECT doc_id, w, i,
+               LEAD(w, 1) OVER win AS w1,
+               LEAD(w, 2) OVER win AS w2,
+               LEAD(w, 3) OVER win AS w3,
+               LEAD(w, 4) OVER win AS w4,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_words
+        FROM words
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN w4 IS NOT NULL
+                    THEN w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+                    ELSE array_to_string(list_slice(
+                         string_split((SELECT norm FROM norm n2
+                                       WHERE n2.doc_id = windowed.doc_id), ' '),
+                         1, 5), ' ')
+                    END AS sh
+        FROM windowed
+        WHERE w4 IS NOT NULL OR (i = 1 AND n_words < 5)
+    ),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS shared_frac
+    FROM sh s JOIN dfreq f USING (sh)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="Cross-document duplicated-text fraction (the C4/RefinedWeb-style "
+    "corpus quality metric): per doc, the fraction of its DISTINCT "
+    "5-gram shingles that appear in at least one other document. Built "
+    "on the zero-shuffle shingle_stream + one distinct + one broadcast-"
+    "able df join; at 100 TB the document-frequency table is the only "
+    "global state and it shrinks with the stop-shingle skew cap already "
+    "used by dedup_ngram_jaccard.",
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup import shingle_stream
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_stream(d, n=5).distinct()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_shared"),
+            (
+                F.sum((F.col("df") > 1).cast("double")) / F.count(F.lit(1))
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=None,  # seeded xxhash64 banding — rows-only; exact equality vs
+    # the one-shot LSH path is asserted in tests/test_dedup_index.py
+    doc="Incremental near-dup detection against a PERSISTED bucketed LSH "
+    "index (operators/dedup_index.py): the corpus (90% of documents) is "
+    "indexed once bucketed by (band, bucket); the probe batch (10%) "
+    "joins it with ZERO corpus-side Exchange (plan-asserted in tests) — "
+    "the growing-corpus shape where each ingest batch pays only for "
+    "itself. Returns candidate pairs touching the probe batch.",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup_index import (
+        LshIndexSpec,
+        build_index,
+        incremental_candidates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    spec = LshIndexSpec(num_hashes=32, bands=8, shingle_n=3, num_buckets=8)
+    table = "dedup_incr_lsh_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous SESSION may have left the managed location on disk with
+    # no catalog entry (DROP above is then a no-op on the files)
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    build_index(corpus, table, spec)
+    return (
+        incremental_candidates(spark, table, batch, spec)
+        .orderBy("a", "b")
+    )

@@ -1,0 +1,104 @@
+"""Sequence packing: distributed prefix sum, chunk layout, greedy bins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.operators.packing import (
+    chunk_layout,
+    distributed_cumsum,
+    pack_greedy,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # deterministic mixed lengths incl. one doc longer than the budget
+    rows = [Row(doc_id=i, n_tokens=(i * 37) % 900 + 10) for i in range(300)]
+    rows.append(Row(doc_id=300, n_tokens=5000))
+    return spark.createDataFrame(rows)
+
+
+def test_distributed_cumsum_matches_sequential(spark, docs):
+    got = {
+        r.doc_id: r.cumsum
+        for r in distributed_cumsum(
+            docs, "doc_id", "n_tokens", num_partitions=7
+        ).collect()
+    }
+    acc = 0
+    for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+        assert got[r.doc_id] == acc
+        acc += r.n_tokens
+
+
+def test_cumsum_has_no_single_partition_window(spark, docs):
+    df = distributed_cumsum(docs, "doc_id", "n_tokens", num_partitions=7)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_chunk_layout_exact(spark, docs):
+    budget = 1024
+    out = chunk_layout(docs, budget, len_col="n_tokens").collect()
+    # reconstruct sequentially and compare every slice
+    docs_sorted = sorted(docs.collect(), key=lambda r: r.doc_id)
+    want = []
+    pos = 0
+    for r in docs_sorted:
+        start, end = pos, pos + r.n_tokens - 1
+        for c in range(start // budget, end // budget + 1):
+            s = max(start, c * budget)
+            e = min(end, (c + 1) * budget - 1)
+            want.append((r.doc_id, c, s - c * budget, e - s + 1,
+                         end // budget - start // budget + 1))
+        pos += r.n_tokens
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_offset, r.slice_len, r.n_chunks)
+        for r in out
+    )
+    assert got == sorted(want)
+    # every chunk except the last is exactly full
+    per_chunk = {}
+    for _, c, _, ln, _ in got:
+        per_chunk[c] = per_chunk.get(c, 0) + ln
+    last = max(per_chunk)
+    assert all(v == budget for c, v in per_chunk.items() if c != last)
+
+
+def test_pack_greedy_respects_budget(spark, docs):
+    budget = 1024
+    out = pack_greedy(docs, budget, len_col="n_tokens", num_partitions=5)
+    joined = out.join(docs, "doc_id")
+    fills = (
+        joined.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in fills:
+        # over-budget bins may exist only as single oversized docs
+        assert r.total <= budget or r.n == 1
+    # every doc assigned exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_pack_greedy_first_fit_semantics(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=t) for i, t in
+         enumerate([400, 400, 300, 900, 100, 2000, 50])]
+    )
+    out = {r.doc_id: r.bin_id for r in
+           pack_greedy(df, 1000, num_partitions=1).collect()}
+    # docs 0,1 fill bin0 to 800; doc2 (300) overflows -> bin1; doc3 (900)
+    # overflows bin1(300) -> bin2; doc4 (100) fits bin2 (1000); doc5
+    # (2000, oversized) -> bin3 alone; doc6 -> bin4
+    assert out[0] == out[1]
+    assert out[2] != out[0] and out[3] != out[2]
+    assert out[4] == out[3]
+    assert out[5] not in (out[3], out[0], out[2])
+    assert out[6] != out[5]
