@@ -254,6 +254,7 @@ def read_bulk_table(
     merge: bool = True,
     as_of_batch: str | None = None,
     cell_lww: bool = False,
+    now_micros: int | None = None,
 ) -> DataFrame:
     """Bulk-reader entry: read every committed batch and apply the LWW
     compaction merge + tombstone purge — the read path of SURVEY §3.1 with
@@ -265,7 +266,11 @@ def read_bulk_table(
 
     ``cell_lww``: per-column reconciliation for upsert-style tables
     (partial writes leave unwritten columns NULL; Cassandra keeps the
-    older cells — see ``compaction_merge``)."""
+    older cells — see ``compaction_merge``).
+
+    ``now_micros``: the TTL-expiry clock (defaults to the current time) —
+    reading with an earlier clock shows not-yet-expired TTL'd rows,
+    matching Cassandra's local-expiry evaluation at read time."""
     batches = committed_batches(table_path)
     if as_of_batch is not None:
         batches = [b for b in batches if os.path.basename(b) <= as_of_batch]
@@ -280,6 +285,7 @@ def read_bulk_table(
         partition_keys=partition_keys,
         clustering_keys=clustering_keys,
         cell_lww=cell_lww,
+        now_micros=now_micros,
     )
 
 

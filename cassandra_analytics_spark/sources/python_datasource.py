@@ -40,6 +40,10 @@ option                        behavior
                               fewer files than target → files split at
                               parquet row-group boundaries; more → token-
                               adjacent files packed per partition
+``write_timestamp_micros``    (writer) the batch's write timestamp
+                              (``WriterOptions`` TIMESTAMP)
+``ttl_seconds``               (writer) rows land with a ttl column the
+                              merge-on-read honors (``WriterOptions`` TTL)
 ===========================  ==============================================
 
 Options with no analog over shared committed storage (documented n/a, as
@@ -257,6 +261,10 @@ class CassandraBulkWriter(DataSourceWriter):
         self.write_timestamp = int(
             options.get("write_timestamp_micros", time.time() * 1_000_000)
         )
+        # W6 parity on the format path (WriterOptions TTL): rows land with
+        # a ttl column the merge-on-read honors, as in bulk_write(ttl_seconds=)
+        ttl = options.get("ttl_seconds")
+        self.ttl_seconds = int(ttl) if ttl is not None else None
         self.batch_id = (
             f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         )
@@ -280,6 +288,9 @@ class CassandraBulkWriter(DataSourceWriter):
         arrow_schema = to_arrow_schema(self.schema)
         if "writetime" not in names:
             arrow_schema = arrow_schema.append(pa.field("writetime", pa.int64()))
+        if self.ttl_seconds is not None and "ttl" not in columns:
+            columns["ttl"] = [self.ttl_seconds] * len(rows)
+            arrow_schema = arrow_schema.append(pa.field("ttl", pa.int32()))
         table = pa.table(
             {k: pa.array(v, type=arrow_schema.field(k).type) for k, v in columns.items()},
             schema=arrow_schema,

@@ -198,3 +198,35 @@ def test_parallelism_options_pack_files(spark, bulk_table):
     packed = _load(spark, bulk_table, default_parallelism="2", num_cores="1")
     assert packed.rdd.getNumPartitions() <= 2
     assert packed.count() == 501
+
+
+def test_format_write_ttl_option(spark, tmp_path):
+    """ttl_seconds on the format writer: expired rows vanish on merged
+    read (W6 parity with bulk_write's ttl_seconds)."""
+    register(spark)
+    path = str(tmp_path / "ttl_tbl")
+    (
+        spark.createDataFrame([Row(pk=1, val="ephemeral")])
+        .write.format("cassandra_bulk")
+        .mode("append")
+        .option("path", path)
+        .option("write_timestamp_micros", "1000000")  # t = 1s epoch
+        .option("ttl_seconds", "10")
+        .save()
+    )
+    (
+        spark.createDataFrame([Row(pk=2, val="durable")])
+        .write.format("cassandra_bulk")
+        .mode("append")
+        .option("path", path)
+        .option("write_timestamp_micros", "1000000")
+        .save()
+    )
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+
+    # read "now" (far after 1s + 10s TTL): the TTL'd row is gone
+    out = read_bulk_table(spark, path, ["pk"])
+    assert {r.pk: r.val for r in out.collect()} == {2: "durable"}
+    # read before expiry: both visible
+    early = read_bulk_table(spark, path, ["pk"], now_micros=5_000_000)
+    assert {r.pk for r in early.collect()} == {1, 2}
