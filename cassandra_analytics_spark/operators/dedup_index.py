@@ -37,12 +37,21 @@ from cassandra_analytics_spark.operators.dedup import minhash_signatures
 
 @dataclass(frozen=True)
 class LshIndexSpec:
-    """Parameters that must agree between index build and every probe."""
+    """Parameters that must agree between index build and every probe.
+
+    ``max_bucket`` is the shared hot-bucket cap: any (band, bucket) whose
+    combined occupancy (corpus + new batch) exceeds it is skipped, exactly
+    as the one-shot ``minhash_lsh_candidates`` skips buckets larger than
+    its ``max_bucket``. Without it a stop-shingle-skewed bucket expands
+    quadratically in the incremental join, and results diverge from the
+    one-shot path this module claims parity with.
+    """
 
     num_hashes: int = 32
     bands: int = 8
     shingle_n: int = 3
     num_buckets: int = 16
+    max_bucket: int = 1000
 
     @property
     def rows_per_band(self) -> int:
@@ -136,11 +145,34 @@ def incremental_candidates(
     new side is broadcast too, so the whole join is exchange-free.
     ``new × new`` pairs (duplicates *inside* the batch) come from the
     in-batch bucket join of the same banded rows. Output ids are ordered
-    a < b and deduped across bands, matching ``minhash_lsh_candidates``.
+    a < b and deduped across bands, matching ``minhash_lsh_candidates``
+    — including its ``max_bucket`` hot-bucket cap: buckets whose combined
+    corpus+batch occupancy exceeds ``spec.max_bucket`` are dropped before
+    pair expansion. The corpus-side size count is a column-pruned
+    (band, bucket only) scan with NO Exchange (the bucketed layout already
+    clusters on the group key), so the exchange-free corpus property
+    holds; the resulting hot-bucket set is tiny and broadcast.
     """
     new_banded = banded_rows(new_df, spec, id_col, text_col)
     corpus = spark.table(table_name)
     probe = F.broadcast(new_banded) if broadcast_new else new_banded
+
+    # Hot-bucket cap, shared with the one-shot path: combined occupancy
+    # per (band, bucket) over corpus + new batch.
+    corpus_sizes = corpus.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    new_sizes = new_banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__nn")
+    )
+    hot = (
+        corpus_sizes.join(new_sizes, ["band", "bucket"], "full_outer")
+        .filter(
+            F.coalesce("__nc", F.lit(0)) + F.coalesce("__nn", F.lit(0))
+            > spec.max_bucket
+        )
+        .select("band", "bucket")
+    )
 
     def est(sa, sb) -> F.Column:
         return (
@@ -152,13 +184,17 @@ def incremental_candidates(
             / F.lit(spec.num_hashes)
         ).cast("double")
 
-    nc = probe.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("nid"), F.col("sig").alias("nsig")
-    ).join(
-        corpus.select(
-            "band", "bucket", F.col("id").alias("cid"), F.col("sig").alias("csig")
-        ),
-        ["band", "bucket"],
+    nc = (
+        probe.select(
+            F.col("band"), F.col("bucket"), F.col("id").alias("nid"), F.col("sig").alias("nsig")
+        )
+        .join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        .join(
+            corpus.select(
+                "band", "bucket", F.col("id").alias("cid"), F.col("sig").alias("csig")
+            ),
+            ["band", "bucket"],
+        )
     )
     nc_pairs = nc.filter(F.col("nid") != F.col("cid")).select(
         F.least("nid", "cid").alias("a"),
@@ -169,7 +205,7 @@ def incremental_candidates(
     if include_new_new:
         left = new_banded.select(
             "band", "bucket", F.col("id").alias("ida"), F.col("sig").alias("siga")
-        )
+        ).join(F.broadcast(hot), ["band", "bucket"], "left_anti")
         right = new_banded.select(
             "band", "bucket", F.col("id").alias("idb"), F.col("sig").alias("sigb")
         )

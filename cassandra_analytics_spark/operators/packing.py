@@ -50,11 +50,21 @@ def distributed_cumsum(
     one — computed with range partitioning + per-partition offsets, never
     a single-partition global window. The per-partition totals collect is
     O(#partitions), independent of data size.
+
+    The ranged partitioning is materialized ONCE (eager local checkpoint,
+    as in :mod:`..operators.graph`): ``repartitionByRange`` samples its
+    split points per job, so running the lineage twice — once for the
+    totals collect, once when the caller executes the returned plan —
+    could assign rows to different ``__pid`` values and silently corrupt
+    the prefix sums. Checkpointing pins one partitioning for both phases
+    (and avoids recomputing the upstream lineage a second time).
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # partition-local inclusive cumsum, then make it exclusive
     w = Window.partitionBy("__pid").orderBy(order_col)
@@ -96,15 +106,23 @@ def chunk_layout(
     order_col = order_col or id_col
     d = df.filter(F.col(len_col) > 0)
     d = distributed_cumsum(d, order_col, len_col, "__end_excl")
-    start = F.col("__end_excl")
-    end = start + F.col(len_col) - 1
-    first = F.floor(start / budget)
-    last = F.floor(end / budget)
+    # Offsets are nonnegative longs, so integer `div` == floor division.
+    # Plain `/` would be DOUBLE division, which loses exactness past 2^53
+    # — the DuckDB oracle uses integer `//`, so stay in long math.
+    budget = int(budget)
+    d = d.select(
+        F.col(id_col),
+        F.col(len_col),
+        F.col("__end_excl").alias("__start"),
+        (F.col("__end_excl") + F.col(len_col) - 1).alias("__end"),
+    )
+    first = F.expr(f"__start div {budget}")
+    last = F.expr(f"__end div {budget}")
     spans = d.select(
         F.col(id_col),
         F.col(len_col),
-        start.alias("__start"),
-        end.alias("__end"),
+        F.col("__start"),
+        F.col("__end"),
         (last - first + 1).cast("int").alias("n_chunks"),
         F.explode(F.sequence(first, last)).alias("chunk_id"),
     )

@@ -44,9 +44,12 @@ def events_stream(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     # Watermarks require TIMESTAMP (with local tz); parquet TIMESTAMP
-    # without UTC adjustment arrives as TIMESTAMP_NTZ. Session tz is UTC
-    # (catalog.load_table), so the cast is value-preserving.
+    # without UTC adjustment arrives as TIMESTAMP_NTZ. The ntz→ltz cast
+    # shifts values by the session timezone, so pin UTC here explicitly
+    # rather than relying on catalog.load_table having set it — a caller
+    # may have changed the session tz since the batch probe ran.
     if dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 

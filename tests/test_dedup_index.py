@@ -141,9 +141,12 @@ def test_broadcast_probe_is_fully_exchange_free_on_corpus(
     spark, corpus_and_batch
 ):
     """broadcast_new=True: the join is BroadcastHashJoin — the corpus
-    side reads bucketed files with no Exchange anywhere above its scan;
-    the only hash Exchanges left are the probe's own signature groupBy
-    and the final pair dedup."""
+    side reads bucketed files with no Exchange anywhere above its scan.
+    The remaining shuffle Exchanges all operate on tiny relations: the
+    probe's signature groupBy, the final pair dedup, and the hot-bucket
+    stat aggregates ((band, bucket) counts — bounded by distinct buckets,
+    never corpus rows; the corpus-side count itself is exchange-free off
+    the bucketed layout)."""
     corpus, batch = corpus_and_batch
     table = "lsh_idx_bcast"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -155,6 +158,51 @@ def test_broadcast_probe_is_fully_exchange_free_on_corpus(
         df._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
-    # probe groupBy + dropDuplicates = the only hash exchanges
-    assert plan.count(") Exchange") == 2
+    # probe groupBy + dropDuplicates + hot-bucket stat aggs; a corpus
+    # re-shuffle would add more (asserted via the flat-table delta in
+    # test_corpus_side_is_not_shuffled)
+    assert plan.count(") Exchange") <= 5
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_hot_bucket_cap_matches_oneshot(spark, corpus_and_batch):
+    """Buckets over max_bucket are skipped identically in the incremental
+    and one-shot paths — the cap-parity case the small-bucket parity test
+    can't exercise."""
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every evening")
+    spec = LshIndexSpec(
+        num_hashes=16, bands=4, shingle_n=3, num_buckets=4, max_bucket=4
+    )
+    # 6 identical docs (4 corpus + 2 batch) saturate their buckets past
+    # the cap of 4; one clean near-dup pair in the batch must survive.
+    corpus = spark.createDataFrame([_doc(i, base) for i in range(4)])
+    batch = spark.createDataFrame(
+        [_doc(100, base), _doc(101, base),
+         _doc(200, "some other much rarer document text entirely " * 4),
+         _doc(201, "some other much rarer document text entirely " * 4 + "x")]
+    )
+    table = "lsh_idx_hotcap"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_index(corpus, table, spec)
+    inc = {
+        (r.a, r.b)
+        for r in incremental_candidates(spark, table, batch, spec).collect()
+    }
+    full = minhash_lsh_candidates(
+        corpus.unionByName(batch),
+        num_hashes=spec.num_hashes,
+        bands=spec.bands,
+        shingle_n=spec.shingle_n,
+        max_bucket=spec.max_bucket,
+    )
+    new_ids = {100, 101, 200, 201}
+    want = {
+        (r.a, r.b)
+        for r in full.collect()
+        if r.a in new_ids or r.b in new_ids
+    }
+    assert inc == want
+    assert (200, 201) in inc          # un-capped bucket pairs survive
+    assert (100, 101) not in inc      # hot-bucket pairs are dropped
     spark.sql(f"DROP TABLE {table}")

@@ -34,6 +34,38 @@ def test_distributed_cumsum_matches_sequential(spark, docs):
         acc += r.n_tokens
 
 
+def test_distributed_cumsum_large_partitions_exact(spark):
+    # Regression: with more rows per partition than repartitionByRange's
+    # per-partition reservoir sample (~100), split points differ between
+    # jobs unless the ranged partitioning is materialized once. 40k rows
+    # over 8 partitions puts every partition deep into sampled territory;
+    # the prefix sum must still be exact.
+    rows = [Row(doc_id=i, n_tokens=(i * 131) % 997 + 1) for i in range(40_000)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: r.cumsum
+        for r in distributed_cumsum(
+            df, "doc_id", "n_tokens", num_partitions=8
+        ).collect()
+    }
+    acc = 0
+    for i in range(40_000):
+        assert got[i] == acc
+        acc += (i * 131) % 997 + 1
+
+
+def test_cumsum_ranged_lineage_is_materialized_once(spark, docs):
+    # The returned plan must read a checkpointed RDD, not re-derive the
+    # range exchange — that is the structural guarantee that both phases
+    # saw one partitioning.
+    df = distributed_cumsum(docs, "doc_id", "n_tokens", num_partitions=7)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "RangePartitioning" not in plan
+
+
 def test_cumsum_has_no_single_partition_window(spark, docs):
     df = distributed_cumsum(docs, "doc_id", "n_tokens", num_partitions=7)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
