@@ -45,68 +45,67 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # The round driver verifies the FIRST ~50 registry entries per round
 # (CORRECTNESS_r01.json is exactly the first 50 in registration order).
 # To get every query a driver row across rounds, each round front-loads
-# the names that still lack a green row. Round-3 priority: the 16 names
-# with no CORRECTNESS_r01/r02 row (they fell outside the previous
-# 50-entry windows), then queries NEW this round, then a pad of
-# previously-green names so the full window re-verifies high-value
-# operator classes. After this round the union of r1..r3 rows covers
-# every registered query.
+# the names that most need one. After r1..r3 the union covers all
+# registered queries, so round-4 priority is: (1) the two entries whose
+# only driver row was unusable (agg_approx_quantile errored on its array
+# column — now flattened; embedding_near_dup recorded 0 rows — now
+# seeded), (2) every query whose implementation changed this round
+# (packing checkpoint, LSH hot-bucket cap, executor-side bundling,
+# streaming tz pin) plus queries NEW this round, (3) a pad of names
+# whose only green row is from r1 — re-proving the oldest evidence.
 _ROUND_PRIORITY: list[str] = [
-    # --- no driver row yet (fell outside the r1/r2 windows) ---
-    "regexp_extract_groups",
-    "distinct_part_attrs",
-    "having_big_customers",
-    "case_when_tiering",
-    "date_trunc_variants",
-    "setop_intersect_all",
-    "setop_except_all",
-    "setop_union_by_name",
-    "skew_salted_returnflag",
-    "decontaminate_benchmark",
-    "text_repetition_stats",
-    "text_pii_scrub",
+    # --- (1) never had a usable driver row ---
+    "agg_approx_quantile",     # r3 err: array col; now scalar p50/p95/p99
+    "embedding_near_dup",      # r1 row was 0 rows; now returns matches
+    # --- (2) new this round / implementation touched this round ---
+    "dedup_incremental_pipeline",
+    "coordinated_write_roundtrip",
+    "pack_training_chunks",    # distributed_cumsum checkpoint fix
+    "dedup_incremental_lsh",   # hot-bucket cap
+    "bundle_write_restore",    # executor-side bundling
+    "streaming_hourly_stats",  # events_stream tz pin
     "streaming_sessionize",
     "streaming_dedup_union",
-    # rows-only, never driver-checked
-    "agg_approx_quantile",
-    "agg_hll_sketch_union",
-    # --- new this round ---
-    "nested_struct_explode",
-    "nested_map_clustering",
-    "bundle_write_restore",
-    "multimodal_image_features",  # de-stubbed: real byte-level features
-    "pack_training_chunks",
-    "dedup_span_fraction",
-    "dedup_incremental_lsh",
-    # --- pad: previously-green names re-verified (highest judge value
-    # first: bulk write, merge semantics, streaming, flagship TPC-H) ---
-    "bulk_write_roundtrip",
-    "lww_partial_upsert",
-    "lww_latest_events",
-    "cell_pivot_roundtrip",
-    "replica_read_all",
-    "train_val_test_split",
-    "multimodal_blob_stats",
-    "text_bm25_search",
-    "streaming_hourly_stats",
     "streaming_interval_join",
-    "streaming_stateful_profile",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assignment",
-    "cosine_topk_embeddings",
-    "asof_purchase_click",
-    "range_join_error_bursts",
-    "events_sessionize",
-    "pk_in_list_pushdown",
-    "topk_global_orders",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
+    "agg_hll_sketch_union",    # rows-only; only r3 rows-only row
+    # --- (3) pad: oldest evidence first (green only in r1) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_fingerprint_md5",
+    "training_data_pipeline",
+    "text_tfidf_search",
+    "text_token_stats",
+    "text_quality_features",
+    "text_bpe_tokens",
+    "lang_id_heuristic",
+    "embedding_label_norms",
+    "stratified_sample_langs",
+    "ann_ivf_topk",
+    "lmt_last_modified",
+    "partition_size_orders",
+    "token_range_histogram",
+    "static_column_propagation",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "agg_cube_status",
+    "agg_rollup_orders_time",
+    "sql_grouping_sets",
+    "agg_distinct_suppliers",
+    "agg_approx_distinct",
+    "window_topk_orders_per_customer",
+    "window_lag_order_gap",
+    "window_running_revenue",
+    "window_moving_avg",
+    "setop_intersect_customers",
+    "setop_except_customers",
+    "setop_union_segments",
+    "join_semi_open_orders",
+    "join_anti_no_orders",
+    "join_full_outer_nation_counts",
+    "join_cross_region_status",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
 ]
 
 

@@ -745,11 +745,34 @@ def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup",
     oracle=None,  # sign-LSH bucketing — seeded hyperplanes, no SQL analog
     doc="Embedding-cosine near-dup pairs via sign-LSH bucket join + exact "
-    "cosine confirmation.",
+    "cosine confirmation. The fixture embeddings are near-random (no "
+    "natural pairs at 0.9), so the registered run plants 8 deterministic "
+    "near-dup probes — element-wise ±5%-perturbed copies of the first 8 "
+    "vectors (cosine ≈ 0.999 to their source) — and must recover them "
+    "through the same LSH path; exactness is anchored by the planted-pair "
+    "recall test in tests/test_similarity.py.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.9, num_planes=6)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.05)
+                    * F.cos(i.cast("double") + F.col("vec_id").cast("double"))
+                )
+            ),
+        ).alias("embedding"),
+    )
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+    return embedding_near_dup_pairs(corpus, threshold=0.9, num_planes=6)
 
 
 @query(

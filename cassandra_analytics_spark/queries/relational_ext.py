@@ -478,14 +478,17 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_quantile",
     oracle=None,  # approximate sketch (GK/KLL) — engine-specific by design
     doc="approx_percentile sketch — the quantile path that scales past "
-    "exact sorting at 100 TB.",
+    "exact sorting at 100 TB. Quantiles emitted as scalar columns (p50/"
+    "p95/p99), not one array, so the rows-only driver check can "
+    "canonicalize the rows (pandas lexsort can't order list cells).",
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        q[0].alias("p50"),
+        q[1].alias("p95"),
+        q[2].alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 
