@@ -29,13 +29,18 @@ Spark-first analog over parquet:
    discipline as ``bulk_write`` — the restored batch is a normal
    committed batch that ``read_bulk_table`` merges like any other.
 
-Scale posture: bundling is metadata-light — member token bounds come from
-parquet footers (no data scan), grouping is O(#files) on the driver, and
-the restore reads only overlapping bundles (an executor-parallel variant
-would map the per-task file lists through ``mapPartitions``, exactly as
-the reference bundles inside each RecordWriter task). The zip uses
-STORED entries: parquet is already compressed, so bundling never
-recompresses data bytes.
+Scale posture: bundling runs INSIDE each write task (``mapInArrow`` over
+the range-partitioned, sorted rows — exactly where the reference's
+``SSTablesBundler`` runs, inside ``RecordWriter``): every task writes its
+own sorted member files, rolls them into zip bundles, digests them, and
+publishes each bundle into the staging dir with an atomic rename. The
+driver never loops over data files — it only collects O(#bundles)
+metadata rows and commits the manifest. Task retries republish
+byte-identical bundles under the same name (the partition data is
+deterministic), so the last rename wins harmlessly; bundles from failed
+attempts never reach the manifest and the restore path opens only
+manifest-listed bundles. The zip uses STORED entries: parquet is already
+compressed, so bundling never recompresses data bytes.
 """
 
 from __future__ import annotations
@@ -85,23 +90,151 @@ class BundleStoreResult:
     bundles: list[BundleInfo]
 
 
-def _token_bounds(parquet_path: str) -> tuple[int, int, int]:
-    """(min_token, max_token, num_rows) from parquet footer stats only."""
-    import pyarrow.parquet as pq
+_BUNDLE_META_SCHEMA = (
+    "name string, bytes long, digest string, start_token long, "
+    "end_token long, num_rows long, members string"
+)
 
-    md = pq.read_metadata(parquet_path)
-    schema_names = md.schema.to_arrow_schema().names
-    col_idx = schema_names.index(TOKEN_COLUMN)
-    lo, hi = None, None
-    for rg in range(md.num_row_groups):
-        stats = md.row_group(rg).column(col_idx).statistics
-        if stats is None or not stats.has_min_max:
-            raise BulkWriteError(
-                f"missing token stats in {parquet_path} row group {rg}"
+
+def _make_bundler(
+    staging: str,
+    max_records_per_file: int,
+    max_bundle_bytes: int,
+    digest_algorithm: str,
+):
+    """Per-task bundling closure for ``mapInArrow`` — the RecordWriter-side
+    ``SSTablesBundler.java:39-49`` analog. Receives this range partition's
+    rows sorted by token, writes member parquet files (rolled at
+    ``max_records_per_file``), groups consecutive members into zip bundles
+    (closed when the running size would cross ``max_bundle_bytes``),
+    publishes each bundle into ``staging`` via write-temp + atomic rename,
+    and yields one metadata row per bundle."""
+
+    def bundle_partition(batches):
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+        import tempfile
+        import uuid as _uuid
+        import zipfile as _zip
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from cassandra_analytics_spark.sinks.bulk_writer import _file_digest
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        tmp = tempfile.mkdtemp(prefix=f"bundler-{pid:05d}-")
+        members: list[tuple[str, str, int, int, int]] = []
+        bundles_meta: list[dict] = []
+        writer = None
+        cur_name = cur_path = None
+        cur_rows = 0
+        cur_lo = cur_hi = None
+        seq = 0
+
+        def close_member():
+            nonlocal writer, cur_name, cur_path, cur_rows, cur_lo, cur_hi, seq
+            if writer is None:
+                return
+            writer.close()
+            members.append((cur_name, cur_path, cur_rows, cur_lo, cur_hi))
+            writer, cur_name, cur_path = None, None, None
+            cur_rows, cur_lo, cur_hi = 0, None, None
+            seq += 1
+
+        def close_bundle(group):
+            if not group:
+                return
+            bname = f"bundle-{pid:05d}-{len(bundles_meta):05d}.zip"
+            zpath = _os.path.join(tmp, bname)
+            member_meta: dict[str, dict] = {}
+            with _zip.ZipFile(zpath, "w", compression=_zip.ZIP_STORED) as zf:
+                for fname, fpath, rows, lo, hi in group:
+                    zf.write(fpath, arcname=fname)
+                    member_meta[fname] = {
+                        "bytes": _os.path.getsize(fpath),
+                        digest_algorithm: _file_digest(fpath, digest_algorithm),
+                        "rows": rows,
+                        "start_token": lo,
+                        "end_token": hi,
+                    }
+            # publish: write-temp + rename. Retries republish identical
+            # bytes (deterministic partition data), so last-wins is safe.
+            dest = _os.path.join(staging, bname)
+            part = f"{dest}.inprogress-{_uuid.uuid4().hex[:8]}"
+            _shutil.copyfile(zpath, part)
+            _os.rename(part, dest)
+            bundles_meta.append(
+                {
+                    "name": bname,
+                    "bytes": _os.path.getsize(dest),
+                    "digest": _file_digest(dest, digest_algorithm),
+                    "start_token": min(m[3] for m in group),
+                    "end_token": max(m[4] for m in group),
+                    "num_rows": sum(m[2] for m in group),
+                    "members": member_meta,
+                }
             )
-        lo = stats.min if lo is None else min(lo, stats.min)
-        hi = stats.max if hi is None else max(hi, stats.max)
-    return int(lo), int(hi), md.num_rows
+
+        try:
+            for batch in batches:
+                tok_idx = batch.schema.get_field_index(TOKEN_COLUMN)
+                offset = 0
+                while offset < batch.num_rows:
+                    if writer is None:
+                        cur_name = f"part-{pid:05d}-{seq:05d}.parquet"
+                        cur_path = _os.path.join(tmp, cur_name)
+                        writer = pq.ParquetWriter(cur_path, batch.schema)
+                    take = min(batch.num_rows - offset, max_records_per_file - cur_rows)
+                    sl = batch.slice(offset, take)
+                    writer.write_batch(sl)
+                    mm = pc.min_max(sl.column(tok_idx))
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    cur_lo = lo if cur_lo is None else min(cur_lo, lo)
+                    cur_hi = hi if cur_hi is None else max(cur_hi, hi)
+                    cur_rows += take
+                    offset += take
+                    if cur_rows >= max_records_per_file:
+                        close_member()
+            close_member()
+
+            group: list[tuple[str, str, int, int, int]] = []
+            group_bytes = 0
+            for m in members:
+                fsize = _os.path.getsize(m[1])
+                if group and group_bytes + fsize > max_bundle_bytes:
+                    close_bundle(group)
+                    group, group_bytes = [], 0
+                group.append(m)
+                group_bytes += fsize
+            close_bundle(group)
+
+            if bundles_meta:
+                yield pa.RecordBatch.from_pylist(
+                    [
+                        {**b, "members": _json.dumps(b["members"])}
+                        for b in bundles_meta
+                    ],
+                    schema=pa.schema(
+                        [
+                            ("name", pa.string()),
+                            ("bytes", pa.int64()),
+                            ("digest", pa.string()),
+                            ("start_token", pa.int64()),
+                            ("end_token", pa.int64()),
+                            ("num_rows", pa.int64()),
+                            ("members", pa.string()),
+                        ]
+                    ),
+                )
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+    return bundle_partition
 
 
 def bundle_write(
@@ -123,6 +256,11 @@ def bundle_write(
     size (``WriterOptions.java:59-61``); each bundle holds at least one
     member file even if that file alone exceeds the cap (the reference's
     bundler closes a bundle when the running size crosses the threshold).
+
+    Bundling is executor-side: each range-partition task writes, zips,
+    digests, and publishes its own bundles (see :func:`_make_bundler`);
+    the driver handles only the O(#bundles) metadata and the final
+    atomic-rename commit of the job directory.
     """
     _validate(df, partition_keys, clustering_keys, table)
 
@@ -150,70 +288,40 @@ def bundle_write(
     )
 
     job_id = f"job-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-    scratch = os.path.join(store_path, f"_scratch-{job_id}")
     staging = os.path.join(store_path, f"_staging-{job_id}")
     job_dir = os.path.join(store_path, job_id)
-    (
-        out.write.mode("errorifexists")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(scratch)
-    )
-
-    members = []
-    for fname in sorted(os.listdir(scratch)):
-        if not fname.endswith(".parquet"):
-            continue
-        fpath = os.path.join(scratch, fname)
-        lo, hi, rows = _token_bounds(fpath)
-        members.append((lo, hi, rows, fname, fpath))
-    if not members:
-        shutil.rmtree(scratch)
-        raise BulkWriteError("bundle_write produced no data files")
-    members.sort()  # token order → bundles cover contiguous ring spans
-
     os.makedirs(staging)
-    bundles: list[BundleInfo] = []
-    group: list[tuple[int, int, int, str, str]] = []
-    group_bytes = 0
 
-    def _close_bundle() -> None:
-        nonlocal group, group_bytes
-        if not group:
-            return
-        name = f"bundle-{len(bundles):05d}.zip"
-        zpath = os.path.join(staging, name)
-        member_meta: dict[str, dict] = {}
-        with zipfile.ZipFile(zpath, "w", compression=zipfile.ZIP_STORED) as zf:
-            for lo, hi, rows, fname, fpath in group:
-                zf.write(fpath, arcname=fname)
-                member_meta[fname] = {
-                    "bytes": os.path.getsize(fpath),
-                    digest_algorithm: _file_digest(fpath, digest_algorithm),
-                    "rows": rows,
-                    "start_token": lo,
-                    "end_token": hi,
-                }
-        bundles.append(
-            BundleInfo(
-                name=name,
-                bytes=os.path.getsize(zpath),
-                digest=_file_digest(zpath, digest_algorithm),
-                start_token=min(m[0] for m in group),
-                end_token=max(m[1] for m in group),
-                num_rows=sum(m[2] for m in group),
-                members=member_meta,
-            )
+    # One job: every task bundles and publishes its own partition; the
+    # driver collects only metadata rows (O(#bundles), never data).
+    try:
+        meta_rows = out.mapInArrow(
+            _make_bundler(
+                staging, max_records_per_file, max_bundle_bytes, digest_algorithm
+            ),
+            _BUNDLE_META_SCHEMA,
+        ).collect()
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if not meta_rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise BulkWriteError("bundle_write produced no data files")
+
+    # Range partitions are assigned in token order, so name order (which
+    # embeds the partition id) == token order → contiguous ring spans.
+    bundles = [
+        BundleInfo(
+            name=r["name"],
+            bytes=r["bytes"],
+            digest=r["digest"],
+            start_token=r["start_token"],
+            end_token=r["end_token"],
+            num_rows=r["num_rows"],
+            members=json.loads(r["members"]),
         )
-        group, group_bytes = [], 0
-
-    for entry in members:
-        fsize = os.path.getsize(entry[4])
-        if group and group_bytes + fsize > max_bundle_bytes:
-            _close_bundle()
-        group.append(entry)
-        group_bytes += fsize
-    _close_bundle()
-    shutil.rmtree(scratch)
+        for r in sorted(meta_rows, key=lambda r: r["name"])
+    ]
 
     manifest = {
         "job": job_id,
@@ -275,6 +383,13 @@ def restore_bundles(
     after (corrupted uploads fail the restore, nothing is committed;
     the reference re-validates written SSTables the same way,
     ``RecordWriter.java:351-353``).
+
+    The store is remote and untrusted, so extraction is manifest-driven:
+    ONLY member names listed in the manifest are extracted (zip entries
+    the manifest doesn't know about are ignored — they'd otherwise land
+    in the batch dir and be read back as data), and every member name is
+    rejected if absolute or if its normalized path escapes the staging
+    dir (zip-slip).
     """
     with open(os.path.join(job_dir, "_bundle_manifest.json")) as f:
         manifest = json.load(f)
@@ -301,19 +416,30 @@ def restore_bundles(
     try:
         files: dict[str, dict] = {}
         num_rows = 0
+        staging_root = os.path.realpath(staging)
         for name in sorted(selected):
             meta = selected[name]
             zpath = os.path.join(job_dir, name)
             if verify and _file_digest(zpath, algo) != meta[algo]:
                 raise BulkWriteError(f"bundle digest mismatch: {name}")
             with zipfile.ZipFile(zpath) as zf:
-                zf.extractall(staging)
-            for fname, fmeta in meta["members"].items():
-                fpath = os.path.join(staging, fname)
-                if verify and _file_digest(fpath, algo) != fmeta[algo]:
-                    raise BulkWriteError(f"member digest mismatch: {fname}")
-                files[fname] = {"bytes": fmeta["bytes"], algo: fmeta[algo]}
-                num_rows += fmeta["rows"]
+                zip_names = set(zf.namelist())
+                for fname, fmeta in meta["members"].items():
+                    target = os.path.realpath(os.path.join(staging, fname))
+                    if os.path.isabs(fname) or not target.startswith(
+                        staging_root + os.sep
+                    ):
+                        raise BulkWriteError(f"unsafe member path: {fname!r}")
+                    if fname not in zip_names:
+                        raise BulkWriteError(
+                            f"bundle {name} is missing member {fname!r}"
+                        )
+                    with zf.open(fname) as src, open(target, "wb") as dst:
+                        shutil.copyfileobj(src, dst)
+                    if verify and _file_digest(target, algo) != fmeta[algo]:
+                        raise BulkWriteError(f"member digest mismatch: {fname}")
+                    files[fname] = {"bytes": fmeta["bytes"], algo: fmeta[algo]}
+                    num_rows += fmeta["rows"]
 
         batch_manifest = {
             "batch": batch_id,

@@ -143,6 +143,91 @@ def test_restored_batch_interoperates_with_bulk_write(spark, tmp_path):
     assert len(got) == 50
 
 
+def test_restore_rejects_zip_slip_member_names(spark, tmp_path):
+    """A manifest member name that escapes the staging dir must fail the
+    restore before anything is written (the store is untrusted)."""
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    res = bundle_write(
+        _docs(spark), store, ["id"], write_timestamp_micros=1_000,
+        num_partitions=1,
+    )
+    mpath = os.path.join(res.job_dir, "_bundle_manifest.json")
+    os.chmod(res.job_dir, 0o755)
+    os.chmod(mpath, 0o644)
+    manifest = json.load(open(mpath))
+    bname = next(iter(manifest["bundles"]))
+    members = manifest["bundles"][bname]["members"]
+    fname, fmeta = next(iter(members.items()))
+    members["../../escaped.parquet"] = fmeta
+    json.dump(manifest, open(mpath, "w"))
+
+    with pytest.raises(BulkWriteError, match="unsafe member path"):
+        restore_bundles(spark, res.job_dir, table, verify=False)
+    assert committed_batches(table) == []
+    assert not (tmp_path / "escaped.parquet").exists()
+
+
+def test_restore_ignores_unmanifested_zip_entries(spark, tmp_path):
+    """Extra zip entries not listed in the manifest must NOT reach the
+    committed batch dir (they'd be read back as data)."""
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    src = _docs(spark, n=40)
+    res = bundle_write(
+        src, store, ["id"], ["ck"], write_timestamp_micros=1_000,
+        num_partitions=1,
+    )
+    victim = os.path.join(res.job_dir, res.bundles[0].name)
+    os.chmod(res.job_dir, 0o755)
+    os.chmod(victim, 0o644)
+    with zipfile.ZipFile(victim, "a") as zf:
+        zf.writestr("smuggled.parquet", b"not really parquet")
+
+    result = restore_bundles(spark, res.job_dir, table, verify=False)
+    extracted = set(os.listdir(result.batch_dir))
+    assert "smuggled.parquet" not in extracted
+    back = read_bulk_table(spark, table, ["id"], ["ck"])
+    assert back.count() == 40
+
+
+def test_restore_fails_on_missing_manifest_member(spark, tmp_path):
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    res = bundle_write(
+        _docs(spark), store, ["id"], write_timestamp_micros=1_000,
+        num_partitions=1,
+    )
+    mpath = os.path.join(res.job_dir, "_bundle_manifest.json")
+    os.chmod(res.job_dir, 0o755)
+    os.chmod(mpath, 0o644)
+    manifest = json.load(open(mpath))
+    bname = next(iter(manifest["bundles"]))
+    members = manifest["bundles"][bname]["members"]
+    fname, fmeta = next(iter(members.items()))
+    members["ghost-member.parquet"] = fmeta
+    json.dump(manifest, open(mpath, "w"))
+
+    with pytest.raises(BulkWriteError, match="missing member"):
+        restore_bundles(spark, res.job_dir, table, verify=False)
+    assert committed_batches(table) == []
+
+
+def test_bundle_names_embed_writing_partition(spark, tmp_path):
+    """Executor-side bundling: every bundle is produced and named by its
+    write task (partition id prefix), and partition order == token order."""
+    store = str(tmp_path / "store")
+    res = bundle_write(
+        _docs(spark), store, ["id"], write_timestamp_micros=1_000,
+        num_partitions=4, max_bundle_bytes=1,
+    )
+    pids = [int(b.name.split("-")[1]) for b in res.bundles]
+    assert len(set(pids)) == 4
+    assert pids == sorted(pids)
+    spans = [(b.start_token, b.end_token) for b in res.bundles]
+    assert spans == sorted(spans)
+
+
 def test_bundle_zip_members_are_stored_not_deflated(spark, tmp_path):
     store = str(tmp_path / "store")
     res = bundle_write(
@@ -151,3 +236,65 @@ def test_bundle_zip_members_are_stored_not_deflated(spark, tmp_path):
     )
     with zipfile.ZipFile(os.path.join(res.job_dir, res.bundles[0].name)) as zf:
         assert all(i.compress_type == zipfile.ZIP_STORED for i in zf.infolist())
+
+
+# ---------------------------------------------------------------------------
+# Property: arbitrary (row counts, member roll size, bundle byte cap,
+# partitioning, probe token range) → full restore equals the written rows
+# exactly, and slice pruning never drops a row whose token lies in the
+# requested range (a dropped overlapping bundle would surface here as a
+# missing row).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+bundle_cases = st.tuples(
+    st.integers(1, 60),              # n rows
+    st.integers(1, 4),               # num_partitions
+    st.integers(1, 25),              # max_records_per_file
+    st.sampled_from([1, 10_000, 160 << 20]),  # max_bundle_bytes
+    st.integers(0, 2**63 - 1),       # probe range width seedling
+    st.integers(-(2**63), 2**63 - 1),  # probe range start
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(bundle_cases)
+def test_bundle_restore_property(spark, tmp_path_factory, case):
+    n, nparts, max_rec, max_bytes, width, start = case
+    base = tmp_path_factory.mktemp("bprop")
+    store, full_tbl, slice_tbl = (
+        str(base / "store"), str(base / "full"), str(base / "slice")
+    )
+    src = spark.createDataFrame(
+        [Row(id=i, ck=i % 2, val=f"v{i}") for i in range(n)]
+    )
+    res = bundle_write(
+        src, store, ["id"], ["ck"], write_timestamp_micros=1_000,
+        num_partitions=nparts, max_records_per_file=max_rec,
+        max_bundle_bytes=max_bytes,
+    )
+    assert res.num_rows == n
+
+    # full restore == written rows, exactly
+    restore_bundles(spark, res.job_dir, full_tbl)
+    got = {(r.id, r.ck, r.val) for r in
+           read_bulk_table(spark, full_tbl, ["id"], ["ck"]).collect()}
+    assert got == {(i, i % 2, f"v{i}") for i in range(n)}
+
+    # slice restore: rows whose token lies in [lo, hi] are never dropped
+    lo = start
+    hi = start + min(width, 2**63 - 1 - start if start >= 0 else 2**63 - 1)
+    toks = {r.id: r.t for r in src.select(
+        "id", token_column(F.col("id")).alias("t")).collect()}
+    expect_ids = {i for i, t in toks.items() if lo <= t <= hi}
+    try:
+        restore_bundles(spark, res.job_dir, slice_tbl, token_range=(lo, hi))
+    except BulkWriteError:
+        # legitimate only if NO written row hashes into the probed range
+        assert expect_ids == set()
+        return
+    back = {r.id for r in
+            read_bulk_table(spark, slice_tbl, ["id"], ["ck"]).collect()}
+    assert expect_ids <= back  # pruning may over-include, never drop
