@@ -161,6 +161,59 @@ def bulk_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "coordinated_write_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Coordinated multi-target write end-to-end "
+    "(bulkwriter/coordinatedwrite/CassandraCoordinatedBulkWriterContext.java, "
+    "CoordinatedWriteConf.java): one DataFrame bulk-written to TWO table "
+    "paths in a single job with an all-or-nothing joint commit, both "
+    "replicas read back through the committed-batch reader, aggregated "
+    "independently, and inner-joined on every aggregate column — a row "
+    "survives only where the replicas agree, so any divergence between "
+    "targets (or from the source) breaks the row count and hash.",
+)
+def coordinated_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_spark.sinks.bulk_writer import (
+        coordinated_bulk_write,
+        read_bulk_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="cas_coord_roundtrip_")
+    targets = [f"{root}/cluster_a", f"{root}/cluster_b"]
+    coordinated_bulk_write(
+        o,
+        targets,
+        partition_keys=["o_orderkey"],
+        write_timestamp_micros=1_000_000,
+        num_partitions=8,
+    )
+
+    def agg(path: str) -> DataFrame:
+        back = read_bulk_table(spark, path, partition_keys=["o_orderkey"])
+        return back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+
+    return (
+        agg(targets[0])
+        .join(agg(targets[1]), ["o_orderstatus", "n_orders", "total_price"])
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "cell_pivot_roundtrip",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_orderpriority

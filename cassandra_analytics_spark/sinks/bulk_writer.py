@@ -132,6 +132,46 @@ def bulk_write(
     ``append`` is allowed — the reference rejects Overwrite because it would
     need a TRUNCATE (``CassandraDataSink.java:96-99``).
     """
+    out, required_ck, mode = _prepare_batch_df(
+        df, partition_keys, clustering_keys, mode, table,
+        write_timestamp_micros, ttl_seconds, num_partitions, save_mode,
+    )
+
+    batch_id = _new_batch_id()
+    staging, manifest = _stage_batch(
+        out, table_path, batch_id, mode, partition_keys, clustering_keys,
+        max_records_per_file, digest_algorithm,
+    )
+
+    # W4: the commit point — a single atomic rename. Before it, readers
+    # never see the batch; after it, they always do.
+    final_dir = os.path.join(table_path, batch_id)
+    os.rename(staging, final_dir)
+    return WriteResult(
+        batch_dir=final_dir,
+        num_files=len(manifest["files"]),
+        num_rows=manifest["num_rows"],
+        manifest_path=os.path.join(final_dir, "_manifest.json"),
+    )
+
+
+def _new_batch_id() -> str:
+    return f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+
+
+def _prepare_batch_df(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str],
+    mode: WriteMode | str,
+    table: CqlTable | None,
+    write_timestamp_micros: int | None,
+    ttl_seconds: int | None,
+    num_partitions: int | None,
+    save_mode: str,
+) -> tuple[DataFrame, tuple, WriteMode]:
+    """W1 + W2: validate, stamp system columns, token + range-partition +
+    sort. Shared by the single-target and coordinated write paths."""
     if save_mode.lower() != "append":
         raise BulkWriteError(
             f"save mode {save_mode!r} not supported: bulk writes are append-only "
@@ -139,7 +179,7 @@ def bulk_write(
         )
     mode = WriteMode(mode) if isinstance(mode, str) else mode
     # DELETE_PARTITION rows carry only partition keys (WriteMode.java:22-25)
-    required_ck = () if mode is WriteMode.DELETE_PARTITION else clustering_keys
+    required_ck = () if mode is WriteMode.DELETE_PARTITION else tuple(clustering_keys)
     _validate(df, partition_keys, required_ck, table)
 
     wt = (
@@ -171,12 +211,23 @@ def bulk_write(
     out = out.repartitionByRange(n, F.col("__token")).sortWithinPartitions(
         "__token", *partition_keys, *required_ck
     )
-    out = out.drop("__token")
+    return out.drop("__token"), required_ck, mode
 
-    # W3: sized sorted files into a staging dir
-    batch_id = f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+
+def _stage_batch(
+    out: DataFrame,
+    table_path: str,
+    batch_id: str,
+    mode: WriteMode,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str],
+    max_records_per_file: int,
+    digest_algorithm: str,
+) -> tuple[str, dict]:
+    """W3: sized sorted files + digest manifest into ``_staging-<batch>``
+    of ``table_path``; returns (staging_dir, manifest). NOT committed —
+    the caller renames the staging dir to publish."""
     staging = os.path.join(table_path, f"_staging-{batch_id}")
-    final_dir = os.path.join(table_path, batch_id)
     (
         out.write.mode("errorifexists")
         .option("maxRecordsPerFile", max_records_per_file)
@@ -209,19 +260,130 @@ def bulk_write(
         "num_rows": num_rows,
         "files": files,
     }
-    manifest_path = os.path.join(staging, "_manifest.json")
-    with open(manifest_path, "w") as f:
+    with open(os.path.join(staging, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+    return staging, manifest
 
-    # W4: the commit point — a single atomic rename. Before it, readers
-    # never see the batch; after it, they always do.
-    os.rename(staging, final_dir)
-    return WriteResult(
-        batch_dir=final_dir,
-        num_files=len(files),
-        num_rows=num_rows,
-        manifest_path=os.path.join(final_dir, "_manifest.json"),
+
+def coordinated_bulk_write(
+    df: DataFrame,
+    target_paths: Sequence[str],
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str] = (),
+    mode: WriteMode | str = WriteMode.APPEND,
+    table: CqlTable | None = None,
+    write_timestamp_micros: int | None = None,
+    ttl_seconds: int | None = None,
+    num_partitions: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    digest_algorithm: str = "md5",
+    save_mode: str = "append",
+) -> list[WriteResult]:
+    """Write ONE DataFrame to several table paths in a single job with an
+    all-or-nothing joint commit — the analog of the reference's
+    coordinated multi-cluster bulk write
+    (``bulkwriter/coordinatedwrite/CassandraCoordinatedBulkWriterContext.java``,
+    ``CoordinatedWriteConf.java`` per-cluster validation,
+    ``CassandraClusterInfoGroup.java:53`` fan-out).
+
+    Phases, mirroring the reference's upload-everything-then-import:
+
+    1. **Validate every target up front** (CoordinatedWriteConf rejects a
+       job unless every cluster's conf is coherent): duplicate targets
+       are rejected, and any target that already holds committed batches
+       must agree on partition/clustering keys.
+    2. **Stage once, replicate** — the W1/W2/W3 pipeline runs ONE time
+       (one Spark job, one token sort); the resulting sorted files +
+       manifest are then replicated byte-for-byte into every other
+       target's staging dir and digest-verified there, exactly as one
+       SSTable set is uploaded to every cluster.
+    3. **Joint commit** — only after every staging replica is verified
+       are the atomic renames performed. If anything fails before that
+       point, every staging dir is removed and no target sees the batch;
+       if a rename itself fails mid-sequence (environmental — the
+       stagings were already verified), the already-published targets are
+       renamed back so no partial publish survives.
+    """
+    targets = [os.path.abspath(t) for t in target_paths]
+    if not targets:
+        raise BulkWriteError("coordinated write needs at least one target")
+    if len(set(targets)) != len(targets):
+        raise BulkWriteError(f"duplicate coordinated-write targets: {sorted(targets)}")
+    for t in targets:
+        for b in committed_batches(t):
+            with open(os.path.join(b, "_manifest.json")) as f:
+                existing = json.load(f)
+            if existing["partition_keys"] != list(partition_keys) or existing[
+                "clustering_keys"
+            ] != list(clustering_keys):
+                raise BulkWriteError(
+                    f"target {t!r} batch {existing['batch']} was written with "
+                    f"keys ({existing['partition_keys']}, "
+                    f"{existing['clustering_keys']}) — coordinated write "
+                    f"requires every target to agree on the primary key"
+                )
+
+    out, _, mode = _prepare_batch_df(
+        df, partition_keys, clustering_keys, mode, table,
+        write_timestamp_micros, ttl_seconds, num_partitions, save_mode,
     )
+
+    import shutil
+
+    batch_id = _new_batch_id()
+    stagings: list[tuple[str, str]] = []  # (target, staging_dir)
+    try:
+        first_staging, manifest = _stage_batch(
+            out, targets[0], batch_id, mode, partition_keys, clustering_keys,
+            max_records_per_file, digest_algorithm,
+        )
+        stagings.append((targets[0], first_staging))
+        algo = manifest["digest_algorithm"]
+        for t in targets[1:]:
+            s = os.path.join(t, f"_staging-{batch_id}")
+            os.makedirs(s)
+            stagings.append((t, s))
+            for fname in [*manifest["files"], "_manifest.json"]:
+                shutil.copyfile(
+                    os.path.join(first_staging, fname), os.path.join(s, fname)
+                )
+            for fname, meta in manifest["files"].items():
+                if _file_digest(os.path.join(s, fname), algo) != meta[algo]:
+                    raise BulkWriteError(
+                        f"replica digest mismatch staging {fname} into {t!r}"
+                    )
+    except BaseException:
+        for _, s in stagings:
+            shutil.rmtree(s, ignore_errors=True)
+        raise
+
+    # Joint commit: every staging verified; publish all targets.
+    published: list[tuple[str, str]] = []  # (staging, final)
+    try:
+        for t, s in stagings:
+            final = os.path.join(t, batch_id)
+            os.rename(s, final)
+            published.append((s, final))
+    except BaseException:
+        # roll back so no partial publish survives
+        for s, final in published:
+            try:
+                os.rename(final, s)
+            except OSError:
+                pass
+        for _, s in stagings:
+            shutil.rmtree(s, ignore_errors=True)
+        raise
+
+    return [
+        WriteResult(
+            batch_dir=os.path.join(t, batch_id),
+            num_files=len(manifest["files"]),
+            num_rows=manifest["num_rows"],
+            manifest_path=os.path.join(t, batch_id, "_manifest.json"),
+        )
+        for t, _ in stagings
+    ]
 
 
 def committed_batches(table_path: str) -> list[str]:

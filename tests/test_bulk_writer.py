@@ -124,3 +124,95 @@ def test_sorted_within_files(spark, tmp_path):
             for r in df.coalesce(1).select(F.xxhash64("id").alias("t")).collect()
         ]
         assert toks == sorted(toks), f"file {fname} not token-sorted"
+
+
+# ---------------------------------------------------------------------------
+# Coordinated multi-target write (CassandraCoordinatedBulkWriterContext /
+# CoordinatedWriteConf analog): one DataFrame, several table paths, one
+# all-or-nothing joint commit.
+# ---------------------------------------------------------------------------
+
+from cassandra_analytics_spark.sinks.bulk_writer import coordinated_bulk_write
+
+
+def _no_trace(path):
+    """True when a target dir holds neither committed batches nor staging
+    leftovers."""
+    if not os.path.isdir(path):
+        return True
+    return not [d for d in os.listdir(path)
+                if d.startswith(("batch-", "_staging-"))]
+
+
+def test_coordinated_write_two_targets_roundtrip(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    src = _rows(spark, [{"id": i, "ck": i % 3, "val": f"v{i}"} for i in range(120)])
+    results = coordinated_bulk_write(
+        src, [a, b], ["id"], ["ck"], write_timestamp_micros=1_000,
+        num_partitions=4,
+    )
+    assert len(results) == 2
+    assert all(r.num_rows == 120 for r in results)
+    # both targets share the batch id and hold byte-identical file sets
+    assert os.path.basename(results[0].batch_dir) == os.path.basename(
+        results[1].batch_dir
+    )
+    want = {(r.id, r.ck): r.val for r in src.collect()}
+    for t in (a, b):
+        assert len(committed_batches(t)) == 1
+        assert verify_digests(committed_batches(t)[0])
+        back = read_bulk_table(spark, t, ["id"], ["ck"])
+        assert {(r.id, r.ck): r.val for r in back.collect()} == want
+
+
+def test_coordinated_write_rejects_duplicate_targets(spark, tmp_path):
+    src = _rows(spark, [{"id": 1, "val": "x"}])
+    t = str(tmp_path / "t")
+    with pytest.raises(BulkWriteError, match="duplicate"):
+        coordinated_bulk_write(src, [t, t], ["id"])
+
+
+def test_coordinated_write_rejects_key_mismatch_target(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    seed = _rows(spark, [{"id": 1, "ck": 2, "val": "x"}])
+    bulk_write(seed, b, ["id"], ["ck"], write_timestamp_micros=1)
+    src = _rows(spark, [{"id": 1, "val": "x"}])
+    with pytest.raises(BulkWriteError, match="agree on the primary key"):
+        coordinated_bulk_write(src, [a, b], ["id"], write_timestamp_micros=2)
+    # nothing was staged or committed into the clean target
+    assert _no_trace(a)
+
+
+def test_coordinated_write_staging_failure_publishes_nothing(spark, tmp_path):
+    """Replication into target B fails (target path is a regular file, so
+    its staging dir can't be created) → neither target commits, no
+    staging leftovers anywhere."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    open(b, "w").write("not a directory")
+    src = _rows(spark, [{"id": i, "val": f"v{i}"} for i in range(50)])
+    with pytest.raises(OSError):
+        coordinated_bulk_write(src, [a, b], ["id"], write_timestamp_micros=1_000)
+    assert _no_trace(a)
+    assert os.path.isfile(b)  # untouched
+
+
+def test_coordinated_write_commit_failure_rolls_back(spark, tmp_path, monkeypatch):
+    """A rename failure mid-joint-commit (environmental) must roll back
+    the already-published target — no partial publish survives."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    src = _rows(spark, [{"id": i, "val": f"v{i}"} for i in range(50)])
+
+    real_rename = os.rename
+
+    def flaky_rename(srcp, dstp):
+        # fail only when publishing target b's final batch dir
+        if dstp.startswith(b) and "/batch-" in dstp and "_staging-" not in dstp:
+            raise OSError("injected commit failure")
+        return real_rename(srcp, dstp)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected"):
+        coordinated_bulk_write(src, [a, b], ["id"], write_timestamp_micros=1_000)
+    monkeypatch.undo()
+    assert _no_trace(a) and _no_trace(b)
