@@ -32,7 +32,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_analytics_spark.operators.dedup import minhash_signatures
+from cassandra_analytics_spark.operators.dedup import (
+    minhash_signatures,
+    shingle_pairs,
+)
 
 
 @dataclass(frozen=True)
@@ -220,3 +223,87 @@ def incremental_candidates(
         )
         out = nc_pairs.unionByName(nn)
     return out.dropDuplicates(["a", "b"])
+
+
+def confirm_candidates(
+    candidates: DataFrame,
+    texts: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard for ONLY the candidate pairs (a, b).
+
+    The scale shape that makes incremental dedup cheap: shingles are
+    computed for just the documents that appear in some candidate pair (a
+    semi-join against the candidate id set — tiny vs the corpus), then
+    each pair's intersection comes from joining a's shingles to b's on
+    (b, sh). Work is proportional to candidate volume, never corpus size.
+    Output: (a, b, jaccard) with jaccard >= threshold — same score as
+    :func:`~cassandra_analytics_spark.operators.dedup.ngram_jaccard_pairs`
+    (no df cap here: the candidate set is already LSH-bounded).
+    """
+    pairs = candidates.select("a", "b")
+    involved = pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    docs = texts.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).join(F.broadcast(involved.withColumnRenamed(id_col, "id")), "id")
+    sh = shingle_pairs(docs, id_col="id", text_col="__text", n=shingle_n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        pairs.join(sh.withColumnsRenamed({"id": "a"}), "a")
+        .join(sh.withColumnsRenamed({"id": "b"}), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "n_a"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "n_b"}), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).cast("double").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    table_name: str,
+    new_df: DataFrame,
+    texts: DataFrame,
+    spec: LshIndexSpec = LshIndexSpec(),
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end incremental dedup recipe, one call per ingest batch:
+
+    1. :func:`incremental_candidates` — LSH candidates touching the batch
+       (corpus side exchange-free off the bucketed index),
+    2. :func:`confirm_candidates` — exact Jaccard on candidates only,
+       against ``texts`` (the document store holding previously ingested
+       docs; the new batch's texts are added automatically),
+    3. :func:`append_to_index` — the batch's banded rows join the index,
+       so the NEXT batch sees this one as corpus.
+
+    The confirmed pairs are materialized (eager local checkpoint) BEFORE
+    the append so the returned DataFrame can never observe the index
+    state it just changed. Returns (a, b, jaccard >= threshold).
+    """
+    cands = incremental_candidates(
+        spark, table_name, new_df, spec, id_col, text_col
+    )
+    all_texts = texts.select(id_col, text_col).unionByName(
+        new_df.select(id_col, text_col)
+    ).dropDuplicates([id_col])
+    confirmed = confirm_candidates(
+        cands, all_texts, spec.shingle_n, threshold, id_col, text_col
+    ).localCheckpoint(eager=True)
+    append_to_index(new_df, table_name, spec, id_col, text_col)
+    return confirmed

@@ -198,6 +198,94 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact 3-gram Jaccard pairs touching the odd-id half of the corpus (the
+# "ingest batch" of dedup_incremental_pipeline), threshold 0.9, no df cap
+# — the SQL twin of the pipeline's confirm step. The LSH candidate stage
+# has full recall at 0.9 on this corpus (all planted dup pairs sit at
+# jaccard >= 0.90 and band-collide), so the confirmed output equals the
+# exact computation and the whole pipeline is oracle-checkable.
+INCREMENTAL_CONFIRM_SQL = r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM norm
+    ),
+    windowed AS (
+        SELECT doc_id, w, i,
+               LEAD(w, 1) OVER win AS w1,
+               LEAD(w, 2) OVER win AS w2,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_words
+        FROM words
+        WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN w2 IS NOT NULL THEN w || ' ' || w1 || ' ' || w2
+                    WHEN i = 1 AND n_words = 2 THEN w || ' ' || w1
+                    ELSE w END AS sh
+        FROM windowed
+        WHERE w2 IS NOT NULL OR (i = 1 AND n_words < 3)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a, b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.9
+      AND (a % 2 = 1 OR b % 2 = 1)
+    ORDER BY a, b
+"""
+
+
+@query(
+    "dedup_incremental_pipeline",
+    oracle=INCREMENTAL_CONFIRM_SQL,
+    doc="The end-to-end incremental dedup recipe "
+    "(operators/dedup_index.py ingest_batch): even-id documents seed the "
+    "bucketed LSH index, odd-id documents arrive as an ingest batch — "
+    "LSH candidates (corpus side exchange-free), exact-Jaccard confirm "
+    "on candidates only, then the batch is appended to the index. The "
+    "oracle recomputes exact 3-gram Jaccard >= 0.9 over every pair "
+    "touching the batch, so a candidate missed by the index join, a "
+    "wrong confirm score, or state leakage from the append all break "
+    "the hash.",
+)
+def dedup_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cassandra_analytics_spark.operators.dedup_index import (
+        LshIndexSpec,
+        build_index,
+        ingest_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    tbl = f"lsh_idx_pipeline_{uuid.uuid4().hex[:8]}"
+    spec = LshIndexSpec()
+    try:
+        build_index(seed, tbl, spec)
+        confirmed = ingest_batch(
+            spark, tbl, batch, texts=seed, spec=spec, threshold=0.9
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return confirmed.orderBy("a", "b")
+
+
 @query(
     "text_tfidf_search",
     oracle=r"""

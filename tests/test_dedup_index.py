@@ -206,3 +206,56 @@ def test_hot_bucket_cap_matches_oneshot(spark, corpus_and_batch):
     assert (200, 201) in inc          # un-capped bucket pairs survive
     assert (100, 101) not in inc      # hot-bucket pairs are dropped
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_ingest_batch_pipeline_two_batches(spark, corpus_and_batch):
+    """ingest_batch over two successive batches: batch1's near-dups are
+    found against the seed corpus, batch2's near-dups are found against
+    docs that arrived only in batch1 (proving the append really extends
+    the index), and confirmed scores are exact Jaccard."""
+    from cassandra_analytics_spark.operators.dedup_index import ingest_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill every evening"
+    )
+    seed_rows = [_doc(i, f"{base} variant {i} " + "filler words " * (i % 5))
+                 for i in range(20)]
+    seed = spark.createDataFrame(seed_rows)
+    # batch1: near-dup of seed doc 3 + one novel doc
+    b1 = spark.createDataFrame([
+        _doc(100, f"{base} variant 3 " + "filler words " * 3 + "tail"),
+        _doc(101, "an entirely unrelated document about something else " * 4),
+    ])
+    # batch2: near-dup of batch1's novel doc (NOT in the seed corpus)
+    b2 = spark.createDataFrame([
+        _doc(200, "an entirely unrelated document about something else " * 4
+                  + "coda"),
+    ])
+
+    table = "lsh_idx_ingest_pipe"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_index(seed, table, SPEC)
+
+    texts = seed
+    got1 = ingest_batch(spark, table, b1, texts, SPEC, threshold=0.5)
+    pairs1 = {(r.a, r.b): r.jaccard for r in got1.collect()}
+    assert (3, 100) in pairs1
+    assert all(a in {b.doc_id for b in b1.collect()}
+               or b in {x.doc_id for x in b1.collect()} for a, b in pairs1)
+
+    texts = texts.unionByName(b1)
+    got2 = ingest_batch(spark, table, b2, texts, SPEC, threshold=0.5)
+    pairs2 = {(r.a, r.b): r.jaccard for r in got2.collect()}
+    assert (101, 200) in pairs2          # found via the APPENDED index rows
+    assert 0.5 <= pairs2[(101, 200)] <= 1.0
+
+    # confirmed scores are exact Jaccard, not the LSH estimate
+    from cassandra_analytics_spark.operators.dedup import ngram_jaccard_pairs
+    allx = seed.unionByName(b1).unionByName(b2)
+    exact = {(r.a, r.b): r.jaccard
+             for r in ngram_jaccard_pairs(
+                 allx, shingle_n=SPEC.shingle_n, threshold=0.5).collect()}
+    for k, v in {**pairs1, **pairs2}.items():
+        assert abs(exact[k] - v) < 1e-12
+    spark.sql(f"DROP TABLE {table}")
