@@ -262,6 +262,41 @@ def bundle_write(
     the driver handles only the O(#bundles) metadata and the final
     atomic-rename commit of the job directory.
     """
+    job_id = f"job-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    staging, manifest, bundles = _stage_bundle_job(
+        df, store_path, job_id, partition_keys, clustering_keys, table,
+        write_timestamp_micros, ttl_seconds, num_partitions,
+        max_records_per_file, max_bundle_bytes, digest_algorithm,
+    )
+
+    # the "upload completed" commit point: one atomic rename
+    job_dir = os.path.join(store_path, job_id)
+    os.rename(staging, job_dir)
+    return BundleStoreResult(
+        job_dir=job_dir,
+        manifest_path=os.path.join(job_dir, "_bundle_manifest.json"),
+        num_bundles=len(bundles),
+        num_rows=manifest["num_rows"],
+        bundles=bundles,
+    )
+
+
+def _stage_bundle_job(
+    df: DataFrame,
+    store_path: str,
+    job_id: str,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str],
+    table: CqlTable | None,
+    write_timestamp_micros: int | None,
+    ttl_seconds: int | None,
+    num_partitions: int | None,
+    max_records_per_file: int,
+    max_bundle_bytes: int,
+    digest_algorithm: str,
+) -> tuple[str, dict, list[BundleInfo]]:
+    """Run the bundle pipeline into ``_staging-<job>`` of ``store_path``
+    WITHOUT committing; returns (staging_dir, manifest, bundles)."""
     _validate(df, partition_keys, clustering_keys, table)
 
     wt = (
@@ -287,9 +322,7 @@ def bundle_write(
         TOKEN_COLUMN, *partition_keys, *clustering_keys
     )
 
-    job_id = f"job-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     staging = os.path.join(store_path, f"_staging-{job_id}")
-    job_dir = os.path.join(store_path, job_id)
     os.makedirs(staging)
 
     # One job: every task bundles and publishes its own partition; the
@@ -345,16 +378,97 @@ def bundle_write(
     manifest_path = os.path.join(staging, "_bundle_manifest.json")
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
+    return staging, manifest, bundles
 
-    # the "upload completed" commit point: one atomic rename
-    os.rename(staging, job_dir)
-    return BundleStoreResult(
-        job_dir=job_dir,
-        manifest_path=os.path.join(job_dir, "_bundle_manifest.json"),
-        num_bundles=len(bundles),
-        num_rows=manifest["num_rows"],
-        bundles=bundles,
-    )
+
+def coordinated_bundle_write(
+    df: DataFrame,
+    store_paths: Sequence[str],
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str] = (),
+    table: CqlTable | None = None,
+    write_timestamp_micros: int | None = None,
+    ttl_seconds: int | None = None,
+    num_partitions: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    max_bundle_bytes: int = 160 << 20,
+    digest_algorithm: str = "md5",
+) -> list[BundleStoreResult]:
+    """Coordinated multi-store bundle upload: one DataFrame shipped to
+    several object stores with an all-or-nothing joint commit.
+
+    This is the transport the reference's coordinated write actually
+    rides — ``CoordinatedWriteConf.java`` configures one S3 bucket/region
+    PER CLUSTER and the same SSTable bundles are uploaded to each
+    (``CassandraCoordinatedBulkWriterContext.java``). Analogously: the
+    bundle pipeline (token sort → per-task zip bundles) runs ONCE into
+    the first store's staging dir, the finished bundles + manifest are
+    replicated byte-for-byte into every other store's staging and
+    digest-verified there, and only then does the joint commit rename
+    every staging into its ``job-…`` dir — with rollback on a mid-commit
+    failure, so no store ever exposes a job the others don't have.
+    """
+    stores = [os.path.abspath(s) for s in store_paths]
+    if not stores:
+        raise BulkWriteError("coordinated bundle write needs at least one store")
+    if len(set(stores)) != len(stores):
+        raise BulkWriteError(f"duplicate coordinated-write stores: {sorted(stores)}")
+
+    job_id = f"job-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    stagings: list[str] = []
+    try:
+        first_staging, manifest, bundles = _stage_bundle_job(
+            df, stores[0], job_id, partition_keys, clustering_keys, table,
+            write_timestamp_micros, ttl_seconds, num_partitions,
+            max_records_per_file, max_bundle_bytes, digest_algorithm,
+        )
+        stagings.append(first_staging)
+        algo = manifest["digest_algorithm"]
+        for store in stores[1:]:
+            s = os.path.join(store, f"_staging-{job_id}")
+            os.makedirs(s)
+            stagings.append(s)
+            for fname in [*manifest["bundles"], "_bundle_manifest.json"]:
+                shutil.copyfile(
+                    os.path.join(first_staging, fname), os.path.join(s, fname)
+                )
+            for bname, meta in manifest["bundles"].items():
+                if _file_digest(os.path.join(s, bname), algo) != meta[algo]:
+                    raise BulkWriteError(
+                        f"replica bundle digest mismatch staging {bname} "
+                        f"into {store!r}"
+                    )
+    except BaseException:
+        for s in stagings:
+            shutil.rmtree(s, ignore_errors=True)
+        raise
+
+    published: list[tuple[str, str]] = []
+    try:
+        for s in stagings:
+            final = os.path.join(os.path.dirname(s), job_id)
+            os.rename(s, final)
+            published.append((s, final))
+    except BaseException:
+        for s, final in published:
+            try:
+                os.rename(final, s)
+            except OSError:
+                pass
+        for s in stagings:
+            shutil.rmtree(s, ignore_errors=True)
+        raise
+
+    return [
+        BundleStoreResult(
+            job_dir=os.path.join(store, job_id),
+            manifest_path=os.path.join(store, job_id, "_bundle_manifest.json"),
+            num_bundles=len(bundles),
+            num_rows=manifest["num_rows"],
+            bundles=bundles,
+        )
+        for store in stores
+    ]
 
 
 def store_jobs(store_path: str) -> list[str]:

@@ -1,0 +1,110 @@
+"""Streaming incremental dedup: the ingest-batch recipe as a stream.
+
+Combines the two scale primitives this engine already has — Structured
+Streaming micro-batches and the bucketed incremental MinHash-LSH index
+(:mod:`..operators.dedup_index`) — into the shape a 100 TB/day training
+corpus actually runs: documents arrive continuously, each micro-batch
+pays only for its own signatures plus an exchange-free join against the
+persistent index, confirmed near-dup pairs stream out, and the batch
+joins the index for the next trigger.
+
+``foreachBatch`` is the right tool (not a stateful operator): the dedup
+state is the bucketed index TABLE — far too large for the streaming
+state store at corpus scale, already persistent, already incremental.
+
+Delivery semantics: micro-batch replay (at-least-once) is harmless by
+construction —
+
+- pair/doc outputs go to per-batch subdirectories overwritten on replay
+  (idempotent publish keyed by ``batch_id``);
+- a replayed ``append_to_index`` duplicates banded rows, which cannot
+  change results: candidate pairs are ``dropDuplicates(a, b)``-deduped,
+  so duplicate index rows only cost storage (and inflate hot-bucket
+  occupancy counts toward the cap — the conservative direction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cassandra_analytics_spark.operators.dedup_index import (
+    LshIndexSpec,
+    build_index,
+    ingest_batch,
+)
+
+
+def run_incremental_dedup_stream(
+    stream: DataFrame,
+    index_table: str,
+    doc_store: str,
+    pairs_out: str,
+    spec: LshIndexSpec = LshIndexSpec(),
+    threshold: float = 0.9,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Start the incremental-dedup stream over a document stream.
+
+    Per micro-batch: LSH candidates vs ``index_table`` (corpus side
+    exchange-free) → exact-Jaccard confirm against ``doc_store`` (the
+    accumulated document texts) → confirmed (a, b, jaccard, batch_id)
+    parquet rows under ``pairs_out`` → batch appended to both the index
+    and ``doc_store``. If ``index_table`` does not exist yet it is
+    bootstrapped empty, so the first batch's internal duplicates are
+    reported like any other batch's.
+    """
+    import tempfile
+
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="dedup-stream-ckpt-")
+
+    # Bootstrap the index table HERE, on the driver, before the stream
+    # starts — never inside the (retried) foreachBatch body, where a
+    # failure between location creation and catalog registration would
+    # strand an orphan warehouse dir and fail every retry.
+    boot = stream.sparkSession
+    if not boot.catalog.tableExists(index_table):
+        build_index(
+            boot.createDataFrame([], stream.select(id_col, text_col).schema),
+            index_table, spec, id_col, text_col,
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        if batch.isEmpty():
+            return
+        if os.path.isdir(doc_store) and any(
+            d.startswith("batch-") for d in os.listdir(doc_store)
+        ):
+            texts = spark.read.parquet(os.path.join(doc_store, "batch-*"))
+        else:
+            texts = spark.createDataFrame([], batch.schema)
+        confirmed = ingest_batch(
+            spark, index_table, batch, texts, spec, threshold, id_col, text_col
+        )
+        # idempotent per-batch publish: replay overwrites the same dirs
+        (
+            confirmed.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(pairs_out, f"batch-{batch_id:010d}"))
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(doc_store, f"batch-{batch_id:010d}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def collected_pairs(spark, pairs_out: str) -> DataFrame:
+    """All confirmed pairs the stream has published so far."""
+    return spark.read.parquet(os.path.join(pairs_out, "batch-*"))

@@ -298,3 +298,54 @@ def test_bundle_restore_property(spark, tmp_path_factory, case):
     back = {r.id for r in
             read_bulk_table(spark, slice_tbl, ["id"], ["ck"]).collect()}
     assert expect_ids <= back  # pruning may over-include, never drop
+
+
+# ---------------------------------------------------------------------------
+# Coordinated multi-store bundle upload (the transport the reference's
+# coordinated write rides: same bundles to every cluster's bucket).
+# ---------------------------------------------------------------------------
+
+from cassandra_analytics_spark.sinks.bundles import coordinated_bundle_write
+
+
+def test_coordinated_bundle_write_two_stores(spark, tmp_path):
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    src = _docs(spark, n=80)
+    results = coordinated_bundle_write(
+        src, [s1, s2], ["id"], ["ck"], write_timestamp_micros=1_000,
+        num_partitions=3,
+    )
+    assert len(results) == 2
+    assert results[0].num_rows == results[1].num_rows == 80
+    # same job id and byte-identical bundle sets in both stores
+    assert os.path.basename(results[0].job_dir) == os.path.basename(
+        results[1].job_dir
+    )
+    assert store_jobs(s1) == [results[0].job_dir]
+    assert store_jobs(s2) == [results[1].job_dir]
+    want = {(r.id, r.ck): r.val for r in src.collect()}
+    for res, base in ((results[0], tmp_path / "t1"), (results[1], tmp_path / "t2")):
+        restore_bundles(spark, res.job_dir, str(base))
+        back = read_bulk_table(spark, str(base), ["id"], ["ck"])
+        assert {(r.id, r.ck): r.val for r in back.collect()} == want
+
+
+def test_coordinated_bundle_write_failure_publishes_nothing(spark, tmp_path):
+    s1 = str(tmp_path / "s1")
+    s2 = str(tmp_path / "s2")
+    open(s2, "w").write("not a directory")  # replication into s2 must fail
+    src = _docs(spark, n=30)
+    with pytest.raises(OSError):
+        coordinated_bundle_write(
+            src, [s1, s2], ["id"], write_timestamp_micros=1_000
+        )
+    assert store_jobs(s1) == []
+    assert not [d for d in os.listdir(s1) if d.startswith("_staging-")]
+    assert os.path.isfile(s2)
+
+
+def test_coordinated_bundle_write_rejects_duplicates(spark, tmp_path):
+    src = _docs(spark, n=5)
+    s = str(tmp_path / "s")
+    with pytest.raises(BulkWriteError, match="duplicate"):
+        coordinated_bundle_write(src, [s, s], ["id"])
