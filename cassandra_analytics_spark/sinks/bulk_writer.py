@@ -265,6 +265,40 @@ def _stage_batch(
     return staging, manifest
 
 
+def _replicate_staged_files(
+    spark: SparkSession,
+    copies: Sequence[tuple[str, str, str | None]],
+    algorithm: str,
+) -> None:
+    """Copy staged files to replica staging dirs as ONE distributed job.
+
+    ``copies`` is (src_path, dst_path, expected_digest_or_None); each
+    task copies its files over shared storage and digests the written
+    replica; the driver only compares the collected digests. This is the
+    executor-side fan-out of the reference's coordinated upload (each
+    RecordWriter task uploads its SSTables to every cluster) — the
+    driver never moves data bytes, only O(#files) metadata. Copies are
+    idempotent (full overwrite), so task retries are safe.
+    """
+    if not copies:
+        return
+    sc = spark.sparkContext
+    n = max(1, min(len(copies), sc.defaultParallelism))
+
+    def _copy(items):
+        import shutil as _sh
+
+        for src, dst, want in items:
+            _sh.copyfile(src, dst)
+            yield (dst, want, _file_digest(dst, algorithm) if want else None)
+
+    for dst, want, got in (
+        sc.parallelize(list(copies), n).mapPartitions(_copy).collect()
+    ):
+        if want is not None and got != want:
+            raise BulkWriteError(f"replica digest mismatch: {dst}")
+
+
 def coordinated_bulk_write(
     df: DataFrame,
     target_paths: Sequence[str],
@@ -292,11 +326,13 @@ def coordinated_bulk_write(
        job unless every cluster's conf is coherent): duplicate targets
        are rejected, and any target that already holds committed batches
        must agree on partition/clustering keys.
-    2. **Stage once, replicate** — the W1/W2/W3 pipeline runs ONE time
-       (one Spark job, one token sort); the resulting sorted files +
-       manifest are then replicated byte-for-byte into every other
-       target's staging dir and digest-verified there, exactly as one
-       SSTable set is uploaded to every cluster.
+    2. **Stage once, replicate executor-side** — the W1/W2/W3 pipeline
+       runs ONE time (one Spark job, one token sort); the resulting
+       sorted files are then replicated byte-for-byte into every other
+       target's staging dir by a distributed copy job over shared
+       storage and digest-verified there (:func:`_replicate_staged_files`
+       — the driver moves no data bytes), exactly as one SSTable set is
+       uploaded from the write tasks to every cluster.
     3. **Joint commit** — only after every staging replica is verified
        are the atomic renames performed. If anything fails before that
        point, every staging dir is removed and no target sees the batch;
@@ -339,19 +375,25 @@ def coordinated_bulk_write(
         )
         stagings.append((targets[0], first_staging))
         algo = manifest["digest_algorithm"]
+        copies: list[tuple[str, str, str | None]] = []
         for t in targets[1:]:
             s = os.path.join(t, f"_staging-{batch_id}")
             os.makedirs(s)
             stagings.append((t, s))
-            for fname in [*manifest["files"], "_manifest.json"]:
-                shutil.copyfile(
-                    os.path.join(first_staging, fname), os.path.join(s, fname)
-                )
             for fname, meta in manifest["files"].items():
-                if _file_digest(os.path.join(s, fname), algo) != meta[algo]:
-                    raise BulkWriteError(
-                        f"replica digest mismatch staging {fname} into {t!r}"
+                copies.append(
+                    (
+                        os.path.join(first_staging, fname),
+                        os.path.join(s, fname),
+                        meta[algo],
                     )
+                )
+            # the manifest itself is tiny metadata — driver copy is fine
+            shutil.copyfile(
+                os.path.join(first_staging, "_manifest.json"),
+                os.path.join(s, "_manifest.json"),
+            )
+        _replicate_staged_files(df.sparkSession, copies, algo)
     except BaseException:
         for _, s in stagings:
             shutil.rmtree(s, ignore_errors=True)

@@ -64,6 +64,7 @@ from cassandra_analytics_spark.sinks.bulk_writer import (
     BulkWriteError,
     WriteResult,
     _file_digest,
+    _replicate_staged_files,
     _validate,
 )
 
@@ -402,8 +403,10 @@ def coordinated_bundle_write(
     PER CLUSTER and the same SSTable bundles are uploaded to each
     (``CassandraCoordinatedBulkWriterContext.java``). Analogously: the
     bundle pipeline (token sort → per-task zip bundles) runs ONCE into
-    the first store's staging dir, the finished bundles + manifest are
-    replicated byte-for-byte into every other store's staging and
+    the first store's staging dir, the finished bundles are replicated
+    byte-for-byte into every other store's staging by a distributed copy
+    job (``_replicate_staged_files`` — the driver moves no data bytes,
+    matching each task uploading its own bundles to every cluster) and
     digest-verified there, and only then does the joint commit rename
     every staging into its ``job-…`` dir — with rollback on a mid-commit
     failure, so no store ever exposes a job the others don't have.
@@ -424,20 +427,24 @@ def coordinated_bundle_write(
         )
         stagings.append(first_staging)
         algo = manifest["digest_algorithm"]
+        copies: list[tuple[str, str, str | None]] = []
         for store in stores[1:]:
             s = os.path.join(store, f"_staging-{job_id}")
             os.makedirs(s)
             stagings.append(s)
-            for fname in [*manifest["bundles"], "_bundle_manifest.json"]:
-                shutil.copyfile(
-                    os.path.join(first_staging, fname), os.path.join(s, fname)
-                )
             for bname, meta in manifest["bundles"].items():
-                if _file_digest(os.path.join(s, bname), algo) != meta[algo]:
-                    raise BulkWriteError(
-                        f"replica bundle digest mismatch staging {bname} "
-                        f"into {store!r}"
+                copies.append(
+                    (
+                        os.path.join(first_staging, bname),
+                        os.path.join(s, bname),
+                        meta[algo],
                     )
+                )
+            shutil.copyfile(
+                os.path.join(first_staging, "_bundle_manifest.json"),
+                os.path.join(s, "_bundle_manifest.json"),
+            )
+        _replicate_staged_files(df.sparkSession, copies, algo)
     except BaseException:
         for s in stagings:
             shutil.rmtree(s, ignore_errors=True)
