@@ -259,3 +259,26 @@ def test_ingest_batch_pipeline_two_batches(spark, corpus_and_batch):
     for k, v in {**pairs1, **pairs2}.items():
         assert abs(exact[k] - v) < 1e-12
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_confirm_candidates_work_is_candidate_bounded(spark):
+    """The confirm step must semi-join the document store down to the ids
+    that appear in some candidate pair BEFORE shingling — plan shows the
+    involved-id set broadcast into the text scan, so shingle work is
+    proportional to candidate volume, never corpus size."""
+    from cassandra_analytics_spark.operators.dedup_index import (
+        confirm_candidates,
+    )
+
+    texts = spark.createDataFrame(
+        [_doc(i, f"some document body number {i} with words") for i in range(50)]
+    )
+    cands = spark.createDataFrame([Row(a=1, b=2), Row(a=3, b=4)])
+    out = confirm_candidates(cands, texts, shingle_n=3, threshold=0.0)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    # correctness of the restriction: only candidate-pair ids are scored
+    rows = out.collect()
+    assert {(r.a, r.b) for r in rows} <= {(1, 2), (3, 4)}
