@@ -80,6 +80,38 @@ class Engine:
             merge=merge, cell_lww=cell_lww,
         )
 
+    def coordinated_bulk_write(
+        self, df: DataFrame, target_paths: Sequence[str],
+        partition_keys: Sequence[str], **kwargs,
+    ) -> list[_writer.WriteResult]:
+        """One DataFrame → several table paths, all-or-nothing joint
+        commit (the reference's coordinated multi-cluster write)."""
+        return _writer.coordinated_bulk_write(
+            df, target_paths, partition_keys, **kwargs
+        )
+
+    # -- bundle transport (W4 blob path) ----------------------------------
+    @staticmethod
+    def bundle_write(df: DataFrame, store_path: str,
+                     partition_keys: Sequence[str], **kwargs):
+        from cassandra_analytics_spark.sinks.bundles import bundle_write
+
+        return bundle_write(df, store_path, partition_keys, **kwargs)
+
+    @staticmethod
+    def coordinated_bundle_write(df: DataFrame, store_paths: Sequence[str],
+                                 partition_keys: Sequence[str], **kwargs):
+        from cassandra_analytics_spark.sinks.bundles import (
+            coordinated_bundle_write,
+        )
+
+        return coordinated_bundle_write(df, store_paths, partition_keys, **kwargs)
+
+    def restore_bundles(self, job_dir: str, table_path: str, **kwargs):
+        from cassandra_analytics_spark.sinks.bundles import restore_bundles
+
+        return restore_bundles(self.spark, job_dir, table_path, **kwargs)
+
     # -- Cassandra read semantics (M1/M5) --------------------------------
     compaction_merge = staticmethod(compaction_merge)
     latest_by_key = staticmethod(latest_by_key)
@@ -134,6 +166,20 @@ class Engine:
         from cassandra_analytics_spark.operators.skew import salted_aggregate
 
         return salted_aggregate(df, keys, aggs, **kwargs)
+
+    def dedup_ingest_batch(self, index_table: str, new_df: DataFrame,
+                           texts: DataFrame, **kwargs) -> DataFrame:
+        """Incremental dedup recipe: LSH candidates vs the persistent
+        bucketed index → exact-Jaccard confirm → append batch to index."""
+        from cassandra_analytics_spark.operators.dedup_index import ingest_batch
+
+        return ingest_batch(self.spark, index_table, new_df, texts, **kwargs)
+
+    @staticmethod
+    def build_dedup_index(df: DataFrame, index_table: str, **kwargs) -> None:
+        from cassandra_analytics_spark.operators.dedup_index import build_index
+
+        return build_index(df, index_table, **kwargs)
 
     @staticmethod
     def build_ivf_index(df: DataFrame, index_path: str, **kwargs):

@@ -73,3 +73,44 @@ def test_engine_new_pipeline_surface(spark):
         docs, ["doc_id"], {"n": ("count", "doc_id")}, salt_buckets=4
     )
     assert agg.count() == 2
+
+
+def test_engine_coordinated_and_bundle_facade(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cassandra_analytics_spark.api import Engine
+
+    eng = Engine(spark)
+    df = spark.createDataFrame([Row(id=i, val=f"v{i}") for i in range(20)])
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    results = eng.coordinated_bulk_write(
+        df, [a, b], ["id"], write_timestamp_micros=1_000
+    )
+    assert len(results) == 2
+    assert eng.read_bulk_table(a, ["id"]).count() == 20
+
+    store = str(tmp_path / "store")
+    res = eng.bundle_write(df, store, ["id"], write_timestamp_micros=1_000)
+    tbl = str(tmp_path / "restored")
+    eng.restore_bundles(res.job_dir, tbl)
+    assert eng.read_bulk_table(tbl, ["id"]).count() == 20
+
+
+def test_engine_dedup_index_facade(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cassandra_analytics_spark.api import Engine
+    from cassandra_analytics_spark.operators.dedup_index import LshIndexSpec
+
+    eng = Engine(spark)
+    spec = LshIndexSpec(num_hashes=16, bands=4, shingle_n=3, num_buckets=4)
+    base = "the quick brown fox jumps over the lazy dog once more " * 2
+    seed = spark.createDataFrame([Row(doc_id=1, text=base)])
+    batch = spark.createDataFrame([Row(doc_id=2, text=base + "tail")])
+    spark.sql("DROP TABLE IF EXISTS api_dedup_idx")
+    eng.build_dedup_index(seed, "api_dedup_idx", spec=spec)
+    pairs = eng.dedup_ingest_batch(
+        "api_dedup_idx", batch, seed, spec=spec, threshold=0.5
+    )
+    assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}
+    spark.sql("DROP TABLE api_dedup_idx")
