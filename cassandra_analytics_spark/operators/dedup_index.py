@@ -281,6 +281,7 @@ def ingest_batch(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_pushdown_ids: int = 10_000,
 ) -> DataFrame:
     """The end-to-end incremental dedup recipe, one call per ingest batch:
 
@@ -292,16 +293,34 @@ def ingest_batch(
     3. :func:`append_to_index` — the batch's banded rows join the index,
        so the NEXT batch sees this one as corpus.
 
-    The confirmed pairs are materialized (eager local checkpoint) BEFORE
-    the append so the returned DataFrame can never observe the index
-    state it just changed. Returns (a, b, jaccard >= threshold).
+    Scale posture of the text fetch: the candidate set is materialized
+    first (eager checkpoint — also pins one partitioning for both uses),
+    and when it involves at most ``max_pushdown_ids`` distinct documents
+    (the normal case: candidates ∝ batch size, not corpus size) the id
+    list is pushed into the ``texts`` scan as an IN filter, so the
+    document store is row-group-pruned instead of scanned per batch —
+    the F1-pushdown shape. Above the cap the broadcast semi-join inside
+    :func:`confirm_candidates` takes over (one full column-pruned scan).
+
+    The confirmed pairs are materialized BEFORE the append so the
+    returned DataFrame can never observe the index state it just
+    changed. Returns (a, b, jaccard >= threshold).
     """
     cands = incremental_candidates(
         spark, table_name, new_df, spec, id_col, text_col
-    )
+    ).localCheckpoint(eager=True)
     all_texts = texts.select(id_col, text_col).unionByName(
         new_df.select(id_col, text_col)
     ).dropDuplicates([id_col])
+    involved = [
+        r[0]
+        for r in cands.select(F.explode(F.array("a", "b")).alias("i"))
+        .distinct()
+        .limit(max_pushdown_ids + 1)
+        .collect()
+    ]
+    if len(involved) <= max_pushdown_ids:
+        all_texts = all_texts.filter(F.col(id_col).isin(involved))
     confirmed = confirm_candidates(
         cands, all_texts, spec.shingle_n, threshold, id_col, text_col
     ).localCheckpoint(eager=True)
