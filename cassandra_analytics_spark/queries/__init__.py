@@ -59,6 +59,7 @@ _ROUND_PRIORITY: list[str] = [
     "embedding_near_dup",      # r1 row was 0 rows; now returns matches
     # --- (2) new this round / implementation touched this round ---
     "dedup_incremental_pipeline",
+    "streaming_incremental_dedup",
     "coordinated_write_roundtrip",
     "pack_training_chunks",    # distributed_cumsum checkpoint fix
     "dedup_incremental_lsh",   # hot-bucket cap

@@ -249,6 +249,72 @@ INCREMENTAL_CONFIRM_SQL = r"""
 """
 
 
+# Same exact-Jaccard confirm oracle, over ALL pairs (no batch-parity
+# filter): in the streaming recipe every pair is reported exactly once —
+# within-batch pairs when their batch arrives, cross-batch pairs when the
+# later member arrives — so the union over batches is the full pair set.
+STREAMING_CONFIRM_SQL = INCREMENTAL_CONFIRM_SQL.replace(
+    "      AND (a % 2 = 1 OR b % 2 = 1)\n", ""
+)
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle=STREAMING_CONFIRM_SQL,
+    doc="Streaming incremental dedup end-to-end "
+    "(streaming/dedup_stream.py): the documents table arrives as TWO "
+    "file-source micro-batches (even ids, then odd ids) through a REAL "
+    "Structured Streaming foreachBatch run — per batch: LSH candidates "
+    "vs the persistent bucketed index, exact-Jaccard confirm, append to "
+    "index. The union of per-batch confirmed pairs must equal the exact "
+    "3-gram Jaccard >= 0.9 pair set over the whole corpus (full LSH "
+    "recall at 0.9 on the fixture), so a pair missed across the batch "
+    "boundary, reported twice, or mis-scored breaks the hash.",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from cassandra_analytics_spark.operators.dedup_index import LshIndexSpec
+    from cassandra_analytics_spark.streaming.dedup_stream import (
+        collected_pairs,
+        run_incremental_dedup_stream,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cas_stream_dedup_")
+    src = os.path.join(tmp, "incoming")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tbl = f"lsh_idx_sdedup_{uuid.uuid4().hex[:8]}"
+    q = run_incremental_dedup_stream(
+        stream,
+        index_table=tbl,
+        doc_store=os.path.join(tmp, "docs"),
+        pairs_out=os.path.join(tmp, "pairs"),
+        spec=LshIndexSpec(),
+        threshold=0.9,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return (
+        collected_pairs(spark, os.path.join(tmp, "pairs"))
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
 @query(
     "dedup_incremental_pipeline",
     oracle=INCREMENTAL_CONFIRM_SQL,
