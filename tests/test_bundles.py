@@ -349,3 +349,41 @@ def test_coordinated_bundle_write_rejects_duplicates(spark, tmp_path):
     s = str(tmp_path / "s")
     with pytest.raises(BulkWriteError, match="duplicate"):
         coordinated_bundle_write(src, [s, s], ["id"])
+
+
+def test_bundle_roundtrip_mixed_types(spark, tmp_path):
+    """The executor-side bundling path (mapInArrow -> pyarrow ParquetWriter)
+    must preserve non-trivial column types byte-exactly: timestamps,
+    decimals, doubles, arrays, and nulls."""
+    import datetime as dt
+    from decimal import Decimal
+
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    rows = [
+        Row(
+            id=i,
+            ts=dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(minutes=i),
+            dec=Decimal(f"{i}.25"),
+            dbl=i * 0.5,
+            arr=[i, i + 1, i + 2],
+            s=None if i % 3 == 0 else f"s{i}",
+        )
+        for i in range(60)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "id long, ts timestamp, dec decimal(10,2), dbl double, "
+        "arr array<long>, s string",
+    )
+    res = bundle_write(
+        src, store, ["id"], write_timestamp_micros=1_000, num_partitions=3,
+        max_records_per_file=7,
+    )
+    assert res.num_rows == 60
+    restore_bundles(spark, res.job_dir, table)
+    back = read_bulk_table(spark, table, ["id"])
+    got = {r.id: (r.ts, r.dec, r.dbl, tuple(r.arr), r.s) for r in back.collect()}
+    want = {r.id: (r.ts, r.dec, r.dbl, tuple(r.arr), r.s)
+            for r in src.collect()}
+    assert got == want
