@@ -297,7 +297,20 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    joined = (
+    return jaccard_from_counts(common, sizes, threshold)
+
+
+def jaccard_from_counts(
+    common: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(a, b, n_common) × (id, n_sh) → (a, b, jaccard >= threshold).
+
+    The single definition of the Jaccard score + threshold comparison
+    shared by the one-shot path above and the incremental confirm step
+    (``dedup_index.confirm_candidates``) — the oracles depend on this
+    exact formula and the ``>=`` boundary, so it must not fork.
+    """
+    return (
         common.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "n_a"}), "a")
         .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "n_b"}), "b")
         .withColumn(
@@ -307,8 +320,9 @@ def ngram_jaccard_pairs(
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).cast("double"),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     )
-    return joined.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
 def contamination_overlap(

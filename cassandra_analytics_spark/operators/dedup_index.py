@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_analytics_spark.operators.dedup import (
+    jaccard_from_counts,
     minhash_signatures,
     shingle_pairs,
 )
@@ -94,6 +95,18 @@ def banded_rows(
     )
 
 
+def _write_banded(
+    banded: DataFrame, table_name: str, spec: LshIndexSpec, mode: str
+) -> None:
+    (
+        banded.write.mode(mode)
+        .format("parquet")
+        .bucketBy(spec.num_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .saveAsTable(table_name)
+    )
+
+
 def build_index(
     df: DataFrame,
     table_name: str,
@@ -102,14 +115,7 @@ def build_index(
     text_col: str = "text",
 ) -> None:
     """Create the bucketed index table from an initial corpus."""
-    (
-        banded_rows(df, spec, id_col, text_col)
-        .write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(spec.num_buckets, "band", "bucket")
-        .sortBy("band", "bucket")
-        .saveAsTable(table_name)
-    )
+    _write_banded(banded_rows(df, spec, id_col, text_col), table_name, spec, "overwrite")
 
 
 def append_to_index(
@@ -120,14 +126,7 @@ def append_to_index(
     text_col: str = "text",
 ) -> None:
     """Add a batch's banded rows; appended files keep the bucket spec."""
-    (
-        banded_rows(df, spec, id_col, text_col)
-        .write.mode("append")
-        .format("parquet")
-        .bucketBy(spec.num_buckets, "band", "bucket")
-        .sortBy("band", "bucket")
-        .saveAsTable(table_name)
-    )
+    _write_banded(banded_rows(df, spec, id_col, text_col), table_name, spec, "append")
 
 
 def incremental_candidates(
@@ -139,6 +138,7 @@ def incremental_candidates(
     text_col: str = "text",
     broadcast_new: bool = True,
     include_new_new: bool = True,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b, est_jaccard) touching the new batch.
 
@@ -155,9 +155,19 @@ def incremental_candidates(
     (band, bucket only) scan with NO Exchange (the bucketed layout already
     clusters on the group key), so the exchange-free corpus property
     holds; the resulting hot-bucket set is tiny and broadcast.
+
+    The corpus is deduplicated on (band, bucket, id) first — exchange-free
+    (the bucket layout clusters a superset of the keys) — so duplicate
+    index rows, e.g. from a replayed streaming append, can never inflate
+    occupancy counts past the cap or change any result.
+
+    ``new_banded`` lets a caller that already computed (and ideally
+    checkpointed) the batch's banded rows pass them in, avoiding a second
+    signature computation.
     """
-    new_banded = banded_rows(new_df, spec, id_col, text_col)
-    corpus = spark.table(table_name)
+    if new_banded is None:
+        new_banded = banded_rows(new_df, spec, id_col, text_col)
+    corpus = spark.table(table_name).dropDuplicates(["band", "bucket", "id"])
     probe = F.broadcast(new_banded) if broadcast_new else new_banded
 
     # Hot-bucket cap, shared with the one-shot path: combined occupancy
@@ -257,19 +267,7 @@ def confirm_candidates(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "n_a"}), "a")
-        .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "n_b"}), "b")
-        .select(
-            "a",
-            "b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).cast("double").alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return jaccard_from_counts(common, sizes, threshold)
 
 
 def ingest_batch(
@@ -290,8 +288,12 @@ def ingest_batch(
     2. :func:`confirm_candidates` — exact Jaccard on candidates only,
        against ``texts`` (the document store holding previously ingested
        docs; the new batch's texts are added automatically),
-    3. :func:`append_to_index` — the batch's banded rows join the index,
-       so the NEXT batch sees this one as corpus.
+    3. the batch's banded rows join the index, so the NEXT batch sees
+       this one as corpus.
+
+    The batch's signatures are computed ONCE (banded rows eagerly
+    checkpointed) and reused by both the candidate join and the index
+    append — signature generation is the dominant per-batch cost.
 
     Scale posture of the text fetch: the candidate set is materialized
     first (eager checkpoint — also pins one partitioning for both uses),
@@ -306,8 +308,11 @@ def ingest_batch(
     returned DataFrame can never observe the index state it just
     changed. Returns (a, b, jaccard >= threshold).
     """
+    banded = banded_rows(new_df, spec, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     cands = incremental_candidates(
-        spark, table_name, new_df, spec, id_col, text_col
+        spark, table_name, new_df, spec, id_col, text_col, new_banded=banded
     ).localCheckpoint(eager=True)
     all_texts = texts.select(id_col, text_col).unionByName(
         new_df.select(id_col, text_col)
@@ -324,5 +329,5 @@ def ingest_batch(
     confirmed = confirm_candidates(
         cands, all_texts, spec.shingle_n, threshold, id_col, text_col
     ).localCheckpoint(eager=True)
-    append_to_index(new_df, table_name, spec, id_col, text_col)
+    _write_banded(banded, table_name, spec, "append")
     return confirmed

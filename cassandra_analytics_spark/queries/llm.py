@@ -294,20 +294,22 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     tbl = f"lsh_idx_sdedup_{uuid.uuid4().hex[:8]}"
-    q = run_incremental_dedup_stream(
-        stream,
-        index_table=tbl,
-        doc_store=os.path.join(tmp, "docs"),
-        pairs_out=os.path.join(tmp, "pairs"),
-        spec=LshIndexSpec(),
-        threshold=0.9,
-        checkpoint_dir=os.path.join(tmp, "ckpt"),
-    )
     try:
-        q.processAllAvailable()
+        q = run_incremental_dedup_stream(
+            stream,
+            index_table=tbl,
+            doc_store=os.path.join(tmp, "docs"),
+            pairs_out=os.path.join(tmp, "pairs"),
+            spec=LshIndexSpec(),
+            threshold=0.9,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return (
         collected_pairs(spark, os.path.join(tmp, "pairs"))
         .select("a", "b", "jaccard")

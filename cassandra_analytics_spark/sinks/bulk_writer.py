@@ -226,42 +226,50 @@ def _stage_batch(
 ) -> tuple[str, dict]:
     """W3: sized sorted files + digest manifest into ``_staging-<batch>``
     of ``table_path``; returns (staging_dir, manifest). NOT committed —
-    the caller renames the staging dir to publish."""
+    the caller renames the staging dir to publish. Any staging-phase
+    failure (write, digest IO, manifest write) removes the staging dir
+    so an aborted write leaves no garbage behind."""
+    import shutil
+
     staging = os.path.join(table_path, f"_staging-{batch_id}")
-    (
-        out.write.mode("errorifexists")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(staging)
-    )
+    try:
+        (
+            out.write.mode("errorifexists")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(staging)
+        )
 
-    # per-file digests → manifest (DigestAlgorithms.java analog; the
-    # reference defaults xxhash32 and also offers MD5 — we use MD5)
-    files = {}
-    num_rows = 0
-    for fname in sorted(os.listdir(staging)):
-        if not fname.endswith(".parquet"):
-            continue
-        fpath = os.path.join(staging, fname)
-        files[fname] = {
-            "bytes": os.path.getsize(fpath),
-            digest_algorithm: _file_digest(fpath, digest_algorithm),
+        # per-file digests → manifest (DigestAlgorithms.java analog; the
+        # reference defaults xxhash32 and also offers MD5 — we use MD5)
+        files = {}
+        num_rows = 0
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(staging, fname)
+            files[fname] = {
+                "bytes": os.path.getsize(fpath),
+                digest_algorithm: _file_digest(fpath, digest_algorithm),
+            }
+        import pyarrow.parquet as pq
+
+        for fname in files:
+            num_rows += pq.read_metadata(os.path.join(staging, fname)).num_rows
+
+        manifest = {
+            "batch": batch_id,
+            "mode": mode.value,
+            "partition_keys": list(partition_keys),
+            "clustering_keys": list(clustering_keys),
+            "digest_algorithm": digest_algorithm,
+            "num_rows": num_rows,
+            "files": files,
         }
-    import pyarrow.parquet as pq
-
-    for fname in files:
-        num_rows += pq.read_metadata(os.path.join(staging, fname)).num_rows
-
-    manifest = {
-        "batch": batch_id,
-        "mode": mode.value,
-        "partition_keys": list(partition_keys),
-        "clustering_keys": list(clustering_keys),
-        "digest_algorithm": digest_algorithm,
-        "num_rows": num_rows,
-        "files": files,
-    }
-    with open(os.path.join(staging, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
+        with open(os.path.join(staging, "_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return staging, manifest
 
 

@@ -155,7 +155,17 @@ def _make_bundler(
             member_meta: dict[str, dict] = {}
             with _zip.ZipFile(zpath, "w", compression=_zip.ZIP_STORED) as zf:
                 for fname, fpath, rows, lo, hi in group:
-                    zf.write(fpath, arcname=fname)
+                    # Fixed entry metadata (epoch date, fixed mode) so a
+                    # retried or speculative attempt produces BYTE-
+                    # IDENTICAL zips: ZipFile.write would embed the
+                    # member file's mtime, which differs per attempt, and
+                    # a zombie attempt's late rename would then leave a
+                    # bundle whose bytes mismatch the manifest digest.
+                    zi = _zip.ZipInfo(fname, date_time=(1980, 1, 1, 0, 0, 0))
+                    zi.compress_type = _zip.ZIP_STORED
+                    zi.external_attr = 0o644 << 16
+                    with zf.open(zi, "w") as dst, open(fpath, "rb") as srcf:
+                        _shutil.copyfileobj(srcf, dst)
                     member_meta[fname] = {
                         "bytes": _os.path.getsize(fpath),
                         digest_algorithm: _file_digest(fpath, digest_algorithm),
@@ -163,8 +173,12 @@ def _make_bundler(
                         "start_token": lo,
                         "end_token": hi,
                     }
-            # publish: write-temp + rename. Retries republish identical
-            # bytes (deterministic partition data), so last-wins is safe.
+            # publish: write-temp + rename; last-wins is safe because any
+            # attempt's bytes are identical (sorted deterministic data +
+            # normalized zip metadata). Digest/size come from the LOCAL
+            # zip — same bytes, no re-read over the store.
+            zbytes = _os.path.getsize(zpath)
+            zdigest = _file_digest(zpath, digest_algorithm)
             dest = _os.path.join(staging, bname)
             part = f"{dest}.inprogress-{_uuid.uuid4().hex[:8]}"
             _shutil.copyfile(zpath, part)
@@ -172,8 +186,8 @@ def _make_bundler(
             bundles_meta.append(
                 {
                     "name": bname,
-                    "bytes": _os.path.getsize(dest),
-                    "digest": _file_digest(dest, digest_algorithm),
+                    "bytes": zbytes,
+                    "digest": zdigest,
                     "start_token": min(m[3] for m in group),
                     "end_token": max(m[4] for m in group),
                     "num_rows": sum(m[2] for m in group),
@@ -326,59 +340,62 @@ def _stage_bundle_job(
     staging = os.path.join(store_path, f"_staging-{job_id}")
     os.makedirs(staging)
 
-    # One job: every task bundles and publishes its own partition; the
-    # driver collects only metadata rows (O(#bundles), never data).
+    # Any failure in the staging phase — the bundling job, the metadata
+    # assembly, or the manifest write — must remove the staging dir so
+    # no garbage survives an aborted write.
     try:
+        # One job: every task bundles and publishes its own partition;
+        # the driver collects only metadata rows (O(#bundles), never
+        # data).
         meta_rows = out.mapInArrow(
             _make_bundler(
                 staging, max_records_per_file, max_bundle_bytes, digest_algorithm
             ),
             _BUNDLE_META_SCHEMA,
         ).collect()
+        if not meta_rows:
+            raise BulkWriteError("bundle_write produced no data files")
+
+        # Range partitions are assigned in token order, so name order
+        # (which embeds the partition id) == token order → contiguous
+        # ring spans.
+        bundles = [
+            BundleInfo(
+                name=r["name"],
+                bytes=r["bytes"],
+                digest=r["digest"],
+                start_token=r["start_token"],
+                end_token=r["end_token"],
+                num_rows=r["num_rows"],
+                members=json.loads(r["members"]),
+            )
+            for r in sorted(meta_rows, key=lambda r: r["name"])
+        ]
+
+        manifest = {
+            "job": job_id,
+            "partition_keys": list(partition_keys),
+            "clustering_keys": list(clustering_keys),
+            "token_column": TOKEN_COLUMN,
+            "digest_algorithm": digest_algorithm,
+            "num_rows": sum(b.num_rows for b in bundles),
+            "bundles": {
+                b.name: {
+                    "bytes": b.bytes,
+                    digest_algorithm: b.digest,
+                    "start_token": b.start_token,
+                    "end_token": b.end_token,
+                    "rows": b.num_rows,
+                    "members": b.members,
+                }
+                for b in bundles
+            },
+        }
+        with open(os.path.join(staging, "_bundle_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    if not meta_rows:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise BulkWriteError("bundle_write produced no data files")
-
-    # Range partitions are assigned in token order, so name order (which
-    # embeds the partition id) == token order → contiguous ring spans.
-    bundles = [
-        BundleInfo(
-            name=r["name"],
-            bytes=r["bytes"],
-            digest=r["digest"],
-            start_token=r["start_token"],
-            end_token=r["end_token"],
-            num_rows=r["num_rows"],
-            members=json.loads(r["members"]),
-        )
-        for r in sorted(meta_rows, key=lambda r: r["name"])
-    ]
-
-    manifest = {
-        "job": job_id,
-        "partition_keys": list(partition_keys),
-        "clustering_keys": list(clustering_keys),
-        "token_column": TOKEN_COLUMN,
-        "digest_algorithm": digest_algorithm,
-        "num_rows": sum(b.num_rows for b in bundles),
-        "bundles": {
-            b.name: {
-                "bytes": b.bytes,
-                digest_algorithm: b.digest,
-                "start_token": b.start_token,
-                "end_token": b.end_token,
-                "rows": b.num_rows,
-                "members": b.members,
-            }
-            for b in bundles
-        },
-    }
-    manifest_path = os.path.join(staging, "_bundle_manifest.json")
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=2)
     return staging, manifest, bundles
 
 

@@ -17,10 +17,11 @@ construction —
 
 - pair/doc outputs go to per-batch subdirectories overwritten on replay
   (idempotent publish keyed by ``batch_id``);
-- a replayed ``append_to_index`` duplicates banded rows, which cannot
-  change results: candidate pairs are ``dropDuplicates(a, b)``-deduped,
-  so duplicate index rows only cost storage (and inflate hot-bucket
-  occupancy counts toward the cap — the conservative direction).
+- a replayed index append duplicates banded rows, which cannot change
+  results: ``incremental_candidates`` deduplicates the corpus on
+  (band, bucket, id) before both the candidate join and the hot-bucket
+  occupancy count (exchange-free off the bucket layout), so duplicate
+  index rows only cost storage.
 """
 
 from __future__ import annotations

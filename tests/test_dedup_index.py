@@ -104,8 +104,10 @@ def _exchange_count(df) -> int:
 
 def test_corpus_side_is_not_shuffled(spark, corpus_and_batch):
     """The bucketed index join must not re-shuffle the corpus: the same
-    probe against an identical but UNBUCKETED table plans exactly one
-    more Exchange (the corpus side's)."""
+    probe against an identical but UNBUCKETED table plans exactly THREE
+    more Exchanges — one per corpus-touching operator (the (band,bucket,
+    id) dedup, the hot-bucket occupancy count, and the candidate join),
+    each of which is satisfied for free by the bucketed layout."""
     corpus, batch = corpus_and_batch
     bucketed, flat = "lsh_idx_bucketed", "lsh_idx_flat"
     for t in (bucketed, flat):
@@ -124,7 +126,7 @@ def test_corpus_side_is_not_shuffled(spark, corpus_and_batch):
         n_flat = _exchange_count(
             incremental_candidates(spark, flat, batch, **kwargs)
         )
-        assert n_flat == n_bucketed + 1
+        assert n_flat == n_bucketed + 3
         # and the join really consumes the scan's bucketing (the scan
         # renders bucket info only when the plan exploits it)
         plan = df_bucketed._sc._jvm.PythonSQLUtils.explainString(
@@ -282,3 +284,27 @@ def test_confirm_candidates_work_is_candidate_bounded(spark):
     # correctness of the restriction: only candidate-pair ids are scored
     rows = out.collect()
     assert {(r.a, r.b) for r in rows} <= {(1, 2), (3, 4)}
+
+
+def test_duplicate_index_rows_cannot_change_results(spark, corpus_and_batch):
+    """A replayed streaming append duplicates banded rows in the index;
+    candidates AND hot-bucket occupancy must be unaffected (the corpus is
+    deduplicated on (band, bucket, id) before both)."""
+    corpus, batch = corpus_and_batch
+    clean, dup = "lsh_idx_replay_clean", "lsh_idx_replay_dup"
+    for t in (clean, dup):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_index(corpus, clean, SPEC)
+    build_index(corpus, dup, SPEC)
+    append_to_index(corpus, dup, SPEC)   # replayed append: every row twice
+    want = {
+        (r.a, r.b): r.est_jaccard
+        for r in incremental_candidates(spark, clean, batch, SPEC).collect()
+    }
+    got = {
+        (r.a, r.b): r.est_jaccard
+        for r in incremental_candidates(spark, dup, batch, SPEC).collect()
+    }
+    assert got == want and want
+    for t in (clean, dup):
+        spark.sql(f"DROP TABLE {t}")
