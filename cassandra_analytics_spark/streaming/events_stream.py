@@ -45,9 +45,13 @@ def events_stream(
             )
     # Watermarks require TIMESTAMP (with local tz); parquet TIMESTAMP
     # without UTC adjustment arrives as TIMESTAMP_NTZ. The ntz→ltz cast
-    # shifts values by the session timezone, so pin UTC here explicitly
-    # rather than relying on catalog.load_table having set it — a caller
-    # may have changed the session tz since the batch probe ran.
+    # evaluates under the session timezone AT QUERY START, and this
+    # engine's global invariant is a UTC session (catalog.load_table
+    # enforces it; every oracle comparison depends on it) — reassert it
+    # here so a standalone streaming caller gets value-preserving casts
+    # even if load_table never ran. Callers must not flip the session tz
+    # between building and starting the stream (nothing in Spark can
+    # freeze the tz into the cast expression itself).
     if dict(stream.dtypes)["ts"] == "timestamp_ntz":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
