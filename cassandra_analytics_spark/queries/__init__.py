@@ -60,6 +60,7 @@ _ROUND_PRIORITY: list[str] = [
     # --- (2) new this round / implementation touched this round ---
     "dedup_incremental_pipeline",
     "streaming_incremental_dedup",
+    "corpus_budget_select",
     "coordinated_write_roundtrip",
     "pack_training_chunks",    # distributed_cumsum checkpoint fix
     "dedup_incremental_lsh",   # hot-bucket cap

@@ -249,6 +249,70 @@ INCREMENTAL_CONFIRM_SQL = r"""
 """
 
 
+@query(
+    "corpus_budget_select",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(TRIM(text), '\s+')) END
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, n_tokens,
+               (CASE WHEN n_chars BETWEEN 500 AND 5000 THEN 0
+                     WHEN n_chars BETWEEN 100 AND 10000 THEN 1
+                     ELSE 2 END) * 10000000000 + doc_id AS k
+        FROM toks
+    ),
+    run AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   AS cum_tokens
+        FROM keyed
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM run WHERE cum_tokens <= 50000
+    ORDER BY doc_id
+    """,
+    doc="Budget-constrained corpus selection: rank documents by a "
+    "deterministic quality tier (length-band heuristic), then keep the "
+    "best docs whose running token total fits a global 50k-token "
+    "training budget. The global running sum uses distributed_cumsum "
+    "(operators/packing.py — range-partitioned parallel prefix sum, "
+    "never a single-partition window), so the selection scales to a "
+    "100 TB corpus; the oracle recomputes it with a SQL window.",
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.packing import distributed_cumsum
+
+    budget = 50_000
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    tier = (
+        F.when(F.col("n_chars").between(500, 5000), 0)
+        .when(F.col("n_chars").between(100, 10000), 1)
+        .otherwise(2)
+    )
+    keyed = d.withColumn(
+        "__k", tier.cast("long") * F.lit(10_000_000_000) + F.col("doc_id")
+    )
+    run = distributed_cumsum(keyed, "__k", "n_tokens", "__before")
+    return (
+        run.filter(F.col("__before") + F.col("n_tokens") <= budget)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__before") + F.col("n_tokens")).cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Same exact-Jaccard confirm oracle, over ALL pairs (no batch-parity
 # filter): in the streaming recipe every pair is reported exactly once —
 # within-batch pairs when their batch arrives, cross-batch pairs when the
