@@ -159,7 +159,11 @@ def incremental_candidates(
     The corpus is deduplicated on (band, bucket, id) first — exchange-free
     (the bucket layout clusters a superset of the keys) — so duplicate
     index rows, e.g. from a replayed streaming append, can never inflate
-    occupancy counts past the cap or change any result.
+    occupancy counts past the cap or change any result. Occupancy itself
+    counts each distinct document once across BOTH sides (corpus rows for
+    docs present in the batch are excluded via a broadcast anti-join), so
+    a replay that re-presents already-indexed docs sees the same
+    hot-bucket set as the first attempt.
 
     ``new_banded`` lets a caller that already computed (and ideally
     checkpointed) the batch's banded rows pass them in, avoiding a second
@@ -171,9 +175,22 @@ def incremental_candidates(
     probe = F.broadcast(new_banded) if broadcast_new else new_banded
 
     # Hot-bucket cap, shared with the one-shot path: combined occupancy
-    # per (band, bucket) over corpus + new batch.
-    corpus_sizes = corpus.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__nc")
+    # per (band, bucket) over corpus + new batch, counting each DISTINCT
+    # document once. The corpus side is anti-joined against the batch's
+    # ids first (broadcast — corpus stays exchange-free) so a replayed
+    # batch whose rows already landed in the index (partial append +
+    # retry) is not counted on both sides: double-counting would inflate
+    # occupancy ~2x for affected buckets and could push a bucket past
+    # max_bucket only on the replay, silently dropping its pairs and
+    # breaking the replay-idempotence the streaming path relies on.
+    # (no .distinct() on the build side: left_anti ignores duplicates,
+    # and skipping it keeps the probe path free of an extra shuffle —
+    # the broadcast is batch_docs x bands rows of a single long column)
+    batch_ids = new_banded.select("id")
+    corpus_sizes = (
+        corpus.join(F.broadcast(batch_ids), "id", "left_anti")
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__nc"))
     )
     new_sizes = new_banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__nn")
@@ -301,8 +318,10 @@ def ingest_batch(
     (the normal case: candidates ∝ batch size, not corpus size) the id
     list is pushed into the ``texts`` scan as an IN filter, so the
     document store is row-group-pruned instead of scanned per batch —
-    the F1-pushdown shape. Above the cap the broadcast semi-join inside
-    :func:`confirm_candidates` takes over (one full column-pruned scan).
+    the F1-pushdown shape. The cap check is a ``count()`` (not a capped
+    collect), so the over-cap case materializes nothing on the driver —
+    the broadcast semi-join inside :func:`confirm_candidates` takes over
+    (one full column-pruned scan).
 
     The confirmed pairs are materialized BEFORE the append so the
     returned DataFrame can never observe the index state it just
@@ -317,14 +336,12 @@ def ingest_batch(
     all_texts = texts.select(id_col, text_col).unionByName(
         new_df.select(id_col, text_col)
     ).dropDuplicates([id_col])
-    involved = [
-        r[0]
-        for r in cands.select(F.explode(F.array("a", "b")).alias("i"))
-        .distinct()
-        .limit(max_pushdown_ids + 1)
-        .collect()
-    ]
-    if len(involved) <= max_pushdown_ids:
+    # cheap count first (cands is checkpointed, the id set is tiny) so
+    # the over-cap path never materializes 10k+ ids on the driver — only
+    # when the list fits the cap is it collected for the IN-pushdown
+    involved_ids = cands.select(F.explode(F.array("a", "b")).alias("i")).distinct()
+    if involved_ids.count() <= max_pushdown_ids:
+        involved = [r[0] for r in involved_ids.collect()]
         all_texts = all_texts.filter(F.col(id_col).isin(involved))
     confirmed = confirm_candidates(
         cands, all_texts, spec.shingle_n, threshold, id_col, text_col

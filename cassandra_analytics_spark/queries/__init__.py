@@ -45,69 +45,63 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # The round driver verifies the FIRST ~50 registry entries per round
 # (CORRECTNESS_r01.json is exactly the first 50 in registration order).
 # To get every query a driver row across rounds, each round front-loads
-# the names that most need one. After r1..r3 the union covers all
-# registered queries, so round-4 priority is: (1) the two entries whose
-# only driver row was unusable (agg_approx_quantile errored on its array
-# column — now flattened; embedding_near_dup recorded 0 rows — now
-# seeded), (2) every query whose implementation changed this round
-# (packing checkpoint, LSH hot-bucket cap, executor-side bundling,
-# streaming tz pin) plus queries NEW this round, (3) a pad of names
-# whose only green row is from r1 — re-proving the oldest evidence.
+# the names that most need one. After r1..r4 the union covers every
+# registered query with usable evidence, so round-5 priority is pure
+# evidence-freshness rotation (VERDICT r4 item 1): (1) queries NEW this
+# round, (2) queries whose implementation was touched this round (the
+# ADVICE r4 fixes: replay-safe LSH occupancy, streaming tz check,
+# restore member-name validation, rollback-failure reporting; plus the
+# dedup steady-state work), (3) the 33 names whose newest driver row is
+# from r1/r2 — scalar_date_funcs first (r1-only).
 _ROUND_PRIORITY: list[str] = [
-    # --- (1) never had a usable driver row ---
-    "agg_approx_quantile",     # r3 err: array col; now scalar p50/p95/p99
-    "embedding_near_dup",      # r1 row was 0 rows; now returns matches
-    # --- (2) new this round / implementation touched this round ---
-    "dedup_incremental_pipeline",
+    # --- (1) new this round ---
+    "pack_greedy_bins",        # last pytest-only operator, now driver-gated
+    # --- (2) implementation touched this round ---
+    "dedup_incremental_pipeline",   # dedup_index occupancy + id-count fix
+    "dedup_incremental_lsh",
     "streaming_incremental_dedup",
-    "corpus_budget_select",
-    "coordinated_write_roundtrip",
-    "pack_training_chunks",    # distributed_cumsum checkpoint fix
-    "dedup_incremental_lsh",   # hot-bucket cap
-    "bundle_write_restore",    # executor-side bundling
-    "streaming_hourly_stats",  # events_stream tz pin
+    "coordinated_write_roundtrip",  # rollback-failure reporting
+    "bundle_write_restore",         # member-name validation
+    "streaming_hourly_stats",       # events_stream tz check
     "streaming_sessionize",
     "streaming_dedup_union",
     "streaming_interval_join",
-    "agg_hll_sketch_union",    # rows-only; only r3 rows-only row
-    # --- (3) pad: oldest evidence first (green only in r1) ---
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh",            # steady-state perf work
     "dedup_simhash",
-    "dedup_fingerprint_md5",
-    "training_data_pipeline",
-    "text_tfidf_search",
-    "text_token_stats",
-    "text_quality_features",
-    "text_bpe_tokens",
-    "lang_id_heuristic",
-    "embedding_label_norms",
-    "stratified_sample_langs",
-    "ann_ivf_topk",
-    "lmt_last_modified",
-    "partition_size_orders",
-    "token_range_histogram",
-    "static_column_propagation",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "agg_cube_status",
-    "agg_rollup_orders_time",
-    "sql_grouping_sets",
-    "agg_distinct_suppliers",
-    "agg_approx_distinct",
-    "window_topk_orders_per_customer",
-    "window_lag_order_gap",
-    "window_running_revenue",
-    "window_moving_avg",
-    "setop_intersect_customers",
-    "setop_except_customers",
-    "setop_union_segments",
-    "join_semi_open_orders",
-    "join_anti_no_orders",
-    "join_full_outer_nation_counts",
-    "join_cross_region_status",
-    "scalar_string_funcs",
+    # --- (3) stale: newest driver evidence r1/r2 ---
     "scalar_date_funcs",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "agg_median_percentiles",
+    "stat_moments_lineitem",
+    "window_percent_rank",
+    "window_ranking_functions",
+    "window_range_frame_revenue",
+    "rollup_time_hierarchy",
+    "pivot_returnflag_status",
+    "unpivot_segment_metrics",
+    "events_json_extract",
+    "events_json_struct",
+    "events_hourly_stats",
+    "array_agg_sorted",
+    "array_function_suite",
+    "map_entry_extraction",
+    "bool_aggs",
+    "null_handling_funcs",
+    "conditional_agg_filter",
+    "acctbal_width_buckets",
+    "explode_embeddings",
+    "scalar_math_funcs",
 ]
 
 

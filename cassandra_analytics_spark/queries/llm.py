@@ -1250,6 +1250,49 @@ def pack_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_greedy_bins",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents WHERE n_chars > 0
+    ),
+    pack AS (
+        SELECT rn, doc_id,
+               CAST(0 AS BIGINT) AS bin_id,
+               CAST(n_chars AS BIGINT) AS bin_fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT nxt.rn, nxt.doc_id,
+               CASE WHEN p.bin_fill + nxt.n_chars > 4096
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.bin_fill + nxt.n_chars > 4096
+                    THEN CAST(nxt.n_chars AS BIGINT)
+                    ELSE p.bin_fill + nxt.n_chars END
+        FROM d nxt JOIN pack p ON nxt.rn = p.rn + 1
+    )
+    SELECT doc_id, bin_id, bin_fill FROM pack ORDER BY doc_id
+    """,
+    doc="First-fit greedy whole-document packing (operators/packing.py "
+    "pack_greedy): walk documents in doc_id order, fill the current bin "
+    "until adding the next doc would exceed the 4096-token budget, then "
+    "open a new bin (n_chars as the token proxy). The rule is inherently "
+    "sequential, so this driver query pins num_partitions=1 to make it "
+    "exactly expressible as a DuckDB recursive CTE; the production path "
+    "runs the same rule per range partition in parallel (bins never "
+    "cross partitions — at most one partially-filled bin of padding per "
+    "partition), asserted in tests/test_packing.py.",
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_greedy(
+        d, budget=4096, len_col="n_chars", num_partitions=1
+    ).orderBy("doc_id")
+
+
+@query(
     "dedup_span_fraction",
     oracle=r"""
     WITH norm AS (

@@ -414,15 +414,24 @@ def coordinated_bulk_write(
             final = os.path.join(t, batch_id)
             os.rename(s, final)
             published.append((s, final))
-    except BaseException:
-        # roll back so no partial publish survives
+    except BaseException as commit_err:
+        # roll back so no partial publish survives; a rename-back can
+        # itself fail environmentally, leaving that target published —
+        # record it so the caller knows the cross-target state instead
+        # of assuming the rollback succeeded
+        rollback_failures: list[str] = []
         for s, final in published:
             try:
                 os.rename(final, s)
-            except OSError:
-                pass
+            except OSError as e:
+                rollback_failures.append(f"{final}: {e}")
         for _, s in stagings:
             shutil.rmtree(s, ignore_errors=True)
+        if rollback_failures:
+            raise BulkWriteError(
+                "coordinated commit failed and rollback could not unpublish "
+                f"these targets (partial publish!): {rollback_failures}"
+            ) from commit_err
         raise
 
     return [

@@ -473,14 +473,22 @@ def coordinated_bundle_write(
             final = os.path.join(os.path.dirname(s), job_id)
             os.rename(s, final)
             published.append((s, final))
-    except BaseException:
+    except BaseException as commit_err:
+        # same contract as coordinated_bulk_write: a failed rename-back
+        # leaves that store published — report it, don't assume success
+        rollback_failures: list[str] = []
         for s, final in published:
             try:
                 os.rename(final, s)
-            except OSError:
-                pass
+            except OSError as e:
+                rollback_failures.append(f"{final}: {e}")
         for s in stagings:
             shutil.rmtree(s, ignore_errors=True)
+        if rollback_failures:
+            raise BulkWriteError(
+                "coordinated bundle commit failed and rollback could not "
+                f"unpublish these stores (partial publish!): {rollback_failures}"
+            ) from commit_err
         raise
 
     return [
@@ -563,10 +571,19 @@ def restore_bundles(
             with zipfile.ZipFile(zpath) as zf:
                 zip_names = set(zf.namelist())
                 for fname, fmeta in meta["members"].items():
-                    target = os.path.realpath(os.path.join(staging, fname))
-                    if os.path.isabs(fname) or not target.startswith(
-                        staging_root + os.sep
+                    # the bundler only ever emits flat 'part-*.parquet'
+                    # names — any separator (or absolute path) marks a
+                    # malformed/hostile manifest; rejecting it outright
+                    # also avoids an unhelpful FileNotFoundError for
+                    # 'sub/a.parquet' (parent dirs are never created)
+                    if (
+                        os.path.isabs(fname)
+                        or "/" in fname
+                        or "\\" in fname
                     ):
+                        raise BulkWriteError(f"unsafe member path: {fname!r}")
+                    target = os.path.realpath(os.path.join(staging, fname))
+                    if not target.startswith(staging_root + os.sep):
                         raise BulkWriteError(f"unsafe member path: {fname!r}")
                     if fname not in zip_names:
                         raise BulkWriteError(

@@ -46,14 +46,23 @@ def events_stream(
     # Watermarks require TIMESTAMP (with local tz); parquet TIMESTAMP
     # without UTC adjustment arrives as TIMESTAMP_NTZ. The ntz→ltz cast
     # evaluates under the session timezone AT QUERY START, and this
-    # engine's global invariant is a UTC session (catalog.load_table
-    # enforces it; every oracle comparison depends on it) — reassert it
-    # here so a standalone streaming caller gets value-preserving casts
-    # even if load_table never ran. Callers must not flip the session tz
+    # engine's global invariant is a UTC session (catalog.load_table,
+    # called above, pins it; every oracle comparison depends on it).
+    # Rather than silently flipping the conf here — a side effect that
+    # would change the semantics of a caller's other queries — verify the
+    # invariant and fail loudly if something un-pinned it between
+    # load_table and this point. Callers must not flip the session tz
     # between building and starting the stream (nothing in Spark can
     # freeze the tz into the cast expression itself).
     if dict(stream.dtypes)["ts"] == "timestamp_ntz":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                "events_stream requires a UTC session "
+                f"(spark.sql.session.timeZone={tz!r}): the ntz->timestamp "
+                "cast evaluates under the session timezone at query start; "
+                "set spark.sql.session.timeZone=UTC before building streams"
+            )
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 

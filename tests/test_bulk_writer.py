@@ -216,3 +216,32 @@ def test_coordinated_write_commit_failure_rolls_back(spark, tmp_path, monkeypatc
         coordinated_bulk_write(src, [a, b], ["id"], write_timestamp_micros=1_000)
     monkeypatch.undo()
     assert _no_trace(a) and _no_trace(b)
+
+
+def test_coordinated_write_rollback_failure_is_reported(
+    spark, tmp_path, monkeypatch
+):
+    """If the joint commit fails AND the rename-back of an
+    already-published target also fails (double environmental fault),
+    the raised error must name the targets left published instead of
+    silently pretending the rollback succeeded (ADVICE r4)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    src = _rows(spark, [{"id": i, "val": f"v{i}"} for i in range(50)])
+
+    real_rename = os.rename
+
+    def flaky_rename(srcp, dstp):
+        # commit of b's final dir fails, then a's rename-back fails too
+        if dstp.startswith(b) and "/batch-" in dstp and "_staging-" not in dstp:
+            raise OSError("injected commit failure")
+        if dstp.startswith(a) and "_staging-" in dstp:
+            raise OSError("injected rollback failure")
+        return real_rename(srcp, dstp)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(BulkWriteError, match="partial publish"):
+        coordinated_bulk_write(src, [a, b], ["id"], write_timestamp_micros=1_000)
+    monkeypatch.undo()
+    # target a really was left published — the error told the truth
+    assert len(committed_batches(a)) == 1
+    assert committed_batches(b) == []

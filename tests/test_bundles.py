@@ -387,3 +387,29 @@ def test_bundle_roundtrip_mixed_types(spark, tmp_path):
     want = {r.id: (r.ts, r.dec, r.dbl, tuple(r.arr), r.s)
             for r in src.collect()}
     assert got == want
+
+
+def test_restore_rejects_subdirectory_member_names(spark, tmp_path):
+    """A manifest member name with a path separator is malformed (the
+    bundler only emits flat 'part-*.parquet' names) and must raise a
+    BulkWriteError, not a raw FileNotFoundError from the missing parent
+    dir (ADVICE r4)."""
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "tbl")
+    res = bundle_write(
+        _docs(spark), store, ["id"], write_timestamp_micros=1_000,
+        num_partitions=1,
+    )
+    mpath = os.path.join(res.job_dir, "_bundle_manifest.json")
+    os.chmod(res.job_dir, 0o755)
+    os.chmod(mpath, 0o644)
+    manifest = json.load(open(mpath))
+    bname = next(iter(manifest["bundles"]))
+    members = manifest["bundles"][bname]["members"]
+    fname, fmeta = next(iter(members.items()))
+    members["sub/a.parquet"] = fmeta
+    json.dump(manifest, open(mpath, "w"))
+
+    with pytest.raises(BulkWriteError, match="unsafe member path"):
+        restore_bundles(spark, res.job_dir, table, verify=False)
+    assert committed_batches(table) == []
