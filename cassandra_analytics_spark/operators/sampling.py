@@ -62,3 +62,26 @@ def stratified_sample(
     within Spark (not portable across engines — pair with
     :func:`hash_split` when cross-run stability matters)."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling by id-hash: keep a row iff
+    ``md5(id) % 100 < fraction*100`` for its stratum.
+
+    Unlike :func:`stratified_sample` (seeded RNG), membership depends only
+    on the row's id — stable across runs, engines, partitionings, and
+    incremental re-ingests, which is what a 100 TB pipeline actually
+    needs (a resumed job must not re-flip coins). Pure projection +
+    filter: one scan, no shuffle, engine-portable (the DuckDB oracle
+    reproduces the md5 bucket bit-exactly). Unlisted strata sample at 0.
+    """
+    b = hash_bucket(id_col)
+    keep = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        keep = keep | ((F.col(stratum_col) == stratum) & (b < int(round(frac * _BUCKETS))))
+    return df.filter(keep)

@@ -56,6 +56,7 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 _ROUND_PRIORITY: list[str] = [
     # --- (1) new this round ---
     "pack_greedy_bins",        # last pytest-only operator, now driver-gated
+    "stratified_hash_sample_langs",  # deterministic sampler, oracle-exact
     # --- (2) implementation touched this round ---
     "dedup_incremental_pipeline",   # dedup_index occupancy + id-count fix
     "dedup_incremental_lsh",

@@ -1057,6 +1057,47 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_hash_sample_langs",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT)
+               % 100 AS b
+      FROM documents
+    ) h
+    WHERE (lang = 'en' AND b < 50)
+       OR (lang = 'fr' AND b < 25)
+       OR (lang = 'zh' AND b < 10)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Deterministic stratified down-sampling by md5 id-hash "
+    "(operators/sampling.stratified_hash_sample): membership depends only "
+    "on the document id, so a resumed or re-ingested 100 TB job keeps the "
+    "exact same sample — no RNG state, no shuffle, one scan. "
+    "Cross-engine-exact (md5 is bit-identical in Spark and DuckDB); the "
+    "seeded-RNG twin stratified_sample_langs stays rows-only by nature.",
+)
+def stratified_hash_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "fr": 0.25, "zh": 0.1}
+    return (
+        stratified_hash_sample(d, "lang", "doc_id", fractions)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal + ANN index registry surface (operators tested in
 # tests/test_multimodal.py / tests/test_similarity.py; registered here so

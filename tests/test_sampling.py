@@ -57,6 +57,46 @@ def test_stratified_sample_seed_deterministic(spark, sf_dir):
     assert 0 < len(a) < d.count()
 
 
+def test_stratified_hash_sample_deterministic_and_exact(spark, sf_dir):
+    from cassandra_analytics_spark.operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "fr": 0.25, "zh": 0.1}
+    a = sorted(r.doc_id for r in stratified_hash_sample(d, "lang", "doc_id", fr).collect())
+    # partitioning must not change membership (no RNG state)
+    b = sorted(
+        r.doc_id
+        for r in stratified_hash_sample(d.repartition(7), "lang", "doc_id", fr).collect()
+    )
+    assert a == b and 0 < len(a) < d.count()
+    # unlisted strata sample at 0
+    langs = {
+        r.lang
+        for r in stratified_hash_sample(d, "lang", "doc_id", fr).select("lang").distinct().collect()
+    }
+    assert langs <= {"en", "fr", "zh"}
+
+
+def test_stratified_hash_sample_is_pure_filter(spark, sf_dir):
+    import contextlib
+    import io
+
+    from cassandra_analytics_spark.operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stratified_hash_sample(d, "lang", "doc_id", {"en": 0.5}).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_stratified_hash_sample_langs_matches_oracle(spark, sf_dir):
+    from cassandra_analytics_spark.testing import compare_query
+
+    res = compare_query("stratified_hash_sample_langs", spark, sf_dir)
+    assert res.ok, str(res)
+
+
 def test_stratified_sample_langs_plan_has_no_driver_jobs(spark):
     """Building the registered query's DataFrame must not launch any Spark
     job (the round-1 version collect()ed distinct strata per query)."""
