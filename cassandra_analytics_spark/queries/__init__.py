@@ -50,9 +50,11 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # evidence-freshness rotation (VERDICT r4 item 1): (1) queries NEW this
 # round, (2) queries whose implementation was touched this round (the
 # ADVICE r4 fixes: replay-safe LSH occupancy, streaming tz check,
-# restore member-name validation, rollback-failure reporting; plus the
-# dedup steady-state work), (3) the 33 names whose newest driver row is
-# from r1/r2 — scalar_date_funcs first (r1-only).
+# restore member-name validation, rollback-failure reporting; the dedup
+# steady-state work; and the 100x-audit plan fixes: single-pass
+# tfidf/bm25 core, persisted shingle index, partial-reuse rollup,
+# checkpointed incremental-LSH probe), (3) the names whose newest
+# driver row is from r1/r2 — scalar_date_funcs first (r1-only).
 _ROUND_PRIORITY: list[str] = [
     # --- (1) new this round ---
     "pack_greedy_bins",        # last pytest-only operator, now driver-gated
@@ -69,6 +71,10 @@ _ROUND_PRIORITY: list[str] = [
     "streaming_interval_join",
     "dedup_minhash_lsh",            # steady-state perf work
     "dedup_simhash",
+    "text_tfidf_search",            # scorer core: single-pass refactor
+    "text_bm25_search",
+    "dedup_ngram_jaccard",          # shingle index persisted
+    "rollup_time_hierarchy",        # partial-reuse rollup (1 scan)
     # --- (3) stale: newest driver evidence r1/r2 ---
     "scalar_date_funcs",
     "q8_market_share",
@@ -88,7 +94,6 @@ _ROUND_PRIORITY: list[str] = [
     "window_percent_rank",
     "window_ranking_functions",
     "window_range_frame_revenue",
-    "rollup_time_hierarchy",
     "pivot_returnflag_status",
     "unpivot_segment_metrics",
     "events_json_extract",

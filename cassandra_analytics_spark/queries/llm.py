@@ -1440,7 +1440,15 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     build_index(corpus, table, spec)
+    # compute the batch's banded rows ONCE (same discipline as
+    # ingest_batch): incremental_candidates consumes them from several
+    # branches, and without the checkpoint each branch re-runs the
+    # shingle+minhash pipeline over the batch (7 scans in the round-5
+    # plan audit).
+    from cassandra_analytics_spark.operators.dedup_index import banded_rows
+
+    banded = banded_rows(batch, spec).localCheckpoint()
     return (
-        incremental_candidates(spark, table, batch, spec)
+        incremental_candidates(spark, table, batch, spec, new_banded=banded)
         .orderBy("a", "b")
     )

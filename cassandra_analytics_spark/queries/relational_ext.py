@@ -454,24 +454,48 @@ def window_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY granularity, bucket
     """,
-    doc="Hypertable-style continuous rollup: the same stream aggregated at "
-    "hour/day/week granularities in one pass (multi-granularity union; at "
-    "scale the coarser levels reuse the finest partials).",
+    doc="Hypertable-style continuous rollup: hour/day/week aggregates from "
+    "ONE events scan — the hourly level carries exact fixed-point partials "
+    "(long count + quantized long sum) and day re-aggregates hour, week "
+    "re-aggregates day, since every coarser bucket is a union of whole "
+    "finer buckets. The previous 3-scan union read the fact table once "
+    "per granularity; at 100 TB this shape reads it once and the rollup "
+    "tail runs over #hour-buckets rows.",
 )
 def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.queries._util import M
+
     e = _t(spark, sf_dir, "events")
-    levels = [
-        e.select(
-            F.lit(g).alias("granularity"),
-            F.date_trunc(g, "ts").alias("bucket"),
-            "value",
+    # exact re-aggregable partials: long count + fixed-point long sum.
+    # hourly/daily are persisted (#buckets rows — tiny) so the union
+    # below replays cached partials instead of re-scanning events once
+    # per granularity level.
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * M + F.lit(0.5))).alias("__q"),
         )
-        for g in ("hour", "day", "week")
-    ]
-    unioned = levels[0].unionByName(levels[1]).unionByName(levels[2])
-    return unioned.groupBy("granularity", "bucket").agg(
-        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value")
+        .persist()
     )
+
+    def coarsen(src: DataFrame, g: str) -> DataFrame:
+        return src.groupBy(F.date_trunc(g, "bucket").alias("bucket")).agg(
+            F.sum("n_events").alias("n_events"), F.sum("__q").alias("__q")
+        )
+
+    daily = coarsen(hourly, "day").persist()
+    weekly = coarsen(daily, "week")
+    levels = [
+        lvl.select(
+            F.lit(g).alias("granularity"),
+            "bucket",
+            "n_events",
+            (F.col("__q").cast("double") / M).alias("sum_value"),
+        )
+        for g, lvl in (("hour", hourly), ("day", daily), ("week", weekly))
+    ]
+    return levels[0].unionByName(levels[1]).unionByName(levels[2])
 
 
 @query(

@@ -157,12 +157,43 @@ def test_lww_partial_upsert_single_exchange(spark, sf_dir):
 
 
 def test_bm25_broadcasts_corpus_stats(spark, sf_dir):
-    """df/N/avglen are term-cardinality aggregates — they must broadcast,
-    never shuffle the per-doc side against them."""
+    """df/N/avglen collapse to ONE broadcast row joined to the per-doc
+    table — no shuffle against the stats, and no join on the term key at
+    all (terms stay in columns; the per-term score is a projection)."""
     plan = _exec_plan(spark, sf_dir, "text_bm25_search")
-    assert plan.count("BroadcastHashJoin") >= 1
-    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats build side
+    assert "BroadcastHashJoin" not in plan  # no term-key join survives
     assert "SortMergeJoin" not in plan
+
+
+def test_no_redundant_corpus_scans(spark, sf_dir):
+    """Queries whose plans used to re-derive a heavy pipeline per consumer
+    (broadcast stats sides, union levels, self-join sides) must scan
+    their fact table at most the stated number of times — the round-5
+    100x audit caught tfidf at 6 documents scans and ngram-jaccard at 8.
+    Persisted/checkpointed intermediates appear as InMemoryRelation, not
+    extra file scans. Formatted mode is used because simple-mode
+    executedPlan().toString() embeds each cached relation's LINEAGE text
+    (its original FileScan) inside every InMemoryRelation node — those
+    are not executed scans."""
+    import contextlib
+    import io
+    import re
+
+    cases = [
+        # (query, table, max file scans of that table in the plan)
+        ("text_tfidf_search", "documents", 2),  # per_doc + metadata-only N
+        ("text_bm25_search", "documents", 1),
+        ("dedup_ngram_jaccard", "documents", 1),
+        ("rollup_time_hierarchy", "events", 1),
+    ]
+    for name, table, max_scans in cases:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        n = len(re.findall(rf"file:[^\]\n]*/{table}\.parquet", buf.getvalue()))
+        assert n <= max_scans, f"{name}: {n} scans of {table} (max {max_scans})"
 
 
 def test_decontamination_broadcasts_benchmark(spark, sf_dir):
