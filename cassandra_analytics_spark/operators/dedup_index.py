@@ -160,10 +160,13 @@ def incremental_candidates(
     (the bucket layout clusters a superset of the keys) — so duplicate
     index rows, e.g. from a replayed streaming append, can never inflate
     occupancy counts past the cap or change any result. Occupancy itself
-    counts each distinct document once across BOTH sides (corpus rows for
-    docs present in the batch are excluded via a broadcast anti-join), so
-    a replay that re-presents already-indexed docs sees the same
-    hot-bucket set as the first attempt.
+    counts each distinct (band, bucket, id) cell once across BOTH sides
+    (corpus rows matching a batch cell are excluded via a broadcast
+    anti-join on the full cell key), so a replay that re-presents
+    already-indexed docs sees the same hot-bucket set as the first
+    attempt — while a re-ingest with CHANGED content still counts the
+    old signature's rows, which occupy different cells and still feed
+    pair generation.
 
     ``new_banded`` lets a caller that already computed (and ideally
     checkpointed) the batch's banded rows pass them in, avoiding a second
@@ -175,20 +178,26 @@ def incremental_candidates(
     probe = F.broadcast(new_banded) if broadcast_new else new_banded
 
     # Hot-bucket cap, shared with the one-shot path: combined occupancy
-    # per (band, bucket) over corpus + new batch, counting each DISTINCT
-    # document once. The corpus side is anti-joined against the batch's
-    # ids first (broadcast — corpus stays exchange-free) so a replayed
-    # batch whose rows already landed in the index (partial append +
-    # retry) is not counted on both sides: double-counting would inflate
-    # occupancy ~2x for affected buckets and could push a bucket past
-    # max_bucket only on the replay, silently dropping its pairs and
-    # breaking the replay-idempotence the streaming path relies on.
+    # per (band, bucket) over corpus + new batch, counting each distinct
+    # (band, bucket, id) CELL once. The corpus side is anti-joined
+    # against the batch's banded cells first (broadcast — corpus stays
+    # exchange-free) so a replayed batch whose rows already landed in
+    # the index (partial append + retry) is not counted on both sides:
+    # double-counting would inflate occupancy ~2x for affected buckets
+    # and could push a bucket past max_bucket only on the replay,
+    # silently dropping its pairs and breaking the replay-idempotence
+    # the streaming path relies on. Anti-joining on the full cell — not
+    # just the id — matters for re-ingests with CHANGED content: the old
+    # signature's rows land in different cells than the batch's, still
+    # occupy their buckets, and still participate in pair generation, so
+    # they must still count (an id-only anti-join would undercount them
+    # and let an over-full bucket escape the cap).
     # (no .distinct() on the build side: left_anti ignores duplicates,
     # and skipping it keeps the probe path free of an extra shuffle —
-    # the broadcast is batch_docs x bands rows of a single long column)
-    batch_ids = new_banded.select("id")
+    # the broadcast is batch_docs x bands rows of three narrow columns)
+    batch_cells = new_banded.select("band", "bucket", "id")
     corpus_sizes = (
-        corpus.join(F.broadcast(batch_ids), "id", "left_anti")
+        corpus.join(F.broadcast(batch_cells), ["band", "bucket", "id"], "left_anti")
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__nc"))
     )

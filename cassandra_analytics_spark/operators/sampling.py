@@ -80,8 +80,17 @@ def stratified_hash_sample(
     filter: one scan, no shuffle, engine-portable (the DuckDB oracle
     reproduces the md5 bucket bit-exactly). Unlisted strata sample at 0.
     """
+    import math
+
     b = hash_bucket(id_col)
     keep = F.lit(False)
     for stratum, frac in sorted(fractions.items()):
-        keep = keep | ((F.col(stratum_col) == stratum) & (b < int(round(frac * _BUCKETS))))
+        # For integer buckets, b < frac*100 is equivalent to
+        # b < ceil(frac*100) — ceil (not round) so a non-integer percent
+        # keeps every bucket strictly below the threshold (0.125 keeps
+        # 13 buckets, not round(12.5) == 12). The 1e-6 quantization
+        # strips binary-float noise first (0.1*100 == 10.000000000000002
+        # must mean 10, not ceil -> 11).
+        thr = math.ceil(round(frac * _BUCKETS, 6))
+        keep = keep | ((F.col(stratum_col) == stratum) & (b < thr))
     return df.filter(keep)

@@ -245,6 +245,13 @@ def _per_doc_term_counts(
     )
 
 
+def _any_term_matched(k: int) -> Column:
+    """Filter: at least one of the k ``__tf_i`` columns is positive.
+    (``F.greatest`` requires >= 2 columns, so k == 1 compares directly.)"""
+    cols = [F.col(f"__tf_{i}") for i in range(k)]
+    return (cols[0] if k == 1 else F.greatest(*cols)) > 0
+
+
 def tfidf_scores(
     df: DataFrame,
     query_terms: list[str],
@@ -255,10 +262,10 @@ def tfidf_scores(
 ) -> DataFrame:
     """Per-document TF-IDF relevance for a bag of query terms.
 
-    Pipeline: the single-pass (id, len, w, tf) core
-    (:func:`_term_frequency_table` — one normalization, one explode, one
-    doc-keyed shuffle) → tiny per-term doc-frequency aggregate
-    (broadcast) → one fixed-point sum per doc.
+    Pipeline: the single-pass columnar per-doc core
+    (:func:`_per_doc_term_counts` — one normalization, one explode, one
+    doc-keyed shuffle) → ONE broadcast row of per-term doc frequencies →
+    per-term fixed-point scores summed in a projection.
 
     idf defaults to the *rational* form (N+1)/(df+1), whose IEEE division
     is bit-identical across engines (a SQL oracle can reproduce it
@@ -273,7 +280,10 @@ def tfidf_scores(
     explode pass instead of each re-running the corpus scan (measured
     2x on the 100x fixture); the per-term score is a horizontal
     expression sum over the term columns — no stack, no join on the
-    term key, no second per-doc aggregation.
+    term key, no second per-doc aggregation. The cache entry lives for
+    the session (one per distinct (input, terms) plan); long-lived
+    sessions cycling many term sets should ``spark.catalog.clearCache()``
+    between batches.
     """
     k = len(query_terms)
     per_doc = _per_doc_term_counts(df, query_terms, id_col, text_col).persist()
@@ -289,9 +299,7 @@ def tfidf_scores(
         term_score = (F.col(f"__tf_{i}").cast("double") / F.col("len")) * idf
         return F.floor(term_score * fp_scale + F.lit(0.5))
 
-    matched = per_doc.filter(
-        F.greatest(*[F.col(f"__tf_{i}") for i in range(k)]) > 0
-    )
+    matched = per_doc.filter(_any_term_matched(k))
     total = contrib(0)
     for i in range(1, k):
         total = total + contrib(i)
@@ -315,9 +323,9 @@ def bm25_scores(
     fp_scale: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance: same distributed shape as
-    :func:`tfidf_scores` (single-pass term-frequency core, broadcast
-    df/N/avglen, one doc-keyed aggregation) with saturating tf and
-    length normalization:
+    :func:`tfidf_scores` (single-pass columnar per-doc core, persisted;
+    df/N/avglen collapse to one broadcast row; per-term scores summed in
+    a projection) with saturating tf and length normalization:
 
         idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
         s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len/avglen))
@@ -349,9 +357,7 @@ def bm25_scores(
         denom = tf_i + k1 * (1.0 - b + b * F.col("len") / F.col("avglen"))
         return idf * tf_i * (k1 + 1.0) / denom
 
-    matched = per_doc.filter(
-        F.greatest(*[F.col(f"__tf_{i}") for i in range(k)]) > 0
-    )
+    matched = per_doc.filter(_any_term_matched(k))
     if fp_scale is not None:
         total = F.floor(term_score(0) * fp_scale + F.lit(0.5))
         for i in range(1, k):

@@ -45,15 +45,16 @@ def events_stream(
             )
     # Watermarks require TIMESTAMP (with local tz); parquet TIMESTAMP
     # without UTC adjustment arrives as TIMESTAMP_NTZ. The ntz→ltz cast
-    # evaluates under the session timezone AT QUERY START, and this
-    # engine's global invariant is a UTC session (catalog.load_table,
-    # called above, pins it; every oracle comparison depends on it).
-    # Rather than silently flipping the conf here — a side effect that
-    # would change the semantics of a caller's other queries — verify the
-    # invariant and fail loudly if something un-pinned it between
-    # load_table and this point. Callers must not flip the session tz
-    # between building and starting the stream (nothing in Spark can
-    # freeze the tz into the cast expression itself).
+    # evaluates under the session timezone AT QUERY START. The UTC pin
+    # itself is the CATALOG layer's documented contract —
+    # catalog.load_table (used above for schema inference) sets
+    # spark.sql.session.timeZone=UTC as part of source normalization, so
+    # on every normal call path the session is already UTC here and this
+    # check cannot fire. It exists as a backstop for the one remaining
+    # hazard: a caller flipping the tz between building and starting the
+    # stream (nothing in Spark can freeze the tz into the cast
+    # expression itself), or constructing the stream without going
+    # through the catalog. This function adds no tz mutation of its own.
     if dict(stream.dtypes)["ts"] == "timestamp_ntz":
         tz = spark.conf.get("spark.sql.session.timeZone")
         if tz != "UTC":

@@ -19,7 +19,6 @@ from pyspark.sql import functions as F
 
 from cassandra_analytics_spark.catalog import load_table
 from cassandra_analytics_spark.operators.dedup import (
-    _bucket_candidate_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
     shingle_stream,

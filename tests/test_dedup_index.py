@@ -346,3 +346,45 @@ def test_replayed_batch_does_not_double_count_occupancy(spark):
     }
     assert got == want
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_changed_content_reingest_still_counts_old_rows(spark):
+    """The replay guard anti-joins on the full (band, bucket, id) cell,
+    not the id alone: when a batch re-presents an id with CHANGED
+    content, the old signature's index rows occupy different cells, stay
+    in the index, and still feed pair generation — so they must still
+    count toward occupancy. An id-only anti-join would exclude them,
+    undercount the bucket, and let an over-full bucket escape the cap."""
+    spec = LshIndexSpec(
+        num_hashes=16, bands=4, shingle_n=3, num_buckets=4, max_bucket=20
+    )
+    text_a = "identical document text repeated for bucket saturation " * 3
+    text_b = "a completely different body of words with other shingles " * 3
+    corpus = spark.createDataFrame([_doc(i, text_a) for i in range(20)])
+    # the batch re-ingests id 0 with new content AND adds one new text-A doc
+    batch = spark.createDataFrame([_doc(0, text_b), _doc(100, text_a)])
+    table = "lsh_idx_changed_content"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_index(corpus, table, spec)
+
+    # true text-A occupancy: 20 old rows (id 0's old rows included — they
+    # are still in the index) + 1 new doc = 21 > max_bucket -> the bucket
+    # must be dropped. id-only anti-joining would count 19 + 1 = 20 and
+    # emit the pairs.
+    got = {
+        (r.a, r.b)
+        for r in incremental_candidates(spark, table, batch, spec).collect()
+    }
+    assert got == set()
+
+    # positive control: with a roomier cap the same join emits the
+    # new-doc x corpus pairs (the emptiness above is the cap, not a bug)
+    roomy = LshIndexSpec(
+        num_hashes=16, bands=4, shingle_n=3, num_buckets=4, max_bucket=30
+    )
+    got_roomy = {
+        (r.a, r.b)
+        for r in incremental_candidates(spark, table, batch, roomy).collect()
+    }
+    assert any(100 in pair for pair in got_roomy)
+    spark.sql(f"DROP TABLE {table}")

@@ -77,6 +77,33 @@ def test_stratified_hash_sample_deterministic_and_exact(spark, sf_dir):
     assert langs <= {"en", "fr", "zh"}
 
 
+def test_stratified_hash_sample_noninteger_percent_matches_predicate(spark):
+    """Non-integer percents follow the documented rule md5(id)%100 <
+    frac*100 exactly: 0.125 keeps buckets 0..12 (13 of 100), and binary
+    float noise (0.1*100 == 10.000000000000002) must not leak bucket 10
+    into a 10% sample."""
+    import hashlib
+
+    from cassandra_analytics_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(i, "en") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    # expected integer bucket thresholds for the documented predicate
+    # (computed exactly — `frac * 100` in the test itself would carry
+    # the very float noise the implementation must strip)
+    for frac, thr in ((0.125, 13), (0.1, 10)):
+        got = sorted(
+            r.doc_id
+            for r in stratified_hash_sample(df, "lang", "doc_id", {"en": frac}).collect()
+        )
+        want = sorted(i for i, _ in rows if bucket(i) < thr)
+        assert got == want, f"frac={frac}"
+
+
 def test_stratified_hash_sample_is_pure_filter(spark, sf_dir):
     import contextlib
     import io

@@ -94,6 +94,22 @@ def test_tfidf_log_idf_ranks_rarer_terms_higher(spark):
     assert scores[1] > scores[2] > 0.0
 
 
+def test_scorers_accept_a_single_query_term(spark):
+    """Regression: the columnar scorer core used F.greatest over the
+    per-term columns, which requires >= 2 columns — a one-term query
+    crashed at DataFrame-build time."""
+    from cassandra_analytics_spark.operators.text import bm25_scores, tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, "rare word word"), (2, "word word word")],
+        ["doc_id", "text"],
+    )
+    tf = {r["doc_id"]: r["score"] for r in tfidf_scores(docs, ["rare"]).collect()}
+    bm = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["rare"]).collect()}
+    assert set(tf) == {1} and tf[1] > 0.0
+    assert set(bm) == {1} and bm[1] > 0.0
+
+
 def test_bm25_saturates_and_length_normalizes(spark):
     from cassandra_analytics_spark.operators.text import bm25_scores
 
