@@ -100,6 +100,72 @@ def shingle_stream(
     return exploded.select("id", sh.alias("sh"))
 
 
+def segment_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """(id, seg) — NON-overlapping ``seg_words``-word segments, the
+    line/passage analog for corpora whose documents are single-line word
+    streams (C4/RefinedWeb dedupe exact *lines*; fixed-width word windows
+    are the deterministic, SQL-expressible equivalent).
+
+    Same codegen-friendly shape as :func:`shingle_stream` (explode the
+    segment indices, ``slice`` the words array — no interpreted lambda
+    HOFs, no shuffle): Generate → Project in one whole-stage-codegen
+    pass. The final segment may be shorter than ``seg_words``; an empty
+    document yields one empty segment (matching a SQL
+    ``string_split``/``generate_subscripts`` formulation).
+    """
+    ws = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+    n_seg = F.floor((F.size("__ws") - 1) / seg_words).cast("int")
+    exploded = base.select(
+        "id", "__ws", F.explode(F.sequence(F.lit(0), n_seg)).alias("__s")
+    )
+    seg = F.concat_ws(
+        " ", F.slice("__ws", F.col("__s") * seg_words + 1, F.lit(seg_words))
+    )
+    return exploded.select("id", seg.alias("seg"))
+
+
+def duplicate_segment_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate signal: how much of each document is made
+    of segments that occur MORE THAN ONCE in the corpus (the C4-style
+    line-dedup criterion, on fixed-width word segments).
+
+    Output: (id_col, n_segments, n_dup_segments, dup_segment_frac) —
+    feed the fraction to a quality filter, or anti-join the hot segments
+    back to strip them. Plan: one segment pass (no shuffle) → corpus
+    frequency aggregate on the segment key → frequency join back →
+    per-doc aggregate. At 100 TB the frequency join is a shuffle on the
+    segment string; a production variant would key both sides on
+    ``xxhash64(seg)`` (8 bytes instead of the text) — kept as the string
+    here so a SQL oracle reproduces it bit-exactly.
+    """
+    segs = segment_stream(df, id_col, text_col, seg_words)
+    freq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        segs.join(freq, "seg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count_if(F.col("__df") > 1).alias("n_dup_segments"),
+            (
+                F.count_if(F.col("__df") > 1).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_segment_frac"),
+        )
+        .select(F.col("id").alias(id_col), "n_segments", "n_dup_segments", "dup_segment_frac")
+    )
+
+
 def shingle_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

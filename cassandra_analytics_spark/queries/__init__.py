@@ -59,6 +59,7 @@ _ROUND_PRIORITY: list[str] = [
     # --- (1) new this round ---
     "pack_greedy_bins",        # last pytest-only operator, now driver-gated
     "stratified_hash_sample_langs",  # deterministic sampler, oracle-exact
+    "dedup_boilerplate_segments",    # C4-style segment dedup, oracle-exact
     # --- (2) implementation touched this round ---
     "dedup_incremental_pipeline",   # dedup_index occupancy + id-count fix
     "dedup_incremental_lsh",

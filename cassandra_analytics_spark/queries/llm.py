@@ -161,6 +161,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_boilerplate_segments",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM norm
+    ),
+    segs AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS seg
+        FROM words GROUP BY doc_id, (i - 1) // 10
+    ),
+    freq AS (SELECT seg, COUNT(*) AS df FROM segs GROUP BY seg)
+    SELECT segs.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(count_if(freq.df > 1) AS BIGINT) AS n_dup_segments,
+           CAST(count_if(freq.df > 1) AS DOUBLE) / COUNT(*) AS dup_segment_frac
+    FROM segs JOIN freq USING (seg)
+    GROUP BY segs.doc_id
+    ORDER BY doc_id
+    """,
+    doc="C4-style line-dedup signal on fixed-width word segments "
+    "(operators/dedup.duplicate_segment_stats): fraction of each "
+    "document made of 10-word segments occurring more than once in the "
+    "corpus — the boilerplate criterion production pipelines filter on. "
+    "One codegen segment pass (no shuffle), corpus frequency aggregate, "
+    "frequency join back, per-doc aggregate; oracle mirrors the "
+    "segmentation with string_agg ORDER BY position.",
+)
+def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup import duplicate_segment_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_segment_stats(d, seg_words=10).orderBy("doc_id")
+
+
+@query(
     "dedup_cluster_assignment",
     oracle=f"""
     WITH RECURSIVE pairs AS ({NGRAM_PAIRS_SQL}),
