@@ -76,14 +76,18 @@ def _validate(
     partition_keys: Sequence[str],
     clustering_keys: Sequence[str],
     table: CqlTable | None,
+    require_clustering: bool = True,
 ) -> None:
     """W1: every key column present; with a CQL table, DF columns must be a
     subset of table columns and cover all keys (TableSchema.java:240-296).
 
-    Clustering keys are enforced only when the caller requires them:
-    DELETE_PARTITION rows carry just partition keys (WriteMode.java's
-    delete-partition rows hold pk columns only), so a table with
-    clustering keys must still accept a pk-only delete batch.
+    ``require_clustering=False`` relaxes the TABLE's clustering-key
+    requirement for DELETE_PARTITION batches only (WriteMode.java's
+    delete-partition rows hold pk columns only). For APPEND writes the
+    table schema's clustering keys are enforced regardless of what the
+    caller passed — a caller omitting them from ``clustering_keys`` must
+    not silently skip the check (distinct clustered rows would later be
+    merged into one by the pk-keyed LWW read).
     """
     cols = set(df.columns)
     for k in list(partition_keys) + list(clustering_keys):
@@ -95,7 +99,7 @@ def _validate(
         if extra:
             raise BulkWriteError(f"DataFrame columns not in table schema: {sorted(extra)}")
         required = list(table.partition_keys)
-        if clustering_keys:
+        if require_clustering:
             required += list(table.clustering_keys)
         for key_col in required:
             if key_col.name not in cols:
@@ -132,7 +136,7 @@ def bulk_write(
     ``append`` is allowed — the reference rejects Overwrite because it would
     need a TRUNCATE (``CassandraDataSink.java:96-99``).
     """
-    out, required_ck, mode = _prepare_batch_df(
+    out, _, mode = _prepare_batch_df(
         df, partition_keys, clustering_keys, mode, table,
         write_timestamp_micros, ttl_seconds, num_partitions, save_mode,
     )
@@ -180,7 +184,10 @@ def _prepare_batch_df(
     mode = WriteMode(mode) if isinstance(mode, str) else mode
     # DELETE_PARTITION rows carry only partition keys (WriteMode.java:22-25)
     required_ck = () if mode is WriteMode.DELETE_PARTITION else tuple(clustering_keys)
-    _validate(df, partition_keys, required_ck, table)
+    _validate(
+        df, partition_keys, required_ck, table,
+        require_clustering=mode is not WriteMode.DELETE_PARTITION,
+    )
 
     wt = (
         F.lit(write_timestamp_micros)
@@ -194,22 +201,34 @@ def _prepare_batch_df(
         out = out.withColumn(TOMBSTONE, F.lit("partition"))
     else:
         if WRITETIME in df.columns and write_timestamp_micros is None:
-            out = df  # caller supplies per-row writetime (TimestampOption.java per-row mode)
+            # caller supplies per-row writetime (TimestampOption.java
+            # per-row mode); normalize its type — an int/short column
+            # written as-is would make later mergeSchema reads fail
+            # against long-typed batches
+            out = df.withColumn(WRITETIME, F.col(WRITETIME).cast("long"))
         else:
             out = df.withColumn(WRITETIME, wt.cast("long"))
         if TTL not in df.columns:
             out = out.withColumn(TTL, F.lit(ttl_seconds).cast("int"))
+        else:
+            out = out.withColumn(TTL, F.col(TTL).cast("int"))
         if TOMBSTONE not in df.columns:
             out = out.withColumn(TOMBSTONE, F.lit(None).cast("string"))
 
     # W2: token + range partition + sort within partitions. At cluster scale
     # repartitionByRange samples token quantiles — the analog of the
     # reference's ring-range split; sortWithinPartitions gives each file the
-    # reference's (token, ck...) sort order.
+    # reference's (token, ck...) sort order. The system columns join the
+    # sort as tiebreakers so multi-version rows (same full key, several
+    # writetimes — normal for this LWW format) serialize in ONE
+    # deterministic order across task attempts: the bundle transport's
+    # retry safety relies on byte-identical re-execution, and a key-only
+    # sort leaves version order to shuffle-fetch timing.
     out = out.withColumn("__token", token_column(*[F.col(k) for k in partition_keys]))
     n = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    tiebreakers = [c for c in (WRITETIME, TTL, TOMBSTONE) if c in out.columns]
     out = out.repartitionByRange(n, F.col("__token")).sortWithinPartitions(
-        "__token", *partition_keys, *required_ck
+        "__token", *partition_keys, *required_ck, *tiebreakers
     )
     return out.drop("__token"), required_ck, mode
 
@@ -239,22 +258,50 @@ def _stage_batch(
             .parquet(staging)
         )
 
+        fnames = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        if not fnames:
+            # Spark writes no part files for an empty DataFrame; a
+            # committed batch with zero files would make the whole table
+            # unreadable (parquet cannot infer a schema from nothing) —
+            # a table compacted down to nothing must read back as EMPTY,
+            # not broken. Persist the schema in one 0-row file.
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                out.limit(0).toArrow(), os.path.join(staging, "part-empty.parquet")
+            )
+            fnames = ["part-empty.parquet"]
+
         # per-file digests → manifest (DigestAlgorithms.java analog; the
-        # reference defaults xxhash32 and also offers MD5 — we use MD5)
+        # reference defaults xxhash32 and also offers MD5 — we use MD5).
+        # Digest + row-count run as ONE distributed job over the staged
+        # files (the reference digests inside each RecordWriter task);
+        # the driver only collects O(#files) metadata rows, never data
+        # bytes — same posture as _replicate_staged_files and the bundler.
         files = {}
         num_rows = 0
-        for fname in sorted(os.listdir(staging)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = os.path.join(staging, fname)
-            files[fname] = {
-                "bytes": os.path.getsize(fpath),
-                digest_algorithm: _file_digest(fpath, digest_algorithm),
-            }
-        import pyarrow.parquet as pq
+        sc = out.sparkSession.sparkContext
+        paths = [os.path.join(staging, f) for f in fnames]
 
-        for fname in files:
-            num_rows += pq.read_metadata(os.path.join(staging, fname)).num_rows
+        def _digest_meta(items):
+            import pyarrow.parquet as _pq
+
+            for p in items:
+                yield (
+                    os.path.basename(p),
+                    os.path.getsize(p),
+                    _file_digest(p, digest_algorithm),
+                    _pq.read_metadata(p).num_rows,
+                )
+
+        n_tasks = max(1, min(len(paths), sc.defaultParallelism))
+        for fname, nbytes, digest, rows in sorted(
+            sc.parallelize(paths, n_tasks).mapPartitions(_digest_meta).collect()
+        ):
+            files[fname] = {"bytes": nbytes, digest_algorithm: digest}
+            num_rows += rows
 
         manifest = {
             "batch": batch_id,
@@ -457,12 +504,22 @@ def committed_batches(table_path: str) -> list[str]:
 
 def verify_digests(batch_dir: str) -> bool:
     """Re-hash a committed batch against its manifest (the reference
-    re-opens and validates written SSTables — RecordWriter.java:351-353)."""
+    re-opens and validates written SSTables — RecordWriter.java:351-353).
+
+    False on ANY divergence from the manifest: a changed file, a
+    manifest-listed file that is missing, or an extra ``.parquet`` file
+    the manifest does not know — readers glob the directory, so an
+    unmanifested file changes query results and is exactly the tampering
+    mode an integrity check must catch."""
     with open(os.path.join(batch_dir, "_manifest.json")) as f:
         manifest = json.load(f)
     algo = manifest["digest_algorithm"]
+    on_disk = {f for f in os.listdir(batch_dir) if f.endswith(".parquet")}
+    if on_disk != set(manifest["files"]):
+        return False
     for fname, meta in manifest["files"].items():
-        if _file_digest(os.path.join(batch_dir, fname), algo) != meta[algo]:
+        path = os.path.join(batch_dir, fname)
+        if not os.path.isfile(path) or _file_digest(path, algo) != meta[algo]:
             return False
     return True
 
@@ -517,6 +574,7 @@ def compact_table(
     clustering_keys: Sequence[str] = (),
     num_partitions: int | None = None,
     purge_tombstones: bool = False,
+    cell_lww: bool = False,
 ) -> WriteResult:
     """Major compaction: merge every committed batch into one new batch
     (LWW applied) and retire the old batches.
@@ -528,9 +586,19 @@ def compact_table(
     the compacted batch (Cassandra's gc_grace discipline: purging a
     tombstone while a write with an older timestamp can still arrive
     resurrects deleted data — and ``bulk_write`` accepts caller-supplied
-    write timestamps, so that hazard is real here). Pass
-    ``purge_tombstones=True`` only when no batch with older writetimes
-    can ever be ingested again (the gc_grace-elapsed analog).
+    write timestamps, so that hazard is real here). Rows whose TTL has
+    already expired are the same hazard in disguise — Cassandra treats
+    them as tombstones — so their shields are re-emitted too: an expired
+    row must keep shadowing older-timestamped writes across the
+    compaction. Pass ``purge_tombstones=True`` only when no batch with
+    older writetimes can ever be ingested again (the gc_grace-elapsed
+    analog).
+
+    ``cell_lww`` must match how the table is READ: a table of partial
+    upserts read with ``cell_lww=True`` reconciles per column, and
+    compacting it with whole-row LWW would persist the newest row's
+    NULLs over older cells — permanent data loss. Pass the same flag the
+    readers use.
 
     The new batch commits (atomic rename) *before* old batches are
     removed, so concurrent readers never see a gap — at worst they read
@@ -546,18 +614,54 @@ def compact_table(
         clustering_keys=clustering_keys,
         keep_writetime=True,
         keep_ttl=True,
+        cell_lww=cell_lww,
     )
-    if not purge_tombstones and TOMBSTONE in merged.columns:
-        # newest tombstone per (pk, ck, kind) scope still shields its
+    if not purge_tombstones:
+        # newest deletion per (pk, ck, kind) scope still shields its
         # range; re-emit it so the shield survives the compaction
         from cassandra_analytics_spark.operators.merge import latest_by_key
 
-        tombs = latest_by_key(
-            merged.filter(F.col(TOMBSTONE).isNotNull()),
-            keys=[*partition_keys, *clustering_keys, TOMBSTONE],
-            order_col=WRITETIME,
-        )
-        compacted = compacted.unionByName(tombs, allowMissingColumns=True)
+        shields = []
+        key_cols = [*partition_keys, *clustering_keys]
+        if TOMBSTONE in merged.columns:
+            shields.append(
+                merged.filter(F.col(TOMBSTONE).isNotNull()).select(
+                    *key_cols, WRITETIME, TOMBSTONE
+                )
+            )
+        if TTL in merged.columns:
+            # expired-TTL data rows act as row tombstones at their own
+            # writetime (compaction_merge step 1, same expression) — the
+            # merge purges the row itself, but its shield must persist
+            not_tomb = (
+                F.col(TOMBSTONE).isNull()
+                if TOMBSTONE in merged.columns
+                else F.lit(True)
+            )
+            now = int(time.time() * 1_000_000)
+            expired = (
+                merged.filter(
+                    not_tomb
+                    & F.col(TTL).isNotNull()
+                    & (
+                        F.col(WRITETIME)
+                        + F.col(TTL).cast("long") * F.lit(1_000_000)
+                        <= F.lit(now)
+                    )
+                )
+                .select(*key_cols, WRITETIME, F.lit("row").alias(TOMBSTONE))
+            )
+            shields.append(expired)
+        if shields:
+            all_shields = shields[0]
+            for s in shields[1:]:
+                all_shields = all_shields.unionByName(s)
+            tombs = latest_by_key(
+                all_shields,
+                keys=[*key_cols, TOMBSTONE],
+                order_col=WRITETIME,
+            )
+            compacted = compacted.unionByName(tombs, allowMissingColumns=True)
     result = bulk_write(
         compacted,
         table_path,

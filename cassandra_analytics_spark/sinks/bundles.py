@@ -322,19 +322,30 @@ def _stage_bundle_job(
     out = df
     if WRITETIME not in df.columns or write_timestamp_micros is not None:
         out = out.withColumn(WRITETIME, wt.cast("long"))
+    else:
+        # per-row writetime passthrough: normalize the type so batches
+        # written by different callers stay mergeSchema-compatible
+        out = out.withColumn(WRITETIME, F.col(WRITETIME).cast("long"))
     if TTL not in out.columns:
         out = out.withColumn(TTL, F.lit(ttl_seconds).cast("int"))
+    else:
+        out = out.withColumn(TTL, F.col(TTL).cast("int"))
     if TOMBSTONE not in out.columns:
         out = out.withColumn(TOMBSTONE, F.lit(None).cast("string"))
 
     # W2, but the token column is materialized into the files: member
-    # token bounds then come from parquet footers for free.
+    # token bounds then come from parquet footers for free. System
+    # columns join the sort as tiebreakers: bundle retry safety rests on
+    # byte-identical re-execution, and a key-only sort leaves
+    # multi-version rows (same full key, several writetimes) in
+    # shuffle-fetch order — two task attempts could zip different bytes
+    # under the same bundle name.
     out = out.withColumn(
         TOKEN_COLUMN, token_column(*[F.col(k) for k in partition_keys])
     )
     n = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     out = out.repartitionByRange(n, F.col(TOKEN_COLUMN)).sortWithinPartitions(
-        TOKEN_COLUMN, *partition_keys, *clustering_keys
+        TOKEN_COLUMN, *partition_keys, *clustering_keys, WRITETIME, TTL, TOMBSTONE
     )
 
     staging = os.path.join(store_path, f"_staging-{job_id}")
@@ -513,6 +524,43 @@ def store_jobs(store_path: str) -> list[str]:
     )
 
 
+def _restore_one_bundle(
+    job_dir: str,
+    staging: str,
+    algo: str,
+    verify: bool,
+    name: str,
+    meta: dict,
+):
+    """Task body of the distributed restore: verify one bundle's digest,
+    extract its manifest-listed members into ``staging`` (zip-slip-safe),
+    re-digest each member, and yield (member, bytes, digest, rows)."""
+    staging_root = os.path.realpath(staging)
+    zpath = os.path.join(job_dir, name)
+    if verify and _file_digest(zpath, algo) != meta[algo]:
+        raise BulkWriteError(f"bundle digest mismatch: {name}")
+    with zipfile.ZipFile(zpath) as zf:
+        zip_names = set(zf.namelist())
+        for fname, fmeta in meta["members"].items():
+            # the bundler only ever emits flat 'part-*.parquet'
+            # names — any separator (or absolute path) marks a
+            # malformed/hostile manifest; rejecting it outright
+            # also avoids an unhelpful FileNotFoundError for
+            # 'sub/a.parquet' (parent dirs are never created)
+            if os.path.isabs(fname) or "/" in fname or "\\" in fname:
+                raise BulkWriteError(f"unsafe member path: {fname!r}")
+            target = os.path.realpath(os.path.join(staging, fname))
+            if not target.startswith(staging_root + os.sep):
+                raise BulkWriteError(f"unsafe member path: {fname!r}")
+            if fname not in zip_names:
+                raise BulkWriteError(f"bundle {name} is missing member {fname!r}")
+            with zf.open(fname) as src, open(target, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            if verify and _file_digest(target, algo) != fmeta[algo]:
+                raise BulkWriteError(f"member digest mismatch: {fname}")
+            yield (fname, fmeta["bytes"], fmeta[algo], fmeta["rows"])
+
+
 def restore_bundles(
     spark: SparkSession,
     job_dir: str,
@@ -560,41 +608,40 @@ def restore_bundles(
     final_dir = os.path.join(table_path, batch_id)
     os.makedirs(staging)
     try:
+        # Verify + unpack + re-digest as ONE distributed job, one task
+        # slice per bundle set (the reference restores per replica in
+        # parallel; a driver loop would re-read every data byte
+        # single-threaded). Extraction over shared storage is idempotent
+        # (full overwrite), so task retries are safe; any task failure
+        # propagates here and the staging dir is removed whole.
         files: dict[str, dict] = {}
         num_rows = 0
-        staging_root = os.path.realpath(staging)
-        for name in sorted(selected):
-            meta = selected[name]
-            zpath = os.path.join(job_dir, name)
-            if verify and _file_digest(zpath, algo) != meta[algo]:
-                raise BulkWriteError(f"bundle digest mismatch: {name}")
-            with zipfile.ZipFile(zpath) as zf:
-                zip_names = set(zf.namelist())
-                for fname, fmeta in meta["members"].items():
-                    # the bundler only ever emits flat 'part-*.parquet'
-                    # names — any separator (or absolute path) marks a
-                    # malformed/hostile manifest; rejecting it outright
-                    # also avoids an unhelpful FileNotFoundError for
-                    # 'sub/a.parquet' (parent dirs are never created)
-                    if (
-                        os.path.isabs(fname)
-                        or "/" in fname
-                        or "\\" in fname
-                    ):
-                        raise BulkWriteError(f"unsafe member path: {fname!r}")
-                    target = os.path.realpath(os.path.join(staging, fname))
-                    if not target.startswith(staging_root + os.sep):
-                        raise BulkWriteError(f"unsafe member path: {fname!r}")
-                    if fname not in zip_names:
-                        raise BulkWriteError(
-                            f"bundle {name} is missing member {fname!r}"
-                        )
-                    with zf.open(fname) as src, open(target, "wb") as dst:
-                        shutil.copyfileobj(src, dst)
-                    if verify and _file_digest(target, algo) != fmeta[algo]:
-                        raise BulkWriteError(f"member digest mismatch: {fname}")
-                    files[fname] = {"bytes": fmeta["bytes"], algo: fmeta[algo]}
-                    num_rows += fmeta["rows"]
+        items = sorted(selected.items())
+        sc = spark.sparkContext
+        n_tasks = max(1, min(len(items), sc.defaultParallelism))
+
+        def _restore(part):
+            for name, meta in part:
+                yield from _restore_one_bundle(
+                    job_dir, staging, algo, verify, name, meta
+                )
+
+        try:
+            member_rows = (
+                sc.parallelize(items, n_tasks).mapPartitions(_restore).collect()
+            )
+        except Exception as e:  # unwrap task-side validation failures to the
+            # contract type (a BulkWriteError raised in an executor arrives
+            # here wrapped in the JVM task-failure exception)
+            import re as _re
+
+            m = _re.search(r"BulkWriteError: ([^\n]+)", str(e))
+            if m:
+                raise BulkWriteError(m.group(1)) from e
+            raise
+        for fname, nbytes, digest, nrows in sorted(member_rows):
+            files[fname] = {"bytes": nbytes, algo: digest}
+            num_rows += nrows
 
         batch_manifest = {
             "batch": batch_id,

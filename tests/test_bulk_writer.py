@@ -245,3 +245,59 @@ def test_coordinated_write_rollback_failure_is_reported(
     # target a really was left published — the error told the truth
     assert len(committed_batches(a)) == 1
     assert committed_batches(b) == []
+
+
+def test_validation_enforces_table_clustering_keys_on_append(spark, tmp_path):
+    """An APPEND write against a table whose DDL declares clustering keys
+    must carry them even when the caller passes clustering_keys=() — the
+    pk-only relaxation exists solely for DELETE_PARTITION batches."""
+    table = parse_create_table(
+        "CREATE TABLE ks.t (id bigint, ck int, v text, PRIMARY KEY (id, ck));"
+    )
+    df = _rows(spark, [{"id": 1, "v": "x"}])  # no ck column
+    with pytest.raises(BulkWriteError, match="key column missing"):
+        bulk_write(df, str(tmp_path / "t"), ["id"], table=table)
+    # the same pk-only shape is legal as a partition delete
+    bulk_write(
+        _rows(spark, [{"id": 1}]), str(tmp_path / "t2"), ["id"],
+        mode=WriteMode.DELETE_PARTITION, table=table,
+    )
+
+
+def test_verify_digests_flags_missing_and_extra_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    result = bulk_write(_rows(spark, [{"id": i} for i in range(10)]), path, ["id"])
+    assert verify_digests(result.batch_dir)
+
+    # extra unmanifested parquet: readers would glob it in — must flag
+    stray = os.path.join(result.batch_dir, "stray.parquet")
+    some = next(
+        f for f in os.listdir(result.batch_dir) if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copyfile(os.path.join(result.batch_dir, some), stray)
+    assert not verify_digests(result.batch_dir)
+    os.remove(stray)
+    assert verify_digests(result.batch_dir)
+
+    # manifest-listed file missing: report False, don't crash
+    os.remove(os.path.join(result.batch_dir, some))
+    assert not verify_digests(result.batch_dir)
+
+
+def test_per_row_writetime_type_is_normalized(spark, tmp_path):
+    """A caller-supplied int-typed writetime column must not poison the
+    table: later batches stamp long writetimes and a mixed table would
+    fail mergeSchema reads."""
+    path = str(tmp_path / "t")
+    with_wt = spark.createDataFrame(
+        [(1, "a", 100)], "id int, v string, writetime int"
+    )
+    bulk_write(with_wt, path, ["id"])
+    bulk_write(
+        spark.createDataFrame([(2, "b")], "id int, v string"), path, ["id"],
+        write_timestamp_micros=200,
+    )
+    rows = {r.id: r.v for r in read_bulk_table(spark, path, ["id"]).collect()}
+    assert rows == {1: "a", 2: "b"}

@@ -149,3 +149,66 @@ def test_delete_partition_validates_with_clustered_table(spark, tmp_path):
     )
     got = read_bulk_table(spark, path, ["pk"], ["ck"]).collect()
     assert got == []
+
+
+def test_compaction_with_cell_lww_preserves_upsert_cells(spark, tmp_path):
+    """compact_table must reconcile with the same mode the table is READ
+    with: compacting an upsert-style table with whole-row LWW would
+    persist the newest row's NULLs over older cells — permanent loss."""
+    path = str(tmp_path / "tbl")
+    bulk_write(
+        spark.createDataFrame([Row(k=1, a=1, b=2)], "k int, a int, b int"),
+        path, ["k"], write_timestamp_micros=1_000,
+    )
+    # partial upsert: only column a written at t2
+    bulk_write(
+        spark.createDataFrame([Row(k=1, a=5, b=None)], "k int, a int, b int"),
+        path, ["k"], write_timestamp_micros=2_000,
+    )
+    before = read_bulk_table(spark, path, ["k"], cell_lww=True).collect()[0]
+    assert (before.a, before.b) == (5, 2)
+
+    compact_table(spark, path, ["k"], cell_lww=True)
+    after = read_bulk_table(spark, path, ["k"], cell_lww=True).collect()[0]
+    assert (after.a, after.b) == (5, 2)  # b survived the compaction
+
+
+def test_compaction_preserves_expired_ttl_shield(spark, tmp_path):
+    """An expired-TTL row acts as a row tombstone at its own writetime;
+    its shield must survive compaction — otherwise an older-timestamped
+    write that was shadowed before the compaction resurrects after it."""
+    path = str(tmp_path / "tbl")
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="short-lived")]), path, ["k"],
+        write_timestamp_micros=100, ttl_seconds=1,
+    )
+    import time as _t
+
+    _t.sleep(1.1)  # let the TTL expire
+    assert read_bulk_table(spark, path, ["k"]).count() == 0
+
+    compact_table(spark, path, ["k"])
+
+    # a write with an OLDER timestamp must stay shadowed after compaction
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="stale-resurrection")]), path, ["k"],
+        write_timestamp_micros=50,
+    )
+    assert read_bulk_table(spark, path, ["k"]).count() == 0
+
+
+def test_compaction_to_empty_table_stays_readable(spark, tmp_path):
+    """A table compacted down to nothing must read back as EMPTY, not
+    crash with an un-inferable-schema error from a file-less batch."""
+    path = str(tmp_path / "tbl")
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="doomed")]), path, ["k"],
+        write_timestamp_micros=1_000,
+    )
+    bulk_write(
+        spark.createDataFrame([Row(k=1)]), path, ["k"],
+        mode=WriteMode.DELETE_PARTITION, write_timestamp_micros=2_000,
+    )
+    compact_table(spark, path, ["k"], purge_tombstones=True)
+    assert len(committed_batches(path)) == 1
+    assert read_bulk_table(spark, path, ["k"]).count() == 0
