@@ -12,39 +12,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the index layout and query signatures share ONE definition — the
+# sign-LSH builders in operators/similarity.py (a private copy here once
+# desynchronized the two call sites one refactor at a time)
 from cassandra_analytics_spark.operators.similarity import (
     cosine,
-    dot,
     lit_vector,
     nearest_cells_for,
     nearest_centroid_cell,
-    random_hyperplanes,
     sample_centroids,
+    sign_lsh_signature_column as _signature_column_expr,
+    sign_lsh_signature_of as _signature_of,
 )
 
 
 def _signature_column(vec_col: str, dim: int, num_planes: int, seed: int):
-    planes = random_hyperplanes(dim, num_planes, seed)
-    bits = [
-        F.when(
-            dot(F.col(vec_col), lit_vector(plane)) >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, plane in enumerate(planes)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total
-
-
-def _signature_of(vec: list[float], num_planes: int, seed: int) -> int:
-    planes = random_hyperplanes(len(vec), num_planes, seed)
-    sig = 0
-    for i, plane in enumerate(planes):
-        if sum(float(q) * p for q, p in zip(vec, plane)) >= 0:
-            sig |= 1 << i
-    return sig
+    return _signature_column_expr(F.col(vec_col), dim, num_planes, seed)
 
 
 def build_ann_index(
@@ -140,10 +123,18 @@ def query_ann_index(
     bit flips — multiprobe). The ``sig`` filter is a partition-column
     predicate, so only those directories are read."""
     qsig = _signature_of(query_vec, num_planes, seed)
+    # true multiprobe: every bucket within probe_hamming bit flips of the
+    # query signature (a 1-flip-only loop silently capped the radius —
+    # probe_hamming=2 probed the same buckets as 1 and lost recall)
+    import itertools
+
     probes = {qsig}
-    if probe_hamming >= 1:
-        for i in range(num_planes):
-            probes.add(qsig ^ (1 << i))
+    for r in range(1, min(probe_hamming, num_planes) + 1):
+        for flips in itertools.combinations(range(num_planes), r):
+            mask = 0
+            for i in flips:
+                mask |= 1 << i
+            probes.add(qsig ^ mask)
     index = spark.read.parquet(index_path)
     candidates = index.filter(F.col("sig").isin(sorted(probes)))
     q = lit_vector(query_vec)

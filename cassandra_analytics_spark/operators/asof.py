@@ -48,19 +48,26 @@ def asof_join(
         *keys, *[F.col(c) for c in carried]
     ).withColumn("__side", F.lit(0))
 
-    # align schemas for the union: left contributes null right-cols and vice versa
+    # align schemas for the union: left contributes null right-cols and vice
+    # versa. The carried columns travel as ONE struct so the window below
+    # picks whole rows: carrying each column independently with
+    # last(ignorenulls) would backfill a NULL cell of the nearest right
+    # row from an OLDER right row — a frankenstein match mixing columns
+    # of different rows.
     left_cols = [c for c in left.columns if c not in keys]
+    r_struct = F.struct(*[F.col(c).alias(c) for c in carried])
+    struct_dtype = rhs.select(r_struct.alias("__r")).schema["__r"].dataType
     rhs_aligned = rhs.select(
         *keys,
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        r_struct.alias("__r"),
         F.col(right_ts).alias("__ts"),
         "__side",
     )
     lhs_aligned = lhs.select(
         *keys,
         *left_cols,
-        *[F.lit(None).cast(dict(rhs.dtypes)[c]).alias(f"__r_{c}") for c in carried],
+        F.lit(None).cast(struct_dtype).alias("__r"),
         F.col(left_ts).alias("__ts"),
         "__side",
     )
@@ -84,12 +91,16 @@ def asof_join(
         *keys,
         *left_cols,
         "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in carried
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
-    return matched.filter(F.col("__side") == 1).drop("__side")
+    return (
+        matched.filter(F.col("__side") == 1)
+        .select(
+            *keys,
+            *left_cols,
+            *[F.col("__r").getField(c).alias(f"{c}{suffix}") for c in carried],
+        )
+    )
 
 
 def range_join_pairs(

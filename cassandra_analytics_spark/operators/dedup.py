@@ -149,7 +149,10 @@ def duplicate_segment_stats(
     ``xxhash64(seg)`` (8 bytes instead of the text) — kept as the string
     here so a SQL oracle reproduces it bit-exactly.
     """
-    segs = segment_stream(df, id_col, text_col, seg_words)
+    # persisted: the frequency aggregate and the join-back both consume
+    # the segment stream — unpersisted, the corpus scan + segmentation
+    # would run twice (same reasoning as the shingle index above)
+    segs = segment_stream(df, id_col, text_col, seg_words).persist()
     freq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__df"))
     return (
         segs.join(freq, "seg")

@@ -342,9 +342,20 @@ def ingest_batch(
     cands = incremental_candidates(
         spark, table_name, new_df, spec, id_col, text_col, new_banded=banded
     ).localCheckpoint(eager=True)
-    all_texts = texts.select(id_col, text_col).unionByName(
-        new_df.select(id_col, text_col)
-    ).dropDuplicates([id_col])
+    # the BATCH's text wins for ids present on both sides: a re-ingest
+    # with changed content must confirm against the new text, and a bare
+    # union + dropDuplicates would keep whichever copy Spark encounters
+    # first — pair scores would flicker across the threshold between
+    # runs. In-batch duplicate ids were already collapsed by the
+    # caller's contract (banded_rows dedupes per id); dropDuplicates
+    # stays as a guard for stores that carry several copies of one doc.
+    new_texts = new_df.select(id_col, text_col)
+    all_texts = (
+        texts.select(id_col, text_col)
+        .join(new_texts.select(id_col), id_col, "left_anti")
+        .unionByName(new_texts)
+        .dropDuplicates([id_col])
+    )
     # cheap count first (cands is checkpointed, the id set is tiny) so
     # the over-cap path never materializes 10k+ ids on the driver — only
     # when the list fits the cap is it collected for the IN-pushdown

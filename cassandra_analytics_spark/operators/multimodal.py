@@ -199,7 +199,7 @@ def decode_image(content: bytes, fake: bool = False) -> dict:
 
 def extract_image_features(
     df: DataFrame,
-    batch_size_hint: int = 256,
+    batch_size_hint: int | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches.
 
@@ -207,7 +207,15 @@ def extract_image_features(
     for any decode / feature-extract / resize stage. Features are real
     functions of the bytes (``inspect_image_bytes``); the blob column is
     pruned from the output so downstream stages never reshuffle gigabytes
-    of pixels."""
+    of pixels.
+
+    ``batch_size_hint`` sets ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    — a SESSION-WIDE conf Spark reads at EXECUTION time, not a per-plan
+    property: it affects every Arrow exchange in the session and the last
+    value set before an action wins, even for plans built earlier. It is
+    therefore opt-in (default: leave the session conf untouched); bound
+    it explicitly when blobs are large enough that the session default
+    (10k rows/batch) would blow worker memory."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,10 +235,10 @@ def extract_image_features(
                 }
             )
 
-    spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
-    )
+    if batch_size_hint is not None:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size_hint)
+        )
     return df.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
@@ -247,16 +255,24 @@ def frame_sample(
     shape via mapInPandas."""
     c = F.col(content_col)
     n_frames = F.floor(F.octet_length(c) / F.lit(frame_bytes)).cast("int")
+    # a blob smaller than one frame has NO frames: sequence(0, -1) is
+    # invalid, so it's clamped to 0 and the resulting phantom offset is
+    # filtered out below (an unfiltered greatest(..., 0) emitted a
+    # truncated partial 'frame' while total_frames said 0)
     offsets = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_nth))
     frames = F.transform(
         offsets,
         lambda i: F.substring(c, i * frame_bytes + 1, frame_bytes),
     )
-    return df.select(
-        F.col(id_col),
-        n_frames.alias("total_frames"),
-        F.posexplode(frames).alias("sample_idx", "frame"),
-    ).withColumn("frame_offset", F.col("sample_idx") * every_nth)
+    return (
+        df.select(
+            F.col(id_col),
+            n_frames.alias("total_frames"),
+            F.posexplode(frames).alias("sample_idx", "frame"),
+        )
+        .filter(F.col("total_frames") > 0)
+        .withColumn("frame_offset", F.col("sample_idx") * every_nth)
+    )
 
 
 def multimodal_stats(df: DataFrame) -> DataFrame:

@@ -51,6 +51,15 @@ def distributed_cumsum(
     a single-partition global window. The per-partition totals collect is
     O(#partitions), independent of data size.
 
+    ``order_col`` values must be UNIQUE (enforced below): "strictly
+    before" is undefined between ties, so duplicate keys cannot have a
+    correct exclusive prefix sum — and the window would otherwise fall
+    back to a RANGE frame that silently gives every tie the SAME sum,
+    producing overlapping spans in :func:`chunk_layout`. Callers with a
+    non-unique ordering column must compose a unique one first (e.g.
+    ``struct(ts, id)`` is not orderable here — concatenate or derive a
+    surrogate instead).
+
     The ranged partitioning is materialized ONCE (eager local checkpoint,
     as in :mod:`..operators.graph`): ``repartitionByRange`` samples its
     split points per job, so running the lineage twice — once for the
@@ -66,17 +75,37 @@ def distributed_cumsum(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # partition-local inclusive cumsum, then make it exclusive
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    # partition-local inclusive cumsum, then make it exclusive (explicit
+    # ROWS frame: the orderBy default is a RANGE frame, which sums ties
+    # together — with the uniqueness check below both frames agree, but
+    # the plan should not depend on that invariant twice)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = ranged.withColumn(
         "__local", F.sum(value_col).over(w) - F.col(value_col)
     )
+    # totals + order-key uniqueness in the SAME O(#partitions) collect
+    # (range partitioning sends equal keys to one partition, so per-pid
+    # distinct counts see every duplicate)
     totals = (
         ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__total"))
+        .agg(
+            F.sum(value_col).alias("__total"),
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(order_col).alias("__nd"),
+        )
         .orderBy("__pid")
         .collect()
     )
+    if any(r["__n"] != r["__nd"] for r in totals):
+        raise ValueError(
+            f"distributed_cumsum: order_col {order_col!r} has duplicate "
+            "values — an exclusive prefix sum is undefined between ties; "
+            "derive a unique ordering key first"
+        )
     offsets, acc = [], 0
     for r in totals:
         offsets.append((r["__pid"], acc))

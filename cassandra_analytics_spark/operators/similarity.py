@@ -114,6 +114,37 @@ def random_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[f
     return planes
 
 
+def sign_lsh_signature_column(
+    vec: Column, dim: int, num_planes: int, seed: int = 42
+) -> Column:
+    """``num_planes``-bit sign-LSH signature of a vector column: bit i is
+    set iff dot(vec, plane_i) >= 0. THE single definition of the bucket
+    layout — :func:`sign_lsh_signature_of` must mirror it exactly or
+    index layout and query signatures silently desynchronize."""
+    planes = random_hyperplanes(dim, num_planes, seed)
+    bits = [
+        F.when(dot(vec, lit_vector(plane)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def sign_lsh_signature_of(
+    vec: list[float], num_planes: int, seed: int = 42
+) -> int:
+    """Driver-side scalar twin of :func:`sign_lsh_signature_column` for
+    query vectors (same planes, same >= 0 sign rule)."""
+    planes = random_hyperplanes(len(vec), num_planes, seed)
+    sig = 0
+    for i, plane in enumerate(planes):
+        if sum(float(q) * p for q, p in zip(vec, plane)) >= 0:
+            sig |= 1 << i
+    return sig
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -133,35 +164,17 @@ def lsh_bucket_topk(
     prunes to matching files. Exact cosine re-ranks the candidates.
     """
     dim = len(query_vec)
-
-    def signature(vec: Column, table: int) -> Column:
-        planes = random_hyperplanes(dim, num_planes, seed + table)
-        bits = [
-            F.when(
-                dot(vec, lit_vector(plane)) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            for i, plane in enumerate(planes)
-        ]
-        total = bits[0]
-        for b in bits[1:]:
-            total = total + b
-        return total
-
-    def query_signature(table: int) -> int:
-        planes = random_hyperplanes(dim, num_planes, seed + table)
-        sig = 0
-        for i, plane in enumerate(planes):
-            d = sum(float(q) * p for q, p in zip(query_vec, plane))
-            if d >= 0:
-                sig |= 1 << i
-        return sig
-
     cond = None
     work = df
     for t in range(num_tables):
         col_name = f"__sig{t}"
-        work = work.withColumn(col_name, signature(F.col(vec_col), t))
-        this = F.col(col_name) == F.lit(query_signature(t))
+        work = work.withColumn(
+            col_name,
+            sign_lsh_signature_column(F.col(vec_col), dim, num_planes, seed + t),
+        )
+        this = F.col(col_name) == F.lit(
+            sign_lsh_signature_of(query_vec, num_planes, seed + t)
+        )
         cond = this if cond is None else (cond | this)
 
     candidates = work.filter(cond)
@@ -298,17 +311,7 @@ def embedding_near_dup_pairs(
     if not sample:
         return df.sparkSession.createDataFrame([], "a long, b long, cosine_sim double")
     dim = len(sample[0][vec_col])
-    planes = random_hyperplanes(dim, num_planes, seed)
-    bits = [
-        F.when(
-            dot(F.col(vec_col), lit_vector(plane)) >= 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, plane in enumerate(planes)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+    sig = sign_lsh_signature_column(F.col(vec_col), dim, num_planes, seed)
     tagged = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
     pairs = _bucket_candidate_pairs(tagged, ["__sig"], id_col, vec_col, 10000)
     return (

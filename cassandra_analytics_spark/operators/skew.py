@@ -64,7 +64,21 @@ def salted_join(
     replicate the other side across every salt bucket, join on
     (keys, salt). Result is row-identical to the plain join; the hot key's
     rows spread over ``salt_buckets`` tasks instead of one straggler.
+
+    Only left-preserving joins are allowed: in a right/full outer join
+    every replica of a ``small`` row that finds no partner in its salt
+    bucket would emit its own null-padded row — up to ``salt_buckets``
+    spurious duplicates per unmatched right row, NOT row-identical to
+    the plain join.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "small side breaks right/full outer semantics (each unmatched "
+            "replica would emit its own null-padded row)"
+        )
     keys = list(on)
     left = skewed.withColumn(
         "__salt",

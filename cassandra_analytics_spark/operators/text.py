@@ -228,9 +228,24 @@ def _per_doc_term_counts(
     is #docs rows — the table callers persist so the corpus-frequency
     row and the score projection share one explode pass.
     """
+    # Corpus words are matched in NORMALIZED form (lowercase, punctuation
+    # stripped) — a term that differs from its own normalization (e.g.
+    # 'The', 'U.S.') would silently match nothing, and one that
+    # normalizes to several words (or none) has no single-token match
+    # semantics at all. Normalize each term by the same rule and reject
+    # the multi-word/empty cases loudly.
+    import re as _re
+
+    normed = []
     for t in query_terms:
-        if "'" in t or "\\" in t:
-            raise ValueError(f"query term not expressible as literal: {t!r}")
+        nt = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()
+        if not nt or " " in nt:
+            raise ValueError(
+                f"query term {t!r} normalizes to {nt!r} — terms must be a "
+                "single word under the corpus normalization rule"
+            )
+        normed.append(nt)
+    query_terms = normed
     c_id, c_txt = F.col(id_col), F.col(text_col)
     words = df.select(
         c_id.alias("id"),

@@ -60,3 +60,31 @@ def test_index_prunes_partitions_and_recalls(spark, corpus, tmp_path):
     approx = {r.vec_id for r in rows}
     assert len(exact & approx) / 5 >= 0.6
     assert hot in approx  # the origin itself must be found
+
+
+def test_full_radius_multiprobe_equals_brute_force(spark, tmp_path):
+    """probe_hamming=num_planes probes every bucket, so the result must
+    equal exact brute-force top-k (a 1-flip-only probe loop silently
+    capped the radius and lost recall for probe_hamming >= 2)."""
+    import random
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [rng.gauss(0, 1) for _ in range(8)]
+    path = str(tmp_path / "annidx")
+    build_ann_index(df, path, num_planes=4)
+    got = [
+        r.vec_id
+        for r in query_ann_index(
+            spark, path, q, k=10, num_planes=4, probe_hamming=4
+        ).collect()
+    ]
+    want = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    assert got == want

@@ -79,3 +79,24 @@ def test_range_join_exact_boundaries(spark):
     pairs = range_join_pairs(df, key="k", ts="ts", id_col="i", max_gap_seconds=300)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_asof_null_value_in_nearest_row_is_not_backfilled(spark):
+    """The carried columns must come from ONE right row: a NULL cell in
+    the nearest match must stay NULL, not be backfilled from an older
+    right row (per-column last(ignorenulls) built frankenstein rows)."""
+    left = spark.createDataFrame([Row(k="u1", lid=1, ts=_ts("2024-01-01T12:00:00"))])
+    right = spark.createDataFrame(
+        [
+            Row(k="u1", ts=_ts("2024-01-01T10:00:00"), price=5.0, qty=7),
+            Row(k="u1", ts=_ts("2024-01-01T11:00:00"), price=None, qty=9),
+        ],
+        "k string, ts timestamp, price double, qty int",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_value_cols=["price", "qty"],
+    ).collect()[0]
+    assert out.ts_asof == _ts("2024-01-01T11:00:00")
+    assert out.qty_asof == 9
+    assert out.price_asof is None  # NOT 5.0 from the older row

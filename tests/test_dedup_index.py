@@ -388,3 +388,32 @@ def test_changed_content_reingest_still_counts_old_rows(spark):
     }
     assert any(100 in pair for pair in got_roomy)
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_ingest_batch_confirms_against_the_batchs_new_text(spark):
+    """A re-ingest with CHANGED content must confirm pairs against the
+    NEW text: the text-store union used to dropDuplicates arbitrarily,
+    so scores flickered between old and new content across runs."""
+    from cassandra_analytics_spark.operators.dedup_index import ingest_batch
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    corpus = spark.createDataFrame([
+        _doc(1, "totally unrelated original content about nothing " * 4),
+        _doc(2, twin),
+    ])
+    table = "lsh_idx_changed_text"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    build_index(corpus, table, SPEC)
+
+    # doc 1 re-ingested with content nearly identical to doc 2: with the
+    # NEW text the (1, 2) pair is a high-Jaccard dup; with the OLD text
+    # it confirms nothing
+    batch = spark.createDataFrame([_doc(1, twin + "coda")])
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in ingest_batch(
+            spark, table, batch, texts=corpus, spec=SPEC, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    spark.sql(f"DROP TABLE {table}")

@@ -161,3 +161,20 @@ def test_multimodal_stats_metadata_only(mm_df):
     assert s.mime == "image/png"
     assert s.n_items == 200
     assert s.total_bytes == sum(529 + i for i in range(200))
+
+
+def test_frame_sample_skips_blobs_smaller_than_one_frame(spark):
+    from cassandra_analytics_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 50)), (2, bytearray(b"y" * 2048)), (3, bytearray(b""))],
+        "id int, content binary",
+    )
+    rows = frame_sample(df, frame_bytes=1024, every_nth=1).collect()
+    # blob 1 (50 B) and blob 3 (empty) have no complete frame -> no rows
+    # (previously a phantom truncated 'frame' with total_frames=0)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert set(by_id) == {2}
+    assert by_id[2][0].total_frames == 2 and len(by_id[2]) == 2

@@ -134,3 +134,18 @@ def test_pack_greedy_first_fit_semantics(spark):
     assert out[4] == out[3]
     assert out[5] not in (out[3], out[0], out[2])
     assert out[6] != out[5]
+
+
+def test_distributed_cumsum_rejects_duplicate_order_keys(spark):
+    """An exclusive prefix sum is undefined between ties; the RANGE-frame
+    fallback would silently give every tie the same sum (overlapping
+    chunk spans). Duplicates must raise."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.packing import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(5, 10), (5, 10), (7, 3)], "ord int, n int"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        distributed_cumsum(df, "ord", "n").collect()

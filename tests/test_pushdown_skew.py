@@ -73,3 +73,20 @@ def test_salted_join_matches_plain(spark):
     got = sorted((r.k, r.pay, r.label) for r in salted.collect())
     want = sorted((r.k, r.pay, r.label) for r in plain.collect())
     assert got == want
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    """Replicating the small side breaks right/full outer semantics
+    (each unmatched replica would emit a null-padded row) — reject
+    loudly instead of returning a wrong result."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, "y")], "k int, w string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(a, b, on=["k"], how=how)
+    # left-preserving modes still work and stay duplicate-free
+    assert salted_join(a, b, on=["k"], how="left").count() == 1

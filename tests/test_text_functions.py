@@ -180,3 +180,21 @@ def test_contamination_overlap_flags_leaked_docs(spark):
     }
     assert 1 in flagged and flagged[1] >= 2  # leaked doc caught
     assert 2 not in flagged  # clean doc passes
+
+
+def test_scorer_terms_are_normalized_like_the_corpus(spark):
+    """'The' must match corpus word 'the' (corpus words are normalized);
+    a term that normalizes to several words or nothing raises."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.text import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "no articles here")], ["doc_id", "text"]
+    )
+    scores = {r.doc_id: r.score for r in tfidf_scores(docs, ["The"]).collect()}
+    assert set(scores) == {1} and scores[1] > 0.0
+    with pytest.raises(ValueError, match="single word"):
+        tfidf_scores(docs, ["two words"]).collect()
+    with pytest.raises(ValueError, match="single word"):
+        tfidf_scores(docs, ["!!!"]).collect()
