@@ -397,15 +397,21 @@ def parse_create_table(ddl: str) -> CqlTable:
 def to_struct_type(
     table: CqlTable,
     big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
+    udts: dict | None = None,
 ) -> T.StructType:
     """Ordered StructType with role metadata per field, mirroring
     ``DataLayer.fieldMetaData`` (``DataLayer.java:118-129``). The
     ``big_numbers`` knob sizes decimal/varint per read, as the
-    reference's per-job ``BigNumberConfig`` option does."""
-    udts = {}  # UDTs already resolved inside cql_type strings at parse time
+    reference's per-job ``BigNumberConfig`` option does.
+
+    ``udts`` maps user-defined type names to their field dicts (the
+    output of :func:`parse_udts`): parse_create_table keeps column types
+    as RAW CQL strings, so a table whose DDL references a UDT cannot be
+    converted without the definitions — pass them, or use
+    :func:`schema_for_ddl`, which extracts both from one DDL string."""
     fields = []
     for col in table.columns:
-        dtype = parse_cql_type(col.cql_type, udts, big_numbers)
+        dtype = parse_cql_type(col.cql_type, udts or {}, big_numbers)
         meta = {
             "kind": col.kind,
             "position": col.position,
@@ -423,15 +429,7 @@ def schema_for_ddl(
     big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
 ) -> T.StructType:
     """One-call C1+C2: DDL string → StructType with role metadata."""
-    table = parse_create_table(ddl)
     # resolve UDT references using the full DDL context
-    udts = parse_udts(ddl)
-    fields = []
-    for col in table.columns:
-        dtype = parse_cql_type(col.cql_type, udts, big_numbers)
-        meta = {"kind": col.kind, "position": col.position, "cqlType": col.cql_type}
-        if col.kind == CLUSTERING:
-            meta["order"] = col.order
-        nullable = col.kind not in (PARTITION_KEY, CLUSTERING)
-        fields.append(T.StructField(col.name, dtype, nullable, metadata=meta))
-    return T.StructType(fields)
+    return to_struct_type(
+        parse_create_table(ddl), big_numbers, udts=parse_udts(ddl)
+    )

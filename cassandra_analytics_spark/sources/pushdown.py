@@ -34,9 +34,13 @@ class PartitionKeyFilter:
 
     def key_combinations(self) -> list[tuple]:
         """Cartesian product of per-column values — the reference's key
-        tuple expansion (FilterUtils.java:45-112)."""
-        cols = sorted(self.values)
-        return list(itertools.product(*[self.values[c] for c in cols]))
+        tuple expansion (FilterUtils.java:45-112). Column order is the
+        mapping's insertion order, which classify_filters builds in
+        partition-key DECLARATION order — the engine token convention
+        (tokenize, bulk_writer) hashes keys in that order, so sorting
+        alphabetically here would compute wrong tokens for any composite
+        key whose declaration order differs from its lexical order."""
+        return list(itertools.product(*[self.values[c] for c in self.values]))
 
 
 def classify_filters(
@@ -89,18 +93,34 @@ def token_point_lookups(
     to prune replicas/SSTables per key (PartitionKeyFilter.java:36-85).
     Token computed with the engine's xxhash64 convention via a literal
     expression (kept here for symmetry; heavy use goes through
-    ``functions.tokens.tokenize``)."""
+    ``functions.tokens.tokenize``). Key tuples come back in partition-key
+    declaration order. Caveat: xxhash64 is WIDTH-sensitive, so the
+    literal types below must match the table's column types — python
+    ints map to bigint; a table with 32-bit int key columns needs its
+    filter values tokenized against the real column (tokenize), not this
+    literal path."""
     from pyspark.sql import SparkSession
+
+    def _spark_type(v) -> str:
+        if isinstance(v, bool):  # before int: bool is an int subclass
+            return "boolean"
+        if isinstance(v, int):
+            return "bigint"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        raise ValueError(f"unsupported partition-key literal: {v!r}")
 
     spark = SparkSession.getActiveSession()
     combos = pk_filter.key_combinations()
     if not combos or spark is None:
         return []
-    cols = [F.lit(v) for v in combos[0]]
     # evaluate tokens driver-side in one tiny job
     rows = spark.createDataFrame(combos, ", ".join(
-        f"c{i} {'bigint' if isinstance(v, int) else 'string'}"
-        for i, v in enumerate(combos[0])
+        f"c{i} {_spark_type(v)}" for i, v in enumerate(combos[0])
     ))
     toks = rows.select(
         *rows.columns, token_column(*[F.col(c) for c in rows.columns]).alias("t")

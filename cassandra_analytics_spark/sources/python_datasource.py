@@ -123,7 +123,8 @@ def _snapshot_option(options: dict) -> str | None:
 
 
 class CassandraBulkReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, spark_schema: StructType | None = None):
+        self.spark_schema = spark_schema
         self.table_path = options["path"]
         self.partition_keys = [
             k for k in options.get("partition_keys", "").split(",") if k
@@ -171,6 +172,11 @@ class CassandraBulkReader(DataSourceReader):
 
     def partitions(self):
         files = _data_files(self.table_path, self.snapshot)
+        if not files:
+            # empty table (e.g. caller-supplied schema + a snapshot older
+            # than every batch): one empty partition, zero rows — not a
+            # ZeroDivisionError in the split math below
+            return [FilePartition([])]
         target = self.target_partitions
         if target <= 0 or target == len(files):
             return [FilePartition([(p, None)]) for p in files]
@@ -210,15 +216,30 @@ class CassandraBulkReader(DataSourceReader):
         for col, values in self.pushed:
             clause = pa_ds.field(col).isin(values)
             predicate = clause if predicate is None else (predicate & clause)
+        # scan every file against the UNIFIED read schema (minus the
+        # lmt column _decorate appends): a tombstone batch's files carry
+        # fewer physical columns, and scanning them with their own
+        # schema would yield record batches narrower than the declared
+        # source schema — pyarrow null-fills the missing columns instead
+        scan_schema = None
+        if self.spark_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            fields = [
+                f for f in self.spark_schema.fields if f.name != self.lmt_column
+            ]
+            scan_schema = to_arrow_schema(StructType(fields))
         for path, row_groups in partition.units:
-            dataset = pa_ds.dataset(path, format="parquet")
+            dataset = pa_ds.dataset(path, format="parquet", schema=scan_schema)
             for frag in dataset.get_fragments():
                 sub = (
                     frag
                     if row_groups is None
                     else frag.subset(row_group_ids=row_groups)
                 )
-                scanner = pa_ds.Scanner.from_fragment(sub, filter=predicate)
+                scanner = pa_ds.Scanner.from_fragment(
+                    sub, schema=scan_schema, filter=predicate
+                )
                 for batch in scanner.to_reader():
                     yield self._decorate(batch)
 
@@ -350,6 +371,8 @@ class CassandraBulkDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
+        import os
+
         import pyarrow.parquet as pq
 
         files = _data_files(
@@ -359,8 +382,18 @@ class CassandraBulkDataSource(DataSource):
             raise FileNotFoundError(
                 f"no committed batches under {self.options['path']}"
             )
-        # unify across batches (tombstone batches have fewer columns)
-        schemas = [pq.read_schema(f) for f in files]
+        # unify across batches (tombstone batches have fewer columns) —
+        # ONE footer per batch: the manifest-committed write guarantees a
+        # uniform schema within a batch, so reading every file's footer
+        # driver-side would cost O(total files) planning time per query
+        # for no information
+        firsts, seen = [], set()
+        for f in files:
+            b = os.path.dirname(f)
+            if b not in seen:
+                seen.add(b)
+                firsts.append(f)
+        schemas = [pq.read_schema(f) for f in firsts]
         import pyarrow as pa
 
         unified = pa.unify_schemas(schemas, promote_options="default")
@@ -370,7 +403,11 @@ class CassandraBulkDataSource(DataSource):
         return from_arrow_schema(unified)
 
     def reader(self, schema: StructType) -> CassandraBulkReader:
-        return CassandraBulkReader(dict(self.options))
+        # the resolved schema MUST reach the reader: each file is scanned
+        # against the unified cross-batch schema so tombstone batches
+        # (fewer physical columns) null-fill instead of yielding batches
+        # narrower than the declared read schema
+        return CassandraBulkReader(dict(self.options), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> CassandraBulkWriter:
         if overwrite:

@@ -107,5 +107,13 @@ def run_incremental_dedup_stream(
 
 
 def collected_pairs(spark, pairs_out: str) -> DataFrame:
-    """All confirmed pairs the stream has published so far."""
+    """All confirmed pairs the stream has published so far — empty (with
+    the right schema) before the first batch publishes, so pollers don't
+    need a try/except around a path-not-found AnalysisException."""
+    import glob
+
+    if not glob.glob(os.path.join(pairs_out, "batch-*")):
+        return spark.createDataFrame(
+            [], "a long, b long, jaccard double, batch_id int"
+        )
     return spark.read.parquet(os.path.join(pairs_out, "batch-*"))

@@ -38,10 +38,29 @@ def stream_bulk_ingest(
         df = batch_df
         if writetime_col is not None:
             # per-row writetime: bulk_write keeps a caller-supplied
-            # `writetime` column (TimestampOption per-row mode)
+            # `writetime` column (TimestampOption per-row mode). The
+            # engine convention is MICROS since epoch — a timestamp
+            # column must go through unix_micros (cast('long') on a
+            # timestamp yields SECONDS, which would lose every LWW race
+            # against wall-clock-stamped batches by six orders of
+            # magnitude).
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T
 
-            df = batch_df.withColumn("writetime", F.col(writetime_col).cast("long"))
+            src_type = batch_df.schema[writetime_col].dataType
+            if isinstance(src_type, T.TimestampType):
+                wt = F.unix_micros(F.col(writetime_col))
+            elif isinstance(src_type, T.TimestampNTZType):
+                # ntz → ltz under the session tz (UTC per engine contract)
+                wt = F.unix_micros(F.col(writetime_col).cast("timestamp"))
+            elif isinstance(src_type, (T.LongType, T.IntegerType)):
+                wt = F.col(writetime_col).cast("long")
+            else:
+                raise TypeError(
+                    f"writetime_col {writetime_col!r} has type {src_type}; "
+                    "expected a timestamp or micros-since-epoch long"
+                )
+            df = batch_df.withColumn("writetime", wt)
         bulk_write(df, table_path, partition_keys, clustering_keys)
 
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ingest-ckpt-")

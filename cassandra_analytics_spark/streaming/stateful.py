@@ -55,12 +55,14 @@ def _update_profile(
         n += len(pdf)
         # fixed-point accumulation: float sums depend on addition order
         # (batch boundaries, row order), integer sums do not — the
-        # emitted total is bit-identical to the batch dsum convention
+        # emitted total is bit-identical to the batch dsum convention.
+        # NULL values arrive as NaN and must be skipped like F.sum does
+        # (int(NaN) would raise and kill the whole streaming query).
         import numpy as np
 
-        total_fixed += int(
-            np.floor(pdf["value"].to_numpy(dtype="float64") * _FP + 0.5).sum()
-        )
+        vals = pdf["value"].to_numpy(dtype="float64")
+        vals = vals[~np.isnan(vals)]
+        total_fixed += int(np.floor(vals * _FP + 0.5).sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
     state.update((n, total_fixed, last_us))

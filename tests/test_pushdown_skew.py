@@ -90,3 +90,33 @@ def test_salted_join_rejects_right_preserving_modes(spark):
             salted_join(a, b, on=["k"], how=how)
     # left-preserving modes still work and stay duplicate-free
     assert salted_join(a, b, on=["k"], how="left").count() == 1
+
+
+def test_token_lookups_use_declaration_key_order(spark):
+    """Tokens must hash composite keys in partition-key DECLARATION
+    order (the tokenize/bulk_writer convention) — alphabetical sorting
+    computed wrong tokens whenever declaration order differs."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.functions.tokens import token_column
+    from cassandra_analytics_spark.sources.pushdown import (
+        classify_filters,
+        token_point_lookups,
+    )
+
+    # declaration order (user_id, bucket) — lexically reversed
+    pk = classify_filters(["user_id", "bucket"], {"user_id": [7], "bucket": [3]})
+    [(key, tok)] = token_point_lookups(pk)
+    assert key == (7, 3)
+    # bigint literals: the lookup path maps python ints to bigint (and
+    # xxhash64 is width-sensitive, per the token_point_lookups caveat)
+    want = (
+        spark.range(1)
+        .select(
+            token_column(
+                F.lit(7).cast("long"), F.lit(3).cast("long")
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert tok == want

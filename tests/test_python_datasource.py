@@ -230,3 +230,19 @@ def test_format_write_ttl_option(spark, tmp_path):
     # read before expiry: both visible
     early = read_bulk_table(spark, path, ["pk"], now_micros=5_000_000)
     assert {r.pk for r in early.collect()} == {1, 2}
+
+
+def test_read_table_with_tombstone_batch(spark, bulk_table):
+    """A DELETE_PARTITION batch carries only pk + system columns; reading
+    the table must null-fill those rows to the unified schema instead of
+    yielding record batches narrower than the declared source schema."""
+    from cassandra_analytics_spark.sinks.bulk_writer import WriteMode
+
+    bulk_write(
+        spark.createDataFrame([Row(pk=19)]), bulk_table, ["pk"],
+        mode=WriteMode.DELETE_PARTITION, write_timestamp_micros=3_000,
+    )
+    df = _load(spark, bulk_table)
+    rows = df.filter("tombstone is not null").collect()
+    assert len(rows) == 1
+    assert rows[0].pk == 19 and rows[0].ck is None and rows[0].val is None

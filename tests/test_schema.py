@@ -167,3 +167,20 @@ def test_big_number_config_sizes_decimals():
         BigNumberConfig(big_decimal_precision=39)
     with pytest.raises(ValueError):
         BigNumberConfig(big_decimal_scale=40)
+
+
+def test_to_struct_type_accepts_udts():
+    """The documented C2 path (CqlTable -> StructType) must handle UDT
+    columns when given the definitions — it used to hard-code udts={}
+    with a comment claiming they were resolved at parse time (they are
+    not; column types stay raw CQL strings)."""
+    from cassandra_analytics_spark.schema import (
+        parse_create_table,
+        parse_udts,
+        to_struct_type,
+    )
+
+    table = parse_create_table(UDT)
+    st = to_struct_type(table, udts=parse_udts(UDT))
+    addr = {x.name: x for x in st.fields}["addr"].dataType
+    assert [x.name for x in addr.fields] == ["street", "city", "zip"]
