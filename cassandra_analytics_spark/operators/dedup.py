@@ -553,7 +553,18 @@ def simhash_near_dup_pairs(
     (in-bucket pair expansion, sketches computed once — see
     :func:`_bucket_candidate_pairs`); a final ``bit_count(xor)`` filter
     confirms. Output (a, b, hamming), a < b.
+
+    The pigeonhole guarantee REQUIRES ``max_hamming < num_blocks`` — with
+    fewer blocks than the radius, a qualifying pair can differ in every
+    block and silently never collide; that configuration is rejected
+    rather than returned incomplete.
     """
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_blocks > max_hamming "
+            f"(got {num_blocks}): with fewer blocks the block-rotation LSH "
+            "cannot guarantee a shared block for every qualifying pair"
+        )
     bits_per_block = 64 // num_blocks
     sk = simhash_sketches(df, id_col=id_col, text_col=text_col)
     blocks = sk.select(

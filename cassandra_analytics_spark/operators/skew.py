@@ -26,23 +26,28 @@ def salted_aggregate(
     min, max}. Phase 1 aggregates on (keys, salt) — spreading a hot key
     over ``salt_buckets`` reducers; phase 2 merges the partials. All four
     functions have exact merge semantics (sum↦sum, count↦sum, min↦min,
-    max↦max), so the result equals the unsalted aggregation.
+    max↦max), so the result equals the unsalted aggregation. ``count``
+    follows SQL COUNT(col) — non-null values of ``in_col``; pass
+    ``in_col="*"`` for COUNT(*) row counting.
     """
     supported = {"sum", "count", "min", "max"}
     for out, (fn, _) in aggs.items():
         if fn not in supported:
             raise ValueError(f"{out}: {fn!r} has no exact partial merge")
 
+    def _phase1(fn: str, c: str):
+        if fn != "count":
+            return getattr(F, fn)(F.col(c))
+        # SQL COUNT semantics: COUNT(*) counts rows, COUNT(col) counts
+        # non-null values (ignoring in_col here silently overcounted
+        # nullable columns)
+        return F.count(F.lit(1)) if c == "*" else F.count(F.col(c))
+
     salted = df.withColumn(
         "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets))
     )
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[
-            (
-                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(c))
-            ).alias(f"__p_{out}")
-            for out, (fn, c) in aggs.items()
-        ]
+        *[_phase1(fn, c).alias(f"__p_{out}") for out, (fn, c) in aggs.items()]
     )
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     return phase1.groupBy(*keys).agg(

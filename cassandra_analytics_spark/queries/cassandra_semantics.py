@@ -141,23 +141,31 @@ def bulk_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    import shutil
+
     path = tempfile.mkdtemp(prefix="cas_bulk_roundtrip_")
-    bulk_write(
-        o,
-        path,
-        partition_keys=["o_orderkey"],
-        write_timestamp_micros=1_000_000,
-        num_partitions=8,
-    )
-    back = read_bulk_table(spark, path, partition_keys=["o_orderkey"])
-    return (
-        back.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
+    try:
+        bulk_write(
+            o,
+            path,
+            partition_keys=["o_orderkey"],
+            write_timestamp_micros=1_000_000,
+            num_partitions=8,
         )
-        .orderBy("o_orderstatus")
-    )
+        back = read_bulk_table(spark, path, partition_keys=["o_orderkey"])
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+            # materialize the tiny aggregate so the scratch table can be
+            # deleted now instead of leaking a full orders copy per run
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @query(
@@ -189,28 +197,35 @@ def coordinated_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="cas_coord_roundtrip_")
-    targets = [f"{root}/cluster_a", f"{root}/cluster_b"]
-    coordinated_bulk_write(
-        o,
-        targets,
-        partition_keys=["o_orderkey"],
-        write_timestamp_micros=1_000_000,
-        num_partitions=8,
-    )
+    import shutil
 
-    def agg(path: str) -> DataFrame:
-        back = read_bulk_table(spark, path, partition_keys=["o_orderkey"])
-        return back.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
+    root = tempfile.mkdtemp(prefix="cas_coord_roundtrip_")
+    try:
+        targets = [f"{root}/cluster_a", f"{root}/cluster_b"]
+        coordinated_bulk_write(
+            o,
+            targets,
+            partition_keys=["o_orderkey"],
+            write_timestamp_micros=1_000_000,
+            num_partitions=8,
         )
 
-    return (
-        agg(targets[0])
-        .join(agg(targets[1]), ["o_orderstatus", "n_orders", "total_price"])
-        .orderBy("o_orderstatus")
-    )
+        def agg(path: str) -> DataFrame:
+            back = read_bulk_table(spark, path, partition_keys=["o_orderkey"])
+            return back.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum(F.col("o_totalprice")).alias("total_price"),
+            )
+
+        return (
+            agg(targets[0])
+            .join(agg(targets[1]), ["o_orderstatus", "n_orders", "total_price"])
+            .orderBy("o_orderstatus")
+            # materialize so both replica copies can be deleted now
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @query(
@@ -436,25 +451,34 @@ def bundle_write_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
+    import shutil
+
     store = tempfile.mkdtemp(prefix="cas_bundle_store_")
     table = tempfile.mkdtemp(prefix="cas_bundle_tbl_")
-    res = bundle_write(
-        o,
-        store,
-        partition_keys=["o_orderkey"],
-        write_timestamp_micros=1_000_000,
-        num_partitions=8,
-    )
-    restore_bundles(spark, res.job_dir, table)
-    back = read_bulk_table(spark, table, partition_keys=["o_orderkey"])
-    return (
-        back.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
+    try:
+        res = bundle_write(
+            o,
+            store,
+            partition_keys=["o_orderkey"],
+            write_timestamp_micros=1_000_000,
+            num_partitions=8,
         )
-        .orderBy("o_orderpriority")
-    )
+        restore_bundles(spark, res.job_dir, table)
+        back = read_bulk_table(spark, table, partition_keys=["o_orderkey"])
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum(F.col("o_totalprice")).alias("total_price"),
+            )
+            .orderBy("o_orderpriority")
+            # materialize so the bundle store + restored table (two full
+            # serialized copies of orders) can be deleted now
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(table, ignore_errors=True)
 
 
 @query(

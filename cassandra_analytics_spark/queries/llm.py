@@ -95,7 +95,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=6, num_blocks=4)
+    # 7 blocks of 9 bits cover the 63-bit sketch exactly and give the
+    # pigeonhole guarantee for the declared hamming<=6 radius (4 blocks
+    # only guaranteed <=3 — pairs differing in 4-6 spread bits could
+    # silently miss every bucket)
+    return simhash_near_dup_pairs(d, max_hamming=6, num_blocks=7)
 
 
 NGRAM_PAIRS_SQL = r"""
@@ -414,13 +418,19 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
+        return (
+            collected_pairs(spark, os.path.join(tmp, "pairs"))
+            .select("a", "b", "jaccard")
+            .orderBy("a", "b")
+            # materialize so the scratch corpus/checkpoint/pair dirs can
+            # be deleted now instead of leaking per run
+            .localCheckpoint(eager=True)
+        )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    return (
-        collected_pairs(spark, os.path.join(tmp, "pairs"))
-        .select("a", "b", "jaccard")
-        .orderBy("a", "b")
-    )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -1468,29 +1478,31 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_candidates,
     )
 
+    import uuid
+
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     batch = d.filter(F.col("doc_id") % 10 == 0)
     spec = LshIndexSpec(num_hashes=32, bands=8, shingle_n=3, num_buckets=8)
-    table = "dedup_incr_lsh_idx"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a previous SESSION may have left the managed location on disk with
-    # no catalog entry (DROP above is then a no-op on the files)
-    import shutil
-    from urllib.parse import urlparse
+    # uuid-suffixed name + DROP in finally (the sibling queries' pattern):
+    # a FIXED table name raced concurrent sessions sharing one warehouse —
+    # one session's cleanup deleted the index another had just built
+    table = f"dedup_incr_lsh_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        build_index(corpus, table, spec)
+        # compute the batch's banded rows ONCE (same discipline as
+        # ingest_batch): incremental_candidates consumes them from several
+        # branches, and without the checkpoint each branch re-runs the
+        # shingle+minhash pipeline over the batch (7 scans in the round-5
+        # plan audit).
+        from cassandra_analytics_spark.operators.dedup_index import banded_rows
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
-    build_index(corpus, table, spec)
-    # compute the batch's banded rows ONCE (same discipline as
-    # ingest_batch): incremental_candidates consumes them from several
-    # branches, and without the checkpoint each branch re-runs the
-    # shingle+minhash pipeline over the batch (7 scans in the round-5
-    # plan audit).
-    from cassandra_analytics_spark.operators.dedup_index import banded_rows
-
-    banded = banded_rows(batch, spec).localCheckpoint()
-    return (
-        incremental_candidates(spark, table, batch, spec, new_banded=banded)
-        .orderBy("a", "b")
-    )
+        banded = banded_rows(batch, spec).localCheckpoint()
+        return (
+            incremental_candidates(spark, table, batch, spec, new_banded=banded)
+            .orderBy("a", "b")
+            # materialize before the finally drops the table the plan reads
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

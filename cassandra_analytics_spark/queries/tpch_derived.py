@@ -215,19 +215,26 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH partsupp AS ({PARTSUPP_SQL}),
     natval AS (
-      SELECT n_name, {dsum_sql('ps_supplycost * ps_availqty')} AS value
+      SELECT n_name,
+             CAST(SUM(CAST(FLOOR((ps_supplycost * ps_availqty) * 10000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS q
       FROM partsupp
       JOIN supplier ON s_suppkey = ps_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name
     )
-    SELECT n_name, value
+    SELECT n_name, CAST(q AS DOUBLE) / 10000 AS value
     FROM natval
-    WHERE value > (SELECT SUM(value) FROM natval) * 0.02
+    WHERE q * 50 > (SELECT CAST(SUM(q) AS BIGINT) FROM natval)
     ORDER BY value DESC, n_name
     """,
     doc="TPC-H Q11 (adapted: per-nation instead of per-part groups, "
-    "derived partsupp): group value vs scalar fraction-of-total subquery.",
+    "derived partsupp): group value vs scalar fraction-of-total subquery. "
+    "The 2%%-of-total threshold compares the FIXED-POINT longs directly "
+    "(q*50 > total_q; 0.02 == 1/50): summing the derived doubles would "
+    "re-introduce order-dependent IEEE addition into the filter, and a "
+    "group within an ulp of the threshold could pass in one engine and "
+    "fail in the other.",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir)
@@ -241,13 +248,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("n_name")
-        .agg(dsum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("ps_supplycost") * F.col("ps_availqty")) * 10000
+                    + F.lit(0.5)
+                )
+            ).alias("__q")
+        )
     )
-    threshold = natval.agg(F.sum("value").alias("total"))
+    threshold = natval.agg(F.sum("__q").alias("__total"))
     return (
         natval.join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("total") * 0.02)
-        .select("n_name", "value")
+        # integer comparison on the fixed-point longs (0.02 == 1/50):
+        # exact and order-independent, unlike summing the per-group
+        # doubles, whose low bits depend on engine addition order
+        .filter(F.col("__q") * 50 > F.col("__total"))
+        .select("n_name", (F.col("__q").cast("double") / 10000).alias("value"))
         .orderBy(F.desc("value"), "n_name")
     )
 

@@ -186,7 +186,17 @@ def run_stream_to_memory(
     )
     query.processAllAvailable()
     query.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    # copy the drained rows out of the sink table, then release it: each
+    # uuid-named invocation would otherwise pin its full result in driver
+    # memory for the session lifetime (bench + driver + tests re-run
+    # these queries many times per session)
+    result = spark.sql(f"SELECT * FROM {query_name}").localCheckpoint(eager=True)
+    spark.catalog.dropTempView(query_name)
+    import shutil
+
+    if checkpoint_dir is None:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return result
 
 
 def dedup_events_stream(

@@ -8,6 +8,7 @@ decimal-sum convention guarantees).
 
 from __future__ import annotations
 
+import datetime
 import math
 from dataclasses import dataclass, field
 
@@ -54,8 +55,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = s.astype("datetime64[ns]")
         elif s.dtype == object:
             # dates come back as datetime.date from one engine, Timestamp
-            # from another; stringify object cells canonically
-            out[c] = s.map(lambda v: None if v is None else str(v))
+            # from another; convert datetime-likes to one type BEFORE
+            # stringifying (str(date) = '1997-01-01' but str(Timestamp) =
+            # '1997-01-01 00:00:00' — raw str() would mismatch equal values)
+            def _canon(v):
+                if v is None:
+                    return None
+                if isinstance(v, (datetime.date, datetime.datetime)):
+                    return str(pd.Timestamp(v))
+                return str(v)
+
+            out[c] = s.map(_canon)
     sort_cols = list(out.columns)
     out = out.sort_values(by=sort_cols, na_position="first").reset_index(drop=True)
     return out

@@ -167,3 +167,16 @@ def test_simhash_long_document_no_lane_overflow(spark):
     # still be a valid 63-bit value, not lane-bleed garbage
     assert sk[1] < 2**63
     assert sk[1] != sk[3]
+
+
+def test_simhash_rejects_radius_beyond_block_guarantee(spark):
+    """max_hamming >= num_blocks breaks the pigeonhole guarantee — a
+    qualifying pair can differ in every block and never collide. Reject
+    instead of returning silently-incomplete results."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="num_blocks"):
+        simhash_near_dup_pairs(df, max_hamming=6, num_blocks=4)

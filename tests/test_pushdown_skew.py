@@ -120,3 +120,18 @@ def test_token_lookups_use_declaration_key_order(spark):
         .collect()[0]["t"]
     )
     assert tok == want
+
+
+def test_salted_aggregate_count_skips_nulls(spark):
+    """count follows SQL COUNT(col): non-null values only; '*' counts
+    rows (ignoring in_col silently overcounted nullable columns)."""
+    from cassandra_analytics_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3)], "k string, v int"
+    )
+    row = salted_aggregate(
+        df, ["k"],
+        {"n_vals": ("count", "v"), "n_rows": ("count", "*"), "s": ("sum", "v")},
+    ).collect()[0]
+    assert row.n_vals == 2 and row.n_rows == 3 and row.s == 4
