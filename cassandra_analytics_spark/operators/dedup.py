@@ -544,42 +544,61 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     num_blocks: int = 4,
     max_bucket: int = 1000,
+    blocks_per_key: int = 1,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash + block-rotation LSH.
+    """Near-dup pairs by SimHash + multi-block LSH (Manku et al.'s
+    near-duplicate scheme).
 
-    Split the 64-bit sketch into ``num_blocks`` blocks; two sketches within
-    hamming distance < num_blocks must agree on at least one block
-    (pigeonhole), so bucketing on each block value finds all candidates
+    Split the 64-bit sketch into ``num_blocks`` blocks; a bucket key is
+    the concatenation of ``blocks_per_key`` blocks, one bucket table per
+    block combination. Two sketches within hamming distance
+    ``num_blocks - blocks_per_key`` leave at least that many blocks
+    untouched (pigeonhole), so SOME combination of untouched blocks
+    matches — bucketing on every combination finds all candidates
     (in-bucket pair expansion, sketches computed once — see
     :func:`_bucket_candidate_pairs`); a final ``bit_count(xor)`` filter
     confirms. Output (a, b, hamming), a < b.
 
-    The pigeonhole guarantee REQUIRES ``max_hamming < num_blocks`` — with
-    fewer blocks than the radius, a qualifying pair can differ in every
-    block and silently never collide; that configuration is rejected
-    rather than returned incomplete.
+    The pigeonhole guarantee REQUIRES
+    ``max_hamming <= num_blocks - blocks_per_key`` — beyond it a
+    qualifying pair can touch every key and silently never collide; that
+    configuration is rejected rather than returned incomplete.
+
+    ``blocks_per_key`` is the SELECTIVITY lever at corpus scale: key
+    width is ``blocks_per_key * (64 // num_blocks)`` bits, and a bucket
+    value space much smaller than the corpus drives every bucket into
+    the ``max_bucket`` cap (dropping real pairs). Radius 6 with single
+    blocks forces 9-bit keys (512 values — collapses past ~10^5 docs);
+    8 blocks taken 2 at a time gives the same guarantee with 16-bit
+    keys and C(8,2) = 28 bucket tables.
     """
-    if max_hamming >= num_blocks:
+    if max_hamming > num_blocks - blocks_per_key:
         raise ValueError(
-            f"max_hamming={max_hamming} needs num_blocks > max_hamming "
-            f"(got {num_blocks}): with fewer blocks the block-rotation LSH "
-            "cannot guarantee a shared block for every qualifying pair"
+            f"max_hamming={max_hamming} needs num_blocks - blocks_per_key "
+            f">= max_hamming (got {num_blocks}-{blocks_per_key}): beyond it "
+            "the block LSH cannot guarantee a shared key for every "
+            "qualifying pair"
         )
+    import itertools
+
     bits_per_block = 64 // num_blocks
+    block_vals = [
+        F.shiftrightunsigned(F.col("sk"), b * bits_per_block).bitwiseAND(
+            F.lit((1 << bits_per_block) - 1)
+        )
+        for b in range(num_blocks)
+    ]
+    keys = []
+    for combo in itertools.combinations(range(num_blocks), blocks_per_key):
+        packed = block_vals[combo[0]]
+        for b in combo[1:]:
+            packed = F.shiftleft(packed, bits_per_block) + block_vals[b]
+        keys.append(packed)
     sk = simhash_sketches(df, id_col=id_col, text_col=text_col)
     blocks = sk.select(
         "id",
         "sk",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sk"), b * bits_per_block).bitwiseAND(
-                        F.lit((1 << bits_per_block) - 1)
-                    )
-                    for b in range(num_blocks)
-                ]
-            )
-        ).alias("block", "val"),
+        F.posexplode(F.array(*keys)).alias("block", "val"),
     )
     pairs = _bucket_candidate_pairs(blocks, ["block", "val"], "id", "sk", max_bucket)
     hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))

@@ -95,11 +95,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # 7 blocks of 9 bits cover the 63-bit sketch exactly and give the
-    # pigeonhole guarantee for the declared hamming<=6 radius (4 blocks
-    # only guaranteed <=3 — pairs differing in 4-6 spread bits could
-    # silently miss every bucket)
-    return simhash_near_dup_pairs(d, max_hamming=6, num_blocks=7)
+    # Manku-style multi-block keys: 8 blocks taken 2 at a time = C(8,2)
+    # = 28 16-bit bucket tables — the pigeonhole guarantee for the
+    # declared hamming<=6 radius (8-2 >= 6) WITH corpus-scale bucket
+    # selectivity. The two configs this replaces both failed a side of
+    # that trade: 4 single blocks only guaranteed radius 3 (missed
+    # qualifying pairs), 7 single blocks guaranteed 6 but with 9-bit
+    # keys (512 values) whose buckets hit the hot-bucket cap and dropped
+    # real pairs past ~10^5 docs (measured at the 100x audit scale).
+    return simhash_near_dup_pairs(
+        d, max_hamming=6, num_blocks=8, blocks_per_key=2
+    )
 
 
 NGRAM_PAIRS_SQL = r"""

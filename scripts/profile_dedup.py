@@ -51,12 +51,12 @@ def main():
     n = d.count()
     print(f"documents: {n} rows")
 
-    print("== simhash (bench: max_hamming=6, num_blocks=7) ==")
+    print("== simhash (bench: max_hamming=6, 8 blocks x 2-block keys) ==")
     t("  shingle_stream(n=2)", shingle_stream(d, n=2))
     t("  shingle_stream+xxhash64", shingle_stream(d, n=2).selectExpr("id", "xxhash64(sh) AS h"))
     sk = simhash_sketches(d)
     t("  simhash_sketches", sk)
-    t("  full simhash_near_dup_pairs", simhash_near_dup_pairs(d, max_hamming=6, num_blocks=7))
+    t("  full simhash_near_dup_pairs", simhash_near_dup_pairs(d, max_hamming=6, num_blocks=8, blocks_per_key=2))
 
     print("== minhash (bench: 32 hashes, 8 bands, n=3) ==")
     t("  shingle_stream(n=3)", shingle_stream(d, n=3))

@@ -180,3 +180,26 @@ def test_simhash_rejects_radius_beyond_block_guarantee(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="num_blocks"):
         simhash_near_dup_pairs(df, max_hamming=6, num_blocks=4)
+
+
+def test_simhash_multiblock_keys_match_single_block_recall(spark):
+    """8 blocks taken 2 at a time must find exactly the pairs 7 single
+    blocks find when no bucket cap bites (same radius-6 guarantee), and
+    the guard tracks num_blocks - blocks_per_key."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(i, base + f"suffix {i % 4}") for i in range(40)], ["doc_id", "text"]
+    )
+    a = {(r.a, r.b, r.hamming) for r in
+         simhash_near_dup_pairs(docs, max_hamming=6, num_blocks=7).collect()}
+    b = {(r.a, r.b, r.hamming) for r in
+         simhash_near_dup_pairs(
+             docs, max_hamming=6, num_blocks=8, blocks_per_key=2
+         ).collect()}
+    assert a == b and a
+    with pytest.raises(ValueError, match="blocks_per_key"):
+        simhash_near_dup_pairs(docs, max_hamming=7, num_blocks=8, blocks_per_key=2)
