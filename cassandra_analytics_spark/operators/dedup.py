@@ -151,7 +151,10 @@ def duplicate_segment_stats(
     """
     # persisted: the frequency aggregate and the join-back both consume
     # the segment stream — unpersisted, the corpus scan + segmentation
-    # would run twice (same reasoning as the shingle index above)
+    # would run twice (same reasoning as the shingle index above). The
+    # cache entry lives for the session (one per distinct input plan);
+    # long-lived sessions cycling many corpora should clearCache()
+    # between batches, as with the scorer cores in operators/text.py
     segs = segment_stream(df, id_col, text_col, seg_words).persist()
     freq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__df"))
     return (

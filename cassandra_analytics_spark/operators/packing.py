@@ -95,12 +95,20 @@ def distributed_cumsum(
         .agg(
             F.sum(value_col).alias("__total"),
             F.count(F.lit(1)).alias("__n"),
+            F.count(order_col).alias("__nn"),  # non-null order keys
             F.countDistinct(order_col).alias("__nd"),
         )
         .orderBy("__pid")
         .collect()
     )
-    if any(r["__n"] != r["__nd"] for r in totals):
+    # distinguish NULLs from ties — countDistinct skips NULLs, so a
+    # conflated check would blame "duplicates" the caller can't find
+    if any(r["__n"] != r["__nn"] for r in totals):
+        raise ValueError(
+            f"distributed_cumsum: order_col {order_col!r} contains NULLs — "
+            "rows without an ordering key have no position in the prefix sum"
+        )
+    if any(r["__nn"] != r["__nd"] for r in totals):
         raise ValueError(
             f"distributed_cumsum: order_col {order_col!r} has duplicate "
             "values — an exclusive prefix sum is undefined between ties; "

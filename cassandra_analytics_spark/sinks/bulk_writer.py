@@ -258,21 +258,17 @@ def _stage_batch(
             .parquet(staging)
         )
 
+        # Spark writes no part files for an empty DataFrame; the batch
+        # still commits (files={}) and the manifest carries the Spark
+        # schema so a table whose every batch is file-less reads back
+        # EMPTY instead of failing schema inference. (Writing a synthetic
+        # 0-row parquet here instead would need the exact physical types
+        # Spark uses — e.g. INT96 timestamps — which pyarrow cannot
+        # reproduce, and a mismatched file breaks cross-batch schema
+        # unification in the python datasource.)
         fnames = sorted(
             f for f in os.listdir(staging) if f.endswith(".parquet")
         )
-        if not fnames:
-            # Spark writes no part files for an empty DataFrame; a
-            # committed batch with zero files would make the whole table
-            # unreadable (parquet cannot infer a schema from nothing) —
-            # a table compacted down to nothing must read back as EMPTY,
-            # not broken. Persist the schema in one 0-row file.
-            import pyarrow.parquet as pq
-
-            pq.write_table(
-                out.limit(0).toArrow(), os.path.join(staging, "part-empty.parquet")
-            )
-            fnames = ["part-empty.parquet"]
 
         # per-file digests → manifest (DigestAlgorithms.java analog; the
         # reference defaults xxhash32 and also offers MD5 — we use MD5).
@@ -311,6 +307,10 @@ def _stage_batch(
             "digest_algorithm": digest_algorithm,
             "num_rows": num_rows,
             "files": files,
+            # the Spark schema travels in the manifest (TableSchema
+            # analog); it is the source of truth when a batch — or the
+            # whole table — holds zero data files
+            "schema": out.schema.jsonValue(),
         }
         with open(os.path.join(staging, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
@@ -502,6 +502,23 @@ def committed_batches(table_path: str) -> list[str]:
     )
 
 
+def _manifest_schema(batch_dir: str):
+    """Spark StructType recorded in a batch's manifest (written by every
+    batch since the schema field was added; raises a clear error for
+    older file-less batches, which cannot exist in practice — the
+    zero-file path and the schema field shipped together)."""
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(batch_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    if "schema" not in manifest:
+        raise ValueError(
+            f"batch {batch_dir} has no data files and its manifest "
+            "predates the schema field — cannot reconstruct the table schema"
+        )
+    return StructType.fromJson(manifest["schema"])
+
+
 def verify_digests(batch_dir: str) -> bool:
     """Re-hash a committed batch against its manifest (the reference
     re-opens and validates written SSTables — RecordWriter.java:351-353).
@@ -554,8 +571,28 @@ def read_bulk_table(
         batches = [b for b in batches if os.path.basename(b) <= as_of_batch]
     if not batches:
         raise FileNotFoundError(f"no committed batches under {table_path}")
+    # a batch can legitimately hold ZERO data files (e.g. a compaction
+    # of a fully-deleted table): exclude it from the parquet read — an
+    # empty dir fails schema inference — and if NO batch has files,
+    # reconstruct the empty table from the newest manifest's schema
+    with_files = [
+        b
+        for b in batches
+        if any(f.endswith(".parquet") for f in os.listdir(b))
+    ]
+    if not with_files:
+        df = spark.createDataFrame([], _manifest_schema(batches[-1]))
+        if not merge:
+            return df
+        return compaction_merge(
+            df,
+            partition_keys=partition_keys,
+            clustering_keys=clustering_keys,
+            cell_lww=cell_lww,
+            now_micros=now_micros,
+        )
     # tombstone batches carry only key+system columns → merge schemas
-    df = spark.read.option("mergeSchema", "true").parquet(*batches)
+    df = spark.read.option("mergeSchema", "true").parquet(*with_files)
     if not merge:
         return df
     return compaction_merge(

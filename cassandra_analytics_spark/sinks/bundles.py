@@ -632,7 +632,11 @@ def restore_bundles(
             )
         except Exception as e:  # unwrap task-side validation failures to the
             # contract type (a BulkWriteError raised in an executor arrives
-            # here wrapped in the JVM task-failure exception)
+            # here wrapped in the JVM task-failure exception). The match
+            # keys on OUR class name in the remote traceback text PySpark
+            # embeds; if a future PySpark stops embedding it, the fallback
+            # below re-raises the raw task exception — fail-safe (callers
+            # still see a failure), just not the precise contract type
             import re as _re
 
             m = _re.search(r"BulkWriteError: ([^\n]+)", str(e))

@@ -40,7 +40,7 @@ class PartitionKeyFilter:
         (tokenize, bulk_writer) hashes keys in that order, so sorting
         alphabetically here would compute wrong tokens for any composite
         key whose declaration order differs from its lexical order."""
-        return list(itertools.product(*[self.values[c] for c in self.values]))
+        return list(itertools.product(*self.values.values()))
 
 
 def classify_filters(

@@ -379,6 +379,24 @@ class CassandraBulkDataSource(DataSource):
             self.options["path"], _snapshot_option(dict(self.options))
         )
         if not files:
+            # committed-but-file-less batches (e.g. a compaction of a
+            # fully-deleted table) still carry the Spark schema in their
+            # manifest — the table is EMPTY, not missing
+            from cassandra_analytics_spark.sinks.bulk_writer import (
+                _manifest_schema,
+                committed_batches,
+            )
+
+            batches = committed_batches(self.options["path"])
+            snap = _snapshot_option(dict(self.options))
+            if snap is not None:
+                import os as _os
+
+                batches = [
+                    b for b in batches if _os.path.basename(b) <= snap
+                ]
+            if batches:
+                return _manifest_schema(batches[-1])
             raise FileNotFoundError(
                 f"no committed batches under {self.options['path']}"
             )

@@ -106,14 +106,17 @@ def run_incremental_dedup_stream(
     )
 
 
-def collected_pairs(spark, pairs_out: str) -> DataFrame:
+def collected_pairs(spark, pairs_out: str, id_type: str = "long") -> DataFrame:
     """All confirmed pairs the stream has published so far — empty (with
     the right schema) before the first batch publishes, so pollers don't
-    need a try/except around a path-not-found AnalysisException."""
+    need a try/except around a path-not-found AnalysisException.
+    ``id_type`` is the Spark type of the stream's id column (the a/b
+    pair columns inherit it — pass e.g. ``"string"`` for string doc ids
+    so the pre-publish empty frame matches the published schema)."""
     import glob
 
     if not glob.glob(os.path.join(pairs_out, "batch-*")):
         return spark.createDataFrame(
-            [], "a long, b long, jaccard double, batch_id int"
+            [], f"a {id_type}, b {id_type}, jaccard double, batch_id int"
         )
     return spark.read.parquet(os.path.join(pairs_out, "batch-*"))

@@ -149,3 +149,17 @@ def test_distributed_cumsum_rejects_duplicate_order_keys(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         distributed_cumsum(df, "ord", "n").collect()
+
+
+def test_distributed_cumsum_rejects_null_order_keys_distinctly(spark):
+    """NULL order keys are invalid (no position in the prefix sum) and
+    must be named as NULLs — not misreported as 'duplicate values'."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.packing import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 5), (None, 3)], "ord int, n int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        distributed_cumsum(df, "ord", "n").collect()

@@ -246,3 +246,28 @@ def test_read_table_with_tombstone_batch(spark, bulk_table):
     rows = df.filter("tombstone is not null").collect()
     assert len(rows) == 1
     assert rows[0].pk == 19 and rows[0].ck is None and rows[0].val is None
+
+
+def test_empty_table_reads_empty_via_manifest_schema(spark, tmp_path):
+    """A table whose only batch holds zero data files (compaction of a
+    fully-deleted table) reads back EMPTY through the format — schema
+    reconstructed from the manifest, no parquet inference failure."""
+    from cassandra_analytics_spark.sinks.bulk_writer import (
+        WriteMode,
+        compact_table,
+    )
+
+    path = str(tmp_path / "t")
+    bulk_write(
+        spark.createDataFrame([Row(pk=1, v="x")]), path, ["pk"],
+        write_timestamp_micros=1_000,
+    )
+    bulk_write(
+        spark.createDataFrame([Row(pk=1)]), path, ["pk"],
+        mode=WriteMode.DELETE_PARTITION, write_timestamp_micros=2_000,
+    )
+    compact_table(spark, path, ["pk"], purge_tombstones=True)
+    register(spark)
+    df = _load(spark, path, partition_keys="pk")
+    assert df.count() == 0
+    assert "pk" in df.columns and "v" in df.columns
