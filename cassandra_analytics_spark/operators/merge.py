@@ -37,6 +37,22 @@ def _value_columns(df: DataFrame, keys: Sequence[str]) -> list[str]:
     return [c for c in df.columns if c not in excluded and not c.startswith("__")]
 
 
+def orderable_type(dtype) -> bool:
+    """True when Spark can sort/compare the type (maps cannot be compared;
+    Cassandra compares serialized bytes — ordering by the orderable-column
+    subset is the faithful approximation used for LWW tiebreaks and for
+    the bulk writer's deterministic file order)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return orderable_type(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(orderable_type(f.dataType) for f in dtype.fields)
+    return True
+
+
 def _full_window(keys: Sequence[str]) -> Window:
     """Unbounded window over the whole key group (for per-group constants)."""
     return (
@@ -161,20 +177,9 @@ def compaction_merge(
         )
 
     # (4) LWW winner per key; ties broken by the value tuple descending.
-    # Only orderable types participate in the tiebreak (maps are not
-    # comparable in Spark; Cassandra compares serialized bytes — the
-    # orderable-column prefix is a faithful approximation).
-    def _orderable(dtype) -> bool:
-        from pyspark.sql import types as T
-
-        if isinstance(dtype, T.MapType):
-            return False
-        if isinstance(dtype, T.ArrayType):
-            return _orderable(dtype.elementType)
-        if isinstance(dtype, T.StructType):
-            return all(_orderable(f.dataType) for f in dtype.fields)
-        return True
-
+    # Only orderable types participate in the tiebreak (see
+    # :func:`orderable_type`).
+    _orderable = orderable_type
     dtypes = {f.name: f.dataType for f in df.schema.fields}
 
     if cell_lww:

@@ -295,10 +295,10 @@ def tfidf_scores(
     explode pass instead of each re-running the corpus scan (measured
     2x on the 100x fixture); the per-term score is a horizontal
     expression sum over the term columns — no stack, no join on the
-    term key, no second per-doc aggregation. The cache entry lives for
-    the session (one per distinct (input, terms) plan); long-lived
-    sessions cycling many term sets should ``spark.catalog.clearCache()``
-    between batches.
+    term key, no second per-doc aggregation. The cache entry is released
+    when the caller drops the result (``release_cache_with``), so
+    long-lived sessions cycling many term sets don't accumulate pinned
+    entries.
     """
     k = len(query_terms)
     per_doc = _per_doc_term_counts(df, query_terms, id_col, text_col).persist()
@@ -318,7 +318,9 @@ def tfidf_scores(
     total = contrib(0)
     for i in range(1, k):
         total = total + contrib(i)
-    return (
+    from cassandra_analytics_spark.operators._cache import release_cache_with
+
+    result = (
         matched.join(F.broadcast(dstats))
         .join(F.broadcast(n_docs))
         .select(
@@ -326,6 +328,7 @@ def tfidf_scores(
             (total.cast("double") / fp_scale).alias("score"),
         )
     )
+    return release_cache_with(result, per_doc)
 
 
 def bm25_scores(
@@ -383,7 +386,9 @@ def bm25_scores(
         for i in range(1, k):
             total = total + term_score(i)
         score = total.alias("score")
-    return (
-        matched.join(F.broadcast(stats))
-        .select(F.col("id").alias(id_col), score)
+    from cassandra_analytics_spark.operators._cache import release_cache_with
+
+    result = matched.join(F.broadcast(stats)).select(
+        F.col("id").alias(id_col), score
     )
+    return release_cache_with(result, per_doc)

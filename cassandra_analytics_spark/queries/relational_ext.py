@@ -495,7 +495,11 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for g, lvl in (("hour", hourly), ("day", daily), ("week", weekly))
     ]
-    return levels[0].unionByName(levels[1]).unionByName(levels[2])
+    from cassandra_analytics_spark.operators._cache import release_cache_with
+
+    return release_cache_with(
+        levels[0].unionByName(levels[1]).unionByName(levels[2]), hourly, daily
+    )
 
 
 @query(

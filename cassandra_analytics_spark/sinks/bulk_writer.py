@@ -50,6 +50,7 @@ from cassandra_analytics_spark.operators.merge import (
     TTL,
     WRITETIME,
     compaction_merge,
+    orderable_type,
 )
 from cassandra_analytics_spark.schema import CqlTable
 
@@ -61,6 +62,31 @@ class WriteMode(Enum):
 
 class BulkWriteError(ValueError):
     pass
+
+
+# Sentinels bracketing a BulkWriteError message raised INSIDE an executor
+# task: Py4J surfaces remote Python exceptions only as embedded traceback
+# text, so distributed validation code wraps its message between these
+# markers and the driver re-raises the contract type by extracting the
+# bracketed text. Matching on markers WE control (not on how PySpark
+# happens to format the class name) keeps the unwrap working across
+# PySpark traceback-format changes; if even the message text stops being
+# embedded, callers still see the raw failure — fail-safe.
+TASK_ERROR_MARK = "<<cas-bulk-write-error>>"
+TASK_ERROR_END = "<<end-cas-bulk-write-error>>"
+
+
+def unwrap_task_error(exc: BaseException) -> BulkWriteError | None:
+    """Extract a task-side BulkWriteError from a driver-side job failure,
+    or None when the failure was something else."""
+    text = str(exc)
+    start = text.find(TASK_ERROR_MARK)
+    if start < 0:
+        return None
+    start += len(TASK_ERROR_MARK)
+    end = text.find(TASK_ERROR_END, start)
+    msg = text[start:end] if end >= 0 else text[start:].split("\n", 1)[0]
+    return BulkWriteError(msg.strip())
 
 
 @dataclass
@@ -135,6 +161,17 @@ def bulk_write(
     ``save_mode`` exists for API parity with ``df.write.mode(...)``; only
     ``append`` is allowed — the reference rejects Overwrite because it would
     need a TRUNCATE (``CassandraDataSink.java:96-99``).
+
+    REQUIRES SHARED STORAGE: ``table_path`` must be one filesystem
+    visible to the driver AND every executor (NFS/shared mount locally;
+    a DFS/object-store fuse mount on a cluster) — the staged parquet
+    files are written by executor tasks and then digested/row-counted by
+    a second distributed job that lists the same directory, while the
+    manifest write and the commit rename happen on the driver. The same
+    holds for every consumer of committed batches (``read_bulk_table``,
+    ``bundle_write``, ``restore_bundles``). This mirrors the reference's
+    deployment assumption (SSTables staged on storage all Sidecars can
+    reach); there is no non-shared-storage fallback.
     """
     out, _, mode = _prepare_batch_df(
         df, partition_keys, clustering_keys, mode, table,
@@ -218,17 +255,30 @@ def _prepare_batch_df(
     # W2: token + range partition + sort within partitions. At cluster scale
     # repartitionByRange samples token quantiles — the analog of the
     # reference's ring-range split; sortWithinPartitions gives each file the
-    # reference's (token, ck...) sort order. The system columns join the
-    # sort as tiebreakers so multi-version rows (same full key, several
-    # writetimes — normal for this LWW format) serialize in ONE
-    # deterministic order across task attempts: the bundle transport's
-    # retry safety relies on byte-identical re-execution, and a key-only
-    # sort leaves version order to shuffle-fetch timing.
+    # reference's (token, ck...) sort order. The system columns AND the
+    # orderable value columns join the sort as tiebreakers so rows
+    # identical in key + system columns but differing in payload (e.g.
+    # conflicting replica versions at the same writetime — normal for
+    # this LWW format) still serialize in ONE deterministic order across
+    # task attempts: the bundle transport's retry safety relies on
+    # byte-identical re-execution, and a key-only sort leaves version
+    # order to shuffle-fetch timing. Non-orderable columns (maps) cannot
+    # join the sort — rows distinguished ONLY by a map value may still
+    # swap order across attempts, the same bounded exception
+    # compaction_merge's tiebreak documents.
     out = out.withColumn("__token", token_column(*[F.col(k) for k in partition_keys]))
     n = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     tiebreakers = [c for c in (WRITETIME, TTL, TOMBSTONE) if c in out.columns]
+    sorted_so_far = {"__token", *partition_keys, *required_ck, *tiebreakers}
+    value_tiebreakers = [
+        f.name
+        for f in out.schema.fields
+        if f.name not in sorted_so_far
+        and not f.name.startswith("__")
+        and orderable_type(f.dataType)
+    ]
     out = out.repartitionByRange(n, F.col("__token")).sortWithinPartitions(
-        "__token", *partition_keys, *required_ck, *tiebreakers
+        "__token", *partition_keys, *required_ck, *tiebreakers, *value_tiebreakers
     )
     return out.drop("__token"), required_ck, mode
 
@@ -612,9 +662,14 @@ def compact_table(
     num_partitions: int | None = None,
     purge_tombstones: bool = False,
     cell_lww: bool = False,
+    now_micros: int | None = None,
 ) -> WriteResult:
     """Major compaction: merge every committed batch into one new batch
     (LWW applied) and retire the old batches.
+
+    ``now_micros``: the TTL-expiry clock (defaults to the current time),
+    used by BOTH the merge's expiry purge and the expired-row shield
+    re-emission — one clock, so a row is never purged unshielded.
 
     Mirrors Cassandra compaction: read amplification drops from
     O(#batches) to 1; row writetimes AND live TTLs are preserved so later
@@ -645,10 +700,19 @@ def compact_table(
     merged = read_bulk_table(
         spark, table_path, partition_keys, clustering_keys, merge=False
     )
+    # ONE clock for the whole compaction: the merge's TTL-expiry purge and
+    # the expired-row shield re-emission below must agree on "now". Left
+    # to default, the merge would evaluate F.current_timestamp() at job
+    # execution while the shield filter uses driver time at plan build —
+    # a row whose TTL expires in between would be purged WITHOUT a
+    # shield, so an older-timestamped re-ingest could resurrect it
+    # (the gc_grace invariant this function promises).
+    now = int(time.time() * 1_000_000) if now_micros is None else now_micros
     compacted = compaction_merge(
         merged,
         partition_keys=partition_keys,
         clustering_keys=clustering_keys,
+        now_micros=now,
         keep_writetime=True,
         keep_ttl=True,
         cell_lww=cell_lww,
@@ -675,7 +739,6 @@ def compact_table(
                 if TOMBSTONE in merged.columns
                 else F.lit(True)
             )
-            now = int(time.time() * 1_000_000)
             expired = (
                 merged.filter(
                     not_tomb

@@ -61,11 +61,14 @@ from cassandra_analytics_spark.functions.tokens import token_column
 from cassandra_analytics_spark.operators.merge import TOMBSTONE, TTL, WRITETIME
 from cassandra_analytics_spark.schema import CqlTable
 from cassandra_analytics_spark.sinks.bulk_writer import (
+    TASK_ERROR_END,
+    TASK_ERROR_MARK,
     BulkWriteError,
     WriteResult,
     _file_digest,
     _replicate_staged_files,
     _validate,
+    unwrap_task_error,
 )
 
 TOKEN_COLUMN = "__token"
@@ -584,6 +587,12 @@ def restore_bundles(
     in the batch dir and be read back as data), and every member name is
     rejected if absolute or if its normalized path escapes the staging
     dir (zip-slip).
+
+    REQUIRES SHARED STORAGE (same contract as ``bulk_write``): both
+    ``job_dir`` and ``table_path`` must be one filesystem visible to the
+    driver and every executor — bundle verification/extraction runs as a
+    distributed job over executors while the manifest write and commit
+    rename happen on the driver.
     """
     with open(os.path.join(job_dir, "_bundle_manifest.json")) as f:
         manifest = json.load(f)
@@ -621,27 +630,33 @@ def restore_bundles(
         n_tasks = max(1, min(len(items), sc.defaultParallelism))
 
         def _restore(part):
-            for name, meta in part:
-                yield from _restore_one_bundle(
-                    job_dir, staging, algo, verify, name, meta
-                )
+            # task-side: bracket validation failures between sentinel
+            # markers the driver controls, so the unwrap below does not
+            # depend on how PySpark formats remote tracebacks
+            try:
+                for name, meta in part:
+                    yield from _restore_one_bundle(
+                        job_dir, staging, algo, verify, name, meta
+                    )
+            except BulkWriteError as te:
+                raise RuntimeError(
+                    f"{TASK_ERROR_MARK}{te}{TASK_ERROR_END}"
+                ) from te
 
         try:
             member_rows = (
                 sc.parallelize(items, n_tasks).mapPartitions(_restore).collect()
             )
-        except Exception as e:  # unwrap task-side validation failures to the
-            # contract type (a BulkWriteError raised in an executor arrives
-            # here wrapped in the JVM task-failure exception). The match
-            # keys on OUR class name in the remote traceback text PySpark
-            # embeds; if a future PySpark stops embedding it, the fallback
-            # below re-raises the raw task exception — fail-safe (callers
-            # still see a failure), just not the precise contract type
-            import re as _re
-
-            m = _re.search(r"BulkWriteError: ([^\n]+)", str(e))
-            if m:
-                raise BulkWriteError(m.group(1)) from e
+        except Exception as e:  # unwrap task-side validation failures to
+            # the contract type (a BulkWriteError raised in an executor
+            # arrives here wrapped in the JVM task-failure exception).
+            # The sentinel markers are ours (bulk_writer.TASK_ERROR_MARK)
+            # — robust to PySpark traceback-format changes; if even the
+            # message stops being embedded, the raw task exception
+            # re-raises — fail-safe, just not the precise contract type
+            unwrapped = unwrap_task_error(e)
+            if unwrapped is not None:
+                raise unwrapped from e
             raise
         for fname, nbytes, digest, nrows in sorted(member_rows):
             files[fname] = {"bytes": nbytes, algo: digest}

@@ -301,3 +301,29 @@ def test_per_row_writetime_type_is_normalized(spark, tmp_path):
     )
     rows = {r.id: r.v for r in read_bulk_table(spark, path, ["id"]).collect()}
     assert rows == {1: "a", 2: "b"}
+
+
+def test_unwrap_task_error_sentinel_contract():
+    """Driver-side unwrap keys on sentinels WE control, not on how PySpark
+    formats remote tracebacks (ADVICE r5)."""
+    from cassandra_analytics_spark.sinks.bulk_writer import (
+        TASK_ERROR_END,
+        TASK_ERROR_MARK,
+        BulkWriteError,
+        unwrap_task_error,
+    )
+
+    wrapped = RuntimeError(
+        f"Job aborted...\n{TASK_ERROR_MARK}bundle digest mismatch: b-0.zip"
+        f"{TASK_ERROR_END}\n  at org.apache..."
+    )
+    e = unwrap_task_error(wrapped)
+    assert isinstance(e, BulkWriteError)
+    assert str(e) == "bundle digest mismatch: b-0.zip"
+
+    # no sentinel → not ours, caller re-raises the raw failure
+    assert unwrap_task_error(RuntimeError("BulkWriteError: impostor")) is None
+
+    # truncated embedding (no end marker) → best-effort first line
+    e2 = unwrap_task_error(RuntimeError(f"{TASK_ERROR_MARK}partial msg\ntail"))
+    assert str(e2) == "partial msg"

@@ -197,6 +197,36 @@ def test_compaction_preserves_expired_ttl_shield(spark, tmp_path):
     assert read_bulk_table(spark, path, ["k"]).count() == 0
 
 
+def test_compaction_single_clock_for_purge_and_shield(spark, tmp_path):
+    """compact_table must evaluate TTL expiry with ONE clock for both the
+    merge's purge and the shield re-emission (ADVICE r5: a driver-time
+    shield filter + an execution-time merge clock lets a row whose TTL
+    expires between plan build and execution be purged UNSHIELDED)."""
+    path = str(tmp_path / "tbl")
+    # writetime 1s (epoch micros), ttl 10s → expires at t=11s epoch
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="ephemeral")]), path, ["k"],
+        write_timestamp_micros=1_000_000, ttl_seconds=10,
+    )
+
+    # clock BEFORE expiry: the row must survive the compaction with its
+    # TTL intact, even though wall-clock time is decades past 11s epoch —
+    # proving the merge uses the passed clock, not current_timestamp()
+    compact_table(spark, path, ["k"], now_micros=5_000_000)
+    live = read_bulk_table(spark, path, ["k"], now_micros=5_000_000).collect()
+    assert [r.v for r in live] == ["ephemeral"]
+
+    # clock AFTER expiry: the row is purged AND its shield persists — an
+    # older-timestamped re-ingest stays shadowed
+    compact_table(spark, path, ["k"], now_micros=20_000_000)
+    assert read_bulk_table(spark, path, ["k"]).count() == 0
+    bulk_write(
+        spark.createDataFrame([Row(k=1, v="stale-resurrection")]), path, ["k"],
+        write_timestamp_micros=500_000,
+    )
+    assert read_bulk_table(spark, path, ["k"]).count() == 0
+
+
 def test_compaction_to_empty_table_stays_readable(spark, tmp_path):
     """A table compacted down to nothing must read back as EMPTY, not
     crash with an un-inferable-schema error from a file-less batch."""
