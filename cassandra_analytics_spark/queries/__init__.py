@@ -45,70 +45,67 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # The round driver verifies the FIRST ~50 registry entries per round
 # (CORRECTNESS_r01.json is exactly the first 50 in registration order).
 # To get every query a driver row across rounds, each round front-loads
-# the names that most need one. After r1..r4 the union covers every
-# registered query with usable evidence, so round-5 priority is pure
-# evidence-freshness rotation (VERDICT r4 item 1): (1) queries NEW this
-# round, (2) queries whose implementation was touched this round (the
-# ADVICE r4 fixes: replay-safe LSH occupancy, streaming tz check,
-# restore member-name validation, rollback-failure reporting; the dedup
-# steady-state work; and the 100x-audit plan fixes: single-pass
-# tfidf/bm25 core, persisted shingle index, partial-reuse rollup,
-# checkpointed incremental-LSH probe), (3) the names whose newest
-# driver row is from r1/r2 — scalar_date_funcs first (r1-only).
+# the names that most need one. Round-6 priority (VERDICT r5 items 1+2):
+# (1) the three NEW confirmed-pair LSH queries — the only r5 rows
+# without a hash match, now oracle-exact; (2) queries whose
+# implementation was touched this round (the ADVICE r5 fixes:
+# single-clock compaction shield, value-column sort tiebreakers,
+# cache-lifetime release, sentinel task-error unwrap); (3) the 39 names
+# whose newest driver evidence is r3 — after this round no query's
+# newest row is older than r4.
 _ROUND_PRIORITY: list[str] = [
-    # --- (1) new this round ---
-    "pack_greedy_bins",        # last pytest-only operator, now driver-gated
-    "stratified_hash_sample_langs",  # deterministic sampler, oracle-exact
-    "dedup_boilerplate_segments",    # C4-style segment dedup, oracle-exact
+    # --- (1) new this round: confirmed-pair LSH variants (oracle-exact) ---
+    "dedup_minhash_confirmed",
+    "dedup_simhash_confirmed",
+    "dedup_incremental_lsh_confirmed",
     # --- (2) implementation touched this round ---
-    "dedup_incremental_pipeline",   # dedup_index occupancy + id-count fix
-    "dedup_incremental_lsh",
-    "streaming_incremental_dedup",
-    "coordinated_write_roundtrip",  # rollback-failure reporting
-    "bundle_write_restore",         # member-name validation
-    "streaming_hourly_stats",       # events_stream tz check
-    "streaming_sessionize",
-    "streaming_dedup_union",
-    "streaming_interval_join",
-    "dedup_minhash_lsh",            # steady-state perf work
-    "dedup_simhash",
-    "text_tfidf_search",            # scorer core: single-pass refactor
+    "dedup_ngram_jaccard",          # shingle-index cache release
+    "dedup_boilerplate_segments",   # segment-stream cache release
+    "text_tfidf_search",            # per-doc core cache release
     "text_bm25_search",
-    "dedup_ngram_jaccard",          # shingle index persisted
-    "rollup_time_hierarchy",        # partial-reuse rollup (1 scan)
-    # --- (3) stale: newest driver evidence r1/r2 ---
-    "scalar_date_funcs",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "agg_median_percentiles",
-    "stat_moments_lineitem",
-    "window_percent_rank",
-    "window_ranking_functions",
-    "window_range_frame_revenue",
-    "pivot_returnflag_status",
-    "unpivot_segment_metrics",
-    "events_json_extract",
-    "events_json_struct",
-    "events_hourly_stats",
-    "array_agg_sorted",
-    "array_function_suite",
-    "map_entry_extraction",
-    "bool_aggs",
-    "null_handling_funcs",
-    "conditional_agg_filter",
-    "acctbal_width_buckets",
-    "explode_embeddings",
-    "scalar_math_funcs",
+    "rollup_time_hierarchy",        # hourly/daily partials cache release
+    "bundle_write_restore",         # sentinel task-error unwrap
+    "coordinated_write_roundtrip",  # rides the same restore path
+    # --- (3) stale: newest driver evidence r3 ---
+    "bulk_write_roundtrip",         # also touched: sort tiebreakers, clock
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "lww_latest_events",
+    "lww_partial_upsert",
+    "cell_pivot_roundtrip",
+    "replica_read_all",
+    "multimodal_blob_stats",
+    "multimodal_image_features",
+    "asof_purchase_click",
+    "range_join_error_bursts",
+    "topk_global_orders",
+    "setop_except_all",
+    "setop_intersect_all",
+    "setop_union_by_name",
+    "distinct_part_attrs",
+    "case_when_tiering",
+    "date_trunc_variants",
+    "regexp_extract_groups",
+    "skew_salted_returnflag",
+    "streaming_stateful_profile",
+    "train_val_test_split",
+    "decontaminate_benchmark",
+    "dedup_cluster_assignment",
+    "dedup_exact_docs",
+    "dedup_span_fraction",
+    "cosine_topk_embeddings",
+    "events_sessionize",
+    "having_big_customers",
+    "nested_map_clustering",
+    "nested_struct_explode",
+    "pk_in_list_pushdown",
+    "text_pii_scrub",
+    "text_repetition_stats",
 ]
 
 

@@ -375,6 +375,107 @@ STREAMING_CONFIRM_SQL = INCREMENTAL_CONFIRM_SQL.replace(
 
 
 @query(
+    "dedup_minhash_confirmed",
+    oracle=STREAMING_CONFIRM_SQL,
+    doc="MinHash-LSH near-dup detection, ORACLE-EXACT end to end: the "
+    "banded candidates (32 hashes, 8 bands — the dedup_minhash_lsh "
+    "plan) pipe through the exact-Jaccard confirm "
+    "(dedup_index.confirm_candidates, shingles computed only for docs "
+    "in some candidate pair), so the output equals the pure-SQL exact "
+    "3-gram Jaccard >= 0.9 pair set. Recall premise: every true pair "
+    "band-collides — guaranteed to ~2e-4/pair by the (32, 8) banding "
+    "curve at j >= 0.9, and verified exhaustively on the fixtures "
+    "(tests/test_confirmed_dedup.py) — so a candidate missed by the "
+    "banding, a wrong confirm score, or a duplicated pair all break "
+    "the value hash. The raw candidate query stays registered "
+    "(rows-only) for the bucket structure itself.",
+)
+def dedup_minhash_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup_index import confirm_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d, num_hashes=32, bands=8, shingle_n=3)
+    return (
+        confirm_candidates(cands, d, shingle_n=3, threshold=0.9)
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "dedup_simhash_confirmed",
+    oracle=STREAMING_CONFIRM_SQL,
+    doc="SimHash near-dup detection, ORACLE-EXACT at the gate SF: "
+    "Manku multi-block candidates at a radius-10 guarantee "
+    "(12 blocks taken 2 at a time, C(12,2) = 66 five-bit-block key "
+    "tables) piped through the exact-Jaccard confirm. Recall premise "
+    "is FIXTURE-VERIFIED, not universal: true j >= 0.9 pairs sit at "
+    "hamming <= 8 on the sf0.001/sf0.01 fixtures (radius 10 covers "
+    "them with margin; pinned by tests/test_confirmed_dedup.py), but "
+    "simhash hamming of borderline pairs grows with corpus size "
+    "(sf0.1 already has a true pair at hamming 13), so this entry is "
+    "the correctness gate for the simhash machinery — the scale "
+    "recommendation for jaccard-thresholded dedup remains the minhash "
+    "path, and dedup_simhash (radius 6, 16-bit keys) remains the "
+    "hamming-thresholded scale query.",
+)
+def dedup_simhash_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup_index import confirm_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = simhash_near_dup_pairs(
+        d, max_hamming=10, num_blocks=12, blocks_per_key=2
+    )
+    return (
+        confirm_candidates(cands, d, shingle_n=3, threshold=0.9)
+        .orderBy("a", "b")
+    )
+
+
+# Exact pairs touching the %10 ingest batch — the oracle for the
+# incremental-index confirmed variant (same CTE as the %2 pipeline
+# oracle, different batch predicate).
+INCREMENTAL_LSH_CONFIRM_SQL = INCREMENTAL_CONFIRM_SQL.replace(
+    "AND (a % 2 = 1 OR b % 2 = 1)", "AND (a % 10 = 0 OR b % 10 = 0)"
+)
+
+
+@query(
+    "dedup_incremental_lsh_confirmed",
+    oracle=INCREMENTAL_LSH_CONFIRM_SQL,
+    doc="The dedup_incremental_lsh scenario (90% corpus indexed, 10% "
+    "probe batch, corpus-side exchange-free bucketed join) taken "
+    "through ingest_batch's exact-Jaccard confirm — ORACLE-EXACT: the "
+    "output must equal the pure-SQL exact 3-gram Jaccard >= 0.9 pair "
+    "set touching the batch, so a candidate missed by the index join, "
+    "a wrong confirm score, or state leakage from the append all break "
+    "the value hash. The raw candidate twin stays registered "
+    "(rows-only) for the est_jaccard bucket structure.",
+)
+def dedup_incremental_lsh_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cassandra_analytics_spark.operators.dedup_index import (
+        LshIndexSpec,
+        build_index,
+        ingest_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    spec = LshIndexSpec(num_hashes=32, bands=8, shingle_n=3, num_buckets=8)
+    tbl = f"lsh_idx_incr_conf_{uuid.uuid4().hex[:8]}"
+    try:
+        build_index(corpus, tbl, spec)
+        confirmed = ingest_batch(
+            spark, tbl, batch, texts=corpus, spec=spec, threshold=0.9
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return confirmed.orderBy("a", "b")
+
+
+@query(
     "streaming_incremental_dedup",
     oracle=STREAMING_CONFIRM_SQL,
     doc="Streaming incremental dedup end-to-end "

@@ -1,0 +1,105 @@
+"""Confirmed-pair LSH dedup variants (VERDICT r5 item 1).
+
+The three raw LSH queries are rows-only by nature (seeded-hash bucket
+structure has no SQL twin). Their *confirmed* variants pipe the LSH
+candidates through the exact-Jaccard confirm, making the output equal a
+pure-SQL pair set — oracle-exact — PROVIDED the candidate stage has full
+recall at the confirm threshold on the fixture. These tests pin that
+recall premise explicitly, so a fixture change that breaks it fails
+loudly here instead of surfacing as an opaque driver hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    simhash_sketches,
+)
+from cassandra_analytics_spark.queries import REGISTRY, _ensure_loaded
+from cassandra_analytics_spark.testing import compare_query
+
+
+def _exact_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(d, shingle_n=3, threshold=0.9).collect()
+    }
+
+
+def test_minhash_candidates_have_full_recall_at_09(spark, sf_dir):
+    """Recall premise of dedup_minhash_confirmed: every exact j>=0.9 pair
+    band-collides under the (32 hashes, 8 bands) config."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = {
+        (r.a, r.b)
+        for r in minhash_lsh_candidates(
+            d, num_hashes=32, bands=8, shingle_n=3
+        ).collect()
+    }
+    exact = _exact_pairs(spark, sf_dir)
+    assert exact, "fixture lost its planted near-dups"
+    assert exact <= cands, f"banding missed true pairs: {sorted(exact - cands)}"
+
+
+def test_simhash_radius10_covers_true_pairs(spark, sf_dir):
+    """Recall premise of dedup_simhash_confirmed, pinned in two parts:
+    (a) every exact j>=0.9 pair sits within hamming 10 of the 63-bit
+    frequency-weighted sketch on this fixture (observed max is 8 — the
+    radius-10 config carries margin), and (b) the C(12,2) block keys
+    actually surface all of them as candidates (the pigeonhole guarantee
+    made concrete)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = _exact_pairs(spark, sf_dir)
+    sk = simhash_sketches(d)
+    exact_df = spark.createDataFrame(
+        sorted(exact), "a long, b long"
+    )
+    h = (
+        exact_df.join(sk.withColumnsRenamed({"id": "a", "sk": "ska"}), "a")
+        .join(sk.withColumnsRenamed({"id": "b", "sk": "skb"}), "b")
+        .select(F.bit_count(F.col("ska").bitwiseXOR(F.col("skb"))).alias("h"))
+        .agg(F.max("h"))
+        .first()[0]
+    )
+    assert h <= 10, f"fixture true-pair hamming grew to {h}: radius-10 premise broken"
+    cands = {
+        (r.a, r.b)
+        for r in simhash_near_dup_pairs(
+            d, max_hamming=10, num_blocks=12, blocks_per_key=2
+        ).collect()
+    }
+    assert exact <= cands, f"block LSH missed true pairs: {sorted(exact - cands)}"
+
+
+def test_confirmed_variants_match_oracle(spark, sf_dir):
+    """End-to-end at sf0.001: the three confirmed-pair queries hash-match
+    their DuckDB oracles (the driver re-proves this at sf0.01)."""
+    _ensure_loaded()
+    for name in (
+        "dedup_minhash_confirmed",
+        "dedup_simhash_confirmed",
+        "dedup_incremental_lsh_confirmed",
+    ):
+        assert name in REGISTRY and REGISTRY[name].oracle is not None
+        res = compare_query(name, spark, sf_dir)
+        assert res.ok, f"{name}: {res}"
+
+
+def test_confirmed_output_equals_exact_pair_set(spark, sf_dir):
+    """The whole point: confirmed LSH output IS the exact pair set (not
+    merely hash-consistent with some other formulation)."""
+    from cassandra_analytics_spark.operators.dedup_index import confirm_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(d, num_hashes=32, bands=8, shingle_n=3)
+    confirmed = {
+        (r.a, r.b)
+        for r in confirm_candidates(cands, d, shingle_n=3, threshold=0.9).collect()
+    }
+    assert confirmed == _exact_pairs(spark, sf_dir)
