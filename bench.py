@@ -8,6 +8,16 @@
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect) after a warm-up run of the session.
+
+Noise robustness (VERDICT r5 item 3): the same binary measured
+18.84–28.2 s across clean runs in this sandbox — single-shot numbers
+mix plan cost with sandbox weather. Each query therefore runs
+``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) interleaved round-robin
+(run 1 of every query, then run 2, ...) so a transient slowdown hits
+one ROUND, not one query's all three samples. ``value``/``queries``
+report the per-query MIN across runs (the plan's cost); the first-run
+single-shot numbers are kept alongside as ``value_first`` /
+``queries_first`` for continuity with rounds 1–5.
 """
 
 from __future__ import annotations
@@ -107,21 +117,27 @@ def main() -> None:
             except Exception:
                 pass
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.time()
-        run_query(fn, spark, sf_dir)
-        times[name] = round(time.time() - t0, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.time()
+            run_query(fn, spark, sf_dir)
+            samples[name].append(round(time.time() - t0, 3))
 
-    total = round(sum(times.values()), 3)
+    times = {name: min(s) for name, s in samples.items()}
+    first = {name: s[0] for name, s in samples.items()}
     print(
         json.dumps(
             {
                 "metric": "total_query_time",
-                "value": total,
+                "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "runs": n_runs,
+                "value_first": round(sum(first.values()), 3),
+                "queries_first": first,
                 "sf": sf,
             }
         )
