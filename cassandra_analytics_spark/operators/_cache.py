@@ -2,46 +2,74 @@
 
 Several operators cache an intermediate DataFrame that feeds multiple
 branches of the returned plan (shingle indexes, per-doc term counts,
-segment streams): without the cache the corpus would be re-scanned once
-per consumer. But ``persist()`` entries live in the session's
-CacheManager until explicitly unpersisted — a long-lived session cycling
-many corpora would pin one entry per distinct input plan forever.
+segment streams, rollup partials): without the cache the corpus would be
+re-scanned once per consumer (up to 8x, measured in the round-5 plan
+audit). But ``persist()`` entries live in the session's CacheManager
+until explicitly unpersisted — a long-lived session cycling many corpora
+would pin one entry per distinct input plan forever (ADVICE r5).
 
-:func:`release_cache_with` ties each cached intermediate's lifetime to
-the RESULT DataFrame the operator returns: when the caller's last
-reference to the result is garbage-collected, the intermediates are
-unpersisted. The contract is correctness-neutral — unpersist never
-changes results, only whether a later re-execution recomputes — and the
-timing is safe: while any action on the result is running, the caller
-necessarily holds a reference, so the finalizer cannot fire mid-job.
-Callers that keep the result around keep the cache (they may well
-re-execute); callers that drop it release the memory/disk immediately
-at the next GC instead of at session end.
+:func:`register_cached` bounds that growth with an LRU of live entries:
+each operator registers its persisted intermediates, and once more than
+``MAX_LIVE_CACHED`` are alive the oldest are unpersisted. Eviction is
+correctness-neutral — a plan whose cache entry was evicted silently
+recomputes (Spark re-resolves identical plans against the CacheManager,
+so a re-persisted twin re-caches) — and it only bites in the scenario it
+exists for: a session cycling through many distinct corpora/term sets,
+where the oldest entries belong to finished work.
+
+A finalizer-based design (release when the caller drops the result) was
+tried first and rejected: callers routinely derive further
+transformations from the returned DataFrame and drop the intermediate
+Python object immediately, which fired the release BEFORE the job ran
+and silently restored the multi-scan plan (caught by
+``tests/test_plans.py::test_no_redundant_corpus_scans``).
+
+``clear_operator_caches()`` releases everything now — the explicit
+batch-boundary hook for pipelines that want deterministic cleanup.
 """
 
 from __future__ import annotations
 
-import weakref
+import threading
+from collections import deque
 
 from pyspark.sql import DataFrame
 
+# Upper bound on live operator-cache entries. Each entry is
+# MEMORY_AND_DISK and potentially corpus-token-scale; 16 comfortably
+# covers every concurrent query shape in this engine while keeping a
+# many-corpora session's footprint bounded.
+MAX_LIVE_CACHED = 16
 
-def release_cache_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Unpersist ``cached`` when ``result`` is garbage-collected.
+_lock = threading.Lock()
+_live: deque = deque()
 
-    Holds only the JVM-side handles (not the Python DataFrames, which
-    would create a reference cycle keeping everything alive). Unpersist
-    failures are swallowed: at interpreter shutdown the py4j gateway may
-    already be gone, and a dead SparkContext has nothing to release.
-    """
-    jdfs = [c._jdf for c in cached]
 
-    def _release() -> None:
-        for j in jdfs:
-            try:
-                j.unpersist(False)
-            except Exception:
-                pass
+def _unpersist_quietly(jdf) -> None:
+    try:
+        jdf.unpersist(False)
+    except Exception:
+        # interpreter shutdown / stopped SparkContext: nothing to release
+        pass
 
-    weakref.finalize(result, _release)
-    return result
+
+def register_cached(*cached: DataFrame) -> None:
+    """Track persisted intermediates; evict (unpersist) the oldest past
+    ``MAX_LIVE_CACHED``. Holds only JVM-side handles."""
+    evicted = []
+    with _lock:
+        for c in cached:
+            _live.append(c._jdf)
+        while len(_live) > MAX_LIVE_CACHED:
+            evicted.append(_live.popleft())
+    for jdf in evicted:
+        _unpersist_quietly(jdf)
+
+
+def clear_operator_caches() -> None:
+    """Unpersist every tracked operator cache entry now."""
+    with _lock:
+        entries = list(_live)
+        _live.clear()
+    for jdf in entries:
+        _unpersist_quietly(jdf)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_analytics_spark.operators._cache import release_cache_with
+from cassandra_analytics_spark.operators._cache import register_cached
 from cassandra_analytics_spark.operators.text import normalized_text
 
 
@@ -153,10 +153,11 @@ def duplicate_segment_stats(
     # persisted: the frequency aggregate and the join-back both consume
     # the segment stream — unpersisted, the corpus scan + segmentation
     # would run twice (same reasoning as the shingle index above). The
-    # cache entry is released when the caller drops the result
-    # (release_cache_with), so long-lived sessions cycling many corpora
-    # don't accumulate one pinned entry per distinct input plan.
+    # entry joins the bounded operator-cache LRU (register_cached), so
+    # long-lived sessions cycling many corpora don't accumulate one
+    # pinned entry per distinct input plan.
     segs = segment_stream(df, id_col, text_col, seg_words).persist()
+    register_cached(segs)
     freq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__df"))
     result = (
         segs.join(freq, "seg")
@@ -171,7 +172,7 @@ def duplicate_segment_stats(
         )
         .select(F.col("id").alias(id_col), "n_segments", "n_dup_segments", "dup_segment_frac")
     )
-    return release_cache_with(result, segs)
+    return result
 
 
 def shingle_pairs(
@@ -359,10 +360,10 @@ def ngram_jaccard_pairs(
     # shingling pipeline runs ONCE instead of once per consumer — an
     # unpersisted plan re-scans the corpus 8x (measured in the round-5
     # plan audit). MEMORY_AND_DISK: the index is token-scale, spilling
-    # beats re-reading 100 TB. Released when the caller drops the result
-    # (release_cache_with) rather than pinned for the session.
-    raw_sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n).persist()
-    sh = raw_sh
+    # beats re-reading 100 TB. Joins the bounded operator-cache LRU
+    # (register_cached) rather than pinning for the session.
+    sh = shingle_pairs(df, id_col=id_col, text_col=text_col, n=shingle_n).persist()
+    register_cached(sh)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -381,7 +382,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return release_cache_with(jaccard_from_counts(common, sizes, threshold), raw_sh)
+    return jaccard_from_counts(common, sizes, threshold)
 
 
 def jaccard_from_counts(

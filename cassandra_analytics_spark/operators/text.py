@@ -295,13 +295,16 @@ def tfidf_scores(
     explode pass instead of each re-running the corpus scan (measured
     2x on the 100x fixture); the per-term score is a horizontal
     expression sum over the term columns — no stack, no join on the
-    term key, no second per-doc aggregation. The cache entry is released
-    when the caller drops the result (``release_cache_with``), so
+    term key, no second per-doc aggregation. The cache entry joins the
+    bounded operator-cache LRU (``_cache.register_cached``), so
     long-lived sessions cycling many term sets don't accumulate pinned
     entries.
     """
+    from cassandra_analytics_spark.operators._cache import register_cached
+
     k = len(query_terms)
     per_doc = _per_doc_term_counts(df, query_terms, id_col, text_col).persist()
+    register_cached(per_doc)
     dstats = per_doc.agg(
         *[F.count_if(F.col(f"__tf_{i}") > 0).alias(f"__df_{i}") for i in range(k)]
     )
@@ -318,9 +321,7 @@ def tfidf_scores(
     total = contrib(0)
     for i in range(1, k):
         total = total + contrib(i)
-    from cassandra_analytics_spark.operators._cache import release_cache_with
-
-    result = (
+    return (
         matched.join(F.broadcast(dstats))
         .join(F.broadcast(n_docs))
         .select(
@@ -328,7 +329,6 @@ def tfidf_scores(
             (total.cast("double") / fp_scale).alias("score"),
         )
     )
-    return release_cache_with(result, per_doc)
 
 
 def bm25_scores(
@@ -357,8 +357,11 @@ def bm25_scores(
     parallel aggregation). Without ``fp_scale`` raw doubles are
     returned (not oracle-safe).
     """
+    from cassandra_analytics_spark.operators._cache import register_cached
+
     k = len(query_terms)
     per_doc = _per_doc_term_counts(df, query_terms, id_col, text_col).persist()
+    register_cached(per_doc)
     # one broadcast row: N, avglen (over docs that produced words — same
     # population as a words-derived doclen CTE) and every term's df.
     stats = per_doc.agg(
@@ -386,9 +389,6 @@ def bm25_scores(
         for i in range(1, k):
             total = total + term_score(i)
         score = total.alias("score")
-    from cassandra_analytics_spark.operators._cache import release_cache_with
-
-    result = matched.join(F.broadcast(stats)).select(
+    return matched.join(F.broadcast(stats)).select(
         F.col("id").alias(id_col), score
     )
-    return release_cache_with(result, per_doc)

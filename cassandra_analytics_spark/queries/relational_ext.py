@@ -495,11 +495,10 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for g, lvl in (("hour", hourly), ("day", daily), ("week", weekly))
     ]
-    from cassandra_analytics_spark.operators._cache import release_cache_with
+    from cassandra_analytics_spark.operators._cache import register_cached
 
-    return release_cache_with(
-        levels[0].unionByName(levels[1]).unionByName(levels[2]), hourly, daily
-    )
+    register_cached(hourly, daily)
+    return levels[0].unionByName(levels[1]).unionByName(levels[2])
 
 
 @query(

@@ -46,6 +46,12 @@ option                        behavior
                               merge-on-read honors (``WriterOptions`` TTL)
 ===========================  ==============================================
 
+The reference's own camelCase spellings are accepted as aliases
+(``snapshotName``, ``lastModifiedColumnName``, ``defaultParallelism``,
+``numCores``, writer ``timestamp``/``ttl``) — Spark lowercases option
+keys, so the alias table resolves the lowercased forms; see
+``_OPTION_ALIASES``.
+
 Options with no analog over shared committed storage (documented n/a, as
 in COVERAGE.md): sidecar contact points/port, dc, createSnapshot/
 clearSnapshot (writers commit immutable batches), consistencyLevel (S2
@@ -118,8 +124,36 @@ def _data_files(table_path: str, snapshot: str | None = None) -> list[str]:
     return files
 
 
+# Spark lowercases data source option keys before they reach Python, so
+# the reference's camelCase spellings (ClientConfig.java:48-83 /
+# WriterOptions.java) arrive as e.g. "snapshotname". Each canonical
+# option therefore resolves through an alias list that includes the
+# lowercased reference spelling — without this, a reference user's
+# .option("snapshotName", ...) was SILENTLY ignored and the scan read
+# the whole table instead of the snapshot (found by the round-6
+# adversarial review; pinned in tests/test_python_datasource.py).
+_OPTION_ALIASES: dict[str, tuple[str, ...]] = {
+    "snapshot": ("snapshot", "as_of_batch", "snapshotname"),
+    "last_modified_column_name": (
+        "last_modified_column_name",
+        "lastmodifiedcolumnname",
+    ),
+    "default_parallelism": ("default_parallelism", "defaultparallelism"),
+    "num_cores": ("num_cores", "numcores"),
+    "write_timestamp_micros": ("write_timestamp_micros", "timestamp"),
+    "ttl_seconds": ("ttl_seconds", "ttl"),
+}
+
+
+def _opt(options: dict, canonical: str, default=None):
+    for key in _OPTION_ALIASES.get(canonical, (canonical,)):
+        if key in options:
+            return options[key]
+    return default
+
+
 def _snapshot_option(options: dict) -> str | None:
-    return options.get("snapshot") or options.get("as_of_batch")
+    return _opt(options, "snapshot")
 
 
 class CassandraBulkReader(DataSourceReader):
@@ -132,10 +166,16 @@ class CassandraBulkReader(DataSourceReader):
         self.require_full_pk = (
             options.get("require_full_pk", "false").lower() == "true"
         )
+        if self.require_full_pk and not self.partition_keys:
+            raise ValueError(
+                "require_full_pk needs partition_keys: without the key "
+                "list the constraint cannot be checked and would silently "
+                "pass every scan"
+            )
         self.snapshot = _snapshot_option(options)
-        self.lmt_column = options.get("last_modified_column_name")
-        parallelism = int(options.get("default_parallelism", "0"))
-        cores = int(options.get("num_cores", "1"))
+        self.lmt_column = _opt(options, "last_modified_column_name")
+        parallelism = int(_opt(options, "default_parallelism", "0"))
+        cores = int(_opt(options, "num_cores", "1"))
         self.target_partitions = parallelism * cores if parallelism > 0 else 0
         self.pushed: list[tuple[str, list]] = []
 
@@ -199,6 +239,10 @@ class CassandraBulkReader(DataSourceReader):
         else:
             units = [(p, None) for p in files]
 
+        if not units:
+            # every file had zero row groups (possible for foreign-written
+            # 0-row parquet): same empty-scan shape as the no-files case
+            return [FilePartition([])]
         # pack token-adjacent units into at most `target` partitions —
         # contiguous chunks keep each task inside a contiguous token span
         k = min(target, len(units))
@@ -279,12 +323,13 @@ class CassandraBulkWriter(DataSourceWriter):
 
         self.table_path = options["path"]
         self.schema = schema
+        wt = _opt(options, "write_timestamp_micros")
         self.write_timestamp = int(
-            options.get("write_timestamp_micros", time.time() * 1_000_000)
+            wt if wt is not None else time.time() * 1_000_000
         )
         # W6 parity on the format path (WriterOptions TTL): rows land with
         # a ttl column the merge-on-read honors, as in bulk_write(ttl_seconds=)
-        ttl = options.get("ttl_seconds")
+        ttl = _opt(options, "ttl_seconds")
         self.ttl_seconds = int(ttl) if ttl is not None else None
         self.batch_id = (
             f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -312,6 +357,17 @@ class CassandraBulkWriter(DataSourceWriter):
         if self.ttl_seconds is not None and "ttl" not in columns:
             columns["ttl"] = [self.ttl_seconds] * len(rows)
             arrow_schema = arrow_schema.append(pa.field("ttl", pa.int32()))
+        # System-column type normalization, mirroring the JVM path
+        # (_prepare_batch_df casts writetime→long, ttl→int): a caller
+        # supplying e.g. an int-typed writetime column would otherwise
+        # stamp int32 parquet, and the FIRST later batch (always int64)
+        # makes the whole table unreadable — mergeSchema AND this
+        # source's own unify_schemas both refuse INT vs BIGINT (found by
+        # the round-6 adversarial review; pinned in tests).
+        for col, want in (("writetime", pa.int64()), ("ttl", pa.int32())):
+            idx = arrow_schema.get_field_index(col)
+            if idx >= 0 and arrow_schema.field(idx).type != want:
+                arrow_schema = arrow_schema.set(idx, pa.field(col, want))
         table = pa.table(
             {k: pa.array(v, type=arrow_schema.field(k).type) for k, v in columns.items()},
             schema=arrow_schema,
@@ -319,11 +375,35 @@ class CassandraBulkWriter(DataSourceWriter):
         pq.write_table(table, os.path.join(self.staging, fname))
         return FileCommitMessage(file_name=fname, num_rows=len(rows))
 
+    def _physical_schema(self) -> StructType:
+        """The schema of the staged files: user schema plus the appended
+        system columns, with writetime/ttl normalized to long/int exactly
+        as write() stamps them."""
+        from pyspark.sql.types import IntegerType, LongType, StructField
+
+        fields = []
+        for f in self.schema.fields:
+            if f.name == "writetime":
+                fields.append(StructField("writetime", LongType(), f.nullable))
+            elif f.name == "ttl":
+                fields.append(StructField("ttl", IntegerType(), f.nullable))
+            else:
+                fields.append(f)
+        names = {f.name for f in fields}
+        if "writetime" not in names:
+            fields.append(StructField("writetime", LongType(), True))
+        if self.ttl_seconds is not None and "ttl" not in names:
+            fields.append(StructField("ttl", IntegerType(), True))
+        return StructType(fields)
+
     def commit(self, messages) -> None:
         import hashlib
         import json
         import os
 
+        # a plan with zero tasks (empty source RDD) never created the
+        # staging dir — the batch still commits, carrying the schema
+        os.makedirs(self.staging, exist_ok=True)
         files = {}
         total = 0
         for m in messages:
@@ -345,6 +425,10 @@ class CassandraBulkWriter(DataSourceWriter):
             "digest_algorithm": "md5",
             "num_rows": total,
             "files": files,
+            # parity with the JVM manifest: the schema travels so a
+            # file-less batch keeps the table readable via the
+            # manifest-schema fallback (read_bulk_table / this source)
+            "schema": self._physical_schema().jsonValue(),
         }
         with open(os.path.join(self.staging, "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
@@ -415,7 +499,7 @@ class CassandraBulkDataSource(DataSource):
         import pyarrow as pa
 
         unified = pa.unify_schemas(schemas, promote_options="default")
-        lmt = self.options.get("last_modified_column_name")
+        lmt = _opt(dict(self.options), "last_modified_column_name")
         if lmt:
             unified = unified.append(pa.field(lmt, pa.timestamp("us")))
         return from_arrow_schema(unified)

@@ -271,3 +271,102 @@ def test_empty_table_reads_empty_via_manifest_schema(spark, tmp_path):
     df = _load(spark, path, partition_keys="pk")
     assert df.count() == 0
     assert "pk" in df.columns and "v" in df.columns
+
+
+def test_reference_spelled_options_are_honored(spark, bulk_table):
+    """Spark lowercases option keys; the reference's camelCase spellings
+    (ClientConfig.java:48-83) must resolve through the alias table — a
+    silently-ignored snapshotName would read the WHOLE table instead of
+    the requested snapshot (round-6 adversarial review)."""
+    import os
+
+    from cassandra_analytics_spark.sinks.bulk_writer import committed_batches
+
+    first_batch = os.path.basename(committed_batches(bulk_table)[0])
+    snap = _load(spark, bulk_table, snapshotName=first_batch)
+    assert snap.count() == 500  # second batch (the update) not visible
+
+    lmt = _load(spark, bulk_table, lastModifiedColumnName="lm")
+    assert "lm" in lmt.columns
+
+    split = _load(spark, bulk_table, defaultParallelism="4", numCores="2")
+    # same rows as the default-options read (other tests may have
+    # appended batches to the module-scoped table), just more partitions
+    assert split.count() == _load(spark, bulk_table).count()
+    assert split.rdd.getNumPartitions() > 2
+
+
+def test_format_writer_normalizes_system_column_types(spark, tmp_path):
+    """A caller-supplied int-typed writetime (or long-typed ttl) through
+    the format writer must land as long/int parquet, exactly like the
+    JVM path — otherwise the first later batch makes the table
+    unreadable (mergeSchema and unify_schemas both refuse INT vs
+    BIGINT; reproduced before the fix)."""
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+
+    path = str(tmp_path / "t")
+    # ttl stays NULL: an int32 writetime is necessarily ancient (micros
+    # don't fit), so any live TTL would mark the row expired at read
+    df = spark.createDataFrame(
+        [(1, "a", 100, None)], "id int, v string, writetime int, ttl long"
+    )
+    df.write.format("cassandra_bulk").option("path", path).mode("append").save()
+    bulk_write(
+        spark.createDataFrame([(2, "b")], "id int, v string"),
+        path, ["id"], write_timestamp_micros=200,
+    )
+    register(spark)
+    rows = {r.id: r.v for r in read_bulk_table(spark, path, ["id"]).collect()}
+    assert rows == {1: "a", 2: "b"}
+    ds = spark.read.format("cassandra_bulk").option("path", path).load()
+    assert ds.count() == 2
+    wt_field = {f.name: f.dataType.simpleString() for f in ds.schema.fields}
+    assert wt_field["writetime"] == "bigint"
+    assert wt_field["ttl"] == "int"
+
+
+def test_format_writer_manifest_carries_schema(spark, tmp_path):
+    """The format writer's manifest records the physical schema (system
+    columns normalized), matching the JVM manifest contract that keeps
+    file-less batches readable."""
+    import json
+    import os
+
+    from cassandra_analytics_spark.sinks.bulk_writer import committed_batches
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.format(
+        "cassandra_bulk"
+    ).option("path", path).option("ttl", "60").mode("append").save()
+    batch = committed_batches(path)[0]
+    with open(os.path.join(batch, "_manifest.json")) as f:
+        manifest = json.load(f)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(manifest["schema"])
+    fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert fields == {"id": "int", "v": "string", "writetime": "bigint", "ttl": "int"}
+
+
+def test_writer_ttl_alias_and_require_full_pk_guard(spark, tmp_path, bulk_table):
+    """WriterOptions TTL/TIMESTAMP spellings reach the writer; and
+    require_full_pk without partition_keys is a config error, not a
+    silent no-op."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.format(
+        "cassandra_bulk"
+    ).option("path", path).option("timestamp", "12345").option(
+        "ttl", "60"
+    ).mode("append").save()
+    register(spark)
+    row = spark.read.format("cassandra_bulk").option("path", path).load().first()
+    assert row.writetime == 12345 and row.ttl == 60
+
+    with pytest.raises(Exception, match="require_full_pk"):
+        (
+            spark.read.format("cassandra_bulk")
+            .option("path", bulk_table)
+            .option("require_full_pk", "true")
+            .load()
+            .count()
+        )
