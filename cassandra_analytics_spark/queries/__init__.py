@@ -58,6 +58,7 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_minhash_confirmed",
     "dedup_simhash_confirmed",
     "dedup_incremental_lsh_confirmed",
+    "embedding_near_dup_confirmed",
     # --- (2) implementation touched this round ---
     "dedup_ngram_jaccard",          # shingle-index cache release
     "dedup_boilerplate_segments",   # segment-stream cache release

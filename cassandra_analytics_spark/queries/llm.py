@@ -1154,6 +1154,140 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(corpus, threshold=0.9, num_planes=6)
 
 
+def _psq_norm(a: Column) -> Column:
+    """Portable L2 norm: double squares → decimal sum → double → sqrt
+    (bit-identical across engines; same shape as the cosine_topk oracle)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(DECV)),
+            F.lit(0).cast(DECV),
+            lambda acc, v: (acc + v).cast(DECV),
+        ).cast("double")
+    )
+
+
+EMBEDDING_CONFIRMED_ORACLE = f"""
+    WITH planted AS (
+        SELECT vec_id + 1000000 AS vec_id, i,
+               CAST(x AS DOUBLE)
+                 * (1.0 + ((0.05 * (CAST(((i - 1) * 31 + vec_id) % 7 AS DOUBLE)
+                                    - 3.0)) / 3.0)) AS x
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 8)
+    ),
+    corpus AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id, i, x FROM planted
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(x * x AS {DECV_SQL})) AS DOUBLE)) AS nrm
+        FROM corpus GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               CAST(SUM(CAST(l.x * r.x AS {DECV_SQL})) AS DOUBLE) AS dot
+        FROM corpus l JOIN corpus r ON l.i = r.i AND l.vec_id < r.vec_id
+        GROUP BY l.vec_id, r.vec_id
+    )
+    SELECT a, b, dot / (na.nrm * nb.nrm) AS cosine_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = a
+    JOIN norms nb ON nb.vec_id = b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.9
+    ORDER BY a, b
+"""
+
+
+@query(
+    "embedding_near_dup_confirmed",
+    oracle=EMBEDDING_CONFIRMED_ORACLE,
+    doc="Embedding-cosine near-dup detection, ORACLE-EXACT end to end: "
+    "sign-LSH bucket candidates (6 hyperplanes — the embedding_near_dup "
+    "plan) confirmed with the PORTABLE cosine (double products → "
+    "decimal(28,12) sums → one double sqrt/divide, bit-identical across "
+    "engines), against a DuckDB oracle that brute-forces every pair. "
+    "The planted probes use a RATIONAL ±5% perturbation "
+    "(1 + 0.05*(((i*31+id)%7)-3)/3 — exact-rounded IEEE arithmetic in "
+    "both engines) instead of the raw query's libm cos, whose last-ulp "
+    "engine differences would leak into the hash. Recall premise "
+    "(every cosine>=0.9 pair bucket-collides in the single 6-bit table) "
+    "is fixture-verified in tests/test_confirmed_dedup.py; the raw "
+    "sign-LSH query stays registered (rows-only) for the bucket "
+    "structure.",
+)
+def embedding_near_dup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
+    from cassandra_analytics_spark.operators.similarity import (
+        sign_lsh_signature_column,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # transform FIRST, re-key AFTER: putting the +1e6 alias in the same
+    # select would make F.col("vec_id") inside the lambda resolve to the
+    # LATERAL alias (the shifted id), silently changing the perturbation
+    # pattern vs the oracle (caught during this query's construction)
+    planted = (
+        e.filter(F.col("vec_id") < 8)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + (
+                        F.lit(0.05)
+                        * (
+                            ((i * F.lit(31) + F.col("vec_id")) % F.lit(7)).cast(
+                                "double"
+                            )
+                            - F.lit(3.0)
+                        )
+                    )
+                    / F.lit(3.0)
+                ),
+            ).alias("embedding"),
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+
+    sample = corpus.select("embedding").limit(1).collect()
+    dim = len(sample[0]["embedding"])
+    # THREE 6-bit tables (seeds 42..44): one table misses a true pair
+    # when any of its 6 plane-dots straddles zero between the probe and
+    # its source; the per-table miss compounds to ~0 across three
+    # independent tables (recall premise pinned in tests)
+    sigs = F.array(
+        *[
+            sign_lsh_signature_column(F.col("embedding"), dim, 6, seed)
+            for seed in (42, 43, 44)
+        ]
+    )
+    tagged = corpus.select(
+        "vec_id", "embedding", F.posexplode(sigs).alias("__table", "__sig")
+    )
+    pairs = _bucket_candidate_pairs(
+        tagged, ["__table", "__sig"], "vec_id", "embedding", 10000
+    )
+    pcos = _pdot(F.col("pa"), F.col("pb")) / (
+        _psq_norm(F.col("pa")) * _psq_norm(F.col("pb"))
+    )
+    return (
+        pairs.select("a", "b", pcos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.9)
+        .orderBy("a", "b")
+    )
+
+
 @query(
     "train_val_test_split",
     oracle="""

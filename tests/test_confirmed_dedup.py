@@ -85,10 +85,70 @@ def test_confirmed_variants_match_oracle(spark, sf_dir):
         "dedup_minhash_confirmed",
         "dedup_simhash_confirmed",
         "dedup_incremental_lsh_confirmed",
+        "embedding_near_dup_confirmed",
     ):
         assert name in REGISTRY and REGISTRY[name].oracle is not None
         res = compare_query(name, spark, sf_dir)
         assert res.ok, f"{name}: {res}"
+
+
+def test_embedding_confirmed_equals_brute_force(spark, sf_dir):
+    """Recall premise of embedding_near_dup_confirmed: the 3-table sign-
+    LSH candidate stage surfaces EVERY portable-cosine >= 0.9 pair of the
+    planted corpus — asserted against a brute-force (all-pairs, no LSH)
+    computation of the same portable cosine."""
+    from cassandra_analytics_spark.queries import REGISTRY, _ensure_loaded
+    from cassandra_analytics_spark.queries.llm import _pdot, _psq_norm
+
+    _ensure_loaded()
+    confirmed = {
+        (r.a, r.b)
+        for r in REGISTRY["embedding_near_dup_confirmed"].fn(spark, sf_dir).collect()
+    }
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        e.filter(F.col("vec_id") < 8)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + (
+                        F.lit(0.05)
+                        * (
+                            ((i * F.lit(31) + F.col("vec_id")) % F.lit(7)).cast(
+                                "double"
+                            )
+                            - F.lit(3.0)
+                        )
+                    )
+                    / F.lit(3.0)
+                ),
+            ).alias("embedding"),
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+    left = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("pa"))
+    right = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("pb"))
+    pcos = _pdot(F.col("pa"), F.col("pb")) / (
+        _psq_norm(F.col("pa")) * _psq_norm(F.col("pb"))
+    )
+    brute = {
+        (r.a, r.b)
+        for r in left.crossJoin(right)
+        .filter(F.col("a") < F.col("b"))
+        .filter(pcos >= 0.9)
+        .collect()
+    }
+    assert brute, "fixture lost its planted embedding near-dups"
+    assert confirmed == brute
 
 
 def test_confirmed_output_equals_exact_pair_set(spark, sf_dir):
