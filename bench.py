@@ -117,9 +117,17 @@ def main() -> None:
             except Exception:
                 pass
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    from cassandra_analytics_spark.operators._cache import clear_operator_caches
+
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_runs):
+        # cold caches each round: operators that persist() an intermediate
+        # (tfidf per-doc core, shingle index) would otherwise serve rounds
+        # 2+ from the CacheManager and min() would report a cache-hit
+        # time instead of the plan's cost
+        clear_operator_caches()
+        spark.catalog.clearCache()
         for name in HEADLINE:
             fn = REGISTRY[name].fn
             t0 = time.time()

@@ -31,7 +31,7 @@ batch-boundary hook for pipelines that want deterministic cleanup.
 from __future__ import annotations
 
 import threading
-from collections import deque
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
@@ -42,7 +42,13 @@ from pyspark.sql import DataFrame
 MAX_LIVE_CACHED = 16
 
 _lock = threading.Lock()
-_live: deque = deque()
+# semanticHash -> jdf handle, in LRU order (oldest first). Keyed by the
+# plan's semantic hash because Spark's CacheManager is plan-keyed: two
+# register calls for the same logical plan share ONE cache entry, and a
+# duplicate deque handle would both waste an LRU slot and — worse —
+# unpersist the shared entry when the STALE duplicate aged out while
+# the newer registration still counted as live.
+_live: OrderedDict = OrderedDict()
 
 
 def _unpersist_quietly(jdf) -> None:
@@ -55,13 +61,20 @@ def _unpersist_quietly(jdf) -> None:
 
 def register_cached(*cached: DataFrame) -> None:
     """Track persisted intermediates; evict (unpersist) the oldest past
-    ``MAX_LIVE_CACHED``. Holds only JVM-side handles."""
+    ``MAX_LIVE_CACHED``. Re-registering a semantically identical plan
+    refreshes its LRU position instead of adding a duplicate handle.
+    Holds only JVM-side handles."""
     evicted = []
     with _lock:
         for c in cached:
-            _live.append(c._jdf)
+            key = c.semanticHash()
+            if key in _live:
+                _live.move_to_end(key)
+            else:
+                _live[key] = c._jdf
         while len(_live) > MAX_LIVE_CACHED:
-            evicted.append(_live.popleft())
+            _, jdf = _live.popitem(last=False)
+            evicted.append(jdf)
     for jdf in evicted:
         _unpersist_quietly(jdf)
 
@@ -69,7 +82,7 @@ def register_cached(*cached: DataFrame) -> None:
 def clear_operator_caches() -> None:
     """Unpersist every tracked operator cache entry now."""
     with _lock:
-        entries = list(_live)
+        entries = list(_live.values())
         _live.clear()
     for jdf in entries:
         _unpersist_quietly(jdf)

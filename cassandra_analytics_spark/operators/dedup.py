@@ -159,7 +159,7 @@ def duplicate_segment_stats(
     segs = segment_stream(df, id_col, text_col, seg_words).persist()
     register_cached(segs)
     freq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("__df"))
-    result = (
+    return (
         segs.join(freq, "seg")
         .groupBy("id")
         .agg(
@@ -172,7 +172,6 @@ def duplicate_segment_stats(
         )
         .select(F.col("id").alias(id_col), "n_segments", "n_dup_segments", "dup_segment_frac")
     )
-    return result
 
 
 def shingle_pairs(

@@ -46,8 +46,8 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # (CORRECTNESS_r01.json is exactly the first 50 in registration order).
 # To get every query a driver row across rounds, each round front-loads
 # the names that most need one. Round-6 priority (VERDICT r5 items 1+2):
-# (1) the three NEW confirmed-pair LSH queries — the only r5 rows
-# without a hash match, now oracle-exact; (2) queries whose
+# (1) the four NEW confirmed-pair LSH queries — upgrades for the rows
+# that lacked a hash match, now oracle-exact; (2) queries whose
 # implementation was touched this round (the ADVICE r5 fixes:
 # single-clock compaction shield, value-column sort tiebreakers,
 # cache-lifetime release, sentinel task-error unwrap); (3) the 39 names

@@ -1272,14 +1272,21 @@ def embedding_near_dup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for seed in (42, 43, 44)
         ]
     )
+    # norm computed ONCE per document and carried in the bucket payload
+    # (the oracle's per-doc norms CTE shape): a doc in d candidate pairs
+    # would otherwise pay the decimal-sum norm aggregate d times
     tagged = corpus.select(
-        "vec_id", "embedding", F.posexplode(sigs).alias("__table", "__sig")
+        "vec_id",
+        F.struct(
+            F.col("embedding").alias("emb"), _psq_norm(F.col("embedding")).alias("nrm")
+        ).alias("__payload"),
+        F.posexplode(sigs).alias("__table", "__sig"),
     )
     pairs = _bucket_candidate_pairs(
-        tagged, ["__table", "__sig"], "vec_id", "embedding", 10000
+        tagged, ["__table", "__sig"], "vec_id", "__payload", 10000
     )
-    pcos = _pdot(F.col("pa"), F.col("pb")) / (
-        _psq_norm(F.col("pa")) * _psq_norm(F.col("pb"))
+    pcos = _pdot(F.col("pa")["emb"], F.col("pb")["emb"]) / (
+        F.col("pa")["nrm"] * F.col("pb")["nrm"]
     )
     return (
         pairs.select("a", "b", pcos.alias("cosine_sim"))

@@ -78,7 +78,7 @@ def test_simhash_radius10_covers_true_pairs(spark, sf_dir):
 
 
 def test_confirmed_variants_match_oracle(spark, sf_dir):
-    """End-to-end at sf0.001: the three confirmed-pair queries hash-match
+    """End-to-end at sf0.001: the four confirmed-pair queries hash-match
     their DuckDB oracles (the driver re-proves this at sf0.01)."""
     _ensure_loaded()
     for name in (
