@@ -40,10 +40,18 @@ option                        behavior
                               fewer files than target → files split at
                               parquet row-group boundaries; more → token-
                               adjacent files packed per partition
-``write_timestamp_micros``    (writer) the batch's write timestamp
-                              (``WriterOptions`` TIMESTAMP)
-``ttl_seconds``               (writer) rows land with a ttl column the
-                              merge-on-read honors (``WriterOptions`` TTL)
+``write_timestamp_micros``    (writer) WriterOptions TIMESTAMP semantics
+                              (``TimestampOption.from``): an integer is a
+                              constant write timestamp in micros; any
+                              other string names a per-row timestamp
+                              COLUMN (consumed into ``writetime``, not
+                              written as data); absent = now
+``ttl_seconds``               (writer) WriterOptions TTL semantics
+                              (``TTLOption.from``): an integer is constant
+                              seconds with ``0`` = forever (no ttl
+                              column); any other string names a per-row
+                              ttl column (consumed; per-row 0 -> NULL =
+                              forever, as in Cassandra)
 ===========================  ==============================================
 
 The reference's own camelCase spellings are accepted as aliases
@@ -323,18 +331,66 @@ class CassandraBulkWriter(DataSourceWriter):
 
         self.table_path = options["path"]
         self.schema = schema
+        field_names = {f.name for f in schema.fields}
+
+        # WriterOptions TIMESTAMP parity (TimestampOption.from): an
+        # integer literal is a constant write timestamp in micros; any
+        # other string names a COLUMN holding per-row timestamps (the
+        # column is consumed — surfaced as the writetime system column,
+        # not written as table data). Absent -> now.
         wt = _opt(options, "write_timestamp_micros")
-        self.write_timestamp = int(
-            wt if wt is not None else time.time() * 1_000_000
-        )
-        # W6 parity on the format path (WriterOptions TTL): rows land with
-        # a ttl column the merge-on-read honors, as in bulk_write(ttl_seconds=)
+        self.writetime_column: str | None = None
+        if wt is None:
+            self.write_timestamp: int | None = int(time.time() * 1_000_000)
+        else:
+            try:
+                self.write_timestamp = int(wt)
+            except ValueError:
+                self.writetime_column = str(wt)
+                self.write_timestamp = None
+                if self.writetime_column not in field_names:
+                    raise ValueError(
+                        f"timestamp option names column "
+                        f"{self.writetime_column!r}, which is not in the "
+                        f"DataFrame schema {sorted(field_names)}"
+                    )
+
+        # WriterOptions TTL parity (TTLOption.from): integer literal =
+        # constant seconds, with 0 = FOREVER (no ttl column — writing
+        # ttl=0 would mean instant expiry under the merge's
+        # writetime+ttl<=now rule, the opposite of Cassandra's TTL-0
+        # semantics); any other string names a per-row ttl column
+        # (consumed; per-row 0 maps to NULL = forever, as in Cassandra).
         ttl = _opt(options, "ttl_seconds")
-        self.ttl_seconds = int(ttl) if ttl is not None else None
+        self.ttl_column: str | None = None
+        self.ttl_seconds: int | None = None
+        if ttl is not None:
+            try:
+                v = int(ttl)
+                self.ttl_seconds = v if v != 0 else None
+            except ValueError:
+                self.ttl_column = str(ttl)
+                if self.ttl_column not in field_names:
+                    raise ValueError(
+                        f"ttl option names column {self.ttl_column!r}, "
+                        f"which is not in the DataFrame schema "
+                        f"{sorted(field_names)}"
+                    )
+
         self.batch_id = (
             f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         )
         self.staging = f"{self.table_path}/_staging-{self.batch_id}"
+
+    def _consumed_columns(self) -> set:
+        """Option-named per-row source columns that become system columns
+        instead of table data (unless they already ARE the system
+        column's name)."""
+        return {
+            c
+            for c in (self.writetime_column, self.ttl_column)
+            if c is not None and c not in ("writetime", "ttl")
+        }
 
     def write(self, iterator) -> FileCommitMessage:
         import os
@@ -347,27 +403,40 @@ class CassandraBulkWriter(DataSourceWriter):
         rows = [r.asDict() for r in iterator]
         os.makedirs(self.staging, exist_ok=True)
         fname = f"part-{uuid.uuid4().hex}.parquet"
-        names = [f.name for f in self.schema.fields]
-        columns = {n: [r.get(n) for r in rows] for n in names}
-        if "writetime" not in columns:
-            columns["writetime"] = [self.write_timestamp] * len(rows)
-        arrow_schema = to_arrow_schema(self.schema)
-        if "writetime" not in names:
-            arrow_schema = arrow_schema.append(pa.field("writetime", pa.int64()))
-        if self.ttl_seconds is not None and "ttl" not in columns:
-            columns["ttl"] = [self.ttl_seconds] * len(rows)
-            arrow_schema = arrow_schema.append(pa.field("ttl", pa.int32()))
-        # System-column type normalization, mirroring the JVM path
-        # (_prepare_batch_df casts writetime→long, ttl→int): a caller
-        # supplying e.g. an int-typed writetime column would otherwise
-        # stamp int32 parquet, and the FIRST later batch (always int64)
-        # makes the whole table unreadable — mergeSchema AND this
-        # source's own unify_schemas both refuse INT vs BIGINT (found by
-        # the round-6 adversarial review; pinned in tests).
-        for col, want in (("writetime", pa.int64()), ("ttl", pa.int32())):
-            idx = arrow_schema.get_field_index(col)
-            if idx >= 0 and arrow_schema.field(idx).type != want:
-                arrow_schema = arrow_schema.set(idx, pa.field(col, want))
+        user_names = {f.name for f in self.schema.fields}
+        # The physical schema is the single source of truth for the file
+        # layout: consumed per-row option columns dropped, writetime/ttl
+        # appended and normalized to long/int, mirroring the JVM path
+        # (_prepare_batch_df). Without the normalization an int-typed
+        # writetime batch makes the whole table unreadable — mergeSchema
+        # AND unify_schemas refuse INT vs BIGINT (round-6 review, pinned
+        # in tests).
+        phys = self._physical_schema()
+        arrow_schema = to_arrow_schema(phys)
+        columns: dict = {}
+        for f in phys.fields:
+            if f.name == "writetime":
+                if self.writetime_column is not None:
+                    vals = [r.get(self.writetime_column) for r in rows]
+                elif "writetime" in user_names:
+                    vals = [r.get("writetime") for r in rows]
+                else:
+                    vals = [self.write_timestamp] * len(rows)
+            elif f.name == "ttl":
+                if self.ttl_column is not None:
+                    # per-row TTL 0 = no expiry for that row (Cassandra
+                    # semantics) -> NULL, which the merge treats as live
+                    vals = [
+                        None if v == 0 else v
+                        for v in (r.get(self.ttl_column) for r in rows)
+                    ]
+                elif "ttl" in user_names:
+                    vals = [r.get("ttl") for r in rows]
+                else:
+                    vals = [self.ttl_seconds] * len(rows)
+            else:
+                vals = [r.get(f.name) for r in rows]
+            columns[f.name] = vals
         table = pa.table(
             {k: pa.array(v, type=arrow_schema.field(k).type) for k, v in columns.items()},
             schema=arrow_schema,
@@ -376,13 +445,17 @@ class CassandraBulkWriter(DataSourceWriter):
         return FileCommitMessage(file_name=fname, num_rows=len(rows))
 
     def _physical_schema(self) -> StructType:
-        """The schema of the staged files: user schema plus the appended
-        system columns, with writetime/ttl normalized to long/int exactly
-        as write() stamps them."""
+        """The schema of the staged files: user schema minus consumed
+        per-row option columns, plus the appended system columns, with
+        writetime/ttl normalized to long/int exactly as write() stamps
+        them."""
         from pyspark.sql.types import IntegerType, LongType, StructField
 
+        consumed = self._consumed_columns()
         fields = []
         for f in self.schema.fields:
+            if f.name in consumed:
+                continue
             if f.name == "writetime":
                 fields.append(StructField("writetime", LongType(), f.nullable))
             elif f.name == "ttl":
@@ -392,7 +465,8 @@ class CassandraBulkWriter(DataSourceWriter):
         names = {f.name for f in fields}
         if "writetime" not in names:
             fields.append(StructField("writetime", LongType(), True))
-        if self.ttl_seconds is not None and "ttl" not in names:
+        has_ttl_source = self.ttl_seconds is not None or self.ttl_column is not None
+        if has_ttl_source and "ttl" not in names:
             fields.append(StructField("ttl", IntegerType(), True))
         return StructType(fields)
 

@@ -370,3 +370,68 @@ def test_writer_ttl_alias_and_require_full_pk_guard(spark, tmp_path, bulk_table)
             .load()
             .count()
         )
+
+
+def test_writer_per_row_timestamp_and_ttl_columns(spark, tmp_path):
+    """WriterOptions parity (TTLOption/TimestampOption.from): a
+    non-integer option value names a per-row source COLUMN, which is
+    consumed into the system column instead of written as table data;
+    per-row ttl 0 means forever (NULL), not instant expiry."""
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+
+    path = str(tmp_path / "t")
+    now_us = 1_700_000_000_000_000  # far in the past, so any live TTL expired
+    df = spark.createDataFrame(
+        [
+            (1, "old", now_us - 10, 0),   # per-row ttl 0 -> forever
+            (1, "new", now_us, 0),
+            (2, "dead", now_us, 1),       # 1s ttl, long expired
+        ],
+        "id int, v string, event_wt long, row_ttl int",
+    )
+    (
+        df.write.format("cassandra_bulk")
+        .option("path", path)
+        .option("timestamp", "event_wt")
+        .option("ttl", "row_ttl")
+        .mode("append")
+        .save()
+    )
+    raw = read_bulk_table(spark, path, ["id"], merge=False)
+    # source columns consumed, system columns present
+    assert "event_wt" not in raw.columns and "row_ttl" not in raw.columns
+    assert {"writetime", "ttl"} <= set(raw.columns)
+    merged = {r.id: r.v for r in read_bulk_table(spark, path, ["id"]).collect()}
+    # LWW honored per-row timestamps; ttl-0 row lives, 1s-ttl row expired
+    assert merged == {1: "new"}
+
+
+def test_writer_constant_ttl_zero_means_forever(spark, tmp_path):
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+
+    path = str(tmp_path / "t")
+    (
+        spark.createDataFrame([(1, "x")], "id int, v string")
+        .write.format("cassandra_bulk")
+        .option("path", path)
+        .option("timestamp", "100")  # ancient writetime
+        .option("ttl", "0")
+        .mode("append")
+        .save()
+    )
+    out = read_bulk_table(spark, path, ["id"]).collect()
+    assert [r.v for r in out] == ["x"]  # alive: TTL 0 = no expiry
+    assert "ttl" not in read_bulk_table(spark, path, ["id"], merge=False).columns
+
+
+def test_writer_option_naming_missing_column_fails(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(Exception, match="not in the DataFrame schema"):
+        (
+            spark.createDataFrame([(1, "x")], "id int, v string")
+            .write.format("cassandra_bulk")
+            .option("path", path)
+            .option("timestamp", "no_such_column")
+            .mode("append")
+            .save()
+        )
