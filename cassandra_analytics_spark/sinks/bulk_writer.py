@@ -245,10 +245,20 @@ def _prepare_batch_df(
             out = df.withColumn(WRITETIME, F.col(WRITETIME).cast("long"))
         else:
             out = df.withColumn(WRITETIME, wt.cast("long"))
+        # TTL 0 = FOREVER (TTLOption.java FOREVER = new TTLOption(0); in
+        # Cassandra a TTL of 0 on a write means "no expiry" and is not
+        # stored). The stored canonical form is NULL — writing a literal
+        # 0 would mean INSTANT expiry under the merge's
+        # writetime+ttl<=now rule, the exact opposite. Applies to both
+        # the constant option and per-row TTL column values.
         if TTL not in df.columns:
-            out = out.withColumn(TTL, F.lit(ttl_seconds).cast("int"))
+            const_ttl = None if not ttl_seconds else ttl_seconds
+            out = out.withColumn(TTL, F.lit(const_ttl).cast("int"))
         else:
-            out = out.withColumn(TTL, F.col(TTL).cast("int"))
+            per_row = F.col(TTL).cast("int")
+            out = out.withColumn(
+                TTL, F.when(per_row == 0, F.lit(None).cast("int")).otherwise(per_row)
+            )
         if TOMBSTONE not in df.columns:
             out = out.withColumn(TOMBSTONE, F.lit(None).cast("string"))
 

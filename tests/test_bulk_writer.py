@@ -327,3 +327,23 @@ def test_unwrap_task_error_sentinel_contract():
     # truncated embedding (no end marker) → best-effort first line
     e2 = unwrap_task_error(RuntimeError(f"{TASK_ERROR_MARK}partial msg\ntail"))
     assert str(e2) == "partial msg"
+
+
+def test_ttl_zero_means_forever_on_jvm_path(spark, tmp_path):
+    """TTL 0 = no expiry (TTLOption.java FOREVER), for both the constant
+    option and per-row TTL column values — a stored literal 0 would mean
+    instant expiry under the merge's writetime+ttl<=now rule."""
+    path = str(tmp_path / "t")
+    bulk_write(
+        spark.createDataFrame([(1, "const-forever")], "id int, v string"),
+        path, ["id"], write_timestamp_micros=100, ttl_seconds=0,
+    )
+    bulk_write(
+        spark.createDataFrame(
+            [(2, "row-forever", 0), (3, "row-expired", 1)],
+            "id int, v string, ttl int",
+        ),
+        path, ["id"], write_timestamp_micros=100,
+    )
+    rows = {r.id: r.v for r in read_bulk_table(spark, path, ["id"]).collect()}
+    assert rows == {1: "const-forever", 2: "row-forever"}  # id=3 expired
