@@ -279,13 +279,24 @@ def confirm_candidates(
     Output: (a, b, jaccard) with jaccard >= threshold — same score as
     :func:`~cassandra_analytics_spark.operators.dedup.ngram_jaccard_pairs`
     (no df cap here: the candidate set is already LSH-bounded).
+
+    Both shared intermediates are persisted (bounded operator-cache
+    LRU): the pair list feeds the involved-id broadcast AND the
+    intersection join — unpersisted, a LAZY candidate plan (the whole
+    LSH pipeline) would execute once per consumer (measured: 9 corpus
+    scans in dedup_minhash_confirmed's plan before this, 2 after);
+    likewise the involved-docs shingle index feeds sizes and both join
+    sides.
     """
-    pairs = candidates.select("a", "b")
+    from cassandra_analytics_spark.operators._cache import register_cached
+
+    pairs = candidates.select("a", "b").persist()
     involved = pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
     docs = texts.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__text")
     ).join(F.broadcast(involved.withColumnRenamed(id_col, "id")), "id")
-    sh = shingle_pairs(docs, id_col="id", text_col="__text", n=shingle_n)
+    sh = shingle_pairs(docs, id_col="id", text_col="__text", n=shingle_n).persist()
+    register_cached(pairs, sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         pairs.join(sh.withColumnsRenamed({"id": "a"}), "a")

@@ -186,6 +186,12 @@ def test_no_redundant_corpus_scans(spark, sf_dir):
         ("text_bm25_search", "documents", 1),
         ("dedup_ngram_jaccard", "documents", 1),
         ("rollup_time_hierarchy", "events", 1),
+        # confirm_candidates persists its pair list + involved-doc
+        # shingle index; a lazy candidate input would otherwise re-run
+        # the whole LSH pipeline per consumer (9 scans before the fix)
+        ("dedup_minhash_confirmed", "documents", 2),
+        ("dedup_simhash_confirmed", "documents", 2),
+        ("embedding_near_dup_confirmed", "embeddings", 2),
     ]
     for name, table, max_scans in cases:
         df = REGISTRY[name].fn(spark, sf_dir)
