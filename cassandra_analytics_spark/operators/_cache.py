@@ -79,6 +79,18 @@ def register_cached(*cached: DataFrame) -> None:
         _unpersist_quietly(jdf)
 
 
+def release_cached(*cached: DataFrame) -> None:
+    """Unpersist specific entries now — the targeted hook for callers
+    that know an intermediate is dead (e.g. after an eager checkpoint
+    materialized everything downstream of it). Removes the LRU slot so
+    dead data doesn't age out still-live entries of other operators."""
+    with _lock:
+        for c in cached:
+            _live.pop(c.semanticHash(), None)
+    for c in cached:
+        _unpersist_quietly(c._jdf)
+
+
 def clear_operator_caches() -> None:
     """Unpersist every tracked operator cache entry now."""
     with _lock:

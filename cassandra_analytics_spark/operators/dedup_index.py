@@ -304,7 +304,11 @@ def confirm_candidates(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return jaccard_from_counts(common, sizes, threshold)
+    result = jaccard_from_counts(common, sizes, threshold)
+    # callers that materialize the result (ingest_batch's eager
+    # checkpoint) can release these immediately via _cache.release_cached
+    result._cached_intermediates = (pairs, sh)
+    return result
 
 
 def ingest_batch(
@@ -374,8 +378,16 @@ def ingest_batch(
     if involved_ids.count() <= max_pushdown_ids:
         involved = [r[0] for r in involved_ids.collect()]
         all_texts = all_texts.filter(F.col(id_col).isin(involved))
-    confirmed = confirm_candidates(
+    lazy_confirmed = confirm_candidates(
         cands, all_texts, spec.shingle_n, threshold, id_col, text_col
-    ).localCheckpoint(eager=True)
+    )
+    confirmed = lazy_confirmed.localCheckpoint(eager=True)
+    # the checkpoint materialized everything — the confirm's persisted
+    # intermediates are dead; release them instead of letting them age
+    # out of the LRU while occupying memory (one pair per ingest batch
+    # would pile up in a streaming session)
+    from cassandra_analytics_spark.operators._cache import release_cached
+
+    release_cached(*getattr(lazy_confirmed, "_cached_intermediates", ()))
     _write_banded(banded, table_name, spec, "append")
     return confirmed

@@ -250,15 +250,17 @@ def _prepare_batch_df(
         # stored). The stored canonical form is NULL — writing a literal
         # 0 would mean INSTANT expiry under the merge's
         # writetime+ttl<=now rule, the exact opposite. Applies to both
-        # the constant option and per-row TTL column values.
-        if TTL not in df.columns:
-            const_ttl = None if not ttl_seconds else ttl_seconds
-            out = out.withColumn(TTL, F.lit(const_ttl).cast("int"))
-        else:
+        # the constant option and per-row TTL column values. Precedence
+        # matches the writetime rule above (and the format writer): the
+        # per-row column is used only when no explicit constant is given.
+        if TTL in df.columns and ttl_seconds is None:
             per_row = F.col(TTL).cast("int")
             out = out.withColumn(
                 TTL, F.when(per_row == 0, F.lit(None).cast("int")).otherwise(per_row)
             )
+        else:
+            const_ttl = None if not ttl_seconds else ttl_seconds
+            out = out.withColumn(TTL, F.lit(const_ttl).cast("int"))
         if TOMBSTONE not in df.columns:
             out = out.withColumn(TOMBSTONE, F.lit(None).cast("string"))
 

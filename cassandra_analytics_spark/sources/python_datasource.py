@@ -325,6 +325,25 @@ class CassandraBulkWriter(DataSourceWriter):
     batch; ``abort`` discards the staging dir so failures leave nothing
     visible."""
 
+    @staticmethod
+    def _const_or_column(
+        raw, field_names: set, label: str
+    ) -> tuple[int | None, str | None]:
+        """WriterOptions parse shape (TTLOption/TimestampOption.from):
+        an integer literal is a constant; any other string names a
+        per-row source COLUMN, validated against the schema. Returns
+        (constant, column) — exactly one is non-None."""
+        try:
+            return int(raw), None
+        except ValueError:
+            column = str(raw)
+            if column not in field_names:
+                raise ValueError(
+                    f"{label} option names column {column!r}, which is "
+                    f"not in the DataFrame schema {sorted(field_names)}"
+                )
+            return None, column
+
     def __init__(self, options: dict, schema: StructType):
         import time
         import uuid
@@ -333,49 +352,44 @@ class CassandraBulkWriter(DataSourceWriter):
         self.schema = schema
         field_names = {f.name for f in schema.fields}
 
-        # WriterOptions TIMESTAMP parity (TimestampOption.from): an
-        # integer literal is a constant write timestamp in micros; any
-        # other string names a COLUMN holding per-row timestamps (the
-        # column is consumed — surfaced as the writetime system column,
-        # not written as table data). Absent -> now.
+        # WriterOptions TIMESTAMP parity: constant micros or a per-row
+        # column (consumed — surfaced as the writetime system column,
+        # not written as table data). Absent -> now, UNLESS the
+        # DataFrame itself carries a writetime column (per-row mode, as
+        # in the JVM path's "WRITETIME in df.columns and
+        # write_timestamp_micros is None" rule; an EXPLICIT constant
+        # always wins over the column).
         wt = _opt(options, "write_timestamp_micros")
         self.writetime_column: str | None = None
+        self.write_timestamp: int | None = None
         if wt is None:
-            self.write_timestamp: int | None = int(time.time() * 1_000_000)
+            if "writetime" in field_names:
+                self.writetime_column = "writetime"
+            else:
+                self.write_timestamp = int(time.time() * 1_000_000)
         else:
-            try:
-                self.write_timestamp = int(wt)
-            except ValueError:
-                self.writetime_column = str(wt)
-                self.write_timestamp = None
-                if self.writetime_column not in field_names:
-                    raise ValueError(
-                        f"timestamp option names column "
-                        f"{self.writetime_column!r}, which is not in the "
-                        f"DataFrame schema {sorted(field_names)}"
-                    )
+            self.write_timestamp, self.writetime_column = self._const_or_column(
+                wt, field_names, "timestamp"
+            )
 
-        # WriterOptions TTL parity (TTLOption.from): integer literal =
-        # constant seconds, with 0 = FOREVER (no ttl column — writing
-        # ttl=0 would mean instant expiry under the merge's
-        # writetime+ttl<=now rule, the opposite of Cassandra's TTL-0
-        # semantics); any other string names a per-row ttl column
-        # (consumed; per-row 0 maps to NULL = forever, as in Cassandra).
+        # WriterOptions TTL parity: constant seconds with 0 = FOREVER
+        # (no ttl column — a stored 0 would mean instant expiry under
+        # the merge's writetime+ttl<=now rule, the opposite of
+        # Cassandra's TTL-0 semantics), or a per-row ttl column
+        # (consumed). Absent -> the DataFrame's own ttl column if it has
+        # one. Per-row 0 values map to NULL = forever either way.
         ttl = _opt(options, "ttl_seconds")
         self.ttl_column: str | None = None
         self.ttl_seconds: int | None = None
-        if ttl is not None:
-            try:
-                v = int(ttl)
-                self.ttl_seconds = v if v != 0 else None
-            except ValueError:
-                self.ttl_column = str(ttl)
-                if self.ttl_column not in field_names:
-                    raise ValueError(
-                        f"ttl option names column {self.ttl_column!r}, "
-                        f"which is not in the DataFrame schema "
-                        f"{sorted(field_names)}"
-                    )
+        if ttl is None:
+            if "ttl" in field_names:
+                self.ttl_column = "ttl"
+        else:
+            const, self.ttl_column = self._const_or_column(
+                ttl, field_names, "ttl"
+            )
+            if const is not None and const != 0:
+                self.ttl_seconds = const
 
         self.batch_id = (
             f"batch-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -403,7 +417,6 @@ class CassandraBulkWriter(DataSourceWriter):
         rows = [r.asDict() for r in iterator]
         os.makedirs(self.staging, exist_ok=True)
         fname = f"part-{uuid.uuid4().hex}.parquet"
-        user_names = {f.name for f in self.schema.fields}
         # The physical schema is the single source of truth for the file
         # layout: consumed per-row option columns dropped, writetime/ttl
         # appended and normalized to long/int, mirroring the JVM path
@@ -416,10 +429,12 @@ class CassandraBulkWriter(DataSourceWriter):
         columns: dict = {}
         for f in phys.fields:
             if f.name == "writetime":
+                # __init__ resolved the source: per-row column (explicit
+                # or the DataFrame's own writetime) or the constant — an
+                # EXPLICIT constant overrides a writetime column's
+                # values, as on the JVM path
                 if self.writetime_column is not None:
                     vals = [r.get(self.writetime_column) for r in rows]
-                elif "writetime" in user_names:
-                    vals = [r.get("writetime") for r in rows]
                 else:
                     vals = [self.write_timestamp] * len(rows)
             elif f.name == "ttl":
@@ -430,8 +445,6 @@ class CassandraBulkWriter(DataSourceWriter):
                         None if v == 0 else v
                         for v in (r.get(self.ttl_column) for r in rows)
                     ]
-                elif "ttl" in user_names:
-                    vals = [r.get("ttl") for r in rows]
                 else:
                     vals = [self.ttl_seconds] * len(rows)
             else:

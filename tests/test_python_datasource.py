@@ -435,3 +435,39 @@ def test_writer_option_naming_missing_column_fails(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_ttl_zero_in_dataframe_column_means_forever_on_format_path(spark, tmp_path):
+    """Parity with the JVM path: a DataFrame's own ttl column value of 0
+    means forever (NULL), not instant expiry, with NO ttl option given."""
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "forever", 100, 0), (2, "dead", 100, 1)],
+        "id int, v string, writetime long, ttl int",
+    )
+    df.write.format("cassandra_bulk").option("path", path).mode("append").save()
+    rows = {r.id: r.v for r in read_bulk_table(spark, path, ["id"]).collect()}
+    assert rows == {1: "forever"}  # ttl-0 row lives; 1s-ttl row expired
+
+
+def test_explicit_constant_timestamp_overrides_writetime_column(spark, tmp_path):
+    """Parity with the JVM path: an EXPLICIT constant timestamp option
+    wins over a DataFrame writetime column (the column is used only
+    when no constant is given)."""
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x", 999_999)], "id int, v string, writetime long"
+    )
+    (
+        df.write.format("cassandra_bulk")
+        .option("path", path)
+        .option("timestamp", "123456")
+        .mode("append")
+        .save()
+    )
+    raw = read_bulk_table(spark, path, ["id"], merge=False)
+    assert [r.writetime for r in raw.collect()] == [123456]
