@@ -85,3 +85,70 @@ def test_multibatch_upsert_roundtrip_cell_lww(spark, tmp_path_factory, batches):
     out = read_bulk_table(spark, path, ["k"], cell_lww=True)
     got = {r.k: (r.a, r.b) for r in out.collect()}
     assert got == {k: tuple(v) for k, v in model.items()}
+
+
+# ---------------------------------------------------------------------------
+# gc_grace shield property (round 6): compaction at clock T must preserve
+# exactly Cassandra's visibility semantics against stale re-ingests.
+# ---------------------------------------------------------------------------
+
+_ttl_versions = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # key
+        st.integers(1, 100),                    # writetime micros
+        st.sampled_from([None, 1, 1_000_000]),  # ttl: none / expired@T / live@T
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_ttl_versions)
+def test_compaction_shield_property(spark, tmp_path_factory, rows):
+    """After compact_table at clock T and a stale re-ingest (writetime 0):
+    (a) the max-writetime NON-expired version wins iff it out-timestamps
+    every expired version's implicit tombstone, (b) a key with ANY
+    expired version never resurrects via the stale write (the shield),
+    (c) a key never written before shows the stale row. One clock T for
+    compaction AND reads — the ADVICE r6 single-clock contract."""
+    from cassandra_analytics_spark.sinks.bulk_writer import (
+        bulk_write,
+        compact_table,
+        read_bulk_table,
+    )
+
+    T = 200_000_000  # micros; 1s TTLs are long expired, 1e6 s TTLs live
+    path = str(tmp_path_factory.mktemp("shield") / "tbl")
+    df = spark.createDataFrame(
+        [(k, f"v{i}", wt, ttl) for i, (k, wt, ttl) in enumerate(rows)],
+        "k int, v string, writetime long, ttl int",
+    )
+    bulk_write(df, path, ["k"])
+    compact_table(spark, path, ["k"], now_micros=T)
+    # stale re-ingest for every key incl. one never written (key 4)
+    bulk_write(
+        spark.createDataFrame([(k, "stale") for k in range(5)], "k int, v string"),
+        path, ["k"], write_timestamp_micros=0,
+    )
+    got = {r.k: r.v for r in read_bulk_table(spark, path, ["k"], now_micros=T).collect()}
+
+    expected = {}
+    by_key: dict = {}
+    for i, (k, wt, ttl) in enumerate(rows):
+        by_key.setdefault(k, []).append((f"v{i}", wt, ttl))
+    for k in range(5):
+        hist = by_key.get(k, [])
+        expired_wts = [wt for _, wt, ttl in hist if ttl is not None and wt + ttl * 1_000_000 <= T]
+        live = [(v, wt) for v, wt, ttl in hist if ttl is None or wt + ttl * 1_000_000 > T]
+        shield = max(expired_wts, default=-1)
+        survivors = [(wt, v) for v, wt in live if wt > shield]
+        if survivors:
+            # LWW among surviving versions; ties break to the greater
+            # value tuple (generator never produces duplicate values)
+            expected[k] = max(survivors)[1]
+        elif expired_wts:
+            pass  # shielded: the stale (wt=0) write stays shadowed
+        else:
+            expected[k] = "stale"  # never-written key: stale row visible
+    assert got == expected
