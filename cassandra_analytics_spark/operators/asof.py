@@ -73,17 +73,32 @@ def asof_join(
     )
     unioned = lhs_aligned.unionByName(rhs_aligned)
 
+    # Deterministic tiebreak for DUPLICATE right rows at the same
+    # (key, ts): without it, last(ignorenulls) returns whichever
+    # duplicate the shuffle happened to order last — nondeterministic
+    # output across runs. Ordering the carried struct ascending makes
+    # the GREATEST value tuple win (the same convention as the LWW
+    # merge's equal-writetime tiebreak). Only orderable payloads can
+    # join the sort (maps are not comparable in Spark) — with a
+    # non-orderable carried column the duplicate-right edge stays
+    # nondeterministic, the same bounded exception compaction_merge
+    # documents.
+    from cassandra_analytics_spark.operators.merge import orderable_type
+
+    tiebreak = (
+        [F.col("__r").asc_nulls_first()] if orderable_type(struct_dtype) else []
+    )
     if direction == "backward":
         # right rows sort before left at equal ts → match is <=
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+            .orderBy(F.col("__ts").desc(), F.col("__side").asc(), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 

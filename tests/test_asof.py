@@ -100,3 +100,23 @@ def test_asof_null_value_in_nearest_row_is_not_backfilled(spark):
     assert out.ts_asof == _ts("2024-01-01T11:00:00")
     assert out.qty_asof == 9
     assert out.price_asof is None  # NOT 5.0 from the older row
+
+
+def test_asof_duplicate_right_timestamps_deterministic(spark):
+    """Two right rows at the SAME (key, ts): the greatest value tuple
+    wins deterministically (the LWW merge's equal-writetime convention)
+    — without the tiebreak the winner depended on shuffle order."""
+    from cassandra_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, lts long")
+    right = spark.createDataFrame(
+        [(1, 50, "alpha"), (1, 50, "zeta"), (1, 50, "mid")],
+        "k int, rts long, v string",
+    )
+    for _ in range(3):  # stable across repeated executions
+        out = asof_join(
+            left.repartition(8), right.repartition(8), ["k"],
+            left_ts="lts", right_ts="rts", right_value_cols=["v"],
+        ).collect()
+        assert len(out) == 1
+        assert out[0].v_asof == "zeta"  # greatest (rts, v) tuple
