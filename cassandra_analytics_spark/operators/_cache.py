@@ -24,6 +24,21 @@ Python object immediately, which fired the release BEFORE the job ran
 and silently restored the multi-scan plan (caught by
 ``tests/test_plans.py::test_no_redundant_corpus_scans``).
 
+**Build-many-then-execute caveat (ADVICE r6):** eviction happens at
+plan-CONSTRUCTION time, not execution time. A caller that constructs
+more than ``MAX_LIVE_CACHED`` operator plans before executing any will
+have the earliest intermediates unpersisted pre-execution, restoring
+their multi-scan plans (perf-only; results stay correct). This is a
+deliberate trade: the only driver-side signal for "has this plan-keyed
+cache entry materialized?" lives in CacheManager/InMemoryRelation
+internals (``isCachedColumnBuffersLoaded`` behind a py4j plan-tree
+walk), which is version-fragile, and an UNmaterialized ``persist()``
+pins no storage — so deferring eviction would trade a bounded perf edge
+case for unbounded bookkeeping keyed to Spark internals. Callers
+batching >16 operator plans should execute in batches (each backed by
+its own registration refresh) or call :func:`release_cached` /
+:func:`clear_operator_caches` at their own batch boundaries.
+
 ``clear_operator_caches()`` releases everything now — the explicit
 batch-boundary hook for pipelines that want deterministic cleanup.
 """

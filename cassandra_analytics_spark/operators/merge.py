@@ -41,16 +41,36 @@ def orderable_type(dtype) -> bool:
     """True when Spark can sort/compare the type (maps cannot be compared;
     Cassandra compares serialized bytes — ordering by the orderable-column
     subset is the faithful approximation used for LWW tiebreaks and for
-    the bulk writer's deterministic file order)."""
+    the bulk writer's deterministic file order).
+
+    Allowlist, not blocklist (ADVICE r6): an atomic type Spark can't sort
+    (VariantType, CalendarIntervalType, a future addition) must be
+    EXCLUDED from the tiebreak column set — defaulting unknown types to
+    orderable would turn them into an AnalysisException inside the
+    writer's sortWithinPartitions instead of a skipped tiebreaker.
+    """
     from pyspark.sql import types as T
 
-    if isinstance(dtype, T.MapType):
-        return False
     if isinstance(dtype, T.ArrayType):
         return orderable_type(dtype.elementType)
     if isinstance(dtype, T.StructType):
         return all(orderable_type(f.dataType) for f in dtype.fields)
-    return True
+    orderable_atoms = (
+        T.NumericType,  # covers integral/fractional/decimal
+        T.StringType,
+        T.BinaryType,
+        T.BooleanType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.DayTimeIntervalType,
+        T.YearMonthIntervalType,
+        T.NullType,
+    )
+    char_types = tuple(
+        t for t in (getattr(T, "CharType", None), getattr(T, "VarcharType", None)) if t
+    )
+    return isinstance(dtype, orderable_atoms + char_types)
 
 
 def _full_window(keys: Sequence[str]) -> Window:

@@ -43,70 +43,73 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 
 
 # The round driver verifies the FIRST ~50 registry entries per round
-# (CORRECTNESS_r01.json is exactly the first 50 in registration order).
-# To get every query a driver row across rounds, each round front-loads
-# the names that most need one. Round-6 priority (VERDICT r5 items 1+2):
-# (1) the four NEW confirmed-pair LSH queries — upgrades for the rows
-# that lacked a hash match, now oracle-exact; (2) queries whose
-# implementation was touched this round (the ADVICE r5 fixes:
-# single-clock compaction shield, value-column sort tiebreakers,
-# cache-lifetime release, sentinel task-error unwrap); (3) the 39 names
-# whose newest driver evidence is r3 — after this round no query's
-# newest row is older than r4.
+# (CORRECTNESS_r0{4,5,6}.json are each exactly the first 50 in
+# registration order). To get every query a driver row across rounds,
+# each round front-loads the names that most need one. Round-7 priority
+# (VERDICT r6 items 2+4): (1) the three NEW bounded-verdict sketch
+# oracles — upgrades for rows-only entries, now hash-matchable; (2)
+# queries whose implementation was touched this round (the ADVICE r6
+# fixes: near-dup empty-table guard, task-error unwrap, orderable-type
+# tiebreak selection); (3) the 38 names whose newest driver evidence is
+# r4 — after this round no query's newest row is older than r5; (4) the
+# five r5-evidenced streaming queries, freshened by the round-7
+# streaming adversarial pass (positions 47-51; harmless if the window
+# cuts them — they stay r5-proved).
 _ROUND_PRIORITY: list[str] = [
-    # --- (1) new this round: confirmed-pair LSH variants (oracle-exact) ---
-    "dedup_minhash_confirmed",
-    "dedup_simhash_confirmed",
-    "dedup_incremental_lsh_confirmed",
-    "embedding_near_dup_confirmed",
-    # --- (2) implementation touched this round ---
-    "dedup_ngram_jaccard",          # shingle-index cache release
-    "dedup_boilerplate_segments",   # segment-stream cache release
-    "text_tfidf_search",            # per-doc core cache release
-    "text_bm25_search",
-    "rollup_time_hierarchy",        # hourly/daily partials cache release
-    "bundle_write_restore",         # sentinel task-error unwrap
-    "coordinated_write_roundtrip",  # rides the same restore path
-    # --- (3) stale: newest driver evidence r3 ---
-    "bulk_write_roundtrip",         # also touched: sort tiebreakers, clock
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "lww_latest_events",
-    "lww_partial_upsert",
-    "cell_pivot_roundtrip",
-    "replica_read_all",
-    "multimodal_blob_stats",
-    "multimodal_image_features",
-    "asof_purchase_click",
-    "range_join_error_bursts",
-    "topk_global_orders",
-    "setop_except_all",
-    "setop_intersect_all",
-    "setop_union_by_name",
-    "distinct_part_attrs",
-    "case_when_tiering",
-    "date_trunc_variants",
-    "regexp_extract_groups",
-    "skew_salted_returnflag",
-    "streaming_stateful_profile",
-    "train_val_test_split",
-    "decontaminate_benchmark",
-    "dedup_cluster_assignment",
-    "dedup_exact_docs",
-    "dedup_span_fraction",
-    "cosine_topk_embeddings",
-    "events_sessionize",
-    "having_big_customers",
-    "nested_map_clustering",
-    "nested_struct_explode",
-    "pk_in_list_pushdown",
-    "text_pii_scrub",
-    "text_repetition_stats",
+    # --- (1) new this round: bounded-verdict sketch oracles ---
+    "agg_approx_distinct_bounded",
+    "agg_approx_quantile_bounded",
+    "agg_hll_sketch_union_bounded",
+    # --- (2) implementation touched this round (ADVICE r6 fixes) ---
+    "embedding_near_dup_confirmed",  # empty-table dim probe guard
+    "bulk_write_roundtrip",          # orderable-type tiebreak selection
+    "bundle_write_restore",          # task-error unwrap truncation fix
+    "coordinated_write_roundtrip",   # rides the same restore path
+    # --- (3) stale: newest driver evidence r4 ---
+    "partition_size_orders",
+    "lmt_last_modified",
+    "token_range_histogram",
+    "dedup_fingerprint_md5",
+    "corpus_budget_select",
+    "pack_training_chunks",
+    "training_data_pipeline",
+    "stratified_sample_langs",
+    "static_column_propagation",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "embedding_label_norms",
+    "lang_id_heuristic",
+    "text_token_stats",
+    "text_quality_features",
+    "text_bpe_tokens",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "join_semi_open_orders",
+    "join_anti_no_orders",
+    "join_cross_region_status",
+    "join_full_outer_nation_counts",
+    "setop_except_customers",
+    "setop_intersect_customers",
+    "setop_union_segments",
+    "agg_cube_status",
+    "agg_distinct_suppliers",
+    "agg_rollup_orders_time",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_hll_sketch_union",
+    "sql_grouping_sets",
+    "scalar_string_funcs",
+    "window_lag_order_gap",
+    "window_moving_avg",
+    "window_running_revenue",
+    "window_topk_orders_per_customer",
+    # --- (4) streaming layer, freshened by the r7 adversarial pass ---
+    "streaming_incremental_dedup",
+    "streaming_dedup_union",
+    "streaming_hourly_stats",
+    "streaming_sessionize",
+    "streaming_interval_join",
 ]
 
 

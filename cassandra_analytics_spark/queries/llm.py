@@ -404,26 +404,30 @@ def dedup_minhash_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash_confirmed",
     oracle=STREAMING_CONFIRM_SQL,
-    doc="SimHash near-dup detection, ORACLE-EXACT at the gate SF: "
-    "Manku multi-block candidates at a radius-10 guarantee "
-    "(12 blocks taken 2 at a time, C(12,2) = 66 five-bit-block key "
-    "tables) piped through the exact-Jaccard confirm. Recall premise "
-    "is FIXTURE-VERIFIED, not universal: true j >= 0.9 pairs sit at "
-    "hamming <= 8 on the sf0.001/sf0.01 fixtures (radius 10 covers "
-    "them with margin; pinned by tests/test_confirmed_dedup.py), but "
-    "simhash hamming of borderline pairs grows with corpus size "
-    "(sf0.1 already has a true pair at hamming 13), so this entry is "
-    "the correctness gate for the simhash machinery — the scale "
-    "recommendation for jaccard-thresholded dedup remains the minhash "
-    "path, and dedup_simhash (radius 6, 16-bit keys) remains the "
-    "hamming-thresholded scale query.",
+    doc="SimHash near-dup detection, ORACLE-EXACT at every gate SF: "
+    "Manku multi-block candidates at a radius-14 guarantee (16 blocks "
+    "taken 2 at a time, C(16,2) = 120 four-bit-block key tables) piped "
+    "through the exact-Jaccard confirm. Round 7 widened the r6 "
+    "radius-10 (12,2) config after measuring sf0.1: its max true-pair "
+    "hamming is 13 (one pair past radius 10), and radius 14 covers it "
+    "for +63% candidate-stage wall at sf0.1 (2.20 s -> 3.58 s, 255 -> "
+    "558 candidates — PERF.md 'Simhash-confirmed radius'). Recall "
+    "premise (max true-pair hamming <= 14) is pigeonhole-guaranteed "
+    "given the hamming bound and FIXTURE-PINNED at sf0.1 by "
+    "tests/test_confirmed_dedup.py::test_simhash_radius14_covers_sf01. "
+    "Simhash hamming of borderline pairs still grows with corpus size "
+    "and 8-bit keys collapse into the bucket cap past ~1e5 docs, so "
+    "this entry remains the correctness gate for the simhash "
+    "machinery — the scale recommendation for jaccard-thresholded "
+    "dedup remains the minhash path, and dedup_simhash (radius 6, "
+    "16-bit keys) remains the hamming-thresholded scale query.",
 )
 def dedup_simhash_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.dedup_index import confirm_candidates
 
     d = load_table(spark, sf_dir, "documents")
     cands = simhash_near_dup_pairs(
-        d, max_hamming=10, num_blocks=12, blocks_per_key=2
+        d, max_hamming=14, num_blocks=16, blocks_per_key=2
     )
     return (
         confirm_candidates(cands, d, shingle_n=3, threshold=0.9)
@@ -1260,7 +1264,16 @@ def embedding_near_dup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     ).unionByName(planted)
 
-    sample = corpus.select("embedding").limit(1).collect()
+    # Probe the vector dimension from ONE row (the fixture schema is
+    # array<float>, so dim isn't in the StructType). ADVICE r6: guard the
+    # empty table — sign_lsh needs a concrete dim, and on zero vectors the
+    # correct answer is simply zero pairs, so return the empty frame with
+    # the contract schema instead of raising IndexError.
+    sample = e.select("embedding").limit(1).collect()
+    if not sample:
+        return spark.createDataFrame(
+            [], "a BIGINT, b BIGINT, cosine_sim DOUBLE"
+        )
     dim = len(sample[0]["embedding"])
     # THREE 6-bit tables (seeds 42..44): one table misses a true pair
     # when any of its 6 plane-dots straddles zero between the probe and

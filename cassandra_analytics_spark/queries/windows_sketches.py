@@ -148,3 +148,171 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("digits_removed"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Bounded-verdict sketch oracles (VERDICT r6 item 4)
+#
+# The raw sketch queries (agg_approx_distinct, agg_approx_quantile,
+# agg_hll_sketch_union) stay rows-only because their estimates are
+# engine-specific by construction. These companions convert the sketch
+# claim itself into a driver-hashable fact: Spark computes BOTH the
+# sketch estimate and the exact value and emits a within-bounds BOOLEAN
+# (estimate vs its documented error bound); the DuckDB oracle recomputes
+# the same exact values and asserts TRUE. The hash matches iff the
+# sketch really honored its bound — the same pattern that made the four
+# LSH confirmed-pair queries oracle-exact in r6.
+#
+# Bounds are ~5x the documented one-standard-deviation error so the
+# verdict is deterministic in practice while still refuting a broken
+# sketch (a 5-sigma miss at every gate SF would mean the implementation,
+# not the luck, is wrong). The exact aggregates exist only to judge the
+# sketch; at 100 TB one runs the raw sketch queries, not these.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_approx_distinct_bounded",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_ok,
+           TRUE AS orders_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="approx_count_distinct (HLL++, rsd=0.01) judged against the exact "
+    "distinct count: within_bounds = |approx - exact| <= 5*rsd*exact. "
+    "Oracle asserts TRUE, so the row hash-matches iff the sketch honors "
+    "its documented error bound.",
+)
+def agg_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rsd = 0.01
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+    )
+    tol = 5 * rsd
+
+    def ok(approx: str, exact: str):  # |approx - exact| <= tol * exact
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(tol) * F.col(exact)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        ok("approx_parts", "exact_parts").alias("parts_ok"),
+        ok("approx_orders", "exact_orders").alias("orders_ok"),
+    )
+
+
+@query(
+    "agg_approx_quantile_bounded",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="percentile_approx (accuracy=10000, guaranteed rank error "
+    "1/accuracy) judged against exact interpolated percentiles at "
+    "p +/- 0.003 (30x the guaranteed rank error, absorbing the "
+    "element-vs-interpolated rank offset): pXX_ok = exact(p-eps) <= "
+    "approx(p) <= exact(p+eps). Oracle asserts TRUE.",
+)
+def agg_approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    eps = 0.003
+    probs = [0.5, 0.95, 0.99]
+    ap = F.percentile_approx("l_extendedprice", probs, 10000)
+    lo = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(max(p - eps, 0.0)) for p in probs])
+    )
+    hi = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(min(p + eps, 1.0)) for p in probs])
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        ap.alias("ap"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+    )
+    cols = [F.col("l_returnflag"), F.col("n")]
+    for i, name in enumerate(("p50_ok", "p95_ok", "p99_ok")):
+        cols.append(
+            (
+                (F.col("lo")[i] <= F.col("ap")[i])
+                & (F.col("ap")[i] <= F.col("hi")[i])
+            ).alias(name)
+        )
+    return agg.select(*cols)
+
+
+@query(
+    "agg_hll_sketch_union_bounded",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS customers_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL' AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS customers_ok
+    FROM orders
+    """,
+    doc="Datasketches HLL (default lgConfigK=12, rsd~1.6%) judged against "
+    "exact distinct customers per priority AND for the hll_union_agg "
+    "merge of all per-priority sketches (the 'ALL' row — the mergeability "
+    "claim itself is under test): customers_ok = |est - exact| <= "
+    "0.08*exact (~5 sigma). Oracle asserts TRUE.",
+)
+def agg_hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    tol = 0.08
+
+    def ok(est, exact):
+        return F.abs(est - exact) <= F.lit(tol) * exact
+
+    per_prio = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.hll_sketch_agg("o_custkey").alias("sketch"),
+    )
+    est = per_prio.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_customers",
+        ok(
+            F.hll_sketch_estimate("sketch"), F.col("exact_customers")
+        ).alias("customers_ok"),
+    )
+    # The ALL row judges the UNION of the per-priority sketches against
+    # the exact global distinct — i.e. merge correctness, not just each
+    # partial sketch. Exact global distinct comes from a second tiny agg
+    # over orders (one extra scan of one int column at gate SF).
+    total_exact = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    total_est = per_prio.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    )
+    total = total_exact.crossJoin(total_est).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        "n_orders",
+        "exact_customers",
+        ok(F.col("est"), F.col("exact_customers")).alias("customers_ok"),
+    )
+    return est.unionByName(total)

@@ -85,7 +85,15 @@ def unwrap_task_error(exc: BaseException) -> BulkWriteError | None:
         return None
     start += len(TASK_ERROR_MARK)
     end = text.find(TASK_ERROR_END, start)
-    msg = text[start:end] if end >= 0 else text[start:].split("\n", 1)[0]
+    if end >= 0:
+        msg = text[start:end]
+    else:
+        # End marker lost (e.g. Py4J truncated the traceback text mid-
+        # message). Best effort: keep the WHOLE remainder up to a length
+        # cap rather than just the first line — a multi-line validation
+        # message would otherwise be silently cut to its header (ADVICE
+        # r6). The cap bounds pathological megabyte tracebacks.
+        msg = text[start : start + 4096]
     return BulkWriteError(msg.strip())
 
 

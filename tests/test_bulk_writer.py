@@ -324,9 +324,13 @@ def test_unwrap_task_error_sentinel_contract():
     # no sentinel → not ours, caller re-raises the raw failure
     assert unwrap_task_error(RuntimeError("BulkWriteError: impostor")) is None
 
-    # truncated embedding (no end marker) → best-effort first line
+    # truncated embedding (no end marker) → best-effort keeps the WHOLE
+    # multi-line remainder up to the 4 KiB cap, not just the first line
+    # (ADVICE r6: a multi-line validation message was silently cut)
     e2 = unwrap_task_error(RuntimeError(f"{TASK_ERROR_MARK}partial msg\ntail"))
-    assert str(e2) == "partial msg"
+    assert str(e2) == "partial msg\ntail"
+    e3 = unwrap_task_error(RuntimeError(TASK_ERROR_MARK + "x" * 10_000))
+    assert len(str(e3)) == 4096
 
 
 def test_ttl_zero_means_forever_on_jvm_path(spark, tmp_path):

@@ -163,3 +163,76 @@ def test_confirmed_output_equals_exact_pair_set(spark, sf_dir):
         for r in confirm_candidates(cands, d, shingle_n=3, threshold=0.9).collect()
     }
     assert confirmed == _exact_pairs(spark, sf_dir)
+
+
+def test_embedding_near_dup_confirmed_empty_table(spark, tmp_path):
+    """ADVICE r6: an empty embeddings table must yield an empty result
+    frame with the contract schema, not IndexError from the dim probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    out = tmp_path / "embeddings.parquet"
+    pq.write_table(schema.empty_table(), str(out))
+
+    _ensure_loaded()
+    df = REGISTRY["embedding_near_dup_confirmed"].fn(spark, str(tmp_path))
+    assert df.schema.simpleString() == "struct<a:bigint,b:bigint,cosine_sim:double>"
+    assert df.count() == 0
+
+
+def test_simhash_radius14_covers_sf01(spark):
+    """Recall premise of dedup_simhash_confirmed, pinned at sf0.1
+    (VERDICT r6 item 3): every exact j>=0.9 pair sits within hamming 14
+    of the radius-14 (16 blocks, 2 per key) config adopted in round 7,
+    AND the r6 radius-10 scoping was real (a true pair beyond hamming
+    10 exists here — the reason the config was widened). The candidate
+    superset check runs end to end, so a bucket-cap drop would also
+    fail loudly."""
+    sf01 = "/root/testdata/sf0.1"
+    d = load_table(spark, sf01, "documents")
+    exact = _exact_pairs(spark, sf01)
+    assert exact, "fixture lost its near-dup pairs"
+
+    sk = simhash_sketches(d)
+    ham = {
+        (r.a, r.b): r.hamming
+        for r in (
+            spark.createDataFrame(
+                [(a, b) for a, b in exact], "a BIGINT, b BIGINT"
+            )
+            .join(sk.select(F.col("id").alias("a"), F.col("sk").alias("ska")), "a")
+            .join(sk.select(F.col("id").alias("b"), F.col("sk").alias("skb")), "b")
+            .select(
+                "a",
+                "b",
+                F.bit_count(F.col("ska").bitwiseXOR(F.col("skb"))).alias("hamming"),
+            )
+            .collect()
+        )
+    }
+    assert len(ham) == len(exact)
+    assert max(ham.values()) <= 14, (
+        "fixture drifted: a true pair now exceeds the radius-14 "
+        f"guarantee (max hamming {max(ham.values())}) — widen the "
+        "dedup_simhash_confirmed config or re-scope its docstring"
+    )
+    assert max(ham.values()) > 10, (
+        "fixture drifted: sf0.1 no longer has a pair past radius 10 — "
+        "the round-7 widening rationale (PERF.md) is stale"
+    )
+
+    cands = {
+        (r.a, r.b)
+        for r in simhash_near_dup_pairs(
+            d, max_hamming=14, num_blocks=16, blocks_per_key=2
+        ).collect()
+    }
+    missed = exact - cands
+    assert not missed, f"candidate stage missed true pairs: {sorted(missed)[:5]}"

@@ -243,3 +243,37 @@ def test_cell_lww_keep_writetime_is_max_surviving_version(spark):
         df, ["pk"], ["ck"], now_micros=NOW, cell_lww=True, keep_writetime=True
     ).collect()[0]
     assert r.writetime == 250
+
+
+def test_orderable_type_allowlist():
+    """ADVICE r6: unknown/unorderable ATOMIC types (VariantType,
+    CalendarIntervalType) must be excluded from sort-tiebreak selection,
+    not defaulted to orderable (which would AnalysisException the
+    writer's sortWithinPartitions)."""
+    from pyspark.sql import types as T
+
+    from cassandra_analytics_spark.operators.merge import orderable_type
+
+    for dt in (
+        T.IntegerType(), T.LongType(), T.DoubleType(), T.DecimalType(10, 2),
+        T.StringType(), T.BinaryType(), T.BooleanType(), T.DateType(),
+        T.TimestampType(), T.TimestampNTZType(), T.NullType(),
+        T.DayTimeIntervalType(), T.YearMonthIntervalType(),
+        T.ArrayType(T.IntegerType()),
+        T.StructType([T.StructField("a", T.StringType())]),
+    ):
+        assert orderable_type(dt), dt
+
+    unorderable = [
+        T.MapType(T.StringType(), T.IntegerType()),
+        T.ArrayType(T.MapType(T.StringType(), T.IntegerType())),
+        T.StructType(
+            [T.StructField("m", T.MapType(T.StringType(), T.IntegerType()))]
+        ),
+    ]
+    if hasattr(T, "VariantType"):
+        unorderable += [T.VariantType(), T.ArrayType(T.VariantType())]
+    if hasattr(T, "CalendarIntervalType"):
+        unorderable.append(T.CalendarIntervalType())
+    for dt in unorderable:
+        assert not orderable_type(dt), dt
