@@ -95,9 +95,76 @@ def banded_rows(
     )
 
 
+_SPEC_PROP = "cas.lsh.spec"
+
+
+def _spec_json(spec: LshIndexSpec) -> str:
+    import dataclasses
+    import json
+
+    return json.dumps(dataclasses.asdict(spec), sort_keys=True)
+
+
+def _structural(spec_dict: dict) -> dict:
+    """The fields that determine the STORED index layout (signature and
+    bucket values, bucketBy count). ``max_bucket`` is excluded: it is a
+    probe-time occupancy cap, legitimately varied per query against one
+    index."""
+    return {k: v for k, v in spec_dict.items() if k != "max_bucket"}
+
+
+def _check_spec(spark: SparkSession, table_name: str, spec: LshIndexSpec) -> None:
+    """Fail loudly when probing/appending with a spec structurally
+    different from the one the index was built with (round-7 streaming
+    adversarial pass): banding parameters silently change every bucket
+    value, so a stream restarted with e.g. ``bands=16`` against a
+    ``bands=8`` index would join new-style buckets against old-style
+    buckets and MISS pairs with no error. Indexes built before the
+    property existed (absent prop) are accepted as-is."""
+    import dataclasses
+    import json
+
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    stored = {r["key"]: r["value"] for r in rows}.get(_SPEC_PROP)
+    if stored is not None and _structural(json.loads(stored)) != _structural(
+        dataclasses.asdict(spec)
+    ):
+        raise ValueError(
+            f"LshIndexSpec mismatch for index table {table_name!r}: "
+            f"table was built with {stored}, caller passed "
+            f"{_spec_json(spec)}. Rebuild the index (build_index) or pass "
+            "the original spec — probing across specs silently drops pairs."
+        )
+
+
+def _clear_stranded_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a STRANDED managed-table directory: the default (in-memory)
+    catalog forgets tables when a session dies, but the warehouse dir
+    persists, so a crashed/killed run leaves a location that makes every
+    later ``build_index`` fail with LOCATION_ALREADY_EXISTS. Only called
+    when the catalog does NOT know the table and only for the table's
+    DEFAULT managed location — the same data ``saveAsTable(overwrite)``
+    would destroy anyway if the catalog still remembered it. Tables at
+    custom LOCATIONs resolve to a different path and are left alone (the
+    original Spark error then surfaces)."""
+    parts = table_name.split(".")
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    tbl = parts[-1].lower()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{warehouse}/{tbl}" if db == "default" else f"{warehouse}/{db}.db/{tbl}"
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def _write_banded(
     banded: DataFrame, table_name: str, spec: LshIndexSpec, mode: str
 ) -> None:
+    spark = banded.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table_name):
+        _clear_stranded_location(spark, table_name)
     (
         banded.write.mode(mode)
         .format("parquet")
@@ -105,6 +172,11 @@ def _write_banded(
         .sortBy("band", "bucket")
         .saveAsTable(table_name)
     )
+    if mode == "overwrite":
+        spark.sql(
+            f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+            f"('{_SPEC_PROP}'='{_spec_json(spec)}')"
+        )
 
 
 def build_index(
@@ -114,7 +186,8 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Create the bucketed index table from an initial corpus."""
+    """Create the bucketed index table from an initial corpus. The spec is
+    pinned as a table property; later appends/probes verify against it."""
     _write_banded(banded_rows(df, spec, id_col, text_col), table_name, spec, "overwrite")
 
 
@@ -125,7 +198,9 @@ def append_to_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Add a batch's banded rows; appended files keep the bucket spec."""
+    """Add a batch's banded rows; appended files keep the bucket spec.
+    Raises when ``spec`` differs from the spec the table was built with."""
+    _check_spec(df.sparkSession, table_name, spec)
     _write_banded(banded_rows(df, spec, id_col, text_col), table_name, spec, "append")
 
 
@@ -172,6 +247,7 @@ def incremental_candidates(
     checkpointed) the batch's banded rows pass them in, avoiding a second
     signature computation.
     """
+    _check_spec(spark, table_name, spec)
     if new_banded is None:
         new_banded = banded_rows(new_df, spec, id_col, text_col)
     corpus = spark.table(table_name).dropDuplicates(["band", "bucket", "id"])

@@ -52,6 +52,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("id", "u"), "u"
@@ -71,6 +72,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Partially-propagated labels are silently WRONG (two docs in one
+        # real component carry different labels — the dedup keeps both).
+        # Dup clusters are near-cliques so hitting the cap means either a
+        # pathological chain graph or a caller-lowered max_iter; fail
+        # loudly rather than return an under-merged clustering (round-7
+        # hostile pass over the cluster-resolution layer).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing): the "
+            "graph's diameter exceeds the iteration cap. Raise max_iter "
+            "(rounds = diameter for min-label propagation) or switch to "
+            "a large-star/small-star scheme for long-chain graphs."
+        )
     return labels
 
 

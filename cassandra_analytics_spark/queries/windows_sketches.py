@@ -190,18 +190,27 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     rsd = 0.01
-    agg = li.groupBy("l_returnflag").agg(
+    # Keep the approx aggregates in their OWN aggregation: combined with
+    # two exact countDistincts, Catalyst routes partial_approx_count_
+    # distinct through the multi-distinct Expand, allocating an HLL++
+    # buffer per (flag, partkey, orderkey, gid) group — one sketch per
+    # ~row (measured 125 s at sf0.1; split form 8 s). The split costs one
+    # extra column-pruned scan and a 3-row broadcast join.
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
     )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     tol = 5 * rsd
 
-    def ok(approx: str, exact: str):  # |approx - exact| <= tol * exact
+    def ok(approx_c: str, exact_c: str):  # |approx - exact| <= tol * exact
         return (
-            F.abs(F.col(approx) - F.col(exact))
-            <= F.lit(tol) * F.col(exact)
+            F.abs(F.col(approx_c) - F.col(exact_c))
+            <= F.lit(tol) * F.col(exact_c)
         )
 
     return agg.select(

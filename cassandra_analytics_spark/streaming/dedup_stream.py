@@ -21,7 +21,15 @@ construction —
   results: ``incremental_candidates`` deduplicates the corpus on
   (band, bucket, id) before both the candidate join and the hot-bucket
   occupancy count (exchange-free off the bucket layout), so duplicate
-  index rows only cost storage.
+  index rows only cost storage;
+- in-batch duplicate ids collapse to a DETERMINISTIC winner
+  (greatest-text-wins, the repo's LWW tiebreak convention) so a replay
+  republishes byte-identical pairs even when a batch carries two texts
+  for one id (round-7 streaming adversarial pass);
+- the doc store stamps each dir with ``__batch_id`` and reads resolve
+  latest-batch-wins, so a doc re-ingested with changed content always
+  confirms later pairs against its NEWEST text instead of whichever
+  copy a dropDuplicates happened to keep.
 """
 
 from __future__ import annotations
@@ -77,13 +85,38 @@ def run_incremental_dedup_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        # In-batch duplicate ids with DIFFERENT texts must collapse to a
+        # DETERMINISTIC winner: a bare dropDuplicates keeps whichever copy
+        # a task sees first, so a micro-batch replay (at-least-once) could
+        # pick the OTHER text — different signatures, different published
+        # pairs for the same batch_id, and BOTH texts' banded rows left in
+        # the index across the two attempts. Greatest-text-wins is the
+        # repo's LWW tiebreak convention (operators/asof.py, merge.py).
+        batch = (
+            batch_df.select(id_col, text_col)
+            .groupBy(id_col)
+            .agg(F.max(text_col).alias(text_col))
+        )
         if batch.isEmpty():
             return
         if os.path.isdir(doc_store) and any(
             d.startswith("batch-") for d in os.listdir(doc_store)
         ):
-            texts = spark.read.parquet(os.path.join(doc_store, "batch-*"))
+            stored = spark.read.parquet(os.path.join(doc_store, "batch-*"))
+            if "__batch_id" in stored.columns:
+                # A doc re-ingested with changed content exists in SEVERAL
+                # batch dirs; the confirm must use the LATEST text or pair
+                # scores flicker depending on which copy dropDuplicates
+                # kept. Latest-batch-wins is deterministic: ids are unique
+                # within a dir (collapsed above) so (id, __batch_id) is
+                # unique across the store.
+                texts = stored.groupBy(id_col).agg(
+                    F.max_by(text_col, "__batch_id").alias(text_col)
+                )
+            else:
+                # store written before the __batch_id stamp: keep the old
+                # (arbitrary-on-conflict) behavior rather than failing
+                texts = stored.select(id_col, text_col)
         else:
             texts = spark.createDataFrame([], batch.schema)
         confirmed = ingest_batch(
@@ -95,9 +128,9 @@ def run_incremental_dedup_stream(
             .write.mode("overwrite")
             .parquet(os.path.join(pairs_out, f"batch-{batch_id:010d}"))
         )
-        batch.write.mode("overwrite").parquet(
-            os.path.join(doc_store, f"batch-{batch_id:010d}")
-        )
+        batch.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(doc_store, f"batch-{batch_id:010d}"))
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -63,15 +63,23 @@ def _update_profile(
         vals = pdf["value"].to_numpy(dtype="float64")
         vals = vals[~np.isnan(vals)]
         total_fixed += int(np.floor(vals * _FP + 0.5).sum())
-        if len(pdf):
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        # NaT-safe max: NaT casts to int64 MIN, so a batch whose every ts
+        # is NULL would otherwise fold int64-min into max() — harmless —
+        # but on a FRESH key it would leave last_us=0 and emit epoch 1970
+        # as a fabricated last_ts where the batch twin (F.max) yields NULL
+        ts_valid = pdf["ts"].dropna()
+        if len(ts_valid):
+            last_us = max(last_us, int(ts_valid.astype("int64").max() // 1000))
     state.update((n, total_fixed, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
             "total_value": [total_fixed / _FP],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            # last_us == 0 is the "no valid ts seen yet" sentinel (state
+            # init value, only reachable when every event ts was NULL):
+            # emit NULL like the batch twin's F.max, not epoch 1970
+            "last_ts": [pd.Timestamp(last_us, unit="us") if last_us else pd.NaT],
         }
     )
 

@@ -417,3 +417,25 @@ def test_ingest_batch_confirms_against_the_batchs_new_text(spark):
     }
     assert (1, 2) in got and got[(1, 2)] >= 0.5
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_build_index_survives_stranded_location(spark):
+    """The default in-memory catalog forgets tables when a session dies
+    but the warehouse directory persists; build_index (an explicit
+    overwrite) must reclaim such a stranded location instead of failing
+    every subsequent run with LOCATION_ALREADY_EXISTS (round-7 fix)."""
+    import os
+
+    table = "lsh_idx_stranded"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stranded = os.path.join(warehouse, table)
+    os.makedirs(stranded, exist_ok=True)
+    with open(os.path.join(stranded, "orphan.parquet"), "w") as f:
+        f.write("stranded by a crashed session")
+
+    docs = spark.createDataFrame([_doc(1, "some text for the index " * 3)])
+    build_index(docs, table, SPEC)  # must not raise
+    assert spark.table(table).count() > 0
+    assert not os.path.exists(os.path.join(stranded, "orphan.parquet"))
+    spark.sql(f"DROP TABLE {table}")

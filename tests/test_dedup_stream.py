@@ -108,3 +108,125 @@ def test_streaming_dedup_matches_batch_twin(spark, tmp_path):
     assert by_batch[(7, 8)] == 0
     assert by_batch[(3, 100)] == 1
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_spec_mismatch_rejected(spark, tmp_path):
+    """Round-7 adversarial pass: probing or appending with a different
+    LshIndexSpec than the index was built with must raise — mismatched
+    banding silently changes every bucket value and drops pairs."""
+    from cassandra_analytics_spark.operators.dedup_index import (
+        append_to_index,
+        build_index,
+        incremental_candidates,
+    )
+
+    table = "lsh_idx_spec_check"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    docs = spark.createDataFrame([Row(doc_id=1, text=BASE)])
+    build_index(docs, table, SPEC)
+
+    other = LshIndexSpec(num_hashes=16, bands=8, shingle_n=3, num_buckets=4)
+    probe = spark.createDataFrame([Row(doc_id=2, text=BASE + " x")])
+    with pytest.raises(ValueError, match="LshIndexSpec mismatch"):
+        incremental_candidates(spark, table, probe, other)
+    with pytest.raises(ValueError, match="LshIndexSpec mismatch"):
+        append_to_index(probe, table, other)
+    # the original spec still works
+    incremental_candidates(spark, table, probe, SPEC).count()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_in_batch_duplicate_id_collapses_deterministically(spark, tmp_path):
+    """Round-7 adversarial pass: a batch carrying TWO texts for one id
+    must collapse greatest-text-wins (the LWW convention) so a replay
+    republishes identical pairs — not whichever copy dropDuplicates
+    happened to keep."""
+    src = str(tmp_path / "incoming")
+    ta, tb = BASE + " aa", BASE + " zz"
+    _write_batch(
+        spark,
+        src,
+        [Row(doc_id=1, text=ta), Row(doc_id=1, text=tb), Row(doc_id=2, text=tb)],
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    table = "lsh_idx_dup_id"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    q = run_incremental_dedup_stream(
+        stream,
+        index_table=table,
+        doc_store=str(tmp_path / "docs"),
+        pairs_out=str(tmp_path / "pairs"),
+        spec=SPEC,
+        threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "docs") + "/batch-*").collect()
+    }
+    # greatest text wins for id 1 → its stored text is tb, and the (1, 2)
+    # pair is exact-identical (jaccard 1.0)
+    assert stored[1] == max(ta, tb) == tb
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in collected_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_reingest_confirms_against_latest_text(spark, tmp_path):
+    """Round-7 adversarial pass: a doc re-ingested with CHANGED content
+    exists in several doc-store dirs; later confirms must use the LATEST
+    text (latest-batch-wins via __batch_id), not an arbitrary copy."""
+    src = str(tmp_path / "incoming")
+    old_text = "completely unrelated original content " * 4
+    new_text = BASE + " rewritten"
+    probe_text = BASE + " rewritten!"
+    # batch 0: doc 1 with old text; batch 1: doc 1 re-ingested with new
+    # text; batch 2: doc 50 near-dups the NEW text only
+    _write_batch(spark, src, [Row(doc_id=1, text=old_text)])
+    _write_batch(spark, src, [Row(doc_id=1, text=new_text)])
+    _write_batch(spark, src, [Row(doc_id=50, text=probe_text)])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    table = "lsh_idx_reingest"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    q = run_incremental_dedup_stream(
+        stream,
+        index_table=table,
+        doc_store=str(tmp_path / "docs"),
+        pairs_out=str(tmp_path / "pairs"),
+        spec=SPEC,
+        threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in collected_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    # the (1, 50) pair must carry the exact jaccard of the NEW text —
+    # against the OLD text the pair wouldn't confirm at all (j ~ 0)
+    assert (1, 50) in got
+    both = spark.createDataFrame(
+        [Row(doc_id=1, text=new_text), Row(doc_id=50, text=probe_text)]
+    )
+    want = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(both, shingle_n=3, threshold=0.5).collect()
+    }
+    assert abs(got[(1, 50)] - want[(1, 50)]) < 1e-12
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

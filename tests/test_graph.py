@@ -44,3 +44,21 @@ def test_singletons_get_own_cluster(spark):
         r["doc_id"] for r in keep_cluster_representatives(docs, pairs).collect()
     )
     assert reps == [1, 9]
+
+
+def test_nonconvergence_raises(spark):
+    """Hitting max_iter with labels still changing must raise — a
+    partially-propagated labeling silently under-merges clusters
+    (round-7 hostile pass). A 7-node path needs more than 2 rounds."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a BIGINT, b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with room to converge the same graph is one component
+    comps = connected_components(chain, max_iter=25).collect()
+    assert {r.component for r in comps} == {0}
