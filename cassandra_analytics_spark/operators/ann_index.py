@@ -39,7 +39,19 @@ def build_ann_index(
     seed: int = 42,
 ) -> None:
     """Materialize the corpus partitioned by LSH signature."""
-    dim = len(df.select(vec_col).first()[vec_col])
+    probe = df.select(vec_col).first()
+    if probe is None:
+        # empty corpus: write an empty (but readable) index with the
+        # contract columns instead of TypeError-ing on the dim probe
+        # (same bug class as ADVICE r6's embedding_near_dup_confirmed)
+        # no partitionBy here: a zero-row partitioned write emits no data
+        # files at all and the read-back cannot infer a schema; a plain
+        # empty write keeps the schema readable (sig stays a data column)
+        df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("sig")).write.mode(
+            "overwrite"
+        ).parquet(index_path)
+        return
+    dim = len(probe[vec_col])
     tagged = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -65,12 +77,22 @@ def build_ivf_index(
     centroids for convenience.
     """
     centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
-    tagged = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        nearest_centroid_cell(F.col(vec_col), centroids).alias("cell"),
-    )
-    tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    if not centroids:
+        # empty corpus: zero-arg F.array() in nearest_centroid_cell would
+        # otherwise produce a null cell partition, and a zero-row
+        # partitionBy write emits no data files (read-back cannot infer a
+        # schema) — write the empty layout UNpartitioned (cell stays a
+        # data column) + an empty centroid table so query_ivf_index
+        # returns empty instead of erroring
+        tagged = df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("cell"))
+        tagged.write.mode("overwrite").parquet(index_path)
+    else:
+        tagged = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            nearest_centroid_cell(F.col(vec_col), centroids).alias("cell"),
+        )
+        tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     spark = df.sparkSession
     spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],

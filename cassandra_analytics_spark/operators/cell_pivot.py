@@ -62,10 +62,23 @@ def cell_pivot(
             F.col(column_col)
         ),
     )
+    # Writetime TIES resolve greatest-value-wins, matching Cassandra's
+    # cell reconciliation (equal timestamps compare the values; the
+    # reference inherits it via the SSTable merge) and the repo's LWW
+    # tiebreak convention (merge.py, asof.py) — a bare max_by(value,
+    # writetime) keeps whichever tied cell a task saw first (round-7
+    # hostile pass). Unorderable value types keep the writetime-only
+    # ordering (the merge.py-documented exception).
+    from cassandra_analytics_spark.operators.merge import orderable_type
+
+    if orderable_type(cells.schema[value_col].dataType):
+        order = F.struct(F.col(writetime_col), F.col(value_col))
+    else:
+        order = F.col(writetime_col)
     pivoted = (
         normalized.groupBy(*keys)
         .pivot(column_col, list(columns) + [ROW_MARKER])
-        .agg(F.max_by(F.col(value_col), F.col(writetime_col)))
+        .agg(F.max_by(F.col(value_col), order))
     )
     return pivoted.drop(ROW_MARKER)
 

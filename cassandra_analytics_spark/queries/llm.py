@@ -1045,8 +1045,10 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = load_table(spark, sf_dir, "embeddings")
-    qrow = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
-    qvec = [float(x) for x in qrow["embedding"]]
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:  # no query vector → no neighbors (ADVICE r6 bug class)
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
     q = lit_vector(qvec)
 
     # query norm computed the same portable way as the oracle: double
@@ -1547,10 +1549,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
-    ]
+    qrows = emb.orderBy("vec_id").limit(1).collect()
+    if not qrows:  # no query vector → no neighbors (ADVICE r6 bug class)
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
     return ivf_topk(emb, qvec, k=20, num_probes=8)
 
 

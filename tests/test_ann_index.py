@@ -88,3 +88,26 @@ def test_full_radius_multiprobe_equals_brute_force(spark, tmp_path):
     ]
     want = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
     assert got == want
+
+
+def test_empty_corpus_index_builds_and_queries(spark, tmp_path):
+    """Round-7 hostile pass: building either index over an EMPTY corpus
+    must produce a readable empty index (no dim-probe TypeError, no
+    null-cell partition), and queries over it return empty."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ann_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    ann_path = str(tmp_path / "ann_idx")
+    build_ann_index(empty, ann_path)
+    assert spark.read.parquet(ann_path).count() == 0
+
+    ivf_path = str(tmp_path / "ivf_idx")
+    build_ivf_index(empty, ivf_path)
+    got = query_ivf_index(spark, ivf_path, [0.0, 1.0, 0.0], k=5)
+    assert got.count() == 0

@@ -66,3 +66,25 @@ def test_rows_to_cells_roundtrip(spark):
     back = cell_pivot(cells, ["pk"], ["ck"], columns=["name", "score"])
     got = {(r.pk, r.ck): (r.name, r.score) for r in back.collect()}
     assert got == {("a", 1): ("n1", "s1"), ("a", 2): ("n2", None)}
+
+
+def test_writetime_tie_resolves_greatest_value(spark):
+    """Cassandra reconciles equal-timestamp cells by comparing values
+    (greater wins); a bare max_by(value, writetime) would keep whichever
+    tied cell a task saw first (round-7 hostile pass)."""
+    from cassandra_analytics_spark.operators.cell_pivot import cell_pivot
+
+    cells = spark.createDataFrame(
+        [
+            (1, "v", "aaa", 100),
+            (1, "v", "zzz", 100),  # same writetime — zzz must win
+            (2, "v", "zzz", 100),
+            (2, "v", "aaa", 100),  # order flipped — same winner
+        ],
+        "pk INT, column STRING, value STRING, writetime LONG",
+    )
+    got = {
+        r.pk: r.v
+        for r in cell_pivot(cells, ["pk"], columns=["v"]).collect()
+    }
+    assert got == {1: "zzz", 2: "zzz"}
