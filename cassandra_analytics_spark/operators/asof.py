@@ -57,7 +57,12 @@ def asof_join(
     left_cols = [c for c in left.columns if c not in keys]
     r_struct = F.struct(*[F.col(c).alias(c) for c in carried])
     struct_dtype = rhs.select(r_struct.alias("__r")).schema["__r"].dataType
-    rhs_aligned = rhs.select(
+    # A NULL-timestamp right row can never satisfy either inequality
+    # (SQL three-valued comparison), but under the window formulation it
+    # would sort FIRST (asc nulls-first) and be carried into every left
+    # row of its key until a real match appears — drop such rows up
+    # front (round-7 hostile pass).
+    rhs_aligned = rhs.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
         r_struct.alias("__r"),
@@ -96,9 +101,17 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
+        # desc_nulls_FIRST (not Spark's desc default of nulls-last): a
+        # NULL-timestamp LEFT row must see no carried right row — with
+        # nulls last it would sort after every right row and pick up the
+        # smallest right_ts as a bogus "forward" match (round-7 pass).
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc(), *tiebreak)
+            .orderBy(
+                F.col("__ts").desc_nulls_first(),
+                F.col("__side").asc(),
+                *tiebreak,
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 

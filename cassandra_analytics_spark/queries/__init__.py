@@ -48,19 +48,21 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # each round front-loads the names that most need one. Round-7 priority
 # (VERDICT r6 items 2+4): (1) the three NEW bounded-verdict sketch
 # oracles — upgrades for rows-only entries, now hash-matchable; (2)
-# queries whose implementation was touched this round (the ADVICE r6
-# fixes: near-dup empty-table guard, task-error unwrap, orderable-type
-# tiebreak selection); (3) the 38 names whose newest driver evidence is
-# r4 — after this round no query's newest row is older than r5; (4) the
-# five r5-evidenced streaming queries, freshened by the round-7
-# streaming adversarial pass (positions 47-51; harmless if the window
-# cuts them — they stay r5-proved).
+# queries whose implementation was touched this round (simhash radius
+# widening, cell-pivot tie rule, the ADVICE r6 fixes); (3) the 38 names
+# whose newest driver evidence is r4 — after this round no query's
+# newest row is older than r5; (4) the r5-evidenced streaming queries,
+# led by the one the round-7 streaming adversarial pass changed
+# (positions 48-52; the last two fall past the 50-row window and stay
+# r5-proved — the trade for fresh rows on touched code).
 _ROUND_PRIORITY: list[str] = [
     # --- (1) new this round: bounded-verdict sketch oracles ---
     "agg_approx_distinct_bounded",
     "agg_approx_quantile_bounded",
     "agg_hll_sketch_union_bounded",
-    # --- (2) implementation touched this round (ADVICE r6 fixes) ---
+    # --- (2) implementation touched this round ---
+    "dedup_simhash_confirmed",       # radius 10 -> 14, oracle-exact at sf0.1 too
+    "cell_pivot_roundtrip",          # writetime-tie greatest-value-wins
     "embedding_near_dup_confirmed",  # empty-table dim probe guard
     "bulk_write_roundtrip",          # orderable-type tiebreak selection
     "bundle_write_restore",          # task-error unwrap truncation fix

@@ -120,3 +120,37 @@ def test_asof_duplicate_right_timestamps_deterministic(spark):
         ).collect()
         assert len(out) == 1
         assert out[0].v_asof == "zeta"  # greatest (rts, v) tuple
+
+
+def test_null_timestamps_never_match(spark):
+    """SQL three-valued comparison semantics: a NULL-ts right row can
+    satisfy neither inequality, and a NULL-ts left row matches nothing.
+    The window formulation needs explicit handling for both (round-7
+    hostile pass): null right rows sorted FIRST and were carried into
+    every left row; null left rows in forward mode sorted LAST and
+    picked up a bogus match."""
+    from cassandra_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, None)], "k INT, lts LONG"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "null-ts"), (1, 50, "real")], "k INT, rts LONG, v STRING"
+    )
+    back = {
+        (r.k, r.lts): (r.rts_asof, r.v_asof)
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["v"], direction="backward"
+        ).collect()
+    }
+    assert back[(1, 100)] == (50, "real")   # not the null-ts row
+    assert back[(1, None)] == (None, None)  # null left ts matches nothing
+
+    fwd = {
+        (r.k, r.lts): (r.rts_asof, r.v_asof)
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd[(1, 100)] == (None, None)    # no right at ts >= 100
+    assert fwd[(1, None)] == (None, None)
