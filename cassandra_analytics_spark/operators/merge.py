@@ -234,8 +234,16 @@ def compaction_merge(
         if keep_writetime:
             aggs.append(F.max(wt).alias(writetime_col))
         if keep_ttl and ttl_col is not None and ttl_col in df.columns:
-            # row-level TTL travels with the newest surviving version
-            aggs.append(F.max_by(F.col(ttl_col), wt).alias(ttl_col))
+            # row-level TTL travels with the newest surviving version;
+            # (wt, ttl) ordering makes equal-writetime versions resolve
+            # greatest-ttl-wins instead of task order (round-7 pass —
+            # the value columns already tiebreak on their own values)
+            aggs.append(
+                F.max_by(
+                    F.col(ttl_col),
+                    F.struct(wt.alias("__wt"), F.col(ttl_col).alias("__t")),
+                ).alias(ttl_col)
+            )
         return data.groupBy(*keys).agg(*aggs)
 
     order = [wt.desc()] + [
@@ -312,9 +320,22 @@ def propagate_static_columns(
 ) -> DataFrame:
     """Static-column semantics (``SparkCellIterator.java:282-287``): a static
     column has one value per *partition*; replicate it onto every row of the
-    partition (and only that partition — null where never set)."""
+    partition (and only that partition — null where never set).
+
+    A well-formed input carries at most ONE distinct non-null value per
+    partition, making the aggregate choice irrelevant; for inputs that
+    violate that (divergent replicas before a merge), ``max`` picks the
+    greatest value DETERMINISTICALLY (the LWW tiebreak convention) where
+    ``first(ignorenulls)`` kept whichever value a task saw first
+    (round-7 hostile pass). Unorderable static types (maps) keep the
+    first(ignorenulls) path — the same bounded exception the merge
+    documents."""
     w = _full_window(partition_keys)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     out = df
     for c in static_cols:
-        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+        if orderable_type(dtypes[c]):
+            out = out.withColumn(c, F.max(F.col(c)).over(w))
+        else:
+            out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
     return out

@@ -386,6 +386,18 @@ def parse_create_table(ddl: str) -> CqlTable:
 
     if not pk_names:
         raise ValueError("CREATE TABLE has no PRIMARY KEY")
+    # A PRIMARY KEY clause naming a column that does not exist (typo'd
+    # DDL) would otherwise produce a CqlTable whose partition_keys list
+    # is silently EMPTY — callers then fail far downstream with a
+    # confusing missing-column error (round-7 hostile pass). Cassandra
+    # itself rejects such DDL at parse time; match it.
+    col_names = {c.name for c in columns}
+    unknown = [k for k in (*pk_names, *ck_names) if k not in col_names]
+    if unknown:
+        raise ValueError(
+            f"PRIMARY KEY references undefined column(s): {unknown} "
+            f"(defined: {sorted(col_names)})"
+        )
     return CqlTable(keyspace=keyspace, name=table_name, columns=columns)
 
 

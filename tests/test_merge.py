@@ -277,3 +277,45 @@ def test_orderable_type_allowlist():
         unorderable.append(T.CalendarIntervalType())
     for dt in unorderable:
         assert not orderable_type(dt), dt
+
+
+def test_equal_writetime_ttl_resolves_greatest(spark):
+    """Row-level TTL of equal-writetime versions resolves greatest-wins
+    (deterministic), matching the value columns' LWW tiebreak instead of
+    task order (round-7 hostile pass)."""
+    df = spark.createDataFrame(
+        [(1, "a", 100, 5), (1, "b", 100, None), (2, "x", 100, None), (2, "y", 100, 9)],
+        "pk INT, v STRING, writetime LONG, ttl INT",
+    )
+    # whole-row path: TTL travels with the winning ROW (value tiebreak),
+    # so pk=1's winner ("b") carries its own null ttl — already
+    # deterministic via the row ordering
+    row = {
+        r.pk: (r.v, r.ttl)
+        for r in compaction_merge(
+            df, ["pk"], keep_ttl=True, now_micros=0
+        ).collect()
+    }
+    assert row == {1: ("b", None), 2: ("y", 9)}
+    # per-cell path: ttl resolves independently — greatest (wt, ttl) wins
+    cell = {
+        r.pk: (r.v, r.ttl)
+        for r in compaction_merge(
+            df, ["pk"], keep_ttl=True, now_micros=0, cell_lww=True
+        ).collect()
+    }
+    assert cell == {1: ("b", 5), 2: ("y", 9)}
+
+
+def test_static_propagation_conflict_is_deterministic(spark):
+    """Conflicting static values in one partition (divergent replicas)
+    resolve to the GREATEST value, not task order (round-7 pass)."""
+    df = spark.createDataFrame(
+        [(1, 1, "aa"), (1, 2, None), (1, 3, "zz"), (2, 1, None)],
+        "pk INT, ck INT, s STRING",
+    )
+    out = {
+        (r.pk, r.ck): r.s
+        for r in propagate_static_columns(df, ["pk"], ["s"]).collect()
+    }
+    assert out == {(1, 1): "zz", (1, 2): "zz", (1, 3): "zz", (2, 1): None}

@@ -184,3 +184,22 @@ def test_to_struct_type_accepts_udts():
     st = to_struct_type(table, udts=parse_udts(UDT))
     addr = {x.name: x for x in st.fields}["addr"].dataType
     assert [x.name for x in addr.fields] == ["street", "city", "zip"]
+
+
+def test_primary_key_referencing_undefined_column_rejected():
+    """Typo'd DDL (PRIMARY KEY names a non-existent column) must fail at
+    parse time like Cassandra, not produce a table with an empty
+    partition-key list (round-7 hostile pass)."""
+    import pytest
+
+    from cassandra_analytics_spark.schema import parse_create_table
+
+    with pytest.raises(ValueError, match="undefined column"):
+        parse_create_table(
+            "CREATE TABLE ks.t (id int, v text, PRIMARY KEY (idd))"
+        )
+    with pytest.raises(ValueError, match="undefined column"):
+        parse_create_table(
+            "CREATE TABLE ks.t (id int, c int, v text, "
+            "PRIMARY KEY ((id), cc))"
+        )
