@@ -191,3 +191,134 @@ class Engine:
         from cassandra_analytics_spark.operators.ann_index import query_ivf_index
 
         return query_ivf_index(self.spark, index_path, query_vec, **kwargs)
+
+    # -- temporal joins ---------------------------------------------------
+    @staticmethod
+    def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                  left_ts: str, right_ts: str,
+                  right_value_cols: Sequence[str] = (), **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.asof import asof_join
+
+        return asof_join(
+            left, right, on, left_ts, right_ts, right_value_cols, **kwargs
+        )
+
+    @staticmethod
+    def range_join_pairs(df: DataFrame, key: str, ts: str, id_col: str,
+                         max_gap_seconds: int) -> DataFrame:
+        from cassandra_analytics_spark.operators.asof import range_join_pairs
+
+        return range_join_pairs(df, key, ts, id_col, max_gap_seconds)
+
+    # -- replica / partition semantics (M3/S3, M2) ------------------------
+    @staticmethod
+    def read_with_consistency(df: DataFrame, partition_keys: Sequence[str],
+                              **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.replicas import (
+            read_with_consistency,
+        )
+
+        return read_with_consistency(df, partition_keys, **kwargs)
+
+    @staticmethod
+    def partition_sizes(df: DataFrame, partition_keys: Sequence[str],
+                        **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.partition_stats import (
+            partition_sizes,
+        )
+
+        return partition_sizes(df, partition_keys, **kwargs)
+
+    @staticmethod
+    def cell_pivot(cells: DataFrame, partition_keys: Sequence[str],
+                   **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.cell_pivot import cell_pivot
+
+        return cell_pivot(cells, partition_keys, **kwargs)
+
+    # -- dedup pair generation --------------------------------------------
+    @staticmethod
+    def minhash_near_dup_pairs(df: DataFrame, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        return minhash_lsh_candidates(df, **kwargs)
+
+    @staticmethod
+    def simhash_near_dup_pairs(df: DataFrame, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.dedup import (
+            simhash_near_dup_pairs,
+        )
+
+        return simhash_near_dup_pairs(df, **kwargs)
+
+    @staticmethod
+    def ngram_jaccard_pairs(df: DataFrame, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(df, **kwargs)
+
+    # -- similarity search ------------------------------------------------
+    @staticmethod
+    def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        return brute_force_topk(df, query_vec, k, **kwargs)
+
+    @staticmethod
+    def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                 **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.similarity import knn_join
+
+        return knn_join(queries, corpus, k, **kwargs)
+
+    # -- deterministic splitting / sampling / packing ---------------------
+    @staticmethod
+    def hash_split(df: DataFrame, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.sampling import hash_split
+
+        return hash_split(df, **kwargs)
+
+    @staticmethod
+    def stratified_hash_sample(df: DataFrame, stratum_col: str, id_col: str,
+                               fractions: dict) -> DataFrame:
+        from cassandra_analytics_spark.operators.sampling import (
+            stratified_hash_sample,
+        )
+
+        return stratified_hash_sample(df, stratum_col, id_col, fractions)
+
+    @staticmethod
+    def chunk_layout(df: DataFrame, budget: int, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.packing import chunk_layout
+
+        return chunk_layout(df, budget, **kwargs)
+
+    @staticmethod
+    def pack_greedy(df: DataFrame, budget: int, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.packing import pack_greedy
+
+        return pack_greedy(df, budget, **kwargs)
+
+    # -- streaming entry points -------------------------------------------
+    @staticmethod
+    def stream_bulk_ingest(stream: DataFrame, table_path: str,
+                           partition_keys: Sequence[str], **kwargs):
+        from cassandra_analytics_spark.streaming.ingest import stream_bulk_ingest
+
+        return stream_bulk_ingest(stream, table_path, partition_keys, **kwargs)
+
+    @staticmethod
+    def run_incremental_dedup_stream(stream: DataFrame, index_table: str,
+                                     doc_store: str, pairs_out: str, **kwargs):
+        from cassandra_analytics_spark.streaming.dedup_stream import (
+            run_incremental_dedup_stream,
+        )
+
+        return run_incremental_dedup_stream(
+            stream, index_table, doc_store, pairs_out, **kwargs
+        )

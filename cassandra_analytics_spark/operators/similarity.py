@@ -47,7 +47,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not '/': under Spark 4's default ANSI mode a division
+    # by zero THROWS, so one zero-norm vector anywhere in a 100 TB corpus
+    # (or a zero query vector) would kill every similarity job. NULL
+    # cosine sorts last under desc, so zero vectors simply never rank
+    # (round-7 hostile pass — found by the Engine facade smoke test).
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -227,9 +232,16 @@ def nearest_centroid_cell(
     pairs = F.array(
         *[
             F.struct(
-                (
-                    dot(vec, lit_vector(cvec))
-                    / (norm(vec) * norm(lit_vector(cvec)))
+                # try_divide: a zero-norm vector (or centroid) must
+                # assign to SOME cell instead of throwing under ANSI
+                # mode; coalesce(-2) ranks such sims below every real
+                # cosine so the assignment is still deterministic
+                F.coalesce(
+                    F.try_divide(
+                        dot(vec, lit_vector(cvec)),
+                        norm(vec) * norm(lit_vector(cvec)),
+                    ),
+                    F.lit(-2.0),
                 ).alias("sim"),
                 F.lit(cid).alias("cid"),
             )

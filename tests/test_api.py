@@ -114,3 +114,28 @@ def test_engine_dedup_index_facade(spark, tmp_path):
     )
     assert {(r.a, r.b) for r in pairs.collect()} == {(1, 2)}
     spark.sql("DROP TABLE api_dedup_idx")
+
+
+def test_engine_facade_round7_methods(spark, sf_dir):
+    """The round-7 facade additions dispatch to the real operators."""
+    from pyspark.sql import Row
+
+    from cassandra_analytics_spark.api import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    docs = eng.read_table("documents")
+    assert eng.hash_split(docs).select("split").distinct().count() <= 3
+    assert eng.cosine_topk(
+        eng.read_table("embeddings"),
+        [0.0] * len(
+            eng.read_table("embeddings").first()["embedding"]
+        ),
+        k=3,
+    ).count() == 3
+    left = spark.createDataFrame([Row(k=1, lts=10)])
+    right = spark.createDataFrame([Row(k=1, rts=5, v="x")])
+    got = eng.asof_join(left, right, ["k"], "lts", "rts", ["v"]).collect()
+    assert got[0].v_asof == "x"
+    assert eng.chunk_layout(
+        docs.limit(10), budget=4096, len_col="n_chars"
+    ).count() > 0

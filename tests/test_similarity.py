@@ -199,3 +199,35 @@ def test_ivf_persistent_index_roundtrip(driver_emb, tmp_path):
     exact = {r.vec_id for r in brute_force_topk(driver_emb, vec, k=10).collect()}
     got = {r.vec_id for r in rows}
     assert len(exact & got) / 10 >= 0.7
+
+
+def test_zero_norm_vectors_do_not_crash(spark):
+    """Under Spark 4 ANSI mode a zero-norm vector used to throw
+    DIVIDE_BY_ZERO and kill the whole job (round-7 hostile pass): now
+    zero vectors score NULL cosine and never rank, and IVF assignment
+    still places them in a cell."""
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 0.0, 0.0]),  # zero-norm corpus vector
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0]),
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    top = brute_force_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in top] == [0, 3, 2]  # zero vector excluded
+
+    # zero QUERY vector: every cosine NULL -> deterministic id order
+    topz = brute_force_topk(emb, [0.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in topz] == [0, 1]
+    assert all(r.cosine_sim is None for r in topz)
+
+    # IVF build+probe over a corpus containing the zero vector
+    assert ivf_topk(emb, [1.0, 0.0, 0.0], k=2, num_centroids=2,
+                    num_probes=2).count() == 2
