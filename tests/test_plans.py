@@ -217,3 +217,18 @@ def test_replica_read_all_fast_path(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan  # rank-1 filter pushed into the sort
     assert plan.count("Window [") == 1  # no extra watermark windows
+
+
+def test_approx_distinct_bounded_keeps_hll_out_of_expand(spark, sf_dir):
+    """Regression guard for the round-7 28x fix: the bounded sketch query
+    keeps approx_count_distinct in its OWN aggregation — combined with
+    the two exact countDistincts, Catalyst routes partial_approx through
+    the multi-distinct Expand (one HLL buffer per ~row, 125 s at sf0.1).
+    The broken shape's fingerprint: a HashAggregate keyed on the Expand's
+    gid column whose Functions list computes approx partials."""
+    plan = _plan(spark, sf_dir, "agg_approx_distinct_bounded")
+    assert "Expand" in plan  # the exact multi-distinct path still expands
+    for block in plan.split("\n\n"):
+        if "HashAggregate" in block and "gid#" in block.split("Functions", 1)[0]:
+            funcs = block.split("Functions", 1)[-1]
+            assert "approx_count_distinct" not in funcs, block
