@@ -238,12 +238,48 @@ class Engine:
 
     # -- dedup pair generation --------------------------------------------
     @staticmethod
-    def minhash_near_dup_pairs(df: DataFrame, **kwargs) -> DataFrame:
+    def minhash_candidate_pairs(df: DataFrame, **kwargs) -> DataFrame:
+        """RAW banded-LSH candidates (est_jaccard from signature
+        agreement, unconfirmed) — use :meth:`minhash_near_dup_pairs` for
+        exactly-confirmed pairs."""
         from cassandra_analytics_spark.operators.dedup import (
             minhash_lsh_candidates,
         )
 
         return minhash_lsh_candidates(df, **kwargs)
+
+    @staticmethod
+    def minhash_near_dup_pairs(
+        df: DataFrame,
+        threshold: float = 0.9,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+        **kwargs,
+    ) -> DataFrame:
+        """CONFIRMED near-dup pairs: banded-LSH candidates piped through
+        the exact n-gram-Jaccard confirm — (a, b, jaccard >= threshold),
+        matching the exactness of the sibling simhash_near_dup_pairs
+        (whose hamming filter is its own exact confirm). The unconfirmed
+        candidate stage is exposed as minhash_candidate_pairs
+        (/code-review r7: the old name returned bucket collisions, so a
+        dedup built on it deleted non-duplicates)."""
+        from cassandra_analytics_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+        from cassandra_analytics_spark.operators.dedup_index import (
+            confirm_candidates,
+        )
+
+        cands = minhash_lsh_candidates(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n, **kwargs,
+        )
+        return confirm_candidates(
+            cands, df, shingle_n, threshold, id_col, text_col
+        )
 
     @staticmethod
     def simhash_near_dup_pairs(df: DataFrame, **kwargs) -> DataFrame:

@@ -124,6 +124,11 @@ def _check_spec(spark: SparkSession, table_name: str, spec: LshIndexSpec) -> Non
     import dataclasses
     import json
 
+    if not spark.catalog.tableExists(table_name):
+        # pre-round-7, append_to_index on a fresh name bootstrapped the
+        # table via saveAsTable(append); keep that flow working instead
+        # of crashing in SHOW TBLPROPERTIES (/code-review r7)
+        return
     rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
     stored = {r["key"]: r["value"] for r in rows}.get(_SPEC_PROP)
     if stored is not None and _structural(json.loads(stored)) != _structural(
@@ -137,16 +142,26 @@ def _check_spec(spark: SparkSession, table_name: str, spec: LshIndexSpec) -> Non
         )
 
 
+_BANDED_COLUMNS = {"id", "band", "bucket", "sig"}
+
+
 def _clear_stranded_location(spark: SparkSession, table_name: str) -> None:
     """Remove a STRANDED managed-table directory: the default (in-memory)
     catalog forgets tables when a session dies, but the warehouse dir
     persists, so a crashed/killed run leaves a location that makes every
     later ``build_index`` fail with LOCATION_ALREADY_EXISTS. Only called
     when the catalog does NOT know the table and only for the table's
-    DEFAULT managed location — the same data ``saveAsTable(overwrite)``
-    would destroy anyway if the catalog still remembered it. Tables at
-    custom LOCATIONs resolve to a different path and are left alone (the
-    original Spark error then surfaces)."""
+    DEFAULT managed location — tables at custom LOCATIONs resolve to a
+    different path and are left alone (the original Spark error then
+    surfaces).
+
+    Blast radius is bounded (/code-review r7): the directory is deleted
+    only when it IS a banded index (its parquet schema has exactly the
+    banded columns) or is unreadable as parquet (crash garbage). Any
+    OTHER readable data parked at the path — e.g. a live table of a
+    concurrent session sharing the warehouse, or an unrelated dataset —
+    raises a clear error instead of being rm -rf'd on the strength of
+    one session's catalog amnesia."""
     parts = table_name.split(".")
     db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
     tbl = parts[-1].lower()
@@ -155,8 +170,20 @@ def _clear_stranded_location(spark: SparkSession, table_name: str) -> None:
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(loc)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    if not fs.exists(path):
+        return
+    try:
+        existing_cols = set(spark.read.parquet(loc).columns)
+    except Exception:
+        existing_cols = None  # unreadable → stranded crash garbage
+    if existing_cols is not None and existing_cols != _BANDED_COLUMNS:
+        raise ValueError(
+            f"build_index target location {loc!r} exists, is not in the "
+            f"session catalog, and holds NON-index data (columns "
+            f"{sorted(existing_cols)}): refusing to delete it. Remove the "
+            "directory manually or pick a different index table name."
+        )
+    fs.delete(path, True)
 
 
 def _write_banded(

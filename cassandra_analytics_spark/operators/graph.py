@@ -52,8 +52,15 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     changed = 0
-    for _ in range(max_iter):
+    # max_iter PRODUCTIVE rounds plus one certification round: a graph
+    # that finishes its last label update exactly on round max_iter is
+    # converged, but only a subsequent zero-change round can certify it —
+    # without the +1, that caller would be rejected despite a correct
+    # labeling (/code-review r7).
+    for _ in range(max_iter + 1):
         msgs = sym.join(
             labels.withColumnRenamed("id", "u"), "u"
         ).select(F.col("v").alias("id"), "component")

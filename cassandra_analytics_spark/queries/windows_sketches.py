@@ -294,10 +294,18 @@ def agg_hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ok(est, exact):
         return F.abs(est - exact) <= F.lit(tol) * exact
 
-    per_prio = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.hll_sketch_agg("o_custkey").alias("sketch"),
+    # eager checkpoint: per_prio feeds BOTH the per-priority rows and the
+    # hll_union_agg merge — left lazy, the orders scan + sketch build +
+    # countDistinct would run once per consumer (/code-review r7); the
+    # materialized frame is 5 rows
+    per_prio = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.hll_sketch_agg("o_custkey").alias("sketch"),
+        )
+        .localCheckpoint(eager=True)
     )
     est = per_prio.select(
         "o_orderpriority",

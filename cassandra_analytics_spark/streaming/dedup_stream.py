@@ -102,20 +102,33 @@ def run_incremental_dedup_stream(
         if os.path.isdir(doc_store) and any(
             d.startswith("batch-") for d in os.listdir(doc_store)
         ):
-            stored = spark.read.parquet(os.path.join(doc_store, "batch-*"))
+            # mergeSchema=true: a store whose OLD dirs predate the
+            # __batch_id stamp must still surface the column for the new
+            # dirs — the default single-file schema sample would either
+            # hide it (losing latest-wins) or read old rows' texts as
+            # the winners of an all-NULL max_by group, silently dropping
+            # pre-upgrade documents from the confirm (/code-review r7)
+            stored = spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(doc_store, "batch-*")
+            )
             if "__batch_id" in stored.columns:
                 # A doc re-ingested with changed content exists in SEVERAL
                 # batch dirs; the confirm must use the LATEST text or pair
                 # scores flicker depending on which copy dropDuplicates
                 # kept. Latest-batch-wins is deterministic: ids are unique
                 # within a dir (collapsed above) so (id, __batch_id) is
-                # unique across the store.
+                # unique across the store. coalesce(-1): pre-upgrade dirs
+                # read __batch_id as NULL, which max_by would IGNORE —
+                # an all-NULL group returns NULL text; -1 ranks old copies
+                # below every stamped batch while keeping them readable.
                 texts = stored.groupBy(id_col).agg(
-                    F.max_by(text_col, "__batch_id").alias(text_col)
+                    F.max_by(
+                        text_col, F.coalesce(F.col("__batch_id"), F.lit(-1))
+                    ).alias(text_col)
                 )
             else:
-                # store written before the __batch_id stamp: keep the old
-                # (arbitrary-on-conflict) behavior rather than failing
+                # store written entirely before the __batch_id stamp:
+                # keep the old (arbitrary-on-conflict) behavior
                 texts = stored.select(id_col, text_col)
         else:
             texts = spark.createDataFrame([], batch.schema)

@@ -42,6 +42,11 @@ STATE_SCHEMA = StructType(
 
 _FP = 10_000  # fixed-point scale (the repo-wide dsum convention)
 
+# "no valid event-time seen" sentinel for last_us: int64 MIN — unreachable
+# as a real max since any valid timestamp exceeds it (0 would collide with
+# a legitimate epoch-1970 event and pre-epoch timestamps)
+_NO_TS = -(2**63)
+
 
 def _update_profile(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
@@ -50,7 +55,7 @@ def _update_profile(
     if state.exists:
         n, total_fixed, last_us = state.get
     else:
-        n, total_fixed, last_us = 0, 0, 0
+        n, total_fixed, last_us = 0, 0, _NO_TS
     for pdf in batches:
         n += len(pdf)
         # fixed-point accumulation: float sums depend on addition order
@@ -63,10 +68,12 @@ def _update_profile(
         vals = pdf["value"].to_numpy(dtype="float64")
         vals = vals[~np.isnan(vals)]
         total_fixed += int(np.floor(vals * _FP + 0.5).sum())
-        # NaT-safe max: NaT casts to int64 MIN, so a batch whose every ts
-        # is NULL would otherwise fold int64-min into max() — harmless —
-        # but on a FRESH key it would leave last_us=0 and emit epoch 1970
-        # as a fabricated last_ts where the batch twin (F.max) yields NULL
+        # NaT-safe max: dropna first — NaT casts to int64 MIN, which
+        # would silently become the running max's floor. The "never saw a
+        # valid ts" sentinel is int64 MIN itself (_NO_TS), NOT 0: an
+        # epoch-1970 or pre-epoch event timestamp is legitimate and must
+        # round-trip, where a 0 sentinel would erase it to NULL
+        # (/code-review r7)
         ts_valid = pdf["ts"].dropna()
         if len(ts_valid):
             last_us = max(last_us, int(ts_valid.astype("int64").max() // 1000))
@@ -76,10 +83,11 @@ def _update_profile(
             "user_id": [user_id],
             "n_events": [n],
             "total_value": [total_fixed / _FP],
-            # last_us == 0 is the "no valid ts seen yet" sentinel (state
-            # init value, only reachable when every event ts was NULL):
-            # emit NULL like the batch twin's F.max, not epoch 1970
-            "last_ts": [pd.Timestamp(last_us, unit="us") if last_us else pd.NaT],
+            # sentinel (no valid ts ever seen, every event ts NULL):
+            # emit NULL like the batch twin's F.max
+            "last_ts": [
+                pd.Timestamp(last_us, unit="us") if last_us != _NO_TS else pd.NaT
+            ],
         }
     )
 

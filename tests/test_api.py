@@ -139,3 +139,34 @@ def test_engine_facade_round7_methods(spark, sf_dir):
     assert eng.chunk_layout(
         docs.limit(10), budget=4096, len_col="n_chars"
     ).count() > 0
+
+
+def test_facade_minhash_near_dup_pairs_is_confirmed(spark):
+    """/code-review r7: the facade's minhash_near_dup_pairs must return
+    exactly-confirmed pairs (jaccard >= threshold), not raw bucket
+    collisions; the raw stage moved to minhash_candidate_pairs."""
+    from pyspark.sql import Row
+
+    from cassandra_analytics_spark.api import Engine
+    from cassandra_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every evening")
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=base + " x"), Row(doc_id=2, text=base + " y"),
+         Row(doc_id=3, text="completely different words " * 6)]
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in Engine.minhash_near_dup_pairs(
+            docs, threshold=0.5, num_hashes=16, bands=4
+        ).collect()
+    }
+    want = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).collect()
+    }
+    assert got == want and (1, 2) in got
+    # the raw candidate stage is still reachable, without jaccard confirm
+    cands = Engine.minhash_candidate_pairs(docs, num_hashes=16, bands=4)
+    assert set(cands.columns) == {"a", "b", "est_jaccard"}

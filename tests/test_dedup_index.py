@@ -439,3 +439,26 @@ def test_build_index_survives_stranded_location(spark):
     assert spark.table(table).count() > 0
     assert not os.path.exists(os.path.join(stranded, "orphan.parquet"))
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_build_index_refuses_foreign_data_at_location(spark):
+    """/code-review r7: stranded-location reclamation must NOT delete
+    readable NON-index data parked at the warehouse path (a concurrent
+    session's table, an unrelated dataset) — only crash garbage or a
+    stale banded index."""
+    import os
+    import shutil
+
+    table = "lsh_idx_foreign"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, table)
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.createDataFrame([(1, "precious")], "k INT, v STRING").write.parquet(loc)
+
+    docs = spark.createDataFrame([_doc(1, "text for the index " * 3)])
+    with pytest.raises(ValueError, match="NON-index data"):
+        build_index(docs, table, SPEC)
+    # the foreign data is untouched
+    assert spark.read.parquet(loc).count() == 1
+    shutil.rmtree(loc, ignore_errors=True)

@@ -230,3 +230,58 @@ def test_reingest_confirms_against_latest_text(spark, tmp_path):
     }
     assert abs(got[(1, 50)] - want[(1, 50)]) < 1e-12
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_mixed_old_new_doc_store_keeps_old_texts(spark, tmp_path):
+    """/code-review r7: a store whose oldest dirs predate the __batch_id
+    stamp must still surface THOSE docs' texts to the confirm (mergeSchema
+    + coalesce(-1)), not lose them to an all-NULL max_by group."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = tmp_path / "docs"
+    # legacy dir: no __batch_id column
+    spark.createDataFrame([Row(doc_id=1, text=BASE + " old-doc")]).write.parquet(
+        str(store / "batch-0000000000")
+    )
+    # stamped dir, different doc
+    spark.createDataFrame(
+        [Row(doc_id=2, text=BASE + " new-doc")]
+    ).withColumn("__batch_id", F.lit(1)).write.parquet(
+        str(store / "batch-0000000001")
+    )
+    stored = spark.read.option("mergeSchema", "true").parquet(
+        str(store) + "/batch-*"
+    )
+    assert "__batch_id" in stored.columns
+    texts = {
+        r.doc_id: r.text
+        for r in stored.groupBy("doc_id")
+        .agg(
+            F.max_by("text", F.coalesce(F.col("__batch_id"), F.lit(-1))).alias(
+                "text"
+            )
+        )
+        .collect()
+    }
+    assert texts[1] == BASE + " old-doc"  # legacy doc text survives
+    assert texts[2] == BASE + " new-doc"
+
+
+def test_append_to_index_bootstraps_missing_table(spark):
+    """/code-review r7 regression: append_to_index on a fresh table name
+    must bootstrap it (pre-r7 behavior), not crash in the spec check."""
+    from cassandra_analytics_spark.operators.dedup_index import append_to_index
+
+    table = "lsh_idx_bootstrap"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    append_to_index(
+        spark.createDataFrame([Row(doc_id=1, text=BASE)]), table, SPEC
+    )
+    assert spark.table(table).count() > 0
+    spark.sql(f"DROP TABLE {table}")

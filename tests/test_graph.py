@@ -62,3 +62,22 @@ def test_nonconvergence_raises(spark):
     # and with room to converge the same graph is one component
     comps = connected_components(chain, max_iter=25).collect()
     assert {r.component for r in comps} == {0}
+
+
+def test_convergence_on_exactly_last_round_is_accepted(spark):
+    """/code-review r7: a graph whose final label update lands exactly on
+    round max_iter is converged — the certification round (+1) must
+    accept it instead of raising."""
+    from cassandra_analytics_spark.operators.graph import connected_components
+
+    # a 4-node path needs 3 productive min-label rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(3)], "a BIGINT, b BIGINT"
+    )
+    comps = connected_components(chain, max_iter=3).collect()
+    assert {r.component for r in comps} == {0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(chain, max_iter=0)
