@@ -462,3 +462,57 @@ def test_build_index_refuses_foreign_data_at_location(spark):
     # the foreign data is untouched
     assert spark.read.parquet(loc).count() == 1
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_ingest_batch_replay_is_idempotent(spark):
+    """The streaming layer's at-least-once replay story, tested literally
+    (round-7): re-running ingest_batch for the SAME batch — after its
+    first attempt already appended the index (and its docs already landed
+    in the store) — must confirm the SAME pairs, and a later batch must
+    behave as if the replay never happened."""
+    from cassandra_analytics_spark.operators.dedup_index import (
+        build_index,
+        ingest_batch,
+    )
+
+    spec = LshIndexSpec(num_hashes=16, bands=4, shingle_n=3, num_buckets=4)
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every evening")
+    table = "lsh_idx_replay"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    corpus = spark.createDataFrame(
+        [_doc(1, base + " one"), _doc(2, "unrelated words " * 8)]
+    )
+    build_index(corpus, table, spec)
+
+    batch = spark.createDataFrame([_doc(10, base + " one!"),
+                                   _doc(11, base + " one!!")])
+    first = {
+        (r.a, r.b): r.jaccard
+        for r in ingest_batch(
+            spark, table, batch, corpus, spec, threshold=0.5
+        ).collect()
+    }
+    assert (1, 10) in first and (10, 11) in first
+
+    # REPLAY: index already holds the batch's rows; the doc store (texts)
+    # already holds its docs — exactly the state a foreachBatch retry sees
+    texts_after = corpus.unionByName(batch)
+    replay = {
+        (r.a, r.b): r.jaccard
+        for r in ingest_batch(
+            spark, table, batch, texts_after, spec, threshold=0.5
+        ).collect()
+    }
+    assert replay == first  # byte-identical publish
+
+    # a later batch sees consistent state despite the double append
+    nxt = spark.createDataFrame([_doc(20, base + " one!?")])
+    nxt_pairs = {
+        (r.a, r.b)
+        for r in ingest_batch(
+            spark, table, nxt, texts_after, spec, threshold=0.5
+        ).collect()
+    }
+    assert {(1, 20), (10, 20), (11, 20)} <= nxt_pairs
+    spark.sql(f"DROP TABLE {table}")
