@@ -41,12 +41,10 @@ def build_ann_index(
     """Materialize the corpus partitioned by LSH signature."""
     probe = df.select(vec_col).first()
     if probe is None:
-        # empty corpus: write an empty (but readable) index with the
-        # contract columns instead of TypeError-ing on the dim probe
-        # (same bug class as ADVICE r6's embedding_near_dup_confirmed)
-        # no partitionBy here: a zero-row partitioned write emits no data
-        # files at all and the read-back cannot infer a schema; a plain
-        # empty write keeps the schema readable (sig stays a data column)
+        # empty corpus: write a readable empty index instead of
+        # TypeError-ing on the dim probe — UNpartitioned, because a
+        # zero-row partitionBy write emits no data files and the
+        # read-back cannot infer a schema (sig stays a data column)
         df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("sig")).write.mode(
             "overwrite"
         ).parquet(index_path)

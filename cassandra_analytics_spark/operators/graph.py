@@ -42,6 +42,8 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; component =
     the smallest node id in the connected component."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.distinct().localCheckpoint(eager=True)
@@ -52,8 +54,6 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    if max_iter < 1:
-        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     changed = 0
     # max_iter PRODUCTIVE rounds plus one certification round: a graph
     # that finishes its last label update exactly on round max_iter is
