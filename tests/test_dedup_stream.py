@@ -285,3 +285,44 @@ def test_append_to_index_bootstraps_missing_table(spark):
     )
     assert spark.table(table).count() > 0
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_collected_pairs_readable_mid_stream(spark, tmp_path):
+    """A consumer polling collected_pairs while the stream is LIVE (the
+    steady-state deployment shape) must see a readable, monotonically
+    growing pair set — publishes are per-batch-dir atomic renames via
+    parquet overwrite, never half-written files."""
+    src = str(tmp_path / "incoming")
+    _write_batch(spark, src, [Row(doc_id=1, text=BASE + " a"),
+                              Row(doc_id=2, text=BASE + " b")])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    table = "lsh_idx_midstream"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    q = run_incremental_dedup_stream(
+        stream,
+        index_table=table,
+        doc_store=str(tmp_path / "docs"),
+        pairs_out=str(tmp_path / "pairs"),
+        spec=SPEC,
+        threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # stream still ACTIVE: read what has been published so far
+        assert q.isActive
+        first = {(r.a, r.b) for r in
+                 collected_pairs(spark, str(tmp_path / "pairs")).collect()}
+        assert first == {(1, 2)}
+        # feed another batch while live; the set grows, never shrinks
+        _write_batch(spark, src, [Row(doc_id=3, text=BASE + " c")])
+        q.processAllAvailable()
+        second = {(r.a, r.b) for r in
+                  collected_pairs(spark, str(tmp_path / "pairs")).collect()}
+        assert first <= second and {(1, 3), (2, 3)} <= second
+    finally:
+        q.stop()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
