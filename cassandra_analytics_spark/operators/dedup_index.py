@@ -98,11 +98,33 @@ def banded_rows(
 _SPEC_PROP = "cas.lsh.spec"
 
 
+def _quoted(table_name: str) -> str:
+    """Backtick-quote each dotted identifier part for generated SQL.
+    ``table_name`` is taken as an UNQUOTED dotted name (the same string
+    the caller passes to ``saveAsTable``); parts are quoted so reserved
+    words and unusual characters survive SHOW TBLPROPERTIES / ALTER
+    TABLE interpolation (ADVICE r7)."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in table_name.split("."))
+
+
 def _spec_json(spec: LshIndexSpec) -> str:
     import dataclasses
     import json
 
     return json.dumps(dataclasses.asdict(spec), sort_keys=True)
+
+
+def _stored_spec(spark: SparkSession, table_name: str) -> str | None:
+    """The pinned ``cas.lsh.spec`` property, or None when absent."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {_quoted(table_name)}").collect()
+    return {r["key"]: r["value"] for r in rows}.get(_SPEC_PROP)
+
+
+def _pin_spec(spark: SparkSession, table_name: str, spec: LshIndexSpec) -> None:
+    spark.sql(
+        f"ALTER TABLE {_quoted(table_name)} SET TBLPROPERTIES "
+        f"('{_SPEC_PROP}'='{_spec_json(spec)}')"
+    )
 
 
 def _structural(spec_dict: dict) -> dict:
@@ -129,8 +151,7 @@ def _check_spec(spark: SparkSession, table_name: str, spec: LshIndexSpec) -> Non
         # table via saveAsTable(append); keep that flow working instead
         # of crashing in SHOW TBLPROPERTIES (/code-review r7)
         return
-    rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
-    stored = {r["key"]: r["value"] for r in rows}.get(_SPEC_PROP)
+    stored = _stored_spec(spark, table_name)
     if stored is not None and _structural(json.loads(stored)) != _structural(
         dataclasses.asdict(spec)
     ):
@@ -161,9 +182,19 @@ def _clear_stranded_location(spark: SparkSession, table_name: str) -> None:
     OTHER readable data parked at the path — e.g. a live table of a
     concurrent session sharing the warehouse, or an unrelated dataset —
     raises a clear error instead of being rm -rf'd on the strength of
-    one session's catalog amnesia."""
+    one session's catalog amnesia. A readable NON-EMPTY banded index is
+    deleted (the caller asked for an overwrite build) but LOUDLY, via a
+    warning — a prior session's intact index looks identical to crash
+    garbage from here, and silent deletion is how the round-8 stream
+    bootstrap bug lost a corpus (ADVICE r8 medium; the stream now
+    rebuilds from the doc store instead of reaching this path)."""
+    import warnings
+
     parts = table_name.split(".")
-    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    # both segments lowercased: Spark stores managed-table paths from the
+    # lowercased identifier, so an uppercase DB segment must not make the
+    # reclamation silently miss the real dir (ADVICE r8)
+    db = parts[-2].lower() if len(parts) > 1 else spark.catalog.currentDatabase()
     tbl = parts[-1].lower()
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     loc = f"{warehouse}/{tbl}" if db == "default" else f"{warehouse}/{db}.db/{tbl}"
@@ -173,8 +204,10 @@ def _clear_stranded_location(spark: SparkSession, table_name: str) -> None:
     if not fs.exists(path):
         return
     try:
-        existing_cols = set(spark.read.parquet(loc).columns)
+        existing = spark.read.parquet(loc)
+        existing_cols = set(existing.columns)
     except Exception:
+        existing = None
         existing_cols = None  # unreadable → stranded crash garbage
     if existing_cols is not None and existing_cols != _BANDED_COLUMNS:
         raise ValueError(
@@ -182,6 +215,16 @@ def _clear_stranded_location(spark: SparkSession, table_name: str) -> None:
             f"session catalog, and holds NON-index data (columns "
             f"{sorted(existing_cols)}): refusing to delete it. Remove the "
             "directory manually or pick a different index table name."
+        )
+    if existing is not None and not existing.isEmpty():
+        warnings.warn(
+            f"build_index is overwriting a readable, non-empty banded LSH "
+            f"index at {loc!r} left by a previous session (the current "
+            "session's catalog does not know the table). If this index "
+            "should have been REUSED rather than rebuilt, recover it by "
+            "rebuilding from the document store — see "
+            "run_incremental_dedup_stream's restart bootstrap.",
+            stacklevel=3,
         )
     fs.delete(path, True)
 
@@ -199,11 +242,16 @@ def _write_banded(
         .sortBy("band", "bucket")
         .saveAsTable(table_name)
     )
-    if mode == "overwrite":
-        spark.sql(
-            f"ALTER TABLE {table_name} SET TBLPROPERTIES "
-            f"('{_SPEC_PROP}'='{_spec_json(spec)}')"
-        )
+    # overwrite: pin unconditionally. append: pin only when absent — an
+    # append on a fresh name bootstraps the table (sanctioned flow), and
+    # without the pin every later mismatched-spec probe would pass
+    # _check_spec silently, the exact bug class the pin exists to catch
+    # (ADVICE r8). An append on an EXISTING unpinned table (pre-property
+    # index) is pinned with the caller's spec too: _check_spec accepted
+    # it, so the caller's spec is the best available statement of the
+    # layout, and pinning it stops a THIRD spec from joining the mix.
+    if mode == "overwrite" or _stored_spec(spark, table_name) is None:
+        _pin_spec(spark, table_name, spec)
 
 
 def build_index(

@@ -47,6 +47,49 @@ from cassandra_analytics_spark.operators.dedup_index import (
 )
 
 
+def _latest_store_texts(
+    spark, doc_store: str, id_col: str, text_col: str
+) -> DataFrame | None:
+    """Latest text per document id from the per-batch doc store, or None
+    when the store has no batch dirs yet.
+
+    mergeSchema=true: a store whose OLD dirs predate the ``__batch_id``
+    stamp must still surface the column for the new dirs — the default
+    single-file schema sample would either hide it (losing latest-wins)
+    or read old rows' texts as the winners of an all-NULL max_by group,
+    silently dropping pre-upgrade documents from the confirm
+    (/code-review r7).
+    """
+    if not (
+        os.path.isdir(doc_store)
+        and any(d.startswith("batch-") for d in os.listdir(doc_store))
+    ):
+        return None
+    stored = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(doc_store, "batch-*")
+    )
+    if "__batch_id" not in stored.columns:
+        # store written entirely before the __batch_id stamp: keep the
+        # old (arbitrary-on-conflict) behavior
+        return stored.select(id_col, text_col)
+    # A doc re-ingested with changed content exists in SEVERAL batch
+    # dirs; the confirm must use the LATEST text or pair scores flicker
+    # depending on which copy dropDuplicates kept. Latest-batch-wins is
+    # deterministic: ids are unique within a dir (collapsed at ingest)
+    # so (id, __batch_id) is unique across the store. coalesce(-1):
+    # pre-upgrade dirs read __batch_id as NULL, which max_by would
+    # IGNORE — an all-NULL group returns NULL text; -1 ranks old copies
+    # below every stamped batch while keeping them readable. The text
+    # itself is the struct's second key so several pre-upgrade dirs
+    # carrying DIFFERENT texts for one id collapse to the repo's
+    # greatest-text-wins convention instead of task order (ADVICE r8).
+    rank = F.struct(
+        F.coalesce(F.col("__batch_id"), F.lit(-1)).alias("b"),
+        F.col(text_col).alias("t"),
+    )
+    return stored.groupBy(id_col).agg(F.max_by(text_col, rank).alias(text_col))
+
+
 def run_incremental_dedup_stream(
     stream: DataFrame,
     index_table: str,
@@ -76,12 +119,26 @@ def run_incremental_dedup_stream(
     # starts — never inside the (retried) foreachBatch body, where a
     # failure between location creation and catalog registration would
     # strand an orphan warehouse dir and fail every retry.
+    #
+    # RESTART in a new process (ADVICE r8 medium): the default in-memory
+    # catalog forgets the index table when the old session dies, but the
+    # doc store and checkpoint persist — so "catalog lacks the table but
+    # the doc store has batches" means a restart, NOT a fresh stream.
+    # Bootstrapping EMPTY here would combine with the checkpoint (which
+    # skips reprocessing) so post-restart docs are never compared against
+    # the pre-restart corpus: pairs silently missed, forever. Instead the
+    # index is REBUILT from the doc store's latest text per id — exactly
+    # the corpus the one-shot Kappa twin would index (stale signatures of
+    # re-ingested docs in the lost index only ever produced candidates
+    # the latest-text confirm pruned, so the rebuild changes no results).
     boot = stream.sparkSession
     if not boot.catalog.tableExists(index_table):
-        build_index(
-            boot.createDataFrame([], stream.select(id_col, text_col).schema),
-            index_table, spec, id_col, text_col,
-        )
+        corpus = _latest_store_texts(boot, doc_store, id_col, text_col)
+        if corpus is None:
+            corpus = boot.createDataFrame(
+                [], stream.select(id_col, text_col).schema
+            )
+        build_index(corpus, index_table, spec, id_col, text_col)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -99,38 +156,8 @@ def run_incremental_dedup_stream(
         )
         if batch.isEmpty():
             return
-        if os.path.isdir(doc_store) and any(
-            d.startswith("batch-") for d in os.listdir(doc_store)
-        ):
-            # mergeSchema=true: a store whose OLD dirs predate the
-            # __batch_id stamp must still surface the column for the new
-            # dirs — the default single-file schema sample would either
-            # hide it (losing latest-wins) or read old rows' texts as
-            # the winners of an all-NULL max_by group, silently dropping
-            # pre-upgrade documents from the confirm (/code-review r7)
-            stored = spark.read.option("mergeSchema", "true").parquet(
-                os.path.join(doc_store, "batch-*")
-            )
-            if "__batch_id" in stored.columns:
-                # A doc re-ingested with changed content exists in SEVERAL
-                # batch dirs; the confirm must use the LATEST text or pair
-                # scores flicker depending on which copy dropDuplicates
-                # kept. Latest-batch-wins is deterministic: ids are unique
-                # within a dir (collapsed above) so (id, __batch_id) is
-                # unique across the store. coalesce(-1): pre-upgrade dirs
-                # read __batch_id as NULL, which max_by would IGNORE —
-                # an all-NULL group returns NULL text; -1 ranks old copies
-                # below every stamped batch while keeping them readable.
-                texts = stored.groupBy(id_col).agg(
-                    F.max_by(
-                        text_col, F.coalesce(F.col("__batch_id"), F.lit(-1))
-                    ).alias(text_col)
-                )
-            else:
-                # store written entirely before the __batch_id stamp:
-                # keep the old (arbitrary-on-conflict) behavior
-                texts = stored.select(id_col, text_col)
-        else:
+        texts = _latest_store_texts(spark, doc_store, id_col, text_col)
+        if texts is None:
             texts = spark.createDataFrame([], batch.schema)
         confirmed = ingest_batch(
             spark, index_table, batch, texts, spec, threshold, id_col, text_col

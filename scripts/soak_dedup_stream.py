@@ -89,7 +89,6 @@ def main() -> int:
         if b % 4 == 1:
             # in-batch duplicate id with two texts (greatest must win)
             i = 100 * b
-            t2 = max(latest[i], f"{base} dupe {b}")
             rows.append(doc(i, f"{base} dupe {b}"))
             latest[i] = max(latest[i], f"{base} dupe {b}")
         rows_per_batch.append(rows)
@@ -146,10 +145,12 @@ def main() -> int:
     # final when the pair was last evaluable must be present with the
     # same score. Simplest robust check: one-shot pairs among docs never
     # re-ingested must match exactly.
-    reingested = {i for i in latest if any(
-        r.doc_id == i for b2, rows in enumerate(rows_per_batch)
-        for r in rows) and sum(
-        1 for rows in rows_per_batch for r in rows if r.doc_id == i) > 1}
+    from collections import Counter
+
+    id_counts = Counter(
+        r.doc_id for rows in rows_per_batch for r in rows
+    )
+    reingested = {i for i, n in id_counts.items() if n > 1}
     stable_want = {k: v for k, v in want.items()
                    if k[0] not in reingested and k[1] not in reingested}
     stable_got = {k: v for k, v in got.items()

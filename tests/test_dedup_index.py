@@ -516,3 +516,92 @@ def test_ingest_batch_replay_is_idempotent(spark):
     }
     assert {(1, 20), (10, 20), (11, 20)} <= nxt_pairs
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_append_bootstrap_pins_spec(spark):
+    """ADVICE r8 low: an index bootstrapped via append_to_index on a
+    missing table (a sanctioned flow) must still get the cas.lsh.spec
+    pin — otherwise every later mismatched-spec probe passes _check_spec
+    silently, the exact bug class the pin exists to catch."""
+    table = "lsh_idx_append_boot"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    docs = spark.createDataFrame([_doc(1, "text for the index " * 3)])
+    append_to_index(docs, table, SPEC)
+
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    assert "cas.lsh.spec" in {r["key"] for r in rows}
+
+    other = LshIndexSpec(num_hashes=16, bands=8, shingle_n=3, num_buckets=4)
+    probe = spark.createDataFrame([_doc(2, "probe text " * 3)])
+    with pytest.raises(ValueError, match="LshIndexSpec mismatch"):
+        incremental_candidates(spark, table, probe, other)
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_overwriting_stranded_nonempty_index_warns(spark):
+    """ADVICE r8: deleting a readable, NON-empty banded index on the
+    strength of one session's catalog amnesia must at least be loud — a
+    prior session's intact corpus index is indistinguishable from crash
+    garbage here."""
+    import os
+    import shutil
+    import warnings
+
+    table = "lsh_idx_warn_overwrite"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    docs = spark.createDataFrame([_doc(1, "some corpus text " * 3)])
+    build_index(docs, table, SPEC)
+    # simulate a new process: stash the dir, drop the table, restore
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, table)
+    shutil.copytree(loc, loc + ".stash")
+    spark.sql(f"DROP TABLE {table}")
+    shutil.move(loc + ".stash", loc)
+
+    with pytest.warns(UserWarning, match="non-empty banded LSH"):
+        build_index(docs, table, SPEC)
+    assert spark.table(table).count() > 0
+
+    # an EMPTY stranded index (crash before any rows landed) reclaims
+    # silently — nothing of value is lost
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    spark.sql(f"DROP TABLE {table}")
+    build_index(empty, table, SPEC)
+    shutil.copytree(loc, loc + ".stash")
+    spark.sql(f"DROP TABLE {table}")
+    shutil.move(loc + ".stash", loc)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        build_index(empty, table, SPEC)
+    assert not [w for w in caught if issubclass(w.category, UserWarning)]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_mixed_case_db_reclaims_and_pins(spark):
+    """ADVICE r8 low: identifier handling — a db-qualified, mixed-case
+    table name must derive the SAME warehouse path Spark writes
+    (lowercased segments) for stranded-location reclamation, and the
+    generated SHOW/ALTER SQL must quote the parts."""
+    import os
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS LshCaseDb")
+    table = "LshCaseDb.IdxMixed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    docs = spark.createDataFrame([_doc(1, "mixed case db text " * 3)])
+    build_index(docs, table, SPEC)
+    probe = spark.createDataFrame([_doc(2, "mixed case db text " * 3 + "x")])
+    assert incremental_candidates(spark, table, probe, SPEC).count() >= 0
+
+    # strand it, then rebuild: path derivation must hit the real dir
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, "lshcasedb.db", "idxmixed")
+    assert os.path.isdir(loc), "test premise: Spark lowercases the path"
+    shutil.copytree(loc, loc + ".stash")
+    spark.sql(f"DROP TABLE {table}")
+    shutil.move(loc + ".stash", loc)
+    with pytest.warns(UserWarning, match="non-empty banded LSH"):
+        build_index(docs, table, SPEC)
+    assert spark.table(table).count() > 0
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql("DROP DATABASE LshCaseDb")
