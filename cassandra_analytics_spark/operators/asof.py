@@ -83,16 +83,15 @@ def asof_join(
     # duplicate the shuffle happened to order last — nondeterministic
     # output across runs. Ordering the carried struct ascending makes
     # the GREATEST value tuple win (the same convention as the LWW
-    # merge's equal-writetime tiebreak). Only orderable payloads can
-    # join the sort (maps are not comparable in Spark) — with a
-    # non-orderable carried column the duplicate-right edge stays
-    # nondeterministic, the same bounded exception compaction_merge
-    # documents.
-    from cassandra_analytics_spark.operators.merge import orderable_type
+    # merge's equal-writetime tiebreak). Map-typed carried columns join
+    # the sort via their canonical sorted-entries projection
+    # (merge.order_key_expr); only payloads with no canonical order at
+    # all (Variant, CalendarInterval) leave the duplicate-right edge
+    # nondeterministic.
+    from cassandra_analytics_spark.operators.merge import order_key_expr
 
-    tiebreak = (
-        [F.col("__r").asc_nulls_first()] if orderable_type(struct_dtype) else []
-    )
+    r_key = order_key_expr(F.col("__r"), struct_dtype)
+    tiebreak = [r_key.asc_nulls_first()] if r_key is not None else []
     if direction == "backward":
         # right rows sort before left at equal ts → match is <=
         w = (

@@ -67,12 +67,14 @@ def cell_pivot(
     # reference inherits it via the SSTable merge) and the repo's LWW
     # tiebreak convention (merge.py, asof.py) — a bare max_by(value,
     # writetime) keeps whichever tied cell a task saw first (round-7
-    # hostile pass). Unorderable value types keep the writetime-only
-    # ordering (the merge.py-documented exception).
-    from cassandra_analytics_spark.operators.merge import orderable_type
+    # hostile pass). Map-typed values tiebreak via their canonical
+    # sorted-entries projection (merge.order_key_expr); only values with
+    # no canonical order keep the writetime-only ordering.
+    from cassandra_analytics_spark.operators.merge import order_key_expr
 
-    if orderable_type(cells.schema[value_col].dataType):
-        order = F.struct(F.col(writetime_col), F.col(value_col))
+    vkey = order_key_expr(F.col(value_col), cells.schema[value_col].dataType)
+    if vkey is not None:
+        order = F.struct(F.col(writetime_col), vkey)
     else:
         order = F.col(writetime_col)
     pivoted = (

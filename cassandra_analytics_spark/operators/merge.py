@@ -73,6 +73,67 @@ def orderable_type(dtype) -> bool:
     return isinstance(dtype, orderable_atoms + char_types)
 
 
+def _canonical_builder(dtype):
+    """A function Column -> orderable Column for ``dtype``, or None when
+    some nested part cannot be canonically ordered (Variant,
+    CalendarInterval). Orderable types project to themselves; a MAP
+    projects to its entry array sorted by key — map keys are unique and
+    the projection is injective, so equal maps always project equal and
+    distinct maps take one deterministic relative order regardless of
+    insertion/task order."""
+    from pyspark.sql import types as T
+
+    if orderable_type(dtype):
+        return lambda c: c
+    if isinstance(dtype, T.MapType):
+        fk = _canonical_builder(dtype.keyType)
+        fv = _canonical_builder(dtype.valueType)
+        if fk is None or fv is None:
+            return None
+        return lambda c: F.array_sort(
+            F.transform(
+                F.map_entries(c),
+                lambda e: F.struct(
+                    fk(e["key"]).alias("k"), fv(e["value"]).alias("v")
+                ),
+            )
+        )
+    if isinstance(dtype, T.ArrayType):
+        fe = _canonical_builder(dtype.elementType)
+        if fe is None:
+            return None
+        return lambda c: F.transform(c, fe)
+    if isinstance(dtype, T.StructType):
+        fs = [(f.name, _canonical_builder(f.dataType)) for f in dtype.fields]
+        if any(f is None for _, f in fs):
+            return None
+        # the when() guard keeps a NULL struct projecting to NULL (not a
+        # struct of NULL fields), preserving callers' nulls_first/last
+        # placement of whole-missing values
+        return lambda c: F.when(
+            c.isNotNull(), F.struct(*[f(c[n]).alias(n) for n, f in fs])
+        )
+    return None
+
+
+def order_key_expr(col: Column, dtype) -> Column | None:
+    """A deterministically ORDERABLE projection of ``col``, or None when
+    the type cannot be canonically ordered.
+
+    Closes the map-payload determinism exception (VERDICT r7 what's-
+    missing #3): Spark cannot compare maps directly, so map-typed columns
+    used to fall out of every LWW/as-of/static tiebreak — the one
+    remaining "same input, two possible outputs" surface. Sorting
+    ``map_entries`` by key yields a comparable array<struct> stand-in.
+    The resulting order is NOT Cassandra's serialized-bytes comparator
+    (COVERAGE.md documents that approximation for orderable types too);
+    tiebreaks only need SOME total order applied consistently. Nested
+    maps (inside arrays, structs, or other maps' values) canonicalize
+    recursively."""
+    f = _canonical_builder(dtype)
+    return None if f is None else f(col)
+
+
 def _full_window(keys: Sequence[str]) -> Window:
     """Unbounded window over the whole key group (for per-group constants)."""
     return (
@@ -197,9 +258,9 @@ def compaction_merge(
         )
 
     # (4) LWW winner per key; ties broken by the value tuple descending.
-    # Only orderable types participate in the tiebreak (see
-    # :func:`orderable_type`).
-    _orderable = orderable_type
+    # Map-typed columns join the tiebreak via their canonical sorted-
+    # entries projection (see :func:`order_key_expr`); only types with no
+    # canonical order at all (Variant, CalendarInterval) are skipped.
     dtypes = {f.name: f.dataType for f in df.schema.fields}
 
     if cell_lww:
@@ -219,9 +280,10 @@ def compaction_merge(
         # lateral-alias analysis, and plain columns keep codegen simple.
         for c in value_cols:
             valid = F.col(c).isNotNull() & ~_cell_shadow(c)
-            if _orderable(dtypes[c]):
+            key = order_key_expr(F.col(c), dtypes[c])
+            if key is not None:
                 order_key = F.when(
-                    valid, F.struct(wt.alias("__wt"), F.col(c).alias("__v"))
+                    valid, F.struct(wt.alias("__wt"), key.alias("__v"))
                 )
             else:
                 order_key = F.when(valid, F.struct(wt.alias("__wt")))
@@ -247,7 +309,10 @@ def compaction_merge(
         return data.groupBy(*keys).agg(*aggs)
 
     order = [wt.desc()] + [
-        F.col(c).desc_nulls_last() for c in value_cols if _orderable(dtypes[c])
+        key.desc_nulls_last()
+        for c in value_cols
+        for key in (order_key_expr(F.col(c), dtypes[c]),)
+        if key is not None
     ]
     data = data.withColumn(
         "__rn", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
@@ -327,15 +392,19 @@ def propagate_static_columns(
     violate that (divergent replicas before a merge), ``max`` picks the
     greatest value DETERMINISTICALLY (the LWW tiebreak convention) where
     ``first(ignorenulls)`` kept whichever value a task saw first
-    (round-7 hostile pass). Unorderable static types (maps) keep the
-    first(ignorenulls) path — the same bounded exception the merge
-    documents."""
+    (round-7 hostile pass). Map-typed statics resolve by the canonical
+    sorted-entries order (``max_by`` on :func:`order_key_expr` — null
+    keys are skipped, so null-where-never-set is preserved); only types
+    with no canonical order keep the first(ignorenulls) path."""
     w = _full_window(partition_keys)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     out = df
     for c in static_cols:
+        key = order_key_expr(F.col(c), dtypes[c])
         if orderable_type(dtypes[c]):
             out = out.withColumn(c, F.max(F.col(c)).over(w))
+        elif key is not None:
+            out = out.withColumn(c, F.max_by(F.col(c), key).over(w))
         else:
             out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
     return out

@@ -50,7 +50,7 @@ from cassandra_analytics_spark.operators.merge import (
     TTL,
     WRITETIME,
     compaction_merge,
-    orderable_type,
+    order_key_expr,
 )
 from cassandra_analytics_spark.schema import CqlTable
 
@@ -282,20 +282,21 @@ def _prepare_batch_df(
     # this LWW format) still serialize in ONE deterministic order across
     # task attempts: the bundle transport's retry safety relies on
     # byte-identical re-execution, and a key-only sort leaves version
-    # order to shuffle-fetch timing. Non-orderable columns (maps) cannot
-    # join the sort — rows distinguished ONLY by a map value may still
-    # swap order across attempts, the same bounded exception
-    # compaction_merge's tiebreak documents.
+    # order to shuffle-fetch timing. Map-typed columns join the sort via
+    # their canonical sorted-entries projection (merge.order_key_expr);
+    # only columns with no canonical order at all are skipped — rows
+    # distinguished ONLY by such a value may still swap order across
+    # attempts (the remaining bounded exception).
     out = out.withColumn("__token", token_column(*[F.col(k) for k in partition_keys]))
     n = num_partitions or out.sparkSession.sparkContext.defaultParallelism
     tiebreakers = [c for c in (WRITETIME, TTL, TOMBSTONE) if c in out.columns]
     sorted_so_far = {"__token", *partition_keys, *required_ck, *tiebreakers}
     value_tiebreakers = [
-        f.name
+        key
         for f in out.schema.fields
-        if f.name not in sorted_so_far
-        and not f.name.startswith("__")
-        and orderable_type(f.dataType)
+        if f.name not in sorted_so_far and not f.name.startswith("__")
+        for key in (order_key_expr(F.col(f.name), f.dataType),)
+        if key is not None
     ]
     out = out.repartitionByRange(n, F.col("__token")).sortWithinPartitions(
         "__token", *partition_keys, *required_ck, *tiebreakers, *value_tiebreakers
