@@ -110,7 +110,23 @@ def query_ivf_index(
 ) -> DataFrame:
     """Top-k over the ``num_probes`` nearest cells only — the ``cell``
     filter is a partition-column predicate, so Spark reads just those
-    directories (partition pruning; no corpus scan)."""
+    directories (partition pruning; no corpus scan).
+
+    RECALL ENVELOPE (measured, scripts/measure_ann_recall.py, PERF.md
+    round 8): on the driver's near-random isotropic fixture recall
+    tracks the probed corpus fraction — probes/16 of the corpus read
+    gives mean recall@20 of 0.18 / 0.31 / 0.47-0.49 / 0.71-0.74 / 1.0 at
+    p = 1 / 2 / 4 / 8 / 16 (consistent at sf0.01 and sf0.1; ~1.4-2.8x
+    the random-sampling baseline, so the centroid structure helps even
+    without clusters, but cannot beat the curse of dimensionality on
+    unclustered data). IVF's real win requires CLUSTERED embeddings,
+    where neighbors co-locate in few cells. Steering: probing every cell
+    (``num_probes = num_centroids``) is exact (recall 1.0, pinned by
+    test) and still partition-parallel; below ~10^6 vectors prefer
+    :func:`~cassandra_analytics_spark.operators.similarity.
+    brute_force_topk` — one scan of a corpus that small costs less than
+    index maintenance. Raise ``num_probes`` (not centroid count) first
+    when recall matters more than scan cost."""
     centroids = [
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()
@@ -141,7 +157,14 @@ def query_ann_index(
 ) -> DataFrame:
     """Top-k within the query's bucket (+ buckets within ``probe_hamming``
     bit flips — multiprobe). The ``sig`` filter is a partition-column
-    predicate, so only those directories are read."""
+    predicate, so only those directories are read.
+
+    Recall envelope (measured alongside IVF's — see
+    :func:`query_ivf_index` and PERF.md round 8): mean recall@20 of
+    0.09 / 0.26-0.28 / 0.53-0.57 at hamming radius 0 / 1 / 2 with 6
+    planes on the near-random fixture — same probed-fraction story. For
+    exhaustive-accurate search use ``probe_hamming = num_planes`` (all
+    buckets) or brute_force_topk."""
     qsig = _signature_of(query_vec, num_planes, seed)
     # true multiprobe: every bucket within probe_hamming bit flips of the
     # query signature (a 1-flip-only loop silently capped the radius —

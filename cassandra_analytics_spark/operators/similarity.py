@@ -285,6 +285,11 @@ def ivf_topk(
     At scale the assignment is precomputed once and used as a partition
     column, turning the probe into partition pruning
     (:func:`cassandra_analytics_spark.operators.ann_index.build_ivf_index`).
+
+    Recall scales with the probed corpus fraction on unclustered data —
+    the measured envelope and the when-to-brute-force steering live on
+    :func:`cassandra_analytics_spark.operators.ann_index.query_ivf_index`
+    (same cells, same math) and PERF.md round 8.
     """
     centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
     if not centroids:

@@ -111,3 +111,51 @@ def test_empty_corpus_index_builds_and_queries(spark, tmp_path):
     build_ivf_index(empty, ivf_path)
     got = query_ivf_index(spark, ivf_path, [0.0, 1.0, 0.0], k=5)
     assert got.count() == 0
+
+
+def test_ivf_recall_envelope_pinned(spark, tmp_path):
+    """VERDICT r7 item 4: the measured recall-vs-probes envelope
+    (scripts/measure_ann_recall.py, PERF.md round 8), pinned on fixed
+    query vectors so a regression in centroid sampling, cell assignment,
+    or probe selection shows up as a recall drop:
+
+    - probe-ALL is EXACT: num_probes == num_centroids must reproduce
+      brute-force top-k identically (1.0, not approximately);
+    - the curve is monotone in probes for these fixed queries;
+    - the floor at 8/16 probes stays above the measured min (0.45 at
+      sf0.01/sf0.1; asserted at 0.4 for headroom on this fixture).
+    """
+    from cassandra_analytics_spark.catalog import load_table
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    k = 20
+    queries = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.orderBy("vec_id").limit(10).collect()
+    ]
+    path = str(tmp_path / "ivf_env")
+    build_ivf_index(emb, path, num_centroids=16)
+
+    def recalls(p: int) -> list[float]:
+        out = []
+        for qid, vec in queries:
+            exact = {r.vec_id for r in brute_force_topk(emb, vec, k=k).collect()}
+            got = {
+                r.vec_id
+                for r in query_ivf_index(spark, path, vec, k=k, num_probes=p).collect()
+            }
+            out.append(len(got & exact) / k)
+        return out
+
+    r1, r8, r16 = recalls(1), recalls(8), recalls(16)
+    assert all(r == 1.0 for r in r16), "probe-all must be exact"
+    assert min(r8) >= 0.4, f"8/16-probe floor regressed: {min(r8)}"
+    assert sum(r8) / len(r8) >= sum(r1) / len(r1)
+    emb.unpersist()
