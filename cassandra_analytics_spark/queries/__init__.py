@@ -43,75 +43,69 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 
 
 # The round driver verifies the FIRST ~50 registry entries per round
-# (CORRECTNESS_r0{4,5,6}.json are each exactly the first 50 in
+# (CORRECTNESS_r0{4,5,6,7}.json are each exactly the first 50 in
 # registration order). To get every query a driver row across rounds,
-# each round front-loads the names that most need one. Round-7 priority
-# (VERDICT r6 items 2+4): (1) the three NEW bounded-verdict sketch
-# oracles — upgrades for rows-only entries, now hash-matchable; (2)
-# queries whose implementation was touched this round (simhash radius
-# widening, cell-pivot tie rule, the ADVICE r6 fixes); (3) the 38 names
-# whose newest driver evidence is r4 — after this round no query's
-# newest row is older than r5; (4) the r5-evidenced streaming queries,
-# led by the one the round-7 streaming adversarial pass changed
-# (positions 48-52; the last two fall past the 50-row window and stay
-# r5-proved — the trade for fresh rows on touched code).
+# each round front-loads the names that most need one. Round-8 priority
+# (VERDICT r7 item 1): (1) the queries whose implementation round 8
+# touched — the map-payload canonical tiebreak (merge / asof /
+# cell_pivot / bulk-writer sort) and the dedup-index restart-recovery +
+# spec-pin fixes; (2) the 40 names whose newest driver evidence is r5
+# (computed by CORRECTNESS_r05-07 set difference). 10 + 40 = exactly
+# the 50-row window; after this round no query's newest driver row is
+# older than r6.
 _ROUND_PRIORITY: list[str] = [
-    # --- (1) new this round: bounded-verdict sketch oracles ---
-    "agg_approx_distinct_bounded",
-    "agg_approx_quantile_bounded",
-    "agg_hll_sketch_union_bounded",
-    # --- (2) implementation touched this round ---
-    "dedup_simhash_confirmed",       # radius 10 -> 14, oracle-exact at sf0.1 too
-    "cell_pivot_roundtrip",          # writetime-tie greatest-value-wins
-    "embedding_near_dup_confirmed",  # empty-table dim probe guard
-    "bulk_write_roundtrip",          # orderable-type tiebreak selection
-    "bundle_write_restore",          # task-error unwrap truncation fix
-    "coordinated_write_roundtrip",   # rides the same restore path
-    # --- (3) stale: newest driver evidence r4 ---
-    "partition_size_orders",
-    "lmt_last_modified",
-    "token_range_histogram",
-    "dedup_fingerprint_md5",
-    "corpus_budget_select",
-    "pack_training_chunks",
-    "training_data_pipeline",
-    "stratified_sample_langs",
-    "static_column_propagation",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "embedding_label_norms",
-    "lang_id_heuristic",
-    "text_token_stats",
-    "text_quality_features",
-    "text_bpe_tokens",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "join_semi_open_orders",
-    "join_anti_no_orders",
-    "join_cross_region_status",
-    "join_full_outer_nation_counts",
-    "setop_except_customers",
-    "setop_intersect_customers",
-    "setop_union_segments",
-    "agg_cube_status",
-    "agg_distinct_suppliers",
-    "agg_rollup_orders_time",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_hll_sketch_union",
-    "sql_grouping_sets",
-    "scalar_string_funcs",
-    "window_lag_order_gap",
-    "window_moving_avg",
-    "window_running_revenue",
-    "window_topk_orders_per_customer",
-    # --- (4) streaming layer, freshened by the r7 adversarial pass ---
-    "streaming_incremental_dedup",
-    "streaming_dedup_union",
-    "streaming_hourly_stats",
-    "streaming_sessionize",
+    # --- (1) implementation touched this round ---
+    "lww_latest_events",             # row-LWW tiebreak via order_key_expr
+    "lww_partial_upsert",            # cell-LWW tiebreak via order_key_expr
+    "cell_pivot_roundtrip",          # writetime-tie key via order_key_expr
+    "asof_purchase_click",           # duplicate-right tiebreak projection
+    "static_column_propagation",     # max_by(canonical key) for maps
+    "bulk_write_roundtrip",          # value-column sort via order_key_expr
+    "bundle_write_restore",          # rides the same writer sort
+    "coordinated_write_roundtrip",   # rides the same writer sort
+    "streaming_incremental_dedup",   # restart bootstrap rebuilds from store
+    "dedup_incremental_lsh_confirmed",  # spec pin on append-bootstrap
+    # --- (2) stale: newest driver evidence r5 ---
+    "acctbal_width_buckets",
+    "agg_median_percentiles",
+    "array_agg_sorted",
+    "array_function_suite",
+    "bool_aggs",
+    "conditional_agg_filter",
+    "dedup_incremental_lsh",
+    "dedup_incremental_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_hourly_stats",
+    "events_json_extract",
+    "events_json_struct",
+    "explode_embeddings",
+    "map_entry_extraction",
+    "null_handling_funcs",
+    "pack_greedy_bins",
+    "pivot_returnflag_status",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "stat_moments_lineitem",
+    "stratified_hash_sample_langs",
     "streaming_interval_join",
+    "streaming_sessionize",
+    "unpivot_segment_metrics",
+    "window_percent_rank",
+    "window_range_frame_revenue",
+    "window_ranking_functions",
 ]
 
 
