@@ -97,6 +97,7 @@ def distributed_cumsum(
             F.count(F.lit(1)).alias("__n"),
             F.count(order_col).alias("__nn"),  # non-null order keys
             F.countDistinct(order_col).alias("__nd"),
+            F.count(value_col).alias("__nv"),  # non-null values
         )
         .orderBy("__pid")
         .collect()
@@ -107,6 +108,16 @@ def distributed_cumsum(
         raise ValueError(
             f"distributed_cumsum: order_col {order_col!r} contains NULLs — "
             "rows without an ordering key have no position in the prefix sum"
+        )
+    if any(r["__n"] != r["__nv"] for r in totals):
+        # sum() skips NULLs, so a NULL value would poison ONLY its own
+        # row's cumsum (NULL out) while silently shifting nothing else —
+        # the worst kind of partial corruption; refuse loudly instead
+        # (round-8 hostile pass; same O(#partitions) collect, no new job)
+        raise ValueError(
+            f"distributed_cumsum: value_col {value_col!r} contains NULLs — "
+            "a prefix sum over NULL addends is undefined; filter or "
+            "coalesce them first"
         )
     if any(r["__nn"] != r["__nd"] for r in totals):
         raise ValueError(
@@ -141,12 +152,14 @@ def chunk_layout(
     non-positive length are dropped (they occupy no tokens).
     """
     order_col = order_col or id_col
+    budget = int(budget)
+    if budget <= 0:
+        raise ValueError(f"chunk_layout: budget must be positive, got {budget}")
     d = df.filter(F.col(len_col) > 0)
     d = distributed_cumsum(d, order_col, len_col, "__end_excl")
     # Offsets are nonnegative longs, so integer `div` == floor division.
     # Plain `/` would be DOUBLE division, which loses exactness past 2^53
     # — the DuckDB oracle uses integer `//`, so stay in long math.
-    budget = int(budget)
     d = d.select(
         F.col(id_col),
         F.col(len_col),
@@ -196,6 +209,20 @@ def pack_greedy(
     parallelism for the scan-heavy step.
     """
     import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if int(budget) <= 0:
+        raise ValueError(f"pack_greedy: budget must be positive, got {budget}")
+    # the schema casts doc_id to long; a non-numeric id column would cast
+    # to NULL and silently corrupt the packing order (round-8 pass)
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise ValueError(
+            f"pack_greedy: id_col {id_col!r} must be numeric (got "
+            f"{id_type.simpleString()}) — string ids would cast to NULL; "
+            "derive a numeric surrogate (e.g. xxhash64) first"
+        )
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

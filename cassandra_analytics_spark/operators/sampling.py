@@ -41,10 +41,22 @@ def hash_split(
 
     Pure projection — no shuffle, no RNG state; the assignment of a row
     depends only on its id, so incremental ingests and re-runs agree.
+
+    A NULL id gets a NULL split — previously SQL null semantics silently
+    routed it to 'test' (``when(NULL < 80)`` falls through every branch),
+    which LOOKS like an assignment but is an accident; NULL makes the
+    broken id visible to the caller (round-8 hostile pass). Percent
+    arguments are validated: train+val must fit inside 100.
     """
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"hash_split: need 0 <= train_pct, val_pct and "
+            f"train_pct + val_pct <= 100, got {train_pct} + {val_pct}"
+        )
     b = hash_bucket(id_col)
     split = (
-        F.when(b < train_pct, F.lit("train"))
+        F.when(b.isNull(), F.lit(None).cast("string"))
+        .when(b < train_pct, F.lit("train"))
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
@@ -82,6 +94,11 @@ def stratified_hash_sample(
     """
     import math
 
+    bad = {s: f for s, f in fractions.items() if not 0.0 <= f <= 1.0}
+    if bad:
+        raise ValueError(
+            f"stratified_hash_sample: fractions must be in [0, 1], got {bad}"
+        )
     b = hash_bucket(id_col)
     keep = F.lit(False)
     for stratum, frac in sorted(fractions.items()):

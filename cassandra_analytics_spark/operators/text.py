@@ -26,9 +26,14 @@ BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count; 0 for empty/blank text."""
+    """Whitespace token count; 0 for empty/blank/NULL text.
+
+    NULL text counts as empty (0), not NULL — the text layer's uniform
+    convention (round-8 hostile pass: a NULL doc used to yield a NULL
+    count here, a dropped row in repetition_stats, and a 0.0 in
+    quality_features — three different answers to one question)."""
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
+    trimmed = F.trim(F.coalesce(c, F.lit("")))
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, TOKEN_PATTERN))
     )
@@ -36,9 +41,13 @@ def token_count(col: Column | str) -> Column:
 
 def bpe_token_count(col: Column | str) -> Column:
     """Sub-word-ish token count via a BPE-style regex (letters / digit runs /
-    single punctuation)."""
+    single punctuation). NULL text counts as empty (0)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+        )
+    )
 
 
 def punct_count(col: Column | str) -> Column:
@@ -48,8 +57,12 @@ def punct_count(col: Column | str) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append cheap quality signals: char count, token count, mean token
-    length, punctuation ratio, uppercase ratio, digit ratio."""
-    c = F.col(text_col)
+    length, punctuation ratio, uppercase ratio, digit ratio.
+
+    NULL text is scored as empty text (all features 0) — previously the
+    counts came back NULL while the ratios came back 0.0, an
+    inconsistent mix (round-8 hostile pass)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(c)
     n_tokens = token_count(c)
     return (
@@ -98,10 +111,22 @@ def repetition_stats(
     One explode + one doc-keyed aggregation per granularity (map-side
     combine); every expression stays JVM-side. Ratios divide exact
     integer counts as doubles — engine-exact, oracle-checkable.
+
+    EVERY input document gets a row: a doc whose text is NULL, empty, or
+    normalizes to nothing (punctuation-only) reports ``n_tokens = 0``
+    and 0.0 ratios. Previously such docs either vanished from the output
+    (NULL text) or — worse — counted ONE phantom token (the empty string
+    ``split`` emits), reporting ``n_tokens=1, top_word_ratio=1.0`` and
+    inflating any downstream token-budget sum (round-8 hostile pass).
     """
+    # array_remove drops the "" that split() emits for empty input; a
+    # doc with no real words then contributes no unigram rows
     words = df.select(
         F.col(id_col).alias("id"),
-        F.split(normalized_text(F.col(text_col)), " ").alias("__ws"),
+        F.array_remove(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            "",
+        ).alias("__ws"),
     )
     unigrams = words.select("id", F.explode("__ws").alias("w"))
     wc = unigrams.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -132,18 +157,27 @@ def repetition_stats(
         F.sum(F.col("c") - 1).alias("n_dup_bigrams"),
     )
 
+    # left join from the full id set: wordless docs still get a row
+    all_ids = words.select("id").distinct()
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
     return (
-        per_doc.join(per_doc_bi, "id", "left")
+        all_ids.join(per_doc, "id", "left")
+        .join(per_doc_bi, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (
-                F.col("n_distinct").cast("double")
-                / F.col("n_tokens").cast("double")
-            ).alias("distinct_ratio"),
-            (
-                F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
-            ).alias("top_word_ratio"),
+            n_tok.cast("long").alias("n_tokens"),
+            F.when(
+                n_tok > 0,
+                F.col("n_distinct").cast("double") / n_tok.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("distinct_ratio"),
+            F.when(
+                n_tok > 0,
+                F.col("top_c").cast("double") / n_tok.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_word_ratio"),
             F.when(
                 F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
                 F.col("n_dup_bigrams").cast("double")
@@ -245,11 +279,27 @@ def _per_doc_term_counts(
                 "single word under the corpus normalization rule"
             )
         normed.append(nt)
+    dupes = {t for t in normed if normed.count(t) > 1}
+    if dupes:
+        # two inputs collapsing to one normalized word would silently
+        # DOUBLE that word's contribution to every score (round-8 pass)
+        raise ValueError(
+            f"query terms normalize to duplicates {sorted(dupes)} — "
+            "deduplicate the term list (each would be scored twice)"
+        )
     query_terms = normed
     c_id, c_txt = F.col(id_col), F.col(text_col)
+    # array_remove of the "" that split() emits for empty input: a
+    # wordless doc must not count one phantom token toward its length
+    # (it then has no row here at all — it can't match any term, and
+    # bm25's avglen is documented over word-bearing docs)
     words = df.select(
         c_id.alias("id"),
-        F.explode(F.split(normalized_text(c_txt), " ")).alias("w"),
+        F.explode(
+            F.array_remove(
+                F.split(normalized_text(F.coalesce(c_txt, F.lit(""))), " "), ""
+            )
+        ).alias("w"),
     )
     return words.groupBy("id").agg(
         F.count(F.lit(1)).alias("len"),

@@ -761,9 +761,13 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     words AS (
-        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
-               generate_subscripts(string_split(norm, ' '), 1) AS i
-        FROM norm
+        -- w <> '' mirrors the engine's array_remove of the phantom
+        -- empty token split() emits for wordless docs (round-8 pass)
+        SELECT * FROM (
+            SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+                   generate_subscripts(string_split(norm, ' '), 1) AS i
+            FROM norm
+        ) WHERE w <> ''
     ),
     wc AS (
         SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
@@ -790,16 +794,20 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(c - 1) AS BIGINT) AS n_dup_bigrams
         FROM bc GROUP BY doc_id
     )
-    SELECT p.doc_id,
-           p.n_tokens,
-           CAST(p.n_distinct AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
-               AS distinct_ratio,
-           CAST(p.top_c AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
-               AS top_word_ratio,
+    SELECT n.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN CAST(p.n_distinct AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS distinct_ratio,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN CAST(p.top_c AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS top_word_ratio,
            CASE WHEN COALESCE(b.n_bigrams, 0) > 0
                 THEN CAST(b.n_dup_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
                 ELSE 0.0 END AS dup_bigram_ratio
-    FROM per_doc p LEFT JOIN per_doc_bi b USING (doc_id)
+    FROM norm n
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN per_doc_bi b USING (doc_id)
     """,
     doc="Gopher/C4-style repetition quality signals per document: "
     "distinct-word ratio, top-word share, duplicate-bigram fraction — "

@@ -163,3 +163,36 @@ def test_distributed_cumsum_rejects_null_order_keys_distinctly(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         distributed_cumsum(df, "ord", "n").collect()
+
+
+def test_cumsum_rejects_null_values(spark):
+    """Round-8 hostile pass: sum() skips NULL addends, so a NULL value
+    would NULL only its own row's cumsum while every later offset stays
+    silently unshifted — refuse loudly instead."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.packing import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "k long, v int"
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        distributed_cumsum(df, "k", "v").collect()
+
+
+def test_packing_validates_budget_and_id_type(spark):
+    import pytest
+
+    from cassandra_analytics_spark.operators.packing import (
+        chunk_layout,
+        pack_greedy,
+    )
+
+    num = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget must be positive"):
+        chunk_layout(num, 0)
+    with pytest.raises(ValueError, match="budget must be positive"):
+        pack_greedy(num, -5)
+    strs = spark.createDataFrame([("a", 10)], "doc_id string, n_tokens long")
+    with pytest.raises(ValueError, match="must be numeric"):
+        pack_greedy(strs, 100)

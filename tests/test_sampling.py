@@ -149,3 +149,25 @@ def test_stratified_sample_langs_plan_has_no_driver_jobs(spark):
     all_after = spark._jsc.sc().dagScheduler().nextJobId()
     assert all_after == all_before, "plan construction launched a Spark job"
     assert df.schema is not None
+
+
+def test_hash_split_null_id_and_pct_validation(spark):
+    """Round-8 hostile pass: a NULL id used to fall through every
+    when() branch into 'test' — an accidental assignment; it is now a
+    visible NULL split. Bad percent combos raise."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.sampling import (
+        hash_split,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame([(None,), ("d1",)], "doc_id string")
+    got = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert got[None] is None
+    assert got["d1"] in ("train", "val", "test")
+
+    with pytest.raises(ValueError, match="train_pct"):
+        hash_split(df, train_pct=80, val_pct=30)
+    with pytest.raises(ValueError, match="fractions"):
+        stratified_hash_sample(df, "doc_id", "doc_id", {"x": 1.5})

@@ -198,3 +198,71 @@ def test_scorer_terms_are_normalized_like_the_corpus(spark):
         tfidf_scores(docs, ["two words"]).collect()
     with pytest.raises(ValueError, match="single word"):
         tfidf_scores(docs, ["!!!"]).collect()
+
+
+def test_text_layer_null_and_wordless_docs_uniform(spark):
+    """Round-8 hostile pass: NULL / empty / punctuation-only docs used to
+    get three different answers across the text layer — NULL counts from
+    token_count, a dropped row from repetition_stats (NULL text) or a
+    PHANTOM token (n_tokens=1 for '!!!'), and a NULL/0.0 mix from
+    quality_features. The uniform contract: NULL text is empty text;
+    wordless docs report zero tokens and 0.0 ratios, and every input doc
+    gets a feature row."""
+    from cassandra_analytics_spark.operators.text import (
+        bpe_token_count,
+        quality_features,
+        repetition_stats,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "!!! ..."), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    counts = {
+        r.doc_id: (r.tc, r.bpe)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            bpe_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    assert counts[1] == (0, 0)
+    assert counts[2] == (0, 0)
+    assert counts[3] == (2, 6)  # whitespace tokens vs single-symbol BPE
+    assert counts[4] == (3, 3)
+
+    rep = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert set(rep) == {1, 2, 3, 4}  # every doc gets a row
+    for d in (1, 2, 3):
+        assert rep[d].n_tokens == 0
+        assert rep[d].distinct_ratio == 0.0
+        assert rep[d].top_word_ratio == 0.0
+        assert rep[d].dup_bigram_ratio == 0.0
+    assert rep[4].n_tokens == 3 and rep[4].distinct_ratio == 1.0
+
+    q = {r.doc_id: r for r in quality_features(df).collect()}
+    assert q[1].q_chars == 0 and q[1].q_tokens == 0
+    assert q[1].q_mean_token_len == 0.0 and q[1].q_punct_ratio == 0.0
+
+
+def test_tfidf_rejects_duplicate_terms_and_skips_wordless_docs(spark):
+    import pytest
+
+    from cassandra_analytics_spark.operators.text import (
+        bm25_scores,
+        tfidf_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "!!!"), (3, None), (4, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="duplicates"):
+        tfidf_scores(df, ["alpha", "Alpha!"])  # both normalize to 'alpha'
+
+    # wordless docs contribute no phantom length and can't match
+    got = {r.doc_id for r in tfidf_scores(df, ["alpha"]).collect()}
+    assert got == {1, 4}
+    got = {r.doc_id for r in bm25_scores(df, ["alpha"], fp_scale=10**6).collect()}
+    assert got == {1, 4}
