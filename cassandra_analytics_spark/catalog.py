@@ -53,7 +53,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # FLOOR division nanos→micros: `ts div 1000` truncates toward
+            # zero, which rounds PRE-epoch timestamps the wrong way
+            # (-1500 ns must floor to -2 µs, not -1) — subtracting the
+            # nonnegative pmod remainder makes the div exact, staying in
+            # long math (double division loses exactness past 2^53 ns ≈
+            # 104 days). Post-epoch values are unchanged (round-8 pass).
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             # parquet TIMESTAMP without UTC adjustment → NTZ; normalize to
             # TIMESTAMP (session tz is UTC above, so values are unchanged)

@@ -49,6 +49,14 @@ def select_replicas(
     Replica preference order rotates with the token (the ring walk:
     primary = token mod rf, then successors) so load spreads like the
     reference's ring-aware selection. Pure expression filter — no shuffle.
+
+    Domain contract (round-8 pass, documented rather than policed — a
+    row-level check would cost an extra action on a pure filter): rows
+    with a NULL ``replica_col`` are dropped (NULL ring distance fails
+    the filter), and an id outside [1, rf] wraps around the ring
+    (pmod) — fixtures encode 1-based ids within the replication factor
+    (FIXTURES.md §B), matching the reference where such ids cannot
+    occur.
     """
     n = block_for(consistency, rf)
     tok = token_column(*[F.col(k) for k in partition_keys])
@@ -103,8 +111,20 @@ def read_with_consistency(
 ) -> DataFrame:
     """The reference's multi-replica read: select CL-many replicas per
     partition (repair-primary-aware when ``repaired_col`` is given), then
-    compaction-merge their possibly divergent rows."""
-    if repaired_col is not None and repaired_col in df.columns:
+    compaction-merge their possibly divergent rows.
+
+    A ``repaired_col`` that names a missing column raises — silently
+    falling back to plain CL selection would read repaired data CL-many
+    times, exactly the duplication the caller asked to avoid, with no
+    signal that the typo changed semantics (round-8 hostile pass; same
+    bug class as the C1 PRIMARY-KEY-typo parse check)."""
+    if repaired_col is not None:
+        if repaired_col not in df.columns:
+            raise ValueError(
+                f"read_with_consistency: repaired_col {repaired_col!r} is "
+                f"not a column of the input ({df.columns}) — pass None for "
+                "plain CL selection"
+            )
         selected = select_replicas_repair_aware(
             df, partition_keys, consistency, rf, repaired_col=repaired_col
         ).drop(repaired_col)

@@ -203,3 +203,28 @@ def test_simhash_multiblock_keys_match_single_block_recall(spark):
     assert a == b and a
     with pytest.raises(ValueError, match="blocks_per_key"):
         simhash_near_dup_pairs(docs, max_hamming=7, num_blocks=8, blocks_per_key=2)
+
+
+def test_nanos_to_micros_floor_for_pre_epoch(spark, tmp_path):
+    """Round-8 hostile pass: `ts div 1000` truncates toward zero, so a
+    pre-epoch nano timestamp (-1500 ns) would map to -1 µs instead of
+    flooring to -2 µs (DuckDB's TIMESTAMP_NS→US cast floors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_analytics_spark.catalog import load_table
+
+    path = str(tmp_path / "events.parquet")
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([-1500, 1500, -2000], pa.timestamp("ns")),
+    })
+    pq.write_table(tbl, path)
+    got = {r.event_id: r.ts for r in
+           load_table(spark, str(tmp_path), "events").collect()}
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    assert got[1] == epoch - dt.timedelta(microseconds=2)  # floor(-1.5)
+    assert got[2] == epoch + dt.timedelta(microseconds=1)  # floor(+1.5)
+    assert got[3] == epoch - dt.timedelta(microseconds=2)  # exact

@@ -142,3 +142,20 @@ def test_repair_aware_read_one_may_miss_unrepaired_divergence(spark):
     sel = select_replicas_repair_aware(df, ["pk"], "ONE", rf=3)
     vals = {r.val for r in sel.filter("NOT repaired").collect()}
     assert "unrep-old" in vals  # some keys read a stale copy
+
+
+def test_missing_repaired_col_raises(spark):
+    """Round-8 hostile pass: a typo'd repaired_col used to silently fall
+    back to plain CL selection — repaired data read CL-many times with
+    no signal the semantics changed."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, "x", 100, None, None, 1)],
+        "pk string, ck int, val string, writetime long, ttl int, "
+        "tombstone string, replica_id int",
+    )
+    with pytest.raises(ValueError, match="repaired_col"):
+        read_with_consistency(
+            df, ["pk"], ["ck"], "ALL", rf=3, repaired_col="repared"  # typo
+        )
