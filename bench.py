@@ -82,10 +82,13 @@ def run_query(fn, spark, sf_dir: str) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _prior_recorded_total() -> float | None:
+def _prior_recorded_total(sf: float) -> float | None:
     """The newest prior round's driver-recorded total (BENCH_r*.json
-    ``parsed.value``), or None when no parseable record exists. Feeds the
-    weather guard below — never correctness."""
+    ``parsed.value``) AT THE SAME SF, or None when no comparable record
+    exists. Feeds the weather guard below — never correctness. The SF
+    match matters: an ad-hoc 10x run (SPARK_GRAFT_SF_DIR=.scale10) is
+    legitimately slower than the sf0.1 record and must not trip the
+    guard into extra 50 s loops."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -96,8 +99,10 @@ def _prior_recorded_total() -> float | None:
                 parsed = json.load(f).get("parsed")
         except Exception:
             continue
-        if isinstance(parsed, dict) and isinstance(
-            parsed.get("value"), (int, float)
+        if (
+            isinstance(parsed, dict)
+            and isinstance(parsed.get("value"), (int, float))
+            and parsed.get("sf") == sf
         ):
             prior = float(parsed["value"])  # keep the newest round's
     return prior
@@ -163,7 +168,7 @@ def main() -> None:
     # total by >15%, the slowdown is likelier load than plan cost — run
     # extra rounds (min-of-5) so the recorded gate ratio tracks the plan,
     # not the weather. Only on bad-weather runs; ~one extra 40 s loop.
-    prior = _prior_recorded_total()
+    prior = _prior_recorded_total(sf)
     extra_runs = 0
     if prior is not None and n_runs < 5:
         while (

@@ -239,3 +239,92 @@ def test_bundle_commit_crash_during_stream_replay_reconciles(
     }
     assert restored == {r.doc_id: r.text for r in b0 + b1}
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_coordinated_midcommit_crash_during_stream_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Coordinated TWO-store variant of the frontier: the joint commit of
+    batch 1 dies after store A published but before store B (rollback
+    unpublishes A), the stream dies, and the restart replays the batch.
+    At every observable point the stores must agree (all-or-nothing),
+    and after the replay both hold each batch's job exactly once."""
+    src = str(tmp_path / "incoming")
+    store_a = str(tmp_path / "store_a")
+    store_b = str(tmp_path / "store_b")
+    os.makedirs(store_a)
+    os.makedirs(store_b)
+
+    from cassandra_analytics_spark.sinks.bundles import (
+        coordinated_bundle_write,
+    )
+
+    b0 = [Row(k=1, v="b0")]
+    b1 = [Row(k=2, v="b1")]
+    spark.createDataFrame(b0).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        coordinated_bundle_write(
+            batch_df.select("k", "v"), [store_a, store_b], ["k"],
+            write_timestamp_micros=1_000_000 + batch_id,
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    # batch 0's joint commit (2 renames) succeeds; batch 1's SECOND
+    # publish rename (store B) dies mid-joint-commit → rollback must
+    # unpublish store A, then the stream errors out
+    real_rename = os.rename
+    state = {"publishes": 0, "fired": False}
+
+    def rename(src_p, dst_p):
+        if os.path.basename(dst_p).startswith("job-") and not os.path.basename(
+            src_p
+        ).startswith("job-"):
+            state["publishes"] += 1
+            if state["publishes"] == 4 and not state["fired"]:
+                state["fired"] = True
+                raise OSError("injected mid-joint-commit crash")
+        return real_rename(src_p, dst_p)
+
+    monkeypatch.setattr(os, "rename", rename)
+
+    q = start()
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    assert state["fired"]
+
+    # all-or-nothing held mid-crash: batch 1 visible in NEITHER store
+    assert len(store_jobs(store_a)) == 1
+    assert len(store_jobs(store_b)) == 1
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # replay committed batch 1 jointly; stores agree job-for-job by name
+    jobs_a = [os.path.basename(j) for j in store_jobs(store_a)]
+    jobs_b = [os.path.basename(j) for j in store_jobs(store_b)]
+    assert len(jobs_a) == 2 and jobs_a == jobs_b
+
+    # and each store restores to the same merged table content
+    for store in (store_a, store_b):
+        tbl = str(tmp_path / f"restored-{os.path.basename(store)}")
+        for j in store_jobs(store):
+            restore_bundles(spark, j, tbl)
+        got = {r.k: r.v for r in read_bulk_table(spark, tbl, ["k"]).collect()}
+        assert got == {1: "b0", 2: "b1"}
