@@ -353,9 +353,22 @@ def latest_by_key(
     """Plain LWW dedup (no tombstones): keep the newest row per key.
 
     The common fast path of M1 when the table has no deletion metadata.
-    ``tiebreakers`` make the result deterministic under equal ``order_col``.
+    ``tiebreakers`` make the result deterministic under equal ``order_col``;
+    map-typed tiebreakers sort by their canonical projection
+    (:func:`order_key_expr`) — passing one used to throw an
+    AnalysisException from the window sort (round-8 pass).
     """
-    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in tiebreakers]
+    tb_keys = []
+    for t in tiebreakers:
+        key = order_key_expr(F.col(t), df.schema[t].dataType)
+        if key is None:
+            raise ValueError(
+                f"latest_by_key: tiebreaker {t!r} has no canonical order "
+                f"({df.schema[t].dataType.simpleString()}) — it cannot "
+                "make the result deterministic"
+            )
+        tb_keys.append(key)
+    order = [F.col(order_col).desc()] + [k.desc() for k in tb_keys]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -184,3 +184,40 @@ def test_writer_sorts_rows_differing_only_in_map_value(spark, tmp_path):
 
     d1, d2 = write_once("w1"), write_once("w2")
     assert d1 and d1 == d2
+
+
+def test_latest_by_key_map_tiebreaker(spark):
+    from cassandra_analytics_spark.operators.merge import latest_by_key
+
+    df = spark.createDataFrame(
+        [("k", 100, {"a": 1}), ("k", 100, {"b": 2})],
+        "k string, wt long, m map<string,int>",
+    )
+    out = latest_by_key(df, ["k"], "wt", tiebreakers=["m"]).collect()
+    assert len(out) == 1 and out[0].m == {"b": 2}
+
+
+def test_canonical_tiebreak_adds_no_exchange(spark):
+    """The map projection is a pure expression inside the existing window
+    sort — the merge plan must keep the SAME number of exchanges as the
+    orderable-payload plan (scale guard: a new Exchange here would
+    double the shuffle bill of every LWW read at 100 TB)."""
+    from cassandra_analytics_spark.operators.merge import compaction_merge
+
+    base = [("p", 1, 100, None, None, 1)]
+    plain = spark.createDataFrame(
+        base, "pk string, ck int, writetime long, ttl int, tombstone string, "
+        "replica_id int",
+    ).withColumn("v", F.lit("s"))
+    mapped = spark.createDataFrame(
+        base, "pk string, ck int, writetime long, ttl int, tombstone string, "
+        "replica_id int",
+    ).withColumn("v", F.create_map(F.lit("k"), F.lit(1)))
+
+    def n_exchanges(df):
+        plan = compaction_merge(df, ["pk"], ["ck"], now_micros=NOW)
+        return plan._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+
+    assert n_exchanges(mapped) == n_exchanges(plain)
