@@ -38,10 +38,11 @@ def _value_columns(df: DataFrame, keys: Sequence[str]) -> list[str]:
 
 
 def orderable_type(dtype) -> bool:
-    """True when Spark can sort/compare the type (maps cannot be compared;
-    Cassandra compares serialized bytes — ordering by the orderable-column
-    subset is the faithful approximation used for LWW tiebreaks and for
-    the bulk writer's deterministic file order).
+    """True when Spark can sort/compare the type DIRECTLY (maps cannot).
+    Tiebreak call sites should prefer :func:`order_key_expr`, which also
+    covers maps via a canonical sorted-entries projection (round 8) —
+    this predicate remains for the "is the raw column itself sortable"
+    question (e.g. whether a projection is even needed).
 
     Allowlist, not blocklist (ADVICE r6): an atomic type Spark can't sort
     (VariantType, CalendarIntervalType, a future addition) must be
