@@ -108,11 +108,21 @@ def _prior_recorded_total(sf: float) -> float | None:
     return prior
 
 
+def _parse_sf(sf_dir: str) -> float:
+    """Scale factor from the BASENAME only, and only when it is exactly
+    sf<float> — a scaled-corpus dir whose name merely contains "sf0.1"
+    (sf0.1_scale10) must NOT adopt sf=0.1 and trip the weather guard
+    against the sf0.1 record, and a dotted name (sf0.1.scale10) must
+    not crash float() (round-8 review). -1.0 = not a plain sf dir."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", base)
+    return float(m.group(1)) if m else -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    sf = _parse_sf(sf_dir)
 
     # SPARK_GRAFT_SHUFFLE_PARTITIONS: smoke-test knob — forcing a high
     # partition count (e.g. 256) exposes plans that only look good

@@ -214,14 +214,23 @@ def pack_greedy(
 
     if int(budget) <= 0:
         raise ValueError(f"pack_greedy: budget must be positive, got {budget}")
-    # the schema casts doc_id to long; a non-numeric id column would cast
-    # to NULL and silently corrupt the packing order (round-8 pass)
+    # numeric ids keep the historical cast-to-long output; string ids are
+    # carried through UNCAST (lexicographic range partition + sort is just
+    # as deterministic) — the dangerous case is only OTHER types, where a
+    # silent cast to long would NULL the ids and corrupt the packing
+    # order (round-8 pass; string acceptance per the round-8 review)
     id_type = df.schema[id_col].dataType
-    if not isinstance(id_type, T.NumericType):
+    if isinstance(id_type, T.NumericType):
+        id_expr = F.col(id_col).cast("long").alias("doc_id")
+        out_schema = GREEDY_SCHEMA
+    elif isinstance(id_type, T.StringType):
+        id_expr = F.col(id_col).alias("doc_id")
+        out_schema = GREEDY_SCHEMA.replace("doc_id long", "doc_id string")
+    else:
         raise ValueError(
-            f"pack_greedy: id_col {id_col!r} must be numeric (got "
-            f"{id_type.simpleString()}) — string ids would cast to NULL; "
-            "derive a numeric surrogate (e.g. xxhash64) first"
+            f"pack_greedy: id_col {id_col!r} must be numeric or string "
+            f"(got {id_type.simpleString()}) — casting would NULL the "
+            "ids; derive a sortable surrogate (e.g. xxhash64) first"
         )
 
     spark = df.sparkSession
@@ -229,7 +238,7 @@ def pack_greedy(
     ranged = (
         df.filter(F.col(len_col) > 0)
         .select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            id_expr,
             F.col(len_col).cast("long").alias("n_tokens"),
         )
         .repartitionByRange(n, F.col("doc_id"))
@@ -252,4 +261,4 @@ def pack_greedy(
             {"doc_id": pdf["doc_id"], "bin_id": bins, "bin_fill": fills}
         )
 
-    return ranged.groupBy("__pid").applyInPandas(pack, GREEDY_SCHEMA)
+    return ranged.groupBy("__pid").applyInPandas(pack, out_schema)

@@ -51,7 +51,10 @@ def bpe_token_count(col: Column | str) -> Column:
 
 
 def punct_count(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
+    """Punctuation-character count. NULL text counts as empty (0) — the
+    text layer's uniform convention (round-8 review: this was the one
+    counter still answering NULL)."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     return F.length(c) - F.length(F.regexp_replace(c, PUNCT_PATTERN, ""))
 
 

@@ -128,9 +128,16 @@ def run_incremental_dedup_stream(
     # skips reprocessing) so post-restart docs are never compared against
     # the pre-restart corpus: pairs silently missed, forever. Instead the
     # index is REBUILT from the doc store's latest text per id — exactly
-    # the corpus the one-shot Kappa twin would index (stale signatures of
-    # re-ingested docs in the lost index only ever produced candidates
-    # the latest-text confirm pruned, so the rebuild changes no results).
+    # the corpus the one-shot Kappa twin would index, so post-restart
+    # batches behave like a FRESH stream over the same corpus. That is
+    # the contract; it is NOT bit-identical to the uncrashed run: a
+    # re-ingested doc's STALE signature in the lost index could have
+    # produced an extra LSH candidate (confirmed only if the LATEST
+    # texts' Jaccard clears the threshold — an LSH false-negative the
+    # continuous run got lucky on), and dropping those stale rows can
+    # shift hot-bucket occupancy below max_bucket. The confirm step
+    # always scores latest texts, so no WRONG pair is ever published
+    # either way; the difference is bounded by LSH band randomness.
     boot = stream.sparkSession
     if not boot.catalog.tableExists(index_table):
         corpus = _latest_store_texts(boot, doc_store, id_col, text_col)

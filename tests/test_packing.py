@@ -193,6 +193,39 @@ def test_packing_validates_budget_and_id_type(spark):
         chunk_layout(num, 0)
     with pytest.raises(ValueError, match="budget must be positive"):
         pack_greedy(num, -5)
-    strs = spark.createDataFrame([("a", 10)], "doc_id string, n_tokens long")
-    with pytest.raises(ValueError, match="must be numeric"):
-        pack_greedy(strs, 100)
+    # only types that would NULL under a cast are rejected (round-8
+    # review: string ids are valid — kept uncast, ordered lexicographically)
+    arr = spark.createDataFrame(
+        [([1], 10)], "doc_id array<long>, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="numeric or string"):
+        pack_greedy(arr, 100)
+
+
+def test_pack_greedy_string_ids(spark):
+    """String ids pack identically to their numeric twins when the
+    lexicographic order matches the numeric order, and doc_id survives
+    uncast (round-8 review: the numeric-only guard rejected digit
+    strings that previously worked)."""
+    from cassandra_analytics_spark.operators.packing import pack_greedy
+
+    rows = [(f"{i:04d}", 40) for i in range(20)]
+    strs = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    nums = spark.createDataFrame(
+        [(int(i), n) for i, n in rows], "doc_id long, n_tokens long"
+    )
+    s = {r.doc_id: (r.bin_id, r.bin_fill)
+         for r in pack_greedy(strs, 100, num_partitions=1).collect()}
+    n = {f"{r.doc_id:04d}": (r.bin_id, r.bin_fill)
+         for r in pack_greedy(nums, 100, num_partitions=1).collect()}
+    assert s == n and len(s) == 20
+    # non-numeric strings order deterministically instead of NULLing out
+    words = spark.createDataFrame(
+        [("b", 60), ("a", 60), ("c", 60)], "doc_id string, n_tokens long"
+    )
+    out = sorted(
+        pack_greedy(words, 100, num_partitions=1).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.doc_id for r in out] == ["a", "b", "c"]
+    assert [r.bin_id for r in out] == [0, 1, 2]  # first-fit in id order

@@ -210,6 +210,7 @@ def test_text_layer_null_and_wordless_docs_uniform(spark):
     gets a feature row."""
     from cassandra_analytics_spark.operators.text import (
         bpe_token_count,
+        punct_count,
         quality_features,
         repetition_stats,
         token_count,
@@ -220,17 +221,20 @@ def test_text_layer_null_and_wordless_docs_uniform(spark):
         "doc_id long, text string",
     )
     counts = {
-        r.doc_id: (r.tc, r.bpe)
+        r.doc_id: (r.tc, r.bpe, r.pc)
         for r in df.select(
             "doc_id",
             token_count("text").alias("tc"),
             bpe_token_count("text").alias("bpe"),
+            punct_count("text").alias("pc"),
         ).collect()
     }
-    assert counts[1] == (0, 0)
-    assert counts[2] == (0, 0)
-    assert counts[3] == (2, 6)  # whitespace tokens vs single-symbol BPE
-    assert counts[4] == (3, 3)
+    # punct_count included since round-8 review: it was the one counter
+    # still answering NULL for NULL text
+    assert counts[1] == (0, 0, 0)
+    assert counts[2] == (0, 0, 0)
+    assert counts[3] == (2, 6, 6)  # whitespace tokens vs single-symbol BPE
+    assert counts[4] == (3, 3, 0)
 
     rep = {r.doc_id: r for r in repetition_stats(df).collect()}
     assert set(rep) == {1, 2, 3, 4}  # every doc gets a row
