@@ -39,7 +39,10 @@ def build_ann_index(
     seed: int = 42,
 ) -> None:
     """Materialize the corpus partitioned by LSH signature."""
-    probe = df.select(vec_col).first()
+    # dim probe must skip NULL vectors: a NULL in the FIRST row used to
+    # TypeError the whole build even though NULL vectors hash to bucket 0
+    # and never rank (round-8 probe pass)
+    probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if probe is None:
         # empty corpus: write a readable empty index instead of
         # TypeError-ing on the dim probe — UNpartitioned, because a
@@ -139,6 +142,7 @@ def query_ivf_index(
         candidates.select(
             F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
         )
+        .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -185,6 +189,7 @@ def query_ann_index(
         candidates.select(
             F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
         )
+        .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )

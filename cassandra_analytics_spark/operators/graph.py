@@ -40,8 +40,14 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """(id, component) for every node appearing in ``edges``; component =
-    the smallest node id in the connected component."""
+    """(id, component) for every non-NULL node appearing in ``edges``;
+    component = the smallest node id in the connected component.
+
+    A NULL endpoint identifies no node: the edge still registers its
+    non-NULL side (as a singleton unless other edges connect it), but no
+    ``(NULL, …)`` row reaches the output — NULL never propagates labels
+    (joins skip it), so it used to linger as a phantom row that crashed
+    downstream sorts (round-8 probe pass)."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -93,7 +99,7 @@ def connected_components(
             "(rounds = diameter for min-label propagation) or switch to "
             "a large-star/small-star scheme for long-chain graphs."
         )
-    return labels
+    return labels.filter(F.col("id").isNotNull())
 
 
 def dedup_clusters(

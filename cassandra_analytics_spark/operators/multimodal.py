@@ -216,6 +216,15 @@ def extract_image_features(
     therefore opt-in (default: leave the session conf untouched); bound
     it explicitly when blobs are large enough that the session default
     (10k rows/batch) would blow worker memory."""
+    missing = [c for c in ("id", "content") if c not in df.columns]
+    if missing:
+        # fail at plan time with the column names — a missing column used
+        # to surface as a KeyError inside a retried Python worker task
+        # (round-8 probe pass)
+        raise ValueError(
+            f"extract_image_features: input is missing column(s) {missing}; "
+            f"have {df.columns}"
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -253,6 +262,13 @@ def frame_sample(
     keep every n-th — a pure expression tree (no Python): sequence over
     frame offsets + transform(substring). Real codecs slot into the same
     shape via mapInPandas."""
+    # validate eagerly: frame_bytes=0 used to throw ANSI DIVIDE_BY_ZERO
+    # and every_nth=0 an invalid-sequence-step error, both DEEP inside a
+    # running job with no hint which argument was wrong (round-8 probes)
+    if int(frame_bytes) < 1:
+        raise ValueError(f"frame_sample: frame_bytes must be >= 1, got {frame_bytes}")
+    if int(every_nth) < 1:
+        raise ValueError(f"frame_sample: every_nth must be >= 1, got {every_nth}")
     c = F.col(content_col)
     n_frames = F.floor(F.octet_length(c) / F.lit(frame_bytes)).cast("int")
     # a blob smaller than one frame has NO frames: sequence(0, -1) is

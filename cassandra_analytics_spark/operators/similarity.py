@@ -74,7 +74,14 @@ def brute_force_topk(
         F.col(id_col),
         cosine(F.col(vec_col), q).alias("cosine_sim"),
     )
-    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+    # unscorable rows (NULL or zero-norm vectors → NULL cosine) are not
+    # results: "sorts last" still surfaced them whenever k reached the
+    # candidate count (round-8 probe pass)
+    return (
+        scored.filter(F.col("cosine_sim").isNotNull())
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def knn_join(
@@ -95,7 +102,7 @@ def knn_join(
         F.col(query_id),
         F.col(corpus_id),
         cosine(F.col(vec_col), F.col("__qv")).alias("cosine_sim"),
-    )
+    ).filter(F.col("cosine_sim").isNotNull())
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id)
     )
@@ -188,6 +195,7 @@ def lsh_bucket_topk(
         candidates.select(
             F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
         )
+        .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -211,7 +219,10 @@ def sample_centroids(
     merge) — no count pass, no full shuffle, scale-safe.
     """
     rows = (
+        # NULL vectors can't serve as centroids: one sampled NULL used to
+        # TypeError lit_vector for every assignment (round-8 probe pass)
         df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
         .limit(num_centroids)
         .collect()
@@ -304,6 +315,7 @@ def ivf_topk(
     q = lit_vector(query_vec)
     return (
         probed.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -324,7 +336,10 @@ def embedding_near_dup_pairs(
     sizes, not n²."""
     from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
 
-    sample = df.select(vec_col).limit(1).collect()
+    # dim probe skips NULL vectors (round-8 probe pass: a NULL in the
+    # first row TypeError'd the job); NULL vectors themselves hash to
+    # bucket 0 and their NULL cosine never clears the threshold
+    sample = df.select(vec_col).filter(F.col(vec_col).isNotNull()).limit(1).collect()
     if not sample:
         return df.sparkSession.createDataFrame([], "a long, b long, cosine_sim double")
     dim = len(sample[0][vec_col])

@@ -159,3 +159,45 @@ def test_ivf_recall_envelope_pinned(spark, tmp_path):
     assert min(r8) >= 0.4, f"8/16-probe floor regressed: {min(r8)}"
     assert sum(r8) / len(r8) >= sum(r1) / len(r1)
     emb.unpersist()
+
+
+def test_null_vectors_tolerated_in_build_and_sampling(spark, tmp_path):
+    """Round-8 probe pass: a NULL embedding in the FIRST row TypeError'd
+    the dim probe of build_ann_index (and embedding_near_dup_pairs), and
+    a NULL vector sampled as an IVF centroid TypeError'd lit_vector for
+    every assignment. NULL vectors must never crash a build — they hash
+    to bucket 0 / the fallback cell and their NULL cosine never ranks."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ann_index,
+        build_ivf_index,
+        query_ann_index,
+        query_ivf_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    ann_path = str(tmp_path / "ann_nulls")
+    build_ann_index(df, ann_path)
+    got = [
+        r.vec_id
+        for r in query_ann_index(
+            spark, ann_path, [1.0, 0.0], k=3, probe_hamming=6
+        ).collect()
+    ]
+    assert got == [2, 3]  # the NULL vector never ranks
+
+    mixed = spark.createDataFrame(
+        [
+            (i, None if i % 2 == 0 else [float(i % 7), 1.0])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_path = str(tmp_path / "ivf_nulls")
+    centroids = build_ivf_index(mixed, ivf_path, num_centroids=8)
+    assert all(vec is not None for _, vec in centroids)
+    assert query_ivf_index(
+        spark, ivf_path, [1.0, 1.0], k=3, num_probes=8
+    ).count() == 3

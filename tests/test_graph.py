@@ -81,3 +81,33 @@ def test_convergence_on_exactly_last_round_is_accepted(spark):
 
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(chain, max_iter=0)
+
+
+def test_null_endpoints_register_no_phantom_node(spark):
+    """Round-8 probe pass: a NULL edge endpoint produced a (NULL, comp)
+    row in the output (crashing downstream sorts). NULL identifies no
+    node: the non-NULL side still registers, labels never flow through
+    NULL, and no NULL-id row is returned."""
+    from cassandra_analytics_spark.operators.graph import (
+        connected_components,
+        keep_cluster_representatives,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, None), (None, 2), (3, 4)], "a long, b long"
+    )
+    labels = sorted(
+        (r.id, r.component) for r in connected_components(edges).collect()
+    )
+    assert labels == [(1, 1), (2, 2), (3, 3), (4, 3)]
+    # two half-edges sharing a NULL side must NOT merge through it
+    half = spark.createDataFrame([(5, None), (None, 9)], "a long, b long")
+    got = sorted(
+        (r.id, r.component) for r in connected_components(half).collect()
+    )
+    assert got == [(5, 5), (9, 9)]
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "doc_id long")
+    reps = sorted(
+        r.doc_id for r in keep_cluster_representatives(docs, edges).collect()
+    )
+    assert reps == [1, 2, 3, 9]

@@ -178,3 +178,27 @@ def test_frame_sample_skips_blobs_smaller_than_one_frame(spark):
         by_id.setdefault(r.id, []).append(r)
     assert set(by_id) == {2}
     assert by_id[2][0].total_frames == 2 and len(by_id[2]) == 2
+
+
+def test_frame_sample_and_extract_validate_eagerly(spark):
+    """Round-8 probe pass: frame_bytes=0 threw ANSI DIVIDE_BY_ZERO and
+    every_nth=0 an invalid-sequence-step error deep inside a running job;
+    a missing input column surfaced as a KeyError inside a retried Python
+    worker. All three now fail at call/plan time naming the argument."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.multimodal import (
+        extract_image_features,
+        frame_sample,
+    )
+
+    mm = spark.createDataFrame(
+        [(1, bytearray(b"x" * 4096))], "id long, content binary"
+    )
+    with pytest.raises(ValueError, match="frame_bytes must be >= 1"):
+        frame_sample(mm, frame_bytes=0)
+    with pytest.raises(ValueError, match="every_nth must be >= 1"):
+        frame_sample(mm, every_nth=0)
+    noc = spark.createDataFrame([(1, "cap")], "id long, caption string")
+    with pytest.raises(ValueError, match="missing column"):
+        extract_image_features(noc)

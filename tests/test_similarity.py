@@ -204,8 +204,9 @@ def test_ivf_persistent_index_roundtrip(driver_emb, tmp_path):
 def test_zero_norm_vectors_do_not_crash(spark):
     """Under Spark 4 ANSI mode a zero-norm vector used to throw
     DIVIDE_BY_ZERO and kill the whole job (round-7 hostile pass): now
-    zero vectors score NULL cosine and never rank, and IVF assignment
-    still places them in a cell."""
+    zero vectors score NULL cosine and are EXCLUDED from top-k results
+    (round-8: "sorts last" still surfaced them whenever k reached the
+    candidate count), and IVF assignment still places them in a cell."""
     from cassandra_analytics_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -223,10 +224,9 @@ def test_zero_norm_vectors_do_not_crash(spark):
     top = brute_force_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
     assert [r.vec_id for r in top] == [0, 3, 2]  # zero vector excluded
 
-    # zero QUERY vector: every cosine NULL -> deterministic id order
-    topz = brute_force_topk(emb, [0.0, 0.0, 0.0], k=2).collect()
-    assert [r.vec_id for r in topz] == [0, 1]
-    assert all(r.cosine_sim is None for r in topz)
+    # zero QUERY vector: every cosine NULL -> nothing is "most similar",
+    # so the result is EMPTY, not k arbitrary ids with NULL scores
+    assert brute_force_topk(emb, [0.0, 0.0, 0.0], k=2).count() == 0
 
     # IVF build+probe over a corpus containing the zero vector
     assert ivf_topk(emb, [1.0, 0.0, 0.0], k=2, num_centroids=2,
