@@ -61,8 +61,12 @@ _ROUND_PRIORITY: list[str] = [
     "asof_purchase_click",           # duplicate-right tiebreak projection
     "static_column_propagation",     # max_by(canonical key) for maps
     "bulk_write_roundtrip",          # value-column sort via order_key_expr
-    "bundle_write_restore",          # rides the same writer sort
-    "coordinated_write_roundtrip",   # rides the same writer sort
+    # (bundle_write_restore / coordinated_write_roundtrip ride the SAME
+    # order_key_expr writer sort as bulk_write_roundtrip, have r7 driver
+    # rows and dedicated property suites — their slots go to the two
+    # r6-fresh queries the round-8 continuation touched instead)
+    "cosine_topk_embeddings",        # top-k now excludes unscorable rows
+    "dedup_cluster_assignment",      # CC output excludes NULL-id phantom
     "streaming_incremental_dedup",   # restart bootstrap rebuilds from store
     "dedup_incremental_lsh_confirmed",  # spec pin on append-bootstrap
     # --- (2) stale: newest driver evidence r5 ---
