@@ -434,8 +434,17 @@ def contamination_overlap(
     # broadcast join filters map-side first, and the distinct-overlap
     # count (countDistinct) shuffles only the MATCHING shingles.
     corpus_sh = shingle_stream(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
+    # the benchmark side needs ONLY its text: requiring the corpus's
+    # id_col on an eval set was a pointless sharp edge, and the old
+    # per-(id, sh) shingle_pairs dedup paid an extra exchange for a set
+    # that the global .distinct() dedupes anyway (round-8 probe pass)
     bench_sh = (
-        shingle_pairs(benchmark, id_col=id_col, text_col=text_col, n=shingle_n)
+        shingle_stream(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(text_col)),
+            id_col="__bid",
+            text_col=text_col,
+            n=shingle_n,
+        )
         .select("sh")
         .distinct()
     )

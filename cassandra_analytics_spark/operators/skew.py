@@ -34,6 +34,12 @@ def salted_aggregate(
     for out, (fn, _) in aggs.items():
         if fn not in supported:
             raise ValueError(f"{out}: {fn!r} has no exact partial merge")
+    if int(salt_buckets) < 1:
+        # pmod by zero used to throw ANSI REMAINDER_BY_ZERO deep inside
+        # the job; negative bucket counts only worked by accident
+        raise ValueError(
+            f"salted_aggregate: salt_buckets must be >= 1, got {salt_buckets}"
+        )
 
     def _phase1(fn: str, c: str):
         if fn != "count":
@@ -83,6 +89,10 @@ def salted_join(
             f"salted_join does not support how={how!r}: replicating the "
             "small side breaks right/full outer semantics (each unmatched "
             "replica would emit its own null-padded row)"
+        )
+    if int(salt_buckets) < 1:
+        raise ValueError(
+            f"salted_join: salt_buckets must be >= 1, got {salt_buckets}"
         )
     keys = list(on)
     left = skewed.withColumn(

@@ -125,13 +125,10 @@ def test_engine_facade_round7_methods(spark, sf_dir):
     eng = Engine(spark, sf_dir=sf_dir)
     docs = eng.read_table("documents")
     assert eng.hash_split(docs).select("split").distinct().count() <= 3
-    assert eng.cosine_topk(
-        eng.read_table("embeddings"),
-        [0.0] * len(
-            eng.read_table("embeddings").first()["embedding"]
-        ),
-        k=3,
-    ).count() == 3
+    # a real query vector: a zero query scores NULL cosine everywhere
+    # and (round-8) unscorable rows are excluded from top-k results
+    qv = [float(x) for x in eng.read_table("embeddings").first()["embedding"]]
+    assert eng.cosine_topk(eng.read_table("embeddings"), qv, k=3).count() == 3
     left = spark.createDataFrame([Row(k=1, lts=10)])
     right = spark.createDataFrame([Row(k=1, rts=5, v="x")])
     got = eng.asof_join(left, right, ["k"], "lts", "rts", ["v"]).collect()

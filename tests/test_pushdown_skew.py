@@ -135,3 +135,22 @@ def test_salted_aggregate_count_skips_nulls(spark):
         {"n_vals": ("count", "v"), "n_rows": ("count", "*"), "s": ("sum", "v")},
     ).collect()[0]
     assert row.n_vals == 2 and row.n_rows == 3 and row.s == 4
+
+
+def test_salting_validates_bucket_count(spark):
+    """Round-8 probe pass: salt_buckets=0 threw ANSI REMAINDER_BY_ZERO
+    deep inside the job (and negative counts only worked by accident);
+    both salting entry points now validate eagerly."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    small = spark.createDataFrame([(1, "x")], "k long, name string")
+    with pytest.raises(ValueError, match="salt_buckets must be >= 1"):
+        salted_aggregate(df, ["k"], {"s": ("sum", "v")}, salt_buckets=0)
+    with pytest.raises(ValueError, match="salt_buckets must be >= 1"):
+        salted_join(df, small, ["k"], salt_buckets=-3)

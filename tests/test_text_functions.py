@@ -270,3 +270,45 @@ def test_tfidf_rejects_duplicate_terms_and_skips_wordless_docs(spark):
     assert got == {1, 4}
     got = {r.doc_id for r in bm25_scores(df, ["alpha"], fp_scale=10**6).collect()}
     assert got == {1, 4}
+
+
+def test_contamination_benchmark_needs_only_text(spark):
+    """Round-8 probe pass: the benchmark side used to require the
+    CORPUS's id column (an eval set with its own id naming failed with
+    UNRESOLVED_COLUMN) even though only its text is used. Flags must be
+    identical whatever the benchmark's id column is called — or whether
+    it has one at all."""
+    from cassandra_analytics_spark.operators.dedup import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = [
+        (r.doc_id, r.n_overlap)
+        for r in contamination_overlap(
+            corpus,
+            spark.createDataFrame(
+                [(99, "the quick brown fox jumps over the lazy dog")],
+                "eval_id long, text string",
+            ),
+            min_overlap=3,
+        ).collect()
+    ]
+    assert flagged == [(1, 7)]
+    # text-only benchmark works too, same answer
+    flagged2 = [
+        (r.doc_id, r.n_overlap)
+        for r in contamination_overlap(
+            corpus,
+            spark.createDataFrame(
+                [("the quick brown fox jumps over the lazy dog",)],
+                "text string",
+            ),
+            min_overlap=3,
+        ).collect()
+    ]
+    assert flagged2 == [(1, 7)]
