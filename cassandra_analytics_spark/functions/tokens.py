@@ -66,7 +66,16 @@ def assign_token_range(token: Column, num_splits: int) -> Column:
     floor candidate is corrected with exact integer comparisons
     (true floor k satisfies k*w <= u < (k+1)*w, and the candidate is
     within +/-1 of it).
+
+    A NULL token yields a NULL range index. (The old code silently
+    assigned NULL tokens to the LAST partition: ``F.least`` skips NULL
+    arguments, so ``least(NULL, num_splits-1)`` returned a real index —
+    round-8 continuation probe.)
     """
+    if num_splits < 1:
+        # 0 used to surface as a context-free ZeroDivisionError and a
+        # NEGATIVE count silently produced a negative index for every row
+        raise ValueError(f"num_splits must be >= 1, got {num_splits}")
     width = (MAX_TOKEN - MIN_TOKEN) // num_splits
     dec = "DECIMAL(38,0)"
     u = token.cast(dec) - F.expr(f"CAST('{MIN_TOKEN}' AS {dec})")
@@ -77,7 +86,9 @@ def assign_token_range(token: Column, num_splits: int) -> Column:
         .when((q + 1) * w <= u, q + 1)
         .otherwise(q)
     )
-    return F.least(q.cast("long"), F.lit(num_splits - 1))
+    return F.when(
+        token.isNull(), F.lit(None).cast("long")
+    ).otherwise(F.least(q.cast("long"), F.lit(num_splits - 1)))
 
 
 def _murmur3_64(data: bytes) -> int:
@@ -178,16 +189,34 @@ def random_partitioner_token(key: bytes) -> int:
 @pandas_udf(LongType())
 def murmur3_token_bytes(key: pd.Series) -> pd.Series:
     """Exact Cassandra Murmur3 token over pre-serialized key bytes
-    (vectorized pandas UDF — Arrow batches, not row-at-a-time)."""
+    (vectorized pandas UDF — Arrow batches, not row-at-a-time).
+
+    NULL key bytes fail with a named error: Cassandra rejects NULL
+    partition keys, and the old behavior was a context-free
+    "cannot convert 'NoneType' object to bytes" from inside a worker
+    (round-8 continuation probe)."""
+    if key.isna().any():
+        raise ValueError(
+            "NULL partition-key bytes cannot be tokenized: Cassandra "
+            "rejects NULL partition keys — filter or fill them first"
+        )
     return key.map(lambda b: murmur3_token(bytes(b)))
 
 
 def murmur3_token_for_long(df: DataFrame, key_col: str, out_col: str = "token") -> DataFrame:
     """Exact Cassandra token for a single bigint partition key: serialize as
-    8-byte big-endian (CQL bigint wire format) then murmur3."""
+    8-byte big-endian (CQL bigint wire format) then murmur3. NULL keys fail
+    with a named error (Cassandra rejects NULL partition keys; the old
+    behavior was a context-free NaN-to-integer error from inside a
+    worker — round-8 continuation probe)."""
 
     @pandas_udf(LongType())
     def _tok(keys: pd.Series) -> pd.Series:
+        if keys.isna().any():
+            raise ValueError(
+                f"NULL value in partition-key column {key_col!r}: Cassandra "
+                "rejects NULL partition keys — filter or fill them first"
+            )
         return keys.map(lambda v: murmur3_token(int(v).to_bytes(8, "big", signed=True)))
 
     return df.withColumn(out_col, _tok(F.col(key_col)))
@@ -201,14 +230,22 @@ def serialize_cql_value(value, cql_type: str) -> bytes:
     import uuid as _uuid
 
     t = cql_type.lower()
-    if t in ("bigint", "time", "counter"):
-        return int(value).to_bytes(8, "big", signed=True)
-    if t == "int":
-        return int(value).to_bytes(4, "big", signed=True)
-    if t == "smallint":
-        return int(value).to_bytes(2, "big", signed=True)
-    if t == "tinyint":
-        return int(value).to_bytes(1, "big", signed=True)
+    if value is None:
+        # the generic int(None)/bytes(None) TypeError named neither the
+        # value nor the Cassandra rule (round-8 continuation probe)
+        raise ValueError(
+            f"cannot serialize NULL as partition-key type {cql_type!r}: "
+            "Cassandra rejects NULL partition keys"
+        )
+    int_widths = {"bigint": 8, "time": 8, "counter": 8, "int": 4, "smallint": 2, "tinyint": 1}
+    if t in int_widths:
+        try:
+            return int(value).to_bytes(int_widths[t], "big", signed=True)
+        except OverflowError:
+            # "int too big to convert" named neither the value nor the type
+            raise ValueError(
+                f"value {value!r} does not fit CQL type {cql_type!r}"
+            ) from None
     if t in ("text", "varchar", "ascii"):
         return str(value).encode("utf-8")
     if t == "boolean":
@@ -230,6 +267,10 @@ def composite_key_bytes(components: Sequence[bytes]) -> bytes:
     <2-byte length><bytes><0x00> (reference behavior:
     ``bulkwriter/token/TokenUtils.java:92-120``)."""
     comps = list(components)
+    if not comps:
+        # b"" would tokenize to murmur3(empty) and silently collide every
+        # such row onto one token (round-8 continuation probe)
+        raise ValueError("composite partition key needs at least one component")
     if len(comps) == 1:
         return comps[0]
     out = bytearray()
@@ -250,4 +291,8 @@ def murmur3_token_for_key(values: Sequence, cql_types: Sequence[str]) -> int:
 def tokenize(df: DataFrame, partition_keys: Sequence[str], out_col: str = "token") -> DataFrame:
     """Append the engine token column for the given partition keys
     (bulk-writer W2 analog: ``Tokenizer.java:33-68``)."""
+    if not partition_keys:
+        # xxhash64() with zero args fails with a WRONG_NUM_ARGS naming the
+        # hash function, not this call (round-8 continuation probe)
+        raise ValueError("tokenize needs at least one partition-key column")
     return df.withColumn(out_col, token_column(*[F.col(c) for c in partition_keys]))

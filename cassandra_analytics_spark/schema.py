@@ -112,16 +112,29 @@ class _TypeParser:
         tokens: list[str],
         udts: dict[str, dict[str, str]],
         big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
+        expanding: frozenset[str] = frozenset(),
     ):
         self.tokens = tokens
         self.pos = 0
         self.udts = udts
         self.big_numbers = big_numbers
+        # UDT names currently being expanded up the call stack: a UDT that
+        # references itself (directly or through another UDT) has no finite
+        # StructType, and Cassandra rejects such DDL — fail with a clear
+        # error instead of RecursionError (round-8 continuation probe)
+        self.expanding = expanding
 
     def peek(self) -> str | None:
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
 
     def take(self) -> str:
+        # a truncated expression ("list<int", "frozen<", "") must fail as
+        # a malformed-type ValueError, not an IndexError from running off
+        # the token list (round-8 continuation probe)
+        if self.pos >= len(self.tokens):
+            raise ValueError(
+                f"unexpected end of CQL type expression (tokens: {self.tokens!r})"
+            )
         tok = self.tokens[self.pos]
         self.pos += 1
         return tok
@@ -163,10 +176,19 @@ class _TypeParser:
                 [T.StructField(str(i), f, True) for i, f in enumerate(fields)]
             )
         if name in self.udts:
+            if name in self.expanding:
+                raise ValueError(
+                    f"recursive UDT reference: type {name!r} refers to itself "
+                    f"(expansion chain: {sorted(self.expanding)}); Cassandra "
+                    "rejects recursive UDT definitions"
+                )
+            inner = self.expanding | {name}
             return T.StructType(
                 [
                     T.StructField(
-                        fn, parse_cql_type(ft, self.udts, self.big_numbers), True
+                        fn,
+                        parse_cql_type(ft, self.udts, self.big_numbers, _expanding=inner),
+                        True,
                     )
                     for fn, ft in self.udts[name].items()
                 ]
@@ -216,9 +238,10 @@ def parse_cql_type(
     s: str,
     udts: dict[str, dict[str, str]] | None = None,
     big_numbers: BigNumberConfig = DEFAULT_BIG_NUMBER_CONFIG,
+    _expanding: frozenset[str] = frozenset(),
 ) -> T.DataType:
     """Parse a CQL type expression (possibly nested) to a Spark DataType."""
-    parser = _TypeParser(_tokenize_type(s), udts or {}, big_numbers)
+    parser = _TypeParser(_tokenize_type(s), udts or {}, big_numbers, _expanding)
     result = parser.parse()
     if parser.peek() is not None:
         raise ValueError(f"trailing tokens in type {s!r}")
@@ -304,6 +327,13 @@ def _extract_table_body(ddl: str, start: int) -> tuple[str, str]:
         elif ddl[i] == ")":
             depth -= 1
         i += 1
+    if depth:
+        # running off the end used to return a silently-truncated body,
+        # surfacing later as a cryptic "substring not found" from the
+        # PRIMARY KEY clause parse (round-8 continuation probe)
+        raise ValueError(
+            "unterminated CREATE TABLE statement (unbalanced parentheses)"
+        )
     return ddl[start : i - 1], ddl[i:]
 
 
@@ -328,9 +358,22 @@ def parse_create_table(ddl: str) -> CqlTable:
     ck_names: list[str] = []
     columns: list[CqlColumn] = []
 
+    saw_pk_clause = False
     for part in _split_top_level(body):
         upper = part.upper()
         if upper.startswith("PRIMARY KEY"):
+            # Cassandra rejects DDL with several PRIMARY KEY clauses; the
+            # old code let the LAST one silently win (round-8 probe)
+            if saw_pk_clause or pk_names:
+                raise ValueError(
+                    "multiple PRIMARY KEY definitions in CREATE TABLE"
+                )
+            saw_pk_clause = True
+            if "(" not in part or ")" not in part:
+                raise ValueError(
+                    f"malformed PRIMARY KEY clause {part!r} (unbalanced "
+                    "parentheses — is the CREATE TABLE statement truncated?)"
+                )
             inner = part[part.index("(") + 1 : part.rindex(")")]
             keys = _split_top_level(inner)
             if keys and keys[0].startswith("("):
@@ -353,6 +396,10 @@ def parse_create_table(ddl: str) -> CqlTable:
             rest = rest[: -len(" STATIC")].strip()
         inline_pk = rest_upper.endswith(" PRIMARY KEY")
         if inline_pk:
+            if saw_pk_clause or pk_names:
+                raise ValueError(
+                    "multiple PRIMARY KEY definitions in CREATE TABLE"
+                )
             rest = rest[: -len(" PRIMARY KEY")].strip()
             pk_names = [name]
         columns.append(
@@ -397,6 +444,23 @@ def parse_create_table(ddl: str) -> CqlTable:
         raise ValueError(
             f"PRIMARY KEY references undefined column(s): {unknown} "
             f"(defined: {sorted(col_names)})"
+        )
+    # Cassandra rejects both of these at parse time; silently accepting
+    # them produced (a) a CqlTable with two same-named columns BOTH marked
+    # partition_key, (b) a column named in the partition-key list AND the
+    # clustering list, where the clustering loop overwrote the kind and
+    # left partition_keys EMPTY — the silent-downstream-failure class the
+    # round-7 typo check was added for (round-8 continuation probe).
+    if len(col_names) != len(columns):
+        from collections import Counter
+
+        dupes = [n for n, c in Counter(c.name for c in columns).items() if c > 1]
+        raise ValueError(f"duplicate column definition(s) in CREATE TABLE: {dupes}")
+    key_seq = [*pk_names, *ck_names]
+    if len(set(key_seq)) != len(key_seq):
+        dupes = sorted({k for k in key_seq if key_seq.count(k) > 1})
+        raise ValueError(
+            f"column(s) listed more than once in PRIMARY KEY: {dupes}"
         )
     return CqlTable(keyspace=keyspace, name=table_name, columns=columns)
 

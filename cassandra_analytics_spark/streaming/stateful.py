@@ -96,6 +96,14 @@ def user_profiles(stream: DataFrame) -> DataFrame:
     """Incrementally-maintained per-user profile over the event stream —
     arbitrary stateful logic in Arrow-batched pandas, state bounded to one
     tuple per user."""
+    # fail at plan time with the column names; a missing column would
+    # otherwise KeyError inside a streaming worker after the query starts
+    # (round-8 continuation probe)
+    missing = {"user_id", "value", "ts"} - set(stream.columns)
+    if missing:
+        raise ValueError(
+            f"user_profiles needs columns user_id/value/ts; missing {sorted(missing)}"
+        )
     return stream.groupBy("user_id").applyInPandasWithState(
         _update_profile,
         outputStructType=PROFILE_SCHEMA,

@@ -203,3 +203,65 @@ def test_primary_key_referencing_undefined_column_rejected():
             "CREATE TABLE ks.t (id int, c int, v text, "
             "PRIMARY KEY ((id), cc))"
         )
+
+
+def test_malformed_type_expressions_fail_as_value_errors():
+    """Truncated / empty type expressions must raise a malformed-type
+    ValueError, not IndexError from running off the token list (round-8
+    continuation probe)."""
+    from cassandra_analytics_spark.schema import parse_cql_type
+
+    for bad in ("list<int", "", "frozen<", "map<int", "tuple<int,"):
+        with pytest.raises(ValueError, match="unexpected end|expected"):
+            parse_cql_type(bad)
+
+
+def test_recursive_udt_rejected():
+    """A UDT referencing itself (directly or via another UDT) has no
+    finite StructType; Cassandra rejects such DDL. Fail with a clear
+    ValueError instead of RecursionError (round-8 continuation probe)."""
+    from cassandra_analytics_spark.schema import parse_cql_type
+
+    with pytest.raises(ValueError, match="recursive UDT"):
+        parse_cql_type("t", {"t": {"f": "frozen<t>"}})
+    with pytest.raises(ValueError, match="recursive UDT"):
+        parse_cql_type("a", {"a": {"f": "b"}, "b": {"g": "frozen<list<a>>"}})
+    # DIAMOND references (one UDT used twice, no cycle) must still parse
+    sibling = parse_cql_type(
+        "top", {"top": {"l": "leaf", "r": "leaf"}, "leaf": {"x": "int"}}
+    )
+    assert [f.name for f in sibling.fields] == ["l", "r"]
+
+
+def test_duplicate_columns_and_keys_rejected():
+    """Cassandra parse-time rejections the old code silently accepted:
+    duplicate column names produced a StructType with two same-named
+    fields; a column in both the partition-key and clustering lists had
+    its kind overwritten, leaving partition_keys EMPTY; a second PRIMARY
+    KEY definition silently won (round-8 continuation probe)."""
+    from cassandra_analytics_spark.schema import parse_create_table
+
+    with pytest.raises(ValueError, match="duplicate column"):
+        parse_create_table("CREATE TABLE ks.t (a int, a text, PRIMARY KEY (a))")
+    with pytest.raises(ValueError, match="more than once in PRIMARY KEY"):
+        parse_create_table(
+            "CREATE TABLE ks.t (a int, b int, PRIMARY KEY ((a), a))"
+        )
+    with pytest.raises(ValueError, match="multiple PRIMARY KEY"):
+        parse_create_table(
+            "CREATE TABLE ks.t (a int, b int, PRIMARY KEY (a), PRIMARY KEY (b))"
+        )
+    with pytest.raises(ValueError, match="multiple PRIMARY KEY"):
+        parse_create_table(
+            "CREATE TABLE ks.t (a int PRIMARY KEY, b int, PRIMARY KEY (b))"
+        )
+
+
+def test_unterminated_create_table_rejected():
+    """Truncated DDL must fail with a message naming the problem, not the
+    old 'substring not found' from deep inside the PRIMARY KEY clause
+    parse (round-8 continuation probe)."""
+    from cassandra_analytics_spark.schema import parse_create_table
+
+    with pytest.raises(ValueError, match="unterminated CREATE TABLE"):
+        parse_create_table("CREATE TABLE ks.t (a int, PRIMARY KEY (a)")

@@ -130,3 +130,55 @@ def test_assign_token_range_full_ring(spark):
             assert s <= t <= e, f"n={n} token={t} -> idx {got[t]} [{s},{e}]"
             if expect is not None:
                 assert got[t] == expect, f"n={n} token={t}"
+
+
+def test_degenerate_token_inputs_fail_loudly(spark):
+    """Round-8 continuation probe batch over the token layer: every
+    degenerate input used to fail with a context-free error deep inside a
+    worker — or worse, silently produce a WRONG answer (a NULL token
+    landed in the LAST partition because F.least skips NULLs; a negative
+    num_splits returned a negative index for every row)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.functions.tokens import (
+        assign_token_range,
+        composite_key_bytes,
+        murmur3_token_for_long,
+        serialize_cql_value,
+        tokenize,
+    )
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="num_splits"):
+            assign_token_range(F.lit(5), bad)
+    # NULL token propagates NULL, never a real partition index
+    row = spark.range(1).select(
+        assign_token_range(F.lit(None).cast("long"), 4).alias("r")
+    ).collect()[0]
+    assert row.r is None
+
+    df = spark.createDataFrame([(1,), (None,)], "k bigint")
+    with pytest.raises(Exception, match="rejects NULL partition keys"):
+        murmur3_token_for_long(df, "k").collect()
+
+    with pytest.raises(ValueError, match="rejects NULL partition keys"):
+        serialize_cql_value(None, "bigint")
+    with pytest.raises(ValueError, match="does not fit CQL type"):
+        serialize_cql_value(2**40, "int")
+    with pytest.raises(ValueError, match="at least one component"):
+        composite_key_bytes([])
+    with pytest.raises(ValueError, match="at least one partition-key column"):
+        tokenize(df, [])
+
+
+def test_user_profiles_missing_columns_fail_at_plan_time(spark):
+    """A stream without the contract columns must fail when the operator
+    is APPLIED, naming the columns — not KeyError inside a streaming
+    worker after the query starts (round-8 continuation probe)."""
+    import pytest
+
+    from cassandra_analytics_spark.streaming.stateful import user_profiles
+
+    with pytest.raises(ValueError, match="missing \\['ts'\\]"):
+        user_profiles(spark.createDataFrame([(1, 2.0)], "user_id long, value double"))
