@@ -321,6 +321,164 @@ def ivf_topk(
     )
 
 
+def _argmax_cell(sims: list[tuple[int, Column]]) -> Column:
+    """Cell id of the max-similarity entry, LOWEST cid on ties (the repo's
+    min-representative tiebreak convention — struct array_max alone picks
+    the HIGHEST cid on a tie). Linear expression: array_max over
+    (sim, -cid) structs. NULL similarities rank below every real one
+    (coalesce -2), so every vector still gets a deterministic cell."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.coalesce(sim, F.lit(-2.0)).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, sim in sims
+        ]
+    )
+    return (-F.array_max(pairs)["ncid"]).cast("int")
+
+
+def nearest_cell_expr(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    sim_fn=None,
+) -> Column:
+    """Cell id of the max-cosine centroid for ``vec``, lowest cid on ties.
+
+    Generalization of :func:`nearest_centroid_cell` accepting a custom
+    similarity builder ``sim_fn(vec, centroid_lit) -> Column``.
+    """
+    if not centroids:
+        raise ValueError("nearest_cell_expr needs at least one centroid")
+    simf = sim_fn or (lambda v, c: cosine(v, c))
+    return _argmax_cell(
+        [(cid, simf(vec, lit_vector(cvec))) for cid, cvec in centroids]
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 10_000,
+    dot_fn=None,
+    norm_fn=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate stage:
+    semantic near-dup pairs ``(a, b, cell, cosine_sim)`` with a < b,
+    found only WITHIN coarse clusters.
+
+    The scale shape that makes semantic dedup tractable at 100 TB: a
+    brute-force cosine dedup is O(n²); SemDeDup first assigns every
+    embedding to its nearest coarse centroid (broadcast centroid list,
+    map-side linear expression — zero shuffle), then compares pairs only
+    inside each cluster, so work is Σ|cluster|² — bounded by centroid
+    count and the ``max_cluster`` hot-cluster cap (same convention as the
+    LSH ``max_bucket``: a cluster larger than the cap is skipped rather
+    than allowed to expand quadratically; raise the centroid count
+    instead). One shuffle on the cell key via the shared in-bucket pair
+    expansion (signatures computed once — never a self-join).
+
+    Norm discipline (HOFs are interpreted in Spark 4 — they must not be
+    recomputed per pair or per centroid): each row's norm is computed
+    ONCE and carried through the bucket payload; each CENTROID's norm is
+    computed once up front in a k-row job with the same ``norm_fn``
+    expression and embedded as a literal. Similarity is always
+    ``dot_fn(a, b) / (norm_a * norm_b)`` — pass the portable decimal-sum
+    ``dot_fn``/``norm_fn`` pair for oracle-exact math, or keep the fast
+    JVM defaults.
+
+    NULL vectors are excluded up front (they have no meaningful cell and
+    their NULL cosine could never clear the threshold).
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_cluster < 2:
+        raise ValueError(f"max_cluster must be >= 2, got {max_cluster}")
+    if not centroids:
+        raise ValueError("semantic_dedup_pairs needs at least one centroid")
+    from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
+
+    dotf = dot_fn or dot
+    normf = norm_fn or norm
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cid int, v array<double>",
+    )
+    cnorms = {
+        r["cid"]: r["n"]
+        for r in cdf.select("cid", normf(F.col("v")).alias("n")).collect()
+    }
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col), normf(F.col(vec_col)).alias("__nrm")
+    )
+    cell = _argmax_cell(
+        [
+            (
+                cid,
+                F.try_divide(
+                    dotf(F.col(vec_col), lit_vector(cvec)),
+                    F.col("__nrm") * F.lit(float(cnorms[cid])),
+                ),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    tagged = base.withColumn("__cell", cell).select(
+        id_col,
+        F.struct(
+            F.col(vec_col).alias("v"),
+            F.col("__nrm").alias("nrm"),
+            F.col("__cell").alias("c"),
+        ).alias("__p"),
+        "__cell",
+    )
+    pairs = _bucket_candidate_pairs(tagged, ["__cell"], id_col, "__p", max_cluster)
+    cos = F.try_divide(
+        dotf(F.col("pa")["v"], F.col("pb")["v"]),
+        F.col("pa")["nrm"] * F.col("pb")["nrm"],
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.col("pa")["c"].alias("cell"),
+        cos.alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 10_000,
+    dot_fn=None,
+    norm_fn=None,
+) -> DataFrame:
+    """SemDeDup removal verdicts: ``(removed, cell, kept_rep)`` — one row
+    per document that loses its within-cluster near-dup resolution.
+
+    Keep rule (deterministic, the repo's min-representative convention):
+    a document is removed iff some LOWER-id document in the same cluster
+    is ≥ ``threshold``-similar to it; ``kept_rep`` is the smallest such
+    id. (The paper keeps the member farthest from the centroid per dup
+    group; any single-survivor rule yields the same dedup rate — lowest
+    id is stable across runs/engines, which the paper's variant is not.)
+    """
+    pairs = semantic_dedup_pairs(
+        df, centroids, threshold, id_col, vec_col, max_cluster, dot_fn, norm_fn
+    )
+    return (
+        pairs.groupBy(F.col("b").alias("removed"), "cell")
+        .agg(F.min("a").alias("kept_rep"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1217,34 +1217,18 @@ EMBEDDING_CONFIRMED_ORACLE = f"""
 """
 
 
-@query(
-    "embedding_near_dup_confirmed",
-    oracle=EMBEDDING_CONFIRMED_ORACLE,
-    doc="Embedding-cosine near-dup detection, ORACLE-EXACT end to end: "
-    "sign-LSH bucket candidates (6 hyperplanes — the embedding_near_dup "
-    "plan) confirmed with the PORTABLE cosine (double products → "
-    "decimal(28,12) sums → one double sqrt/divide, bit-identical across "
-    "engines), against a DuckDB oracle that brute-forces every pair. "
-    "The planted probes use a RATIONAL ±5% perturbation "
-    "(1 + 0.05*(((i*31+id)%7)-3)/3 — exact-rounded IEEE arithmetic in "
-    "both engines) instead of the raw query's libm cos, whose last-ulp "
-    "engine differences would leak into the hash. Recall premise "
-    "(every cosine>=0.9 pair bucket-collides in the single 6-bit table) "
-    "is fixture-verified in tests/test_confirmed_dedup.py; the raw "
-    "sign-LSH query stays registered (rows-only) for the bucket "
-    "structure.",
-)
-def embedding_near_dup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
-    from cassandra_analytics_spark.operators.similarity import (
-        sign_lsh_signature_column,
-    )
+def _planted_corpus(e: DataFrame) -> DataFrame:
+    """The shared near-dup fixture corpus: every embedding cast to double,
+    plus a ±5% RATIONAL perturbation of vec_id < 8 re-keyed to +1e6
+    (exact-rounded IEEE arithmetic in both engines — libm-free, so the
+    planted pairs hash identically in Spark and DuckDB). The oracle twin
+    is the ``planted``/``corpus`` CTE pair in EMBEDDING_CONFIRMED_ORACLE.
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # transform FIRST, re-key AFTER: putting the +1e6 alias in the same
-    # select would make F.col("vec_id") inside the lambda resolve to the
-    # LATERAL alias (the shifted id), silently changing the perturbation
-    # pattern vs the oracle (caught during this query's construction)
+    transform FIRST, re-key AFTER: putting the +1e6 alias in the same
+    select would make F.col("vec_id") inside the lambda resolve to the
+    LATERAL alias (the shifted id), silently changing the perturbation
+    pattern vs the oracle (caught during this query's construction).
+    """
     planted = (
         e.filter(F.col("vec_id") < 8)
         .select(
@@ -1269,10 +1253,37 @@ def embedding_near_dup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
     )
-    corpus = e.select(
+    return e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     ).unionByName(planted)
+
+
+@query(
+    "embedding_near_dup_confirmed",
+    oracle=EMBEDDING_CONFIRMED_ORACLE,
+    doc="Embedding-cosine near-dup detection, ORACLE-EXACT end to end: "
+    "sign-LSH bucket candidates (6 hyperplanes — the embedding_near_dup "
+    "plan) confirmed with the PORTABLE cosine (double products → "
+    "decimal(28,12) sums → one double sqrt/divide, bit-identical across "
+    "engines), against a DuckDB oracle that brute-forces every pair. "
+    "The planted probes use a RATIONAL ±5% perturbation "
+    "(1 + 0.05*(((i*31+id)%7)-3)/3 — exact-rounded IEEE arithmetic in "
+    "both engines) instead of the raw query's libm cos, whose last-ulp "
+    "engine differences would leak into the hash. Recall premise "
+    "(every cosine>=0.9 pair bucket-collides in the single 6-bit table) "
+    "is fixture-verified in tests/test_confirmed_dedup.py; the raw "
+    "sign-LSH query stays registered (rows-only) for the bucket "
+    "structure.",
+)
+def embedding_near_dup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
+    from cassandra_analytics_spark.operators.similarity import (
+        sign_lsh_signature_column,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
 
     # Probe the vector dimension from ONE row (the fixture schema is
     # array<float>, so dim isn't in the StructType). ADVICE r6: guard the
@@ -1780,3 +1791,108 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+    WITH planted AS (
+        SELECT vec_id + 1000000 AS vec_id, i,
+               CAST(x AS DOUBLE)
+                 * (1.0 + ((0.05 * (CAST(((i - 1) * 31 + vec_id) % 7 AS DOUBLE)
+                                    - 3.0)) / 3.0)) AS x
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings WHERE vec_id < 8)
+    ),
+    corpus AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id, i, x FROM planted
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(x * x AS {DECV_SQL})) AS DOUBLE)) AS nrm
+        FROM corpus GROUP BY vec_id
+    ),
+    cent AS (SELECT vec_id AS cid, i, x FROM corpus WHERE vec_id < 32),
+    adots AS (
+        SELECT c.vec_id, k.cid,
+               CAST(SUM(CAST(c.x * k.x AS {DECV_SQL})) AS DOUBLE) AS dot
+        FROM corpus c JOIN cent k ON c.i = k.i
+        GROUP BY c.vec_id, k.cid
+    ),
+    asims AS (
+        SELECT d.vec_id, d.cid, d.dot / (n.nrm * cn.nrm) AS sim
+        FROM adots d
+        JOIN norms n ON n.vec_id = d.vec_id
+        JOIN norms cn ON cn.vec_id = d.cid
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid ASC) AS rn
+            FROM asims
+        ) WHERE rn = 1
+    ),
+    pdots AS (
+        SELECT l.vec_id AS a, r.vec_id AS b, la.cell,
+               CAST(SUM(CAST(l.x * r.x AS {DECV_SQL})) AS DOUBLE) AS dot
+        FROM corpus l
+        JOIN assign la ON la.vec_id = l.vec_id
+        JOIN corpus r ON l.i = r.i AND l.vec_id < r.vec_id
+        JOIN assign ra ON ra.vec_id = r.vec_id AND ra.cell = la.cell
+        GROUP BY l.vec_id, r.vec_id, la.cell
+    ),
+    pairs AS (
+        SELECT a, b, cell, dot / (na.nrm * nb.nrm) AS cos
+        FROM pdots
+        JOIN norms na ON na.vec_id = a
+        JOIN norms nb ON nb.vec_id = b
+    )
+    SELECT b AS removed, CAST(cell AS INTEGER) AS cell,
+           CAST(MIN(a) AS BIGINT) AS kept_rep
+    FROM pairs WHERE cos >= 0.9
+    GROUP BY b, cell
+    ORDER BY removed
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-then-"
+    "dedup semantic near-dup removal, ORACLE-EXACT end to end: every "
+    "embedding assigns to its nearest coarse centroid (broadcast centroid "
+    "list, map-side linear expression, lowest-cid tiebreak), near-dup "
+    "pairs are found only WITHIN clusters (work is sum(|cluster|^2), "
+    "never n^2 — the paper's scale premise), and each dup resolves to "
+    "the lowest-id representative. Centroids here are the vec_id<32 "
+    "embeddings (deterministic, oracle-reproducible stand-in for the "
+    "k-means codebook a production run would pass in); the corpus is the "
+    "shared planted-perturbation fixture. All similarity math uses the "
+    "PORTABLE cosine (double products, decimal(28,12) sums) so assignment "
+    "and confirm hash identically against the DuckDB brute-force twin.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
+    cent_rows = (
+        e.filter(F.col("vec_id") < 32)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+
+    return semantic_dedup(
+        corpus, centroids, threshold=0.9, id_col="vec_id", vec_col="embedding",
+        dot_fn=_pdot, norm_fn=_psq_norm,
+    ).orderBy("removed")

@@ -231,3 +231,84 @@ def test_zero_norm_vectors_do_not_crash(spark):
     # IVF build+probe over a corpus containing the zero vector
     assert ivf_topk(emb, [1.0, 0.0, 0.0], k=2, num_centroids=2,
                     num_probes=2).count() == 2
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup (semantic_dedup): planted near-identical vectors in the
+    same cluster resolve to the lowest-id representative; distinct
+    vectors and cross-cluster look-alikes survive."""
+    from cassandra_analytics_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),    # near-dup of 0
+            (2, [0.98, 0.015, 0.0]),   # near-dup of 0 and 1
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.99, 0.01]),    # near-dup of 3
+            (5, [0.0, 0.0, 1.0]),      # alone
+            (6, None),                 # NULL vector: excluded, never crashes
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    centroids = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    out = {
+        r.removed: (r.cell, r.kept_rep)
+        for r in semantic_dedup(emb, centroids, threshold=0.95).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 0), 4: (1, 3)}
+
+    # pair stage exposes the within-cluster candidates with their cell
+    pairs = semantic_dedup_pairs(emb, centroids, threshold=0.95).collect()
+    assert {(r.a, r.b) for r in pairs} == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    assert all(r.cosine_sim >= 0.95 for r in pairs)
+
+
+def test_semantic_dedup_max_cluster_cap_and_validation(spark):
+    """A cluster larger than max_cluster is SKIPPED (the LSH max_bucket
+    convention) rather than expanded quadratically; bad parameters fail
+    eagerly with named errors."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-4, 0.0]) for i in range(6)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    centroids = [(0, [1.0, 0.0, 0.0])]
+    # all 6 land in cell 0 (> max_cluster=4): the hot cluster is dropped
+    assert semantic_dedup(emb, centroids, 0.9, max_cluster=4).count() == 0
+    # cap off: 5 removals, all resolving to vec 0
+    full = semantic_dedup(emb, centroids, 0.9).collect()
+    assert sorted(r.removed for r in full) == [1, 2, 3, 4, 5]
+    assert {r.kept_rep for r in full} == {0}
+
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup_pairs(emb, centroids, threshold=1.5)
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup_pairs(emb, centroids, max_cluster=1)
+    with pytest.raises(ValueError, match="at least one centroid"):
+        semantic_dedup_pairs(emb, [], 0.9)
+
+
+def test_nearest_cell_lowest_cid_tiebreak(spark):
+    """On an exact similarity tie the LOWEST cid wins (the repo's
+    min-representative convention); array_max alone would pick the
+    highest."""
+    from cassandra_analytics_spark.operators.similarity import nearest_cell_expr
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    # both centroids have identical cosine to (1,1)
+    cell = nearest_cell_expr(
+        F.col("embedding"), [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
+    )
+    assert emb.select(cell.alias("c")).collect()[0].c == 3
