@@ -111,3 +111,99 @@ def stratified_hash_sample(
         thr = math.ceil(round(frac * _BUCKETS, 6))
         keep = keep | ((F.col(stratum_col) == stratum) & (b < thr))
     return df.filter(keep)
+
+
+def fine_hash_bucket(col: Column | str, num_buckets: int = 10_000) -> Column:
+    """Stable bucket in [0, num_buckets) from the FIRST 8 md5 hex chars.
+
+    The 4-char :func:`hash_bucket` has 2^16 raw values — fine for percent
+    splits, but ``% 10000`` over 65536 values over-represents buckets
+    below 5536 by 7/6 (a real ~8% skew). Eight chars give 2^32 raw
+    values, shrinking the modulo bias to ~2e-5. Same portability contract:
+    DuckDB reproduces it as
+    ``('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT % N``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hex8 = F.substring(F.md5(c.cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % num_buckets).alias("bucket")
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+    total: float | None = None,
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """Down-sample a corpus to a target DOMAIN MIXTURE (the static half of
+    DoReMi-style domain reweighting): given mixture ratios per domain,
+    keep a deterministic id-hash sample of each domain sized so the kept
+    corpus follows the ratios.
+
+    ``weights`` are relative ratios over ``size_col`` units (rows when
+    ``size_col`` is None); they are normalized internally. The sampled
+    total is the largest achievable under the ratios —
+    ``X = min_d(available_d / weight_d)`` — further capped by ``total``
+    when given; domain d keeps fraction ``weight_d * X / available_d``
+    via the md5 id-hash, so membership is stable across runs, engines,
+    partitionings and re-ingests (a resumed 100 TB job must never
+    re-flip coins). Domains absent from ``weights`` (or weighted 0) are
+    dropped entirely.
+
+    Scale shape: one tiny per-domain aggregate (shuffle on the domain
+    key, output rows = #domains — collected driver-side, bounded by
+    ``len(weights)`` after the weighted-domain filter), then a pure
+    projection+filter over the corpus — no second shuffle, no RNG state.
+
+    Oracle parity note: fractions are computed with plain IEEE doubles
+    (``(w * X) / S`` then ``ceil(f * num_buckets)``); an engine-portable
+    replication must use the same expression tree. Pass pre-normalized
+    exact-binary weights (0.5, 0.25, ...) when cross-engine hash
+    equality matters — normalization sums floats in dict order.
+    """
+    import math
+
+    if not weights:
+        raise ValueError("mixture_sample needs at least one weighted domain")
+    bad = {d: w for d, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"mixture weights must be >= 0, got {bad}")
+    if total is not None and total <= 0:
+        raise ValueError(f"total must be > 0, got {total}")
+    active = {d: w for d, w in weights.items() if w > 0}
+    if not active:
+        raise ValueError("all mixture weights are zero")
+    wsum = sum(active.values())
+    norm_w = {d: w / wsum for d, w in active.items()}
+
+    size_expr = F.col(size_col) if size_col else F.lit(1)
+    sizes = {
+        r["d"]: r["s"]
+        for r in (
+            df.filter(F.col(domain_col).isin(list(active)))
+            .groupBy(F.col(domain_col).alias("d"))
+            .agg(F.sum(size_expr).cast("double").alias("s"))
+            .collect()
+        )
+    }
+    missing = [d for d in active if d not in sizes or not sizes[d]]
+    if missing:
+        raise ValueError(
+            f"mixture domains with no data in {domain_col!r}: {sorted(missing)} "
+            "— the requested mixture is unachievable; drop them or fix the corpus"
+        )
+    x = min(sizes[d] / w for d, w in norm_w.items())
+    if total is not None:
+        x = min(x, float(total))
+    thresholds = {
+        d: math.ceil(((w * x) / sizes[d]) * num_buckets)
+        for d, w in norm_w.items()
+    }
+    thr_map = F.create_map(
+        *[F.lit(v) for d, t in sorted(thresholds.items()) for v in (d, t)]
+    )
+    bucket = fine_hash_bucket(id_col, num_buckets)
+    # unweighted domains: element_at -> NULL -> NULL comparison -> dropped
+    return df.filter(bucket < thr_map[F.col(domain_col)])

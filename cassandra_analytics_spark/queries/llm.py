@@ -1896,3 +1896,58 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, centroids, threshold=0.9, id_col="vec_id", vec_col="embedding",
         dot_fn=_pdot, norm_fn=_psq_norm,
     ).orderBy("removed")
+
+
+@query(
+    "mixture_sample_langs",
+    oracle="""
+    WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
+    sizes AS (
+        SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS s
+        FROM documents JOIN w USING (lang)
+        GROUP BY lang
+    ),
+    x AS (SELECT MIN(s / wt) AS xv FROM sizes JOIN w USING (lang)),
+    thr AS (
+        SELECT lang, CEIL(((wt * xv) / s) * 10000) AS t
+        FROM sizes JOIN w USING (lang) CROSS JOIN x
+    ),
+    kept AS (
+        SELECT d.lang, d.n_chars
+        FROM documents d JOIN thr USING (lang)
+        WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                % 10000 < thr.t
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    doc="Domain-mixture down-sampling (the static half of DoReMi-style "
+    "reweighting): resample the corpus so kept char mass follows the "
+    "en:de:fr = 2:1:1 target ratios at the largest achievable size "
+    "(X = min_d available_d/weight_d; the binding domain keeps "
+    "everything). Membership is a deterministic md5 id-hash — stable "
+    "across runs/engines/re-ingests, no RNG state. One tiny per-domain "
+    "aggregate (rows = #domains, collected driver-side) then a pure "
+    "projection+filter: no second shuffle "
+    "(operators/sampling.mixture_sample). Exact-binary weights keep the "
+    "fraction math bit-identical in both engines.",
+)
+def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d,
+        {"en": 0.5, "de": 0.25, "fr": 0.25},
+        domain_col="lang",
+        id_col="doc_id",
+        size_col="n_chars",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

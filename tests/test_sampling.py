@@ -171,3 +171,66 @@ def test_hash_split_null_id_and_pct_validation(spark):
         hash_split(df, train_pct=80, val_pct=30)
     with pytest.raises(ValueError, match="fractions"):
         stratified_hash_sample(df, "doc_id", "doc_id", {"x": 1.5})
+
+
+def test_mixture_sample_ratios_and_determinism(spark):
+    """mixture_sample: the kept corpus follows the target ratios (binding
+    domain keeps everything), membership is id-stable, unweighted and
+    zero-weighted domains are dropped."""
+    from cassandra_analytics_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a", 10) for i in range(400)]          # 4000 units
+    rows += [(1000 + i, "b", 10) for i in range(100)]  # 1000 units (binding)
+    rows += [(2000 + i, "c", 10) for i in range(300)]  # unweighted
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    kept = mixture_sample(
+        df, {"a": 0.5, "b": 0.5, "c": 0.0}, size_col="n_chars"
+    )
+    by_lang = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "c" not in by_lang                      # zero weight -> dropped
+    assert by_lang["b"] == 100                     # binding domain keeps all
+    # target for a = 1000 units = 100 docs; hash sampling is approximate
+    assert 80 <= by_lang["a"] <= 120
+    # determinism: same call, same membership
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in mixture_sample(
+        df, {"a": 0.5, "b": 0.5, "c": 0.0}, size_col="n_chars").collect())
+    assert ids1 == ids2
+    # a kept id stays kept when the corpus grows (id-hash stability)
+    grown = df.unionByName(spark.createDataFrame(
+        [(5000 + i, "b", 10) for i in range(100)],
+        "doc_id long, lang string, n_chars long"))
+    kept_grown = set(r.doc_id for r in mixture_sample(
+        grown, {"a": 0.5, "b": 0.5}, size_col="n_chars").collect())
+    # b now has 2000 units -> a's fraction rises; previously-kept a docs
+    # must remain kept (threshold only moved up)
+    assert set(ids1) <= kept_grown
+
+    # total cap halves the mixture
+    capped = mixture_sample(
+        df, {"a": 0.5, "b": 0.5}, size_col="n_chars", total=1000.0)
+    n = capped.count()
+    assert 80 <= n <= 120  # ~50 docs per domain
+
+
+def test_mixture_sample_validation(spark):
+    """Degenerate mixtures fail eagerly with named errors."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, lang string, n_chars long"
+    )
+    with pytest.raises(ValueError, match="at least one weighted domain"):
+        mixture_sample(df, {})
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_sample(df, {"a": -0.5})
+    with pytest.raises(ValueError, match="all mixture weights are zero"):
+        mixture_sample(df, {"a": 0.0})
+    with pytest.raises(ValueError, match="total must be > 0"):
+        mixture_sample(df, {"a": 1.0}, total=0)
+    with pytest.raises(ValueError, match="no data"):
+        mixture_sample(df, {"a": 0.5, "nope": 0.5})
