@@ -445,3 +445,55 @@ def bm25_scores(
     return matched.join(F.broadcast(stats)).select(
         F.col("id").alias(id_col), score
     )
+
+
+def reciprocal_rank_fusion(
+    ranked: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of several
+    ranked retrieval lists: ``fused(d) = Σ_lists 1/(k + rank_list(d))``.
+
+    The hybrid-retrieval primitive a training-data mining pipeline uses
+    to combine lexical (BM25) and semantic (embedding-cosine) hits: RRF
+    needs no score calibration between the lists — only ranks — and k=60
+    is the paper's robust default.
+
+    Engine-exact by construction: each contribution is the INTEGER
+    ``scale DIV (k + rank)`` and the fusion is a BIGINT sum — pure
+    integer math, order-independent under parallel aggregation, bit-equal
+    in any engine (no float reciprocal sums to drift). Output:
+    ``(id, rrf_fp, n_lists)`` where ``rrf_fp`` is the fused score in
+    fixed-point (divide by ``scale`` for the paper's value) and
+    ``n_lists`` counts the lists the doc appeared in.
+
+    Ranks are 1-based; NULL or non-positive ranks are dropped from a
+    list before fusion (a 0/negative rank would hit DIV-by-zero or flip
+    the score's sign deep inside the job). Scale shape: the inputs are
+    top-k lists (tiny by construction), so the union + single groupBy is
+    bounded by Σ list sizes, never corpus size.
+    """
+    from functools import reduce
+
+    if not ranked:
+        raise ValueError("reciprocal_rank_fusion needs at least one ranked list")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("__r"),
+        ).filter(F.col(rank_col).isNotNull() & (F.col(rank_col) >= 1))
+        for df in ranked.values()
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    contrib = F.expr(f"CAST({int(scale)} AS BIGINT) DIV (CAST({int(k)} AS BIGINT) + __r)")
+    return u.groupBy(id_col).agg(
+        F.sum(contrib).alias("rrf_fp"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )

@@ -32,6 +32,29 @@ DECV = "decimal(28,12)"
 DECV_SQL = "DECIMAL(28,12)"
 
 
+def _py_psq_norm(vec: list[float]) -> float:
+    """Driver-side scalar twin of :func:`_psq_norm`: double squares ->
+    decimal(.,12) HALF_UP sum -> double -> sqrt. Python's Decimal(x) is
+    the EXACT binary expansion while Spark casts through the shortest-
+    repr BigDecimal; the two can only diverge when a square sits within
+    ~1e-17 relative of a .5e-12 rounding boundary — equality on the
+    fixture is pinned by the oracle hash matches of every query using
+    this helper (and cosine_topk_embeddings' identical inline math)."""
+    import decimal
+    import math
+
+    return math.sqrt(
+        float(
+            sum(
+                decimal.Decimal(x * x).quantize(
+                    decimal.Decimal("1E-12"), rounding=decimal.ROUND_HALF_UP
+                )
+                for x in vec
+            )
+        )
+    )
+
+
 def _pdot(a: Column, b: Column) -> Column:
     """Portable dot product: double products → decimal sum → double."""
     return F.aggregate(
@@ -1049,9 +1072,6 @@ _COSINE_ORACLE = f"""
     "TakeOrderedAndProject.",
 )
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import decimal
-    import math
-
     e = load_table(spark, sf_dir, "embeddings")
     qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
     if not qrows:  # no query vector → no neighbors (ADVICE r6 bug class)
@@ -1061,16 +1081,7 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query norm computed the same portable way as the oracle: double
     # squares → decimal(·,12) sum → double → sqrt
-    qnorm = math.sqrt(
-        float(
-            sum(
-                decimal.Decimal(x * x).quantize(
-                    decimal.Decimal("1E-12"), rounding=decimal.ROUND_HALF_UP
-                )
-                for x in qvec
-            )
-        )
-    )
+    qnorm = _py_psq_norm(qvec)
 
     scored = e.filter(F.col("vec_id") != 0).select(
         "vec_id",
@@ -1951,3 +1962,148 @@ def mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_HYBRID_RRF_ORACLE = rf"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(nt, ' ')) AS w FROM norm
+    ),
+    doclen AS (
+        SELECT doc_id, COUNT(*) AS len FROM words GROUP BY doc_id
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM words WHERE w IN ('spark', 'merge', 'vector')
+        GROUP BY doc_id, w
+    ),
+    dfreq AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w
+    ),
+    stats AS (SELECT COUNT(*) AS n, AVG(len) AS avglen FROM doclen),
+    idfq AS (
+        SELECT w, df,
+               FLOOR(LN(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000 + 0.5)
+                 / 1000000 AS idf
+        FROM dfreq CROSS JOIN stats
+    ),
+    bm25 AS (
+        SELECT tf.doc_id,
+               CAST(SUM(CAST(FLOOR(
+                 idfq.idf * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.len / stats.avglen))
+                   * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS score
+        FROM tf
+        JOIN doclen USING (doc_id)
+        JOIN idfq USING (w)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    bm_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM bm25
+        QUALIFY rnk <= 50
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (
+        SELECT sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                  AS {DECV_SQL})) AS DOUBLE)) AS qnorm
+        FROM (SELECT unnest(qe) AS x FROM q)
+    ),
+    prods AS (
+        SELECT e.vec_id,
+               CAST(CAST(unnest(e.embedding) AS DOUBLE)
+                    * CAST(unnest(q.qe) AS DOUBLE) AS {DECV_SQL}) AS p,
+               CAST(CAST(unnest(e.embedding) AS DOUBLE)
+                    * CAST(unnest(e.embedding) AS DOUBLE) AS {DECV_SQL}) AS sq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ),
+    sums AS (
+        SELECT vec_id,
+               CAST(SUM(p) AS DOUBLE) AS dot,
+               sqrt(CAST(SUM(sq) AS DOUBLE)) AS enorm
+        FROM prods GROUP BY vec_id
+    ),
+    cos_rank AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY dot / (enorm * qn.qnorm) DESC,
+                                  vec_id) AS rnk
+        FROM sums, qn
+        QUALIFY rnk <= 50
+    ),
+    fused AS (
+        SELECT doc_id, 1000000 // (60 + rnk) AS c FROM bm_rank
+        UNION ALL
+        SELECT doc_id, 1000000 // (60 + rnk) AS c FROM cos_rank
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM fused
+    GROUP BY doc_id
+    ORDER BY rrf_fp DESC, doc_id
+    LIMIT 20
+"""
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=_HYBRID_RRF_ORACLE,
+    doc="Hybrid lexical+semantic retrieval fused by reciprocal-rank "
+    "fusion (Cormack et al. 2009): BM25 top-50 over documents and "
+    "portable-cosine top-50 over embeddings (query = vec_id 0), fused as "
+    "sum of INTEGER scale DIV (60 + rank) contributions — pure BIGINT "
+    "math, no float reciprocal sums, bit-equal across engines "
+    "(operators/text.reciprocal_rank_fusion). Both rank lists carry a "
+    "total order (score desc, id), so ranks are deterministic; the "
+    "fusion input is two top-k lists, never corpus-sized.",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cassandra_analytics_spark.operators.text import (
+        bm25_scores,
+        reciprocal_rank_fusion,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    bm = bm25_scores(d, ["spark", "merge", "vector"], fp_scale=1_000_000)
+    bm_top = bm.orderBy(F.desc("score"), "doc_id").limit(50)
+    # rank over an already-LIMITed 50-row frame: the single-partition
+    # window is bounded by construction, never corpus-sized
+    bm_rank = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rank"),
+    )
+
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "doc_id BIGINT, rrf_fp BIGINT, n_lists BIGINT"
+        )
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    q = lit_vector(qvec)
+    cos = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        (_pdot(F.col("embedding"), q) / (_psq_norm(F.col("embedding")) * F.lit(_py_psq_norm(qvec)))).alias("cs"),
+    )
+    cos_top = cos.orderBy(F.desc("cs"), "doc_id").limit(50)
+    cos_rank = cos_top.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("cs"), "doc_id")).alias("rank"),
+    )
+
+    fused = reciprocal_rank_fusion(
+        {"bm25": bm_rank, "cosine": cos_rank}, id_col="doc_id"
+    )
+    return fused.orderBy(F.desc("rrf_fp"), "doc_id").limit(20)

@@ -312,3 +312,33 @@ def test_contamination_benchmark_needs_only_text(spark):
         ).collect()
     ]
     assert flagged2 == [(1, 7)]
+
+
+def test_reciprocal_rank_fusion(spark):
+    """RRF: integer fixed-point contributions, docs in several lists sum
+    their reciprocals, NULL/non-positive ranks are dropped, degenerate
+    parameters fail eagerly."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.text import reciprocal_rank_fusion
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, None), (4, 0)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame([(1, 2), (5, 1)], "doc_id long, rank int")
+    out = {
+        r.doc_id: (r.rrf_fp, r.n_lists)
+        for r in reciprocal_rank_fusion({"a": a, "b": b}).collect()
+    }
+    # 1_000_000 DIV 61 = 16393, DIV 62 = 16129
+    assert out[1] == (16393 + 16129, 2)
+    assert out[2] == (16129, 1)
+    assert out[5] == (16393, 1)
+    assert 3 not in out and 4 not in out  # NULL / 0 ranks dropped
+
+    with pytest.raises(ValueError, match="at least one ranked list"):
+        reciprocal_rank_fusion({})
+    with pytest.raises(ValueError, match="k must be >= 0"):
+        reciprocal_rank_fusion({"a": a}, k=-1)
+    with pytest.raises(ValueError, match="scale must be >= 1"):
+        reciprocal_rank_fusion({"a": a}, scale=0)
