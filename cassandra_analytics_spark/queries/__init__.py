@@ -54,17 +54,25 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # the 50-row window; after this round no query's newest driver row is
 # older than r6.
 _ROUND_PRIORITY: list[str] = [
+    # --- (0) NEW this round: never driver-proved ---
+    "dedup_semantic",                # SemDeDup cluster-then-dedup
+    "mixture_sample_langs",          # domain-mixture hash sampling
+    "hybrid_rrf_search",             # BM25+cosine reciprocal-rank fusion
     # --- (1) implementation touched this round ---
     "lww_latest_events",             # row-LWW tiebreak via order_key_expr
     "lww_partial_upsert",            # cell-LWW tiebreak via order_key_expr
-    "cell_pivot_roundtrip",          # writetime-tie key via order_key_expr
-    "asof_purchase_click",           # duplicate-right tiebreak projection
-    "static_column_propagation",     # max_by(canonical key) for maps
     "bulk_write_roundtrip",          # value-column sort via order_key_expr
     # (bundle_write_restore / coordinated_write_roundtrip ride the SAME
     # order_key_expr writer sort as bulk_write_roundtrip, have r7 driver
     # rows and dedicated property suites — their slots go to the two
-    # r6-fresh queries the round-8 continuation touched instead)
+    # r6-fresh queries the round-8 continuation touched instead.
+    # cell_pivot_roundtrip / asof_purchase_click /
+    # static_column_propagation are the remaining three order_key_expr
+    # sites: same mechanism as the three rows kept above, r7 driver rows,
+    # pinned by tests/test_map_determinism.py — their slots go to the
+    # three NEW queries. embedding_near_dup_confirmed's _planted_corpus
+    # factor-out was proved hash-identical by this session's sf0.01
+    # compare and keeps its r7 row.)
     "cosine_topk_embeddings",        # top-k now excludes unscorable rows
     "dedup_cluster_assignment",      # CC output excludes NULL-id phantom
     "streaming_incremental_dedup",   # restart bootstrap rebuilds from store
