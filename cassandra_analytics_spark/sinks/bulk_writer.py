@@ -639,6 +639,15 @@ def read_bulk_table(
     matching Cassandra's local-expiry evaluation at read time."""
     batches = committed_batches(table_path)
     if as_of_batch is not None:
+        if not str(as_of_batch).startswith("batch-"):
+            # the snapshot cut is lexicographic over "batch-<millis>-<id>"
+            # names: any other shape silently reads EVERYTHING (sorts
+            # above "batch-") or nothing (round-8 continuation probe;
+            # same check as the cassandra_bulk source's snapshot option)
+            raise ValueError(
+                f"as_of_batch must be a batch id (or id prefix) starting "
+                f"with 'batch-', got {as_of_batch!r}"
+            )
         batches = [b for b in batches if os.path.basename(b) <= as_of_batch]
     if not batches:
         raise FileNotFoundError(f"no committed batches under {table_path}")

@@ -161,15 +161,47 @@ def _opt(options: dict, canonical: str, default=None):
 
 
 def _snapshot_option(options: dict) -> str | None:
-    return _opt(options, "snapshot")
+    snap = _opt(options, "snapshot")
+    if snap is not None and not str(snap).startswith("batch-"):
+        # the snapshot filter is lexicographic over "batch-<millis>-<id>"
+        # names: any other shape silently reads EVERYTHING (sorts above
+        # "batch-") or NOTHING (sorts below) — round-8 continuation probe
+        raise ValueError(
+            f"snapshot/as_of_batch must be a batch id (or id prefix) "
+            f"starting with 'batch-', got {snap!r}"
+        )
+    return snap
+
+
+def _required_path(options: dict) -> str:
+    if "path" not in options:
+        raise ValueError(
+            "the cassandra_bulk source needs .option('path', <table dir>) "
+            "or .load(<table dir>)"
+        )
+    return options["path"]
+
+
+def _int_option(options: dict, canonical: str, default: str) -> int:
+    raw = _opt(options, canonical, default)
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"option {canonical!r} must be an integer, got {raw!r}"
+        ) from None
 
 
 class CassandraBulkReader(DataSourceReader):
     def __init__(self, options: dict, spark_schema: StructType | None = None):
         self.spark_schema = spark_schema
-        self.table_path = options["path"]
+        self.table_path = _required_path(options)
+        # strip(): ".option('partition_keys', 'pk1, pk2')" used to keep
+        # the space, so ' pk2' never matched a filter column — pushdown
+        # silently disabled, and require_full_pk REJECTED fully-pinned
+        # scans (round-8 continuation probe)
         self.partition_keys = [
-            k for k in options.get("partition_keys", "").split(",") if k
+            k.strip() for k in options.get("partition_keys", "").split(",") if k.strip()
         ]
         self.require_full_pk = (
             options.get("require_full_pk", "false").lower() == "true"
@@ -182,8 +214,8 @@ class CassandraBulkReader(DataSourceReader):
             )
         self.snapshot = _snapshot_option(options)
         self.lmt_column = _opt(options, "last_modified_column_name")
-        parallelism = int(_opt(options, "default_parallelism", "0"))
-        cores = int(_opt(options, "num_cores", "1"))
+        parallelism = _int_option(options, "default_parallelism", "0")
+        cores = _int_option(options, "num_cores", "1")
         self.target_partitions = parallelism * cores if parallelism > 0 else 0
         self.pushed: list[tuple[str, list]] = []
 
@@ -348,7 +380,7 @@ class CassandraBulkWriter(DataSourceWriter):
         import time
         import uuid
 
-        self.table_path = options["path"]
+        self.table_path = _required_path(options)
         self.schema = schema
         field_names = {f.name for f in schema.fields}
 
@@ -388,6 +420,11 @@ class CassandraBulkWriter(DataSourceWriter):
             const, self.ttl_column = self._const_or_column(
                 ttl, field_names, "ttl"
             )
+            if const is not None and const < 0:
+                # Cassandra rejects negative TTLs; storing one would
+                # instant-expire every row SILENTLY at read time under the
+                # writetime+ttl<=now merge rule (round-8 continuation probe)
+                raise ValueError(f"ttl must be >= 0 (0 = forever), got {const}")
             if const is not None and const != 0:
                 self.ttl_seconds = const
 
@@ -547,7 +584,7 @@ class CassandraBulkDataSource(DataSource):
         import pyarrow.parquet as pq
 
         files = _data_files(
-            self.options["path"], _snapshot_option(dict(self.options))
+            _required_path(dict(self.options)), _snapshot_option(dict(self.options))
         )
         if not files:
             # committed-but-file-less batches (e.g. a compaction of a

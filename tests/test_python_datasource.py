@@ -471,3 +471,67 @@ def test_explicit_constant_timestamp_overrides_writetime_column(spark, tmp_path)
     )
     raw = read_bulk_table(spark, path, ["id"], merge=False)
     assert [r.writetime for r in raw.collect()] == [123456]
+
+
+def test_degenerate_options_fail_loudly(spark, bulk_table):
+    """Round-8 continuation probe batch: every degenerate option used to
+    fail deep inside the source with a context-free error — or worse,
+    silently change what was read (a malformed snapshot id read the WHOLE
+    table because the lexicographic cut sorts above 'batch-'; a negative
+    constant TTL instant-expired every row at merge time)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    # missing path: named error, not KeyError('path')
+    with pytest.raises(Exception, match="needs .option\\('path'"):
+        spark.read.format("cassandra_bulk").load().count()
+    # malformed snapshot: loud, names the expected shape
+    with pytest.raises(Exception, match="starting with 'batch-'"):
+        _load(spark, bulk_table, snapshot="zzz").count()
+    # negative constant TTL: rejected at writer construction
+    with pytest.raises(Exception, match="ttl must be >= 0"):
+        (
+            spark.createDataFrame([Row(pk=1, ck=1, val="x")])
+            .write.format("cassandra_bulk")
+            .option("path", bulk_table)
+            .option("ttl", "-5")
+            .mode("append")
+            .save()
+        )
+    # non-integer parallelism: names the option
+    with pytest.raises(Exception, match="'default_parallelism' must be an integer"):
+        _load(spark, bulk_table, default_parallelism="lots").count()
+
+
+def test_spaced_partition_keys_still_push_down(spark, bulk_table):
+    """'pk1, pk2' with a space used to disable pushdown silently AND make
+    require_full_pk reject fully-pinned scans (round-8 continuation
+    probe): option values are now stripped."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("cassandra_bulk")
+        .option("path", bulk_table)
+        .option("partition_keys", " pk ")
+        .option("require_full_pk", "true")
+        .load()
+        .filter(F.col("pk") == 3)
+    )
+    assert df.count() == 25
+
+
+def test_read_bulk_table_as_of_batch_validated(spark, bulk_table):
+    """The JVM path shares the snapshot-shape check (a bogus id used to
+    silently read everything)."""
+    from cassandra_analytics_spark.sinks.bulk_writer import read_bulk_table
+
+    with pytest.raises(ValueError, match="starting with 'batch-'"):
+        read_bulk_table(spark, bulk_table, ["pk"], ["ck"], as_of_batch="zzz")
+    # a prefix cut above every batch still works and equals the unfiltered
+    # read (the module fixture accumulates batches across tests, so the
+    # comparison is relative, not an absolute row count)
+    n_all = read_bulk_table(spark, bulk_table, ["pk"], ["ck"]).count()
+    n = read_bulk_table(
+        spark, bulk_table, ["pk"], ["ck"], as_of_batch="batch-9999999999999"
+    ).count()
+    assert n == n_all
