@@ -42,6 +42,15 @@ def row_size_bytes(df: DataFrame, cols: Sequence[str] | None = None) -> Column:
     temporal types, ``octet_length`` for strings/binary, element-wise for
     arrays. Mirrors how the reference sizes partitions from index offsets —
     a deterministic per-row byte count."""
+    if cols is not None:
+        # a misspelled column used to be silently skipped — every row
+        # sized 0 with no error (round-8 continuation probe)
+        unknown = set(cols) - {f.name for f in df.schema.fields}
+        if unknown:
+            raise ValueError(
+                f"row_size_bytes: columns not in the DataFrame: "
+                f"{sorted(unknown)} (have: {df.columns})"
+            )
     total: Column = F.lit(0).cast("long")
     for field in df.schema.fields:
         if cols is not None and field.name not in cols:
@@ -75,6 +84,16 @@ def partition_sizes(
     Matches the reference's output schema
     (``DataLayer.partitionSizeStructType``, ``DataLayer.java:72-88``) plus a
     row_count column. groupBy → partial agg map-side, single shuffle."""
+    if not partition_keys:
+        # groupBy() of an empty key list silently produced ONE keyless
+        # global row — not a per-partition size table (round-8 probe)
+        raise ValueError("partition_sizes needs at least one partition key")
+    if not compression_ratio > 0:
+        # a non-positive ratio silently emitted negative/zero compressed
+        # sizes (round-8 probe)
+        raise ValueError(
+            f"compression_ratio must be > 0, got {compression_ratio}"
+        )
     sized = df.withColumn("__sz", row_size_bytes(df))
     return sized.groupBy(*partition_keys).agg(
         F.sum("__sz").alias("uncompressed"),

@@ -280,6 +280,15 @@ def bundle_write(
     the driver handles only the O(#bundles) metadata and the final
     atomic-rename commit of the job directory.
     """
+    import hashlib
+
+    if digest_algorithm not in hashlib.algorithms_available:
+        # an unknown algorithm used to surface as a PythonException from
+        # inside the executor-side zip/digest task (round-8 probe)
+        raise ValueError(
+            f"unknown digest_algorithm {digest_algorithm!r}; available: "
+            f"{sorted(hashlib.algorithms_guaranteed)}"
+        )
     job_id = f"job-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     staging, manifest, bundles = _stage_bundle_job(
         df, store_path, job_id, partition_keys, clustering_keys, table,
@@ -594,7 +603,13 @@ def restore_bundles(
     distributed job over executors while the manifest write and commit
     rename happen on the driver.
     """
-    with open(os.path.join(job_dir, "_bundle_manifest.json")) as f:
+    manifest_path = os.path.join(job_dir, "_bundle_manifest.json")
+    if not os.path.isfile(manifest_path):
+        raise BulkWriteError(
+            f"no bundle job at {job_dir!r} (missing _bundle_manifest.json "
+            "— was the job committed, and is this the right store path?)"
+        )
+    with open(manifest_path) as f:
         manifest = json.load(f)
     algo = manifest["digest_algorithm"]
 

@@ -413,3 +413,20 @@ def test_restore_rejects_subdirectory_member_names(spark, tmp_path):
     with pytest.raises(BulkWriteError, match="unsafe member path"):
         restore_bundles(spark, res.job_dir, table, verify=False)
     assert committed_batches(table) == []
+
+
+def test_bundle_degenerate_inputs_fail_loudly(spark, tmp_path):
+    """Round-8 continuation probe: an unknown digest algorithm used to
+    die as a PythonException inside the executor-side zip task; restoring
+    from a non-job directory raised a bare FileNotFoundError on the
+    manifest path."""
+    import pytest
+
+    from cassandra_analytics_spark.sinks.bulk_writer import BulkWriteError
+    from cassandra_analytics_spark.sinks.bundles import bundle_write, restore_bundles
+
+    df = spark.createDataFrame([(1, "x")], "pk long, v string")
+    with pytest.raises(ValueError, match="unknown digest_algorithm"):
+        bundle_write(df, str(tmp_path / "s"), ["pk"], digest_algorithm="sha999")
+    with pytest.raises(BulkWriteError, match="no bundle job at"):
+        restore_bundles(spark, str(tmp_path / "nope"), str(tmp_path / "t"))

@@ -19,3 +19,23 @@ def test_observed_scan_metrics(spark, sf_dir):
     assert metrics["first_col_non_null"] == metrics["rows_read"]
     assert metrics["total_price"] > 0
     assert n > 0
+
+
+def test_partition_sizes_degenerate_inputs(spark):
+    """Round-8 continuation probe: empty partition_keys silently produced
+    one keyless global row; a misspelled cols entry sized every row 0; a
+    non-positive compression ratio emitted negative compressed sizes."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.partition_stats import (
+        partition_sizes,
+        row_size_bytes,
+    )
+
+    df = spark.createDataFrame([(1, "ab")], "pk long, s string")
+    with pytest.raises(ValueError, match="at least one partition key"):
+        partition_sizes(df, [])
+    with pytest.raises(ValueError, match="compression_ratio"):
+        partition_sizes(df, ["pk"], compression_ratio=0.0)
+    with pytest.raises(ValueError, match="not in the DataFrame"):
+        df.select(row_size_bytes(df, ["nope"]))
