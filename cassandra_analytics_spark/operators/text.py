@@ -497,3 +497,65 @@ def reciprocal_rank_fusion(
         F.sum(contrib).alias("rrf_fp"),
         F.count(F.lit(1)).alias("n_lists"),
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Intra-document repetition removal (the C4/Gopher cleanup twin of
+    :func:`repetition_stats`): drop repeated segments WITHIN each
+    document, keeping the first occurrence in original order.
+
+    Segments are the text split on the literal ``sep`` (newline for
+    line-dedup, space for token streams); empty segments (consecutive
+    separators, leading/trailing) are dropped — the phantom-empty-token
+    lesson from the round-8 text pass. Returns one row per input
+    document: ``(id, text_col (cleaned), n_segments, n_removed)`` —
+    NULL/empty texts survive with NULL cleaned text and zero counts
+    instead of vanishing through the explode.
+
+    Scale shape: explode → two (id, segment)/(id)-keyed aggregations →
+    join back on id. Per-doc state (the collect_list) is bounded by
+    document length, never corpus size; everything is built-in
+    expressions, no Python in the hot path.
+    """
+    import re as _re
+
+    if not sep:
+        raise ValueError("sep must be a non-empty separator string")
+    pat = _re.escape(sep)
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), pat), lambda x: x != "")
+        ).alias("__pos", "__seg"),
+    )
+    firsts = segs.groupBy(id_col, "__seg").agg(F.min("__pos").alias("__pos"))
+    clean = firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    tot = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nseg"))
+    return (
+        df.select(id_col)
+        .join(clean, id_col, "left")
+        .join(tot, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__clean").alias(text_col),
+            F.coalesce(F.col("__nseg"), F.lit(0)).cast("long").alias("n_segments"),
+            (
+                F.coalesce(F.col("__nseg"), F.lit(0))
+                - F.coalesce(F.col("__kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

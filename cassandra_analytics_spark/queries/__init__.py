@@ -58,6 +58,7 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_semantic",                # SemDeDup cluster-then-dedup
     "mixture_sample_langs",          # domain-mixture hash sampling
     "hybrid_rrf_search",             # BM25+cosine reciprocal-rank fusion
+    "dedup_intradoc_segments",       # C4-style intra-doc repetition removal
     # --- (1) implementation touched this round ---
     "lww_latest_events",             # row-LWW tiebreak via order_key_expr
     "lww_partial_upsert",            # cell-LWW tiebreak via order_key_expr
@@ -75,7 +76,10 @@ _ROUND_PRIORITY: list[str] = [
     # compare and keeps its r7 row.)
     "cosine_topk_embeddings",        # top-k now excludes unscorable rows
     "dedup_cluster_assignment",      # CC output excludes NULL-id phantom
-    "streaming_incremental_dedup",   # restart bootstrap rebuilds from store
+    # (streaming_incremental_dedup's r8 change is RESTART-path behavior:
+    # a fresh driver run cannot exercise it — the restart bootstrap is
+    # pinned by tests/test_dedup_stream.py, the query itself has an r7
+    # hash-matched row; its slot goes to the 4th new query)
     "dedup_incremental_lsh_confirmed",  # spec pin on append-bootstrap
     # --- (2) stale: newest driver evidence r5 ---
     "acctbal_width_buckets",

@@ -2107,3 +2107,47 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"bm25": bm_rank, "cosine": cos_rank}, id_col="doc_id"
     )
     return fused.orderBy(F.desc("rrf_fp"), "doc_id").limit(20)
+
+
+@query(
+    "dedup_intradoc_segments",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id, w, i FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    firsts AS (
+        SELECT doc_id, w, MIN(i) AS pos FROM segs GROUP BY doc_id, w
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+               COUNT(*) AS n_kept
+        FROM firsts GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id)
+    SELECT d.doc_id, c.text,
+           CAST(COALESCE(t.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(t.n_segments, 0) - COALESCE(c.n_kept, 0) AS BIGINT)
+               AS n_removed
+    FROM documents d
+    LEFT JOIN clean c USING (doc_id)
+    LEFT JOIN tot t USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Intra-document repetition removal (C4-style cleanup, the removal "
+    "twin of text_repetition_stats): repeated segments within each "
+    "document collapse to their first occurrence in original order; "
+    "output carries the cleaned text plus kept/removed counts. Empty "
+    "segments are dropped (phantom-token lesson); NULL/empty documents "
+    "survive with NULL cleaned text and zero counts. Explode + two "
+    "keyed aggs + join-back, per-doc state bounded by document length "
+    "(operators/text.remove_repeated_segments).",
+)
+def dedup_intradoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.text import remove_repeated_segments
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_repeated_segments(d, sep=" ").orderBy("doc_id")

@@ -342,3 +342,37 @@ def test_reciprocal_rank_fusion(spark):
         reciprocal_rank_fusion({"a": a}, k=-1)
     with pytest.raises(ValueError, match="scale must be >= 1"):
         reciprocal_rank_fusion({"a": a}, scale=0)
+
+
+def test_remove_repeated_segments(spark):
+    """Intra-doc repetition removal: first occurrence wins in original
+    order, empty segments dropped, NULL/empty docs survive with zero
+    counts, and a custom separator works literally (no regex surprises)."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.text import remove_repeated_segments
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c b a"),
+            (2, "x  x"),          # double separator -> empty segment dropped
+            (3, None),
+            (4, ""),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_segments(df).collect()}
+    assert (out[1].text, out[1].n_segments, out[1].n_removed) == ("a b c", 6, 3)
+    assert (out[2].text, out[2].n_segments, out[2].n_removed) == ("x", 2, 1)
+    assert (out[3].text, out[3].n_segments, out[3].n_removed) == (None, 0, 0)
+    assert (out[4].text, out[4].n_segments, out[4].n_removed) == (None, 0, 0)
+    assert (out[5].text, out[5].n_segments, out[5].n_removed) == ("solo", 1, 0)
+
+    # literal separator with a regex metacharacter
+    dots = spark.createDataFrame([(1, "a.b.a")], "doc_id long, text string")
+    r = remove_repeated_segments(dots, sep=".").collect()[0]
+    assert (r.text, r.n_segments, r.n_removed) == ("a.b", 3, 1)
+
+    with pytest.raises(ValueError, match="non-empty separator"):
+        remove_repeated_segments(df, sep="")
