@@ -329,6 +329,32 @@ class Engine:
         return stratified_hash_sample(df, stratum_col, id_col, fractions)
 
     @staticmethod
+    def semantic_dedup(
+        df: DataFrame, centroids: list, **kwargs
+    ) -> DataFrame:
+        from cassandra_analytics_spark.operators.similarity import semantic_dedup
+
+        return semantic_dedup(df, centroids, **kwargs)
+
+    @staticmethod
+    def mixture_sample(df: DataFrame, weights: dict, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.sampling import mixture_sample
+
+        return mixture_sample(df, weights, **kwargs)
+
+    @staticmethod
+    def reciprocal_rank_fusion(ranked: dict, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.text import reciprocal_rank_fusion
+
+        return reciprocal_rank_fusion(ranked, **kwargs)
+
+    @staticmethod
+    def remove_repeated_segments(df: DataFrame, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.text import remove_repeated_segments
+
+        return remove_repeated_segments(df, **kwargs)
+
+    @staticmethod
     def chunk_layout(df: DataFrame, budget: int, **kwargs) -> DataFrame:
         from cassandra_analytics_spark.operators.packing import chunk_layout
 

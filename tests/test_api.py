@@ -167,3 +167,34 @@ def test_facade_minhash_near_dup_pairs_is_confirmed(spark):
     # the raw candidate stage is still reachable, without jaccard confirm
     cands = Engine.minhash_candidate_pairs(docs, num_hashes=16, bands=4)
     assert set(cands.columns) == {"a", "b", "est_jaccard"}
+
+
+def test_engine_facade_round8_continuation_methods(spark):
+    """The four operators added in the round-8 continuation are reachable
+    through the Engine facade."""
+    from cassandra_analytics_spark.api import Engine
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.0, 1.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    removed = Engine.semantic_dedup(
+        emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], threshold=0.95
+    ).collect()
+    assert [(r.removed, r.kept_rep) for r in removed] == [(1, 0)]
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 8 else "b", 10) for i in range(10)],
+        "doc_id long, lang string, n_chars long",
+    )
+    mixed = Engine.mixture_sample(docs, {"a": 0.5, "b": 0.5}, size_col="n_chars")
+    assert 0 < mixed.count() <= 10
+
+    ranks = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    fused = Engine.reciprocal_rank_fusion({"only": ranks}).collect()
+    assert {r.doc_id for r in fused} == {1, 2}
+
+    cleaned = Engine.remove_repeated_segments(
+        spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    ).collect()[0]
+    assert (cleaned.text, cleaned.n_removed) == ("x y", 1)
