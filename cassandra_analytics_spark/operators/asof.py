@@ -145,6 +145,13 @@ def range_join_pairs(
     qualifying pair is found exactly once. Fan-out is a constant 3×, and
     the join stays an equi-join on (key, bucket).
     """
+    if max_gap_seconds < 1:
+        # 0 threw ANSI DIVIDE_BY_ZERO from the bucket division deep
+        # inside the job; a negative gap silently returned zero pairs
+        # (round-8 continuation probe)
+        raise ValueError(
+            f"max_gap_seconds must be >= 1, got {max_gap_seconds}"
+        )
     micros = F.unix_micros(F.col(ts))
     bucket = F.floor(micros / F.lit(max_gap_seconds * 1_000_000)).cast("long")
     base = df.select(

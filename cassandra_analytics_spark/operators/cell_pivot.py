@@ -43,6 +43,10 @@ def cell_pivot(
     ``ROW_MARKER``/null) — UPDATE-created rows without markers still
     appear iff they have at least one live cell, matching the reference.
     """
+    if not partition_keys:
+        # the pivot groups on the primary key: an empty key list silently
+        # collapses every cell into one global row (round-8 probe)
+        raise ValueError("cell_pivot needs at least one partition key")
     keys = list(partition_keys) + list(clustering_keys)
     if columns is None:
         columns = [

@@ -192,6 +192,12 @@ def compaction_merge(
     full primary key, with map-side partial aggregation (better than the
     window at 100 TB: partial aggs collapse versions before the exchange).
     """
+    if not partition_keys:
+        # Cassandra tables always have a partition key; with an empty key
+        # list the LWW windows partition over NOTHING and the whole table
+        # silently collapses to one surviving row (round-8 continuation
+        # probe — same silent-keyless-agg class as partition_sizes)
+        raise ValueError("compaction_merge needs at least one partition key")
     keys = list(partition_keys) + list(clustering_keys)
     system = [writetime_col] + [c for c in (ttl_col, tombstone_col) if c]
     value_cols = _value_columns(df, list(keys) + system)
@@ -359,6 +365,10 @@ def latest_by_key(
     (:func:`order_key_expr`) — passing one used to throw an
     AnalysisException from the window sort (round-8 pass).
     """
+    if not keys:
+        # an empty key list makes the window global — the whole table
+        # silently collapses to its single newest row (round-8 probe)
+        raise ValueError("latest_by_key needs at least one key column")
     tb_keys = []
     for t in tiebreakers:
         key = order_key_expr(F.col(t), df.schema[t].dataType)

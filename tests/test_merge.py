@@ -319,3 +319,33 @@ def test_static_propagation_conflict_is_deterministic(spark):
         for r in propagate_static_columns(df, ["pk"], ["s"]).collect()
     }
     assert out == {(1, 1): "zz", (1, 2): "zz", (1, 3): "zz", (2, 1): None}
+
+
+def test_empty_key_lists_rejected(spark):
+    """Round-8 continuation probe: with an empty partition-key list the
+    LWW windows partition over nothing — compaction_merge / latest_by_key
+    / cell_pivot silently collapsed the WHOLE table to one row; a
+    non-positive range-join gap threw DIVIDE_BY_ZERO mid-job (0) or
+    silently returned no pairs (negative)."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.asof import range_join_pairs
+    from cassandra_analytics_spark.operators.cell_pivot import cell_pivot
+    from cassandra_analytics_spark.operators.merge import (
+        compaction_merge,
+        latest_by_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", 100)], "pk long, ck long, v string, writetime long"
+    )
+    with pytest.raises(ValueError, match="at least one partition key"):
+        compaction_merge(df, [], [])
+    with pytest.raises(ValueError, match="at least one key column"):
+        latest_by_key(df, [], "writetime")
+    with pytest.raises(ValueError, match="at least one partition key"):
+        cell_pivot(df.selectExpr("pk", "ck", "'c' as column", "v as value", "writetime"), [], [])
+    ts_df = df.selectExpr("pk as k", "timestamp_micros(writetime) as ts", "ck as id")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="max_gap_seconds"):
+            range_join_pairs(ts_df, "k", "ts", "id", bad)
