@@ -20,14 +20,18 @@ from pyspark.sql import functions as F
 _BUCKETS = 100
 
 
-def hash_bucket(col: Column | str, num_buckets: int = _BUCKETS) -> Column:
+def hash_bucket(
+    col: Column | str, num_buckets: int = _BUCKETS, hex_chars: int = 4
+) -> Column:
     """Uniform stable bucket in [0, num_buckets) from md5 of the value's
     string form. Engine-portable (the DuckDB oracle reproduces it exactly:
-    ``('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 4))::BIGINT %
-    num_buckets``)."""
+    ``('0x' || substring(md5(CAST(x AS VARCHAR)), 1, hex_chars))::BIGINT %
+    num_buckets``). ``hex_chars`` bounds the modulo bias: 4 chars (2^16
+    raw values) suit percent splits; pass 8 when num_buckets is large
+    relative to 65536 (see :func:`fine_hash_bucket`)."""
     c = F.col(col) if isinstance(col, str) else col
-    hex4 = F.substring(F.md5(c.cast("string")), 1, 4)
-    return (F.conv(hex4, 16, 10).cast("long") % num_buckets).alias("bucket")
+    hexs = F.substring(F.md5(c.cast("string")), 1, hex_chars)
+    return (F.conv(hexs, 16, 10).cast("long") % num_buckets).alias("bucket")
 
 
 def hash_split(
@@ -116,16 +120,13 @@ def stratified_hash_sample(
 def fine_hash_bucket(col: Column | str, num_buckets: int = 10_000) -> Column:
     """Stable bucket in [0, num_buckets) from the FIRST 8 md5 hex chars.
 
-    The 4-char :func:`hash_bucket` has 2^16 raw values — fine for percent
-    splits, but ``% 10000`` over 65536 values over-represents buckets
-    below 5536 by 7/6 (a real ~8% skew). Eight chars give 2^32 raw
-    values, shrinking the modulo bias to ~2e-5. Same portability contract:
-    DuckDB reproduces it as
-    ``('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT % N``.
+    The 4-char default of :func:`hash_bucket` has 2^16 raw values — fine
+    for percent splits, but ``% 10000`` over 65536 values over-represents
+    buckets below 5536 by 7/6 (a real ~8% skew). Eight chars give 2^32
+    raw values, shrinking the modulo bias to ~2e-5. One implementation:
+    this is :func:`hash_bucket` with ``hex_chars=8``.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    hex8 = F.substring(F.md5(c.cast("string")), 1, 8)
-    return (F.conv(hex8, 16, 10).cast("long") % num_buckets).alias("bucket")
+    return hash_bucket(col, num_buckets, hex_chars=8)
 
 
 def mixture_sample(
@@ -179,15 +180,27 @@ def mixture_sample(
     norm_w = {d: w / wsum for d, w in active.items()}
 
     size_expr = F.col(size_col) if size_col else F.lit(1)
-    sizes = {
-        r["d"]: r["s"]
-        for r in (
-            df.filter(F.col(domain_col).isin(list(active)))
-            .groupBy(F.col(domain_col).alias("d"))
-            .agg(F.sum(size_expr).cast("double").alias("s"))
-            .collect()
+    rows = (
+        df.filter(F.col(domain_col).isin(list(active)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(
+            F.sum(size_expr).cast("double").alias("s"),
+            F.count_if(F.col(id_col).isNull()).alias("n_null_ids"),
         )
-    }
+        .collect()
+    )
+    # a NULL id hashes to a NULL bucket and would be counted in the
+    # domain's available size yet silently DROPPED by the keep filter —
+    # the achieved mixture undershoots its target with no error (the
+    # hash_split NULL-id lesson, round-8 review). Loud instead.
+    null_domains = {r["d"]: r["n_null_ids"] for r in rows if r["n_null_ids"]}
+    if null_domains:
+        raise ValueError(
+            f"mixture_sample: NULL {id_col!r} values in weighted domains "
+            f"{null_domains} — hash sampling needs non-NULL ids; filter or "
+            "fill them first"
+        )
+    sizes = {r["d"]: r["s"] for r in rows}
     missing = [d for d in active if d not in sizes or not sizes[d]]
     if missing:
         raise ValueError(

@@ -346,8 +346,13 @@ def nearest_cell_expr(
 ) -> Column:
     """Cell id of the max-cosine centroid for ``vec``, lowest cid on ties.
 
-    Generalization of :func:`nearest_centroid_cell` accepting a custom
-    similarity builder ``sim_fn(vec, centroid_lit) -> Column``.
+    Accepts a custom similarity builder ``sim_fn(vec, centroid_lit) ->
+    Column``. NOT a drop-in for :func:`nearest_centroid_cell`: that
+    helper resolves exact similarity ties toward the HIGHEST cid and is
+    kept as-is deliberately — persisted IVF/ANN indexes were built with
+    its assignments, and changing the tie direction would silently
+    invalidate them. New callers should prefer this function's
+    lowest-cid convention (the repo-wide min-representative tiebreak).
     """
     if not centroids:
         raise ValueError("nearest_cell_expr needs at least one centroid")
@@ -466,9 +471,16 @@ def semantic_dedup(
     Keep rule (deterministic, the repo's min-representative convention):
     a document is removed iff some LOWER-id document in the same cluster
     is ≥ ``threshold``-similar to it; ``kept_rep`` is the smallest such
-    id. (The paper keeps the member farthest from the centroid per dup
-    group; any single-survivor rule yields the same dedup rate — lowest
-    id is stable across runs/engines, which the paper's variant is not.)
+    id. This is PAIRWISE greedy-by-id, exactly the paper's per-cluster
+    ε-ball removal made deterministic — it is NOT a transitive closure:
+    with non-transitive similarity (a~b, b~c, a≁c) ``kept_rep`` can name
+    a document that is itself removed (b removed for a, c removed for b),
+    and a document whose similar neighbors all have HIGHER ids survives
+    even where a connected-component single-survivor rule would not.
+    Pipelines that redirect duplicates to a canonical survivor should
+    feed the PAIRS into :func:`~cassandra_analytics_spark.operators.
+    graph.dedup_clusters` (connected components) instead of chasing
+    ``kept_rep`` chains.
     """
     pairs = semantic_dedup_pairs(
         df, centroids, threshold, id_col, vec_col, max_cluster, dot_fn, norm_fn

@@ -472,8 +472,12 @@ def reciprocal_rank_fusion(
 
     Ranks are 1-based; NULL or non-positive ranks are dropped from a
     list before fusion (a 0/negative rank would hit DIV-by-zero or flip
-    the score's sign deep inside the job). Scale shape: the inputs are
-    top-k lists (tiny by construction), so the union + single groupBy is
+    the score's sign deep inside the job), and a doc appearing at SEVERAL
+    ranks within one list contributes only its best (smallest) rank — an
+    un-deduped upstream list would otherwise double-count the doc's
+    contribution AND inflate ``n_lists`` past the number of lists
+    (round-8 review). Scale shape: the inputs are top-k lists (tiny by
+    construction), so the per-list dedup + union + single groupBy is
     bounded by Σ list sizes, never corpus size.
     """
     from functools import reduce
@@ -488,7 +492,10 @@ def reciprocal_rank_fusion(
         df.select(
             F.col(id_col),
             F.col(rank_col).cast("long").alias("__r"),
-        ).filter(F.col(rank_col).isNotNull() & (F.col(rank_col) >= 1))
+        )
+        .filter(F.col(rank_col).isNotNull() & (F.col(rank_col) >= 1))
+        .groupBy(id_col)
+        .agg(F.min("__r").alias("__r"))
         for df in ranked.values()
     ]
     u = reduce(lambda a, b: a.unionByName(b), parts)
@@ -517,9 +524,13 @@ def remove_repeated_segments(
     NULL/empty texts survive with NULL cleaned text and zero counts
     instead of vanishing through the explode.
 
-    Scale shape: explode → two (id, segment)/(id)-keyed aggregations →
-    join back on id. Per-doc state (the collect_list) is bounded by
-    document length, never corpus size; everything is built-in
+    Scale shape: ONE explode → two chained (id, segment)-then-(id) keyed
+    aggregations → one join back on id. ``n_segments`` is a row-local
+    expression on the original frame (array size after the empty filter),
+    NOT a second aggregation over the exploded subplan — the first cut
+    re-ran the full split+explode and shuffled it a second time just to
+    count segments (round-8 review). Per-doc state (the collect_list) is
+    bounded by document length, never corpus size; everything is built-in
     expressions, no Python in the hot path.
     """
     import re as _re
@@ -527,11 +538,10 @@ def remove_repeated_segments(
     if not sep:
         raise ValueError("sep must be a non-empty separator string")
     pat = _re.escape(sep)
+    seg_array = F.filter(F.split(F.col(text_col), pat), lambda x: x != "")
     segs = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.filter(F.split(F.col(text_col), pat), lambda x: x != "")
-        ).alias("__pos", "__seg"),
+        F.posexplode(seg_array).alias("__pos", "__seg"),
     )
     firsts = segs.groupBy(id_col, "__seg").agg(F.min("__pos").alias("__pos"))
     clean = firsts.groupBy(id_col).agg(
@@ -544,18 +554,18 @@ def remove_repeated_segments(
         ).alias("__clean"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    tot = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nseg"))
     return (
-        df.select(id_col)
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.size(seg_array), F.lit(0)).cast("long").alias("__nseg"),
+        )
         .join(clean, id_col, "left")
-        .join(tot, id_col, "left")
         .select(
             F.col(id_col),
             F.col("__clean").alias(text_col),
-            F.coalesce(F.col("__nseg"), F.lit(0)).cast("long").alias("n_segments"),
+            F.col("__nseg").alias("n_segments"),
             (
-                F.coalesce(F.col("__nseg"), F.lit(0))
-                - F.coalesce(F.col("__kept"), F.lit(0))
+                F.col("__nseg") - F.coalesce(F.col("__kept"), F.lit(0))
             ).cast("long").alias("n_removed"),
         )
     )

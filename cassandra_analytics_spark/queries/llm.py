@@ -1087,19 +1087,7 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (
             _pdot(F.col("embedding"), q)
-            / (
-                F.sqrt(
-                    F.aggregate(
-                        F.transform(
-                            F.col("embedding"),
-                            lambda x: (x.cast("double") * x.cast("double")).cast(DECV),
-                        ),
-                        F.lit(0).cast(DECV),
-                        lambda acc, v: (acc + v).cast(DECV),
-                    ).cast("double")
-                )
-                * F.lit(qnorm)
-            )
+            / (_psq_norm(F.col("embedding")) * F.lit(qnorm))
         ).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(10)
@@ -1903,9 +1891,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
     ]
 
+    # the oracle brute-forces every within-cell pair with NO size cap, so
+    # the engine-side max_cluster cap must be unreachable for the
+    # comparison to be sound: the WHOLE corpus (2008+8 vectors at sf0.1)
+    # is smaller than the cap, so no cell can exceed it — premise pinned
+    # by tests/test_confirmed_dedup.py::test_semantic_dedup_cap_premise
     return semantic_dedup(
         corpus, centroids, threshold=0.9, id_col="vec_id", vec_col="embedding",
-        dot_fn=_pdot, norm_fn=_psq_norm,
+        max_cluster=10_000, dot_fn=_pdot, norm_fn=_psq_norm,
     ).orderBy("removed")
 
 

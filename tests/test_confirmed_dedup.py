@@ -236,3 +236,22 @@ def test_simhash_radius14_covers_sf01(spark):
     }
     missed = exact - cands
     assert not missed, f"candidate stage missed true pairs: {sorted(missed)[:5]}"
+
+
+def test_semantic_dedup_cap_premise(spark):
+    """dedup_semantic's oracle brute-forces every within-cell pair with
+    no size cap; the engine side caps clusters at max_cluster=10000. The
+    comparison is sound only while no cell CAN reach the cap — pinned
+    here by the stronger corpus-level bound (cells are subsets of the
+    corpus). If fixtures ever grow past this, raise the query's
+    max_cluster alongside."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert n + 8 < 10_000, (
+            f"{sf}: corpus {n}+8 planted >= max_cluster cap - "
+            "dedup_semantic's oracle premise no longer holds"
+        )
