@@ -196,3 +196,150 @@ def test_cell_lww_matches_python_model(spark, rows):
         for pk, cur in model.items()
     }
     assert out == expect
+
+
+# --- round-8 continuation operators ---------------------------------------
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # doc id
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs)
+def test_remove_repeated_segments_model(spark, docs):
+    """remove_repeated_segments equals the obvious python model (first
+    occurrence per segment, original order) and is IDEMPOTENT: cleaning a
+    cleaned corpus removes nothing."""
+    from cassandra_analytics_spark.operators.text import remove_repeated_segments
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in docs], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_repeated_segments(df).collect()}
+    for i, words in docs:
+        seen, kept = set(), []
+        for w in words:
+            if w not in seen:
+                seen.add(w)
+                kept.append(w)
+        expect = " ".join(kept) if kept else None
+        assert out[i].text == expect
+        assert out[i].n_segments == len(words)
+        assert out[i].n_removed == len(words) - len(kept)
+    # idempotence over the cleaned output (non-null texts only)
+    cleaned = remove_repeated_segments(df).filter("text IS NOT NULL")
+    twice = remove_repeated_segments(cleaned.select("doc_id", "text"))
+    assert twice.filter("n_removed != 0").count() == 0
+
+
+_ranklists = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(1, 30)),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_ranklists)
+def test_rrf_matches_python_model(spark, lists):
+    """reciprocal_rank_fusion equals the integer model: per list, each doc
+    contributes scale DIV (k + its BEST rank in that list), n_lists counts
+    lists containing the doc."""
+    from cassandra_analytics_spark.operators.text import reciprocal_rank_fusion
+
+    ranked = {
+        f"l{i}": spark.createDataFrame(
+            rows or [(None, None)], "doc_id long, rank int"
+        )
+        for i, rows in enumerate(lists)
+    }
+    got = {
+        r.doc_id: (r.rrf_fp, r.n_lists)
+        for r in reciprocal_rank_fusion(ranked, k=60, scale=1_000_000).collect()
+    }
+    model: dict[int, list[int]] = {}
+    for rows in lists:
+        best: dict[int, int] = {}
+        for d, rk in rows:
+            if d is not None and rk is not None and rk >= 1:
+                best[d] = min(best.get(d, rk), rk)
+        for d, rk in best.items():
+            model.setdefault(d, []).append(1_000_000 // (60 + rk))
+    assert got == {d: (sum(cs), len(cs)) for d, cs in model.items()}
+
+
+_vecs = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vecs)
+def test_semantic_dedup_survivor_invariants(spark, vecs):
+    """semantic_dedup invariants vs a python brute-force model: a doc is
+    removed iff SOME lower-id same-cell doc is >= threshold-similar;
+    kept_rep is the smallest such id."""
+    import math
+
+    from cassandra_analytics_spark.operators.similarity import semantic_dedup
+
+    centroids = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    got = {r.removed: (r.cell, r.kept_rep)
+           for r in semantic_dedup(df, centroids, threshold=0.9).collect()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    def cell_of(v):
+        best = None
+        for cid, c in centroids:
+            s = cos(v, c)
+            s = -2.0 if s is None else s
+            # lowest cid wins ties
+            if best is None or s > best[0] or (s == best[0] and cid < best[1]):
+                best = (s, cid)
+        return best[1]
+
+    cells = {i: cell_of(v) for i, v in vecs}
+    for i, v in vecs:
+        partners = [
+            j
+            for j, w in vecs
+            if j < i and cells[j] == cells[i]
+            and (cos(w, v) or -2.0) >= 0.9 - 1e-12
+        ]
+        if i in got:
+            assert partners, f"doc {i} removed with no qualifying partner"
+            assert got[i][0] == cells[i]
+            # float-boundary pairs can disagree in the last ulp between the
+            # python model and Spark; the representative must at least BE a
+            # qualifying lower-id same-cell partner
+            assert got[i][1] in partners
