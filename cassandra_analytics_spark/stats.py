@@ -28,11 +28,11 @@ def observed(
     Additional aggregate expressions can be supplied.
     """
     obs = Observation(name)
-    first = F.col(df.columns[0])
-    metrics = [
-        F.count(F.lit(1)).alias("rows_read"),
-        F.count(first).alias("first_col_non_null"),
-    ]
+    metrics = [F.count(F.lit(1)).alias("rows_read")]
+    if df.columns:
+        # a zero-column frame (all columns dropped) used to IndexError on
+        # columns[0]; row count alone still observes (round-8 probe)
+        metrics.append(F.count(F.col(df.columns[0])).alias("first_col_non_null"))
     if extra_metrics:
         metrics.extend(extra_metrics)
     return df.observe(obs, *metrics), obs

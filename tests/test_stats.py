@@ -39,3 +39,13 @@ def test_partition_sizes_degenerate_inputs(spark):
         partition_sizes(df, ["pk"], compression_ratio=0.0)
     with pytest.raises(ValueError, match="not in the DataFrame"):
         df.select(row_size_bytes(df, ["nope"]))
+
+
+def test_observed_zero_column_frame(spark):
+    """observe() on a frame with every column dropped still reports the
+    row count instead of IndexError on columns[0] (round-8 probe)."""
+    from cassandra_analytics_spark.stats import observed
+
+    df, obs = observed(spark.range(3).drop("id"))
+    df.write.mode("overwrite").format("noop").save()
+    assert obs.get["rows_read"] == 3
