@@ -336,6 +336,13 @@ class Engine:
 
         return semantic_dedup(df, centroids, **kwargs)
 
+    def semantic_dedup_on_index(self, index_path: str, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.ann_index import (
+            semantic_dedup_on_index,
+        )
+
+        return semantic_dedup_on_index(self.spark, index_path, **kwargs)
+
     @staticmethod
     def mixture_sample(df: DataFrame, weights: dict, **kwargs) -> DataFrame:
         from cassandra_analytics_spark.operators.sampling import mixture_sample

@@ -68,6 +68,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     num_centroids: int = 16,
     seed: int = 42,
+    assignment: str = "expr",
 ) -> list[tuple[int, list[float]]]:
     """Materialize the corpus partitioned by IVF cell (nearest centroid).
 
@@ -76,7 +77,22 @@ def build_ivf_index(
     order). The centroid list is also persisted next to the cells so a
     query session does not need the original corpus. Returns the
     centroids for convenience.
+
+    ``assignment``: ``"expr"`` (default) builds the nearest-cell argmax
+    as a codegen expression — zero Python, the right shape to
+    num_centroids ≈ 128, ties toward the HIGHEST cid (the layout every
+    existing index was built with). ``"vectorized"`` computes the argmax
+    as one numpy matrix product per Arrow batch
+    (:func:`similarity.vectorized_cell_udf`) — required for the large
+    codebooks SemDeDup needs at corpus scale (k ∝ N; the expression form
+    measured 1.5 MiB task binaries at k=256, PERF.md round 8); ties go
+    to the LOWEST cid (the repo convention). Pick one per index and
+    stay with it — the tie direction is part of the persisted layout.
     """
+    if assignment not in ("expr", "vectorized"):
+        raise ValueError(
+            f"assignment must be 'expr' or 'vectorized', got {assignment!r}"
+        )
     centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
     if not centroids:
         # empty corpus: zero-arg F.array() in nearest_centroid_cell would
@@ -88,11 +104,15 @@ def build_ivf_index(
         tagged = df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("cell"))
         tagged.write.mode("overwrite").parquet(index_path)
     else:
-        tagged = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            nearest_centroid_cell(F.col(vec_col), centroids).alias("cell"),
-        )
+        if assignment == "vectorized":
+            from cassandra_analytics_spark.operators.similarity import (
+                vectorized_cell_udf,
+            )
+
+            cell = vectorized_cell_udf(centroids)(F.col(vec_col))
+        else:
+            cell = nearest_centroid_cell(F.col(vec_col), centroids)
+        tagged = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
         tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     spark = df.sparkSession
     spark.createDataFrame(
@@ -193,3 +213,47 @@ def query_ann_index(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup_on_index(
+    spark: SparkSession,
+    index_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF layout — the corpus-scale entry
+    point: assignment was precomputed once by :func:`build_ivf_index`
+    (at whatever codebook size the corpus needs — ``assignment=
+    "vectorized"`` for k beyond the expression ceiling), so this pass
+    pays only one linear shuffle of (id, vec, cell) rows plus the
+    within-cell pair expansion, exactly
+    :func:`~cassandra_analytics_spark.operators.similarity.
+    semantic_pairs_from_cells` + the shared removal verdicts.
+
+    Why this exists (measured, PERF.md round 8): at 100x the fixture
+    corpus is ~99% near-dup copies, and SemDeDup at a FIXED small k
+    explodes quadratically inside cells (k=128 over 200k vectors spilled
+    past the box's disk). The paper's posture is k ∝ N with precomputed
+    assignments; this function is that posture."""
+    from cassandra_analytics_spark.operators.similarity import (
+        removal_verdicts,
+        semantic_pairs_from_cells,
+    )
+
+    index = spark.read.parquet(index_path)
+    if "cell" not in index.columns:
+        raise ValueError(
+            f"{index_path!r} is not an IVF layout (no 'cell' column) — "
+            "build it with build_ivf_index first"
+        )
+    pairs = semantic_pairs_from_cells(
+        index,
+        threshold,
+        id_col,
+        vec_col,
+        cell_col="cell",
+        max_cluster=max_cluster,
+    )
+    return removal_verdicts(pairs)

@@ -10,6 +10,7 @@ only matching cells).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -362,6 +363,113 @@ def nearest_cell_expr(
     )
 
 
+def vectorized_cell_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow-batched nearest-centroid assignment for LARGE codebooks.
+
+    The expression form (:func:`_argmax_cell` / :func:`nearest_cell_expr`)
+    embeds k struct entries of a d-dim dot product into the plan — right
+    shape (codegen, zero Python) up to k ≈ 128, after which analyzer cost
+    and task-binary size dominate (measured, PERF.md round 8). SemDeDup at
+    corpus scale needs k ∝ N (k ≈ N / target_cell_size), so this builder
+    returns a pandas UDF computing the same argmax as ONE numpy matrix
+    product per Arrow batch (B×d @ d×k, BLAS) — the sanctioned
+    vectorized-UDF path for what built-ins can't express at this k.
+
+    Semantics match :func:`nearest_cell_expr` exactly: cosine similarity,
+    lowest cid on ties (centroids are sorted by cid; ``np.argmax`` takes
+    the first maximum), and zero-norm AND NULL vectors get every sim
+    pinned to -2 and therefore the lowest cid (the expression's
+    coalesce(-2) behavior — every vector gets a deterministic cell, so a
+    partitioned layout never grows a NULL partition).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if not centroids:
+        raise ValueError("vectorized_cell_udf needs at least one centroid")
+    ordered = sorted(centroids, key=lambda t: t[0])
+    cmat = np.asarray([c for _, c in ordered], dtype="float64")
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cids = np.asarray([cid for cid, _ in ordered], dtype="int32")
+
+    @pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        mask = vs.notna()
+        # NULL vectors take the all-sims-(-2) path like the expression
+        # form: deterministic lowest cid, never a NULL partition
+        out = np.full(len(vs), cids[0], dtype="int32")
+        if mask.any():
+            vmat = np.asarray([np.asarray(v, dtype="float64") for v in vs[mask]])
+            vnorm = np.linalg.norm(vmat, axis=1)
+            denom = np.outer(vnorm, cnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (vmat @ cmat.T) / denom
+            sims[~np.isfinite(sims)] = -2.0
+            out[mask.to_numpy()] = cids[np.argmax(sims, axis=1)]
+        return pd.Series(out)
+
+    return _cell
+
+
+def semantic_pairs_from_cells(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    max_cluster: int = 10_000,
+    dot_fn=None,
+    norm_fn=None,
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Within-cell near-dup pairs ``(a, b, cell, cosine_sim)`` over an
+    ALREADY-ASSIGNED corpus (``cell_col`` present — e.g. the persisted
+    layout of ``ann_index.build_ivf_index``). The pair stage of
+    :func:`semantic_dedup_pairs`, reusable when assignment was
+    precomputed at a codebook size the expression path can't carry.
+    ``norm_col`` names a precomputed row-norm column to carry instead of
+    re-deriving it with ``norm_fn``."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if max_cluster < 2:
+        raise ValueError(f"max_cluster must be >= 2, got {max_cluster}")
+    from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
+
+    dotf = dot_fn or dot
+    normf = norm_fn or norm
+    nrm = F.col(norm_col) if norm_col else normf(F.col(vec_col))
+    tagged = assigned.filter(F.col(vec_col).isNotNull()).select(
+        id_col,
+        F.struct(
+            F.col(vec_col).alias("v"),
+            nrm.alias("nrm"),
+            F.col(cell_col).alias("c"),
+        ).alias("__p"),
+        F.col(cell_col).alias("__cell"),
+    )
+    pairs = _bucket_candidate_pairs(tagged, ["__cell"], id_col, "__p", max_cluster)
+    cos = F.try_divide(
+        dotf(F.col("pa")["v"], F.col("pb")["v"]),
+        F.col("pa")["nrm"] * F.col("pb")["nrm"],
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.col("pa")["c"].alias("cell"),
+        cos.alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def removal_verdicts(pairs: DataFrame) -> DataFrame:
+    """(removed, cell, kept_rep) from a (a, b, cell, …) pair table — the
+    pairwise greedy-by-id keep rule shared by every semantic_dedup entry
+    point (see :func:`semantic_dedup` for its non-transitivity caveats)."""
+    return (
+        pairs.groupBy(F.col("b").alias("removed"), "cell")
+        .agg(F.min("a").alias("kept_rep"))
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -433,26 +541,17 @@ def semantic_dedup_pairs(
             for cid, cvec in centroids
         ]
     )
-    tagged = base.withColumn("__cell", cell).select(
+    return semantic_pairs_from_cells(
+        base.withColumn("__acell", cell),
+        threshold,
         id_col,
-        F.struct(
-            F.col(vec_col).alias("v"),
-            F.col("__nrm").alias("nrm"),
-            F.col("__cell").alias("c"),
-        ).alias("__p"),
-        "__cell",
+        vec_col,
+        cell_col="__acell",
+        max_cluster=max_cluster,
+        dot_fn=dotf,
+        norm_fn=normf,
+        norm_col="__nrm",
     )
-    pairs = _bucket_candidate_pairs(tagged, ["__cell"], id_col, "__p", max_cluster)
-    cos = F.try_divide(
-        dotf(F.col("pa")["v"], F.col("pb")["v"]),
-        F.col("pa")["nrm"] * F.col("pb")["nrm"],
-    )
-    return pairs.select(
-        "a",
-        "b",
-        F.col("pa")["c"].alias("cell"),
-        cos.alias("cosine_sim"),
-    ).filter(F.col("cosine_sim") >= threshold)
 
 
 def semantic_dedup(
@@ -485,10 +584,7 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         df, centroids, threshold, id_col, vec_col, max_cluster, dot_fn, norm_fn
     )
-    return (
-        pairs.groupBy(F.col("b").alias("removed"), "cell")
-        .agg(F.min("a").alias("kept_rep"))
-    )
+    return removal_verdicts(pairs)
 
 
 def embedding_near_dup_pairs(

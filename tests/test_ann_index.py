@@ -201,3 +201,82 @@ def test_null_vectors_tolerated_in_build_and_sampling(spark, tmp_path):
     assert query_ivf_index(
         spark, ivf_path, [1.0, 1.0], k=3, num_probes=8
     ).count() == 3
+
+
+def test_vectorized_assignment_matches_expression(spark):
+    """vectorized_cell_udf (numpy argmax per Arrow batch) agrees with the
+    expression-form nearest_cell_expr on well-separated vectors, including
+    NULL (NULL cell) and zero-norm (all sims -2 -> lowest cid)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.operators.similarity import (
+        nearest_cell_expr,
+        vectorized_cell_udf,
+    )
+
+    centroids = [(0, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]), (7, [0.0, 0.0, 1.0])]
+    rows = [
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.8, 0.3]),
+        (3, [0.1, 0.1, 0.9]),
+        (4, [0.0, 0.0, 0.0]),   # zero-norm -> lowest cid (0)
+        (5, None),              # NULL -> all sims -2 -> lowest cid (0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    both = df.select(
+        "vec_id",
+        nearest_cell_expr(F.col("embedding"), centroids).alias("e"),
+        vectorized_cell_udf(centroids)(F.col("embedding")).alias("v"),
+    ).collect()
+    for r in both:
+        assert r.e == r.v, f"vec {r.vec_id}: expr={r.e} vectorized={r.v}"
+    byid = {r.vec_id: r.v for r in both}
+    assert byid[4] == 0 and byid[5] == 0
+
+
+def test_semantic_dedup_on_index_matches_direct(spark, tmp_path):
+    """The index-backed SemDeDup (precomputed assignments, the corpus-
+    scale path) returns the same removal verdicts as the direct operator
+    when both use the same centroids; vectorized and expr index builds
+    agree. Non-IVF paths are rejected loudly."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        semantic_dedup_on_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.99, 0.01]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for mode in ("expr", "vectorized"):
+        path = str(tmp_path / f"ivf-{mode}")
+        cents = build_ivf_index(df, path, num_centroids=3, assignment=mode)
+        got = sorted(
+            (r.removed, r.kept_rep)
+            for r in semantic_dedup_on_index(spark, path, threshold=0.95).collect()
+        )
+        direct = sorted(
+            (r.removed, r.kept_rep)
+            for r in semantic_dedup(df, cents, threshold=0.95).collect()
+        )
+        # centroids are hash-sampled corpus vectors, so WHICH near-dup
+        # pairs co-assign depends on the sample; the invariant is path
+        # equality, plus the (0,1) pair that always shares a cell (0 and
+        # 1 are near-identical, so their nearest centroid is the same)
+        assert got == direct
+        assert (1, 0) in got
+
+    with pytest.raises(ValueError, match="not an IVF layout"):
+        lsh = str(tmp_path / "not-ivf")
+        spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>").write.parquet(lsh)
+        semantic_dedup_on_index(spark, lsh)
+    with pytest.raises(ValueError, match="assignment must be"):
+        build_ivf_index(df, str(tmp_path / "x"), assignment="magic")
