@@ -222,6 +222,8 @@ def semantic_dedup_on_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 10_000,
+    dot_fn=None,
+    norm_fn=None,
 ) -> DataFrame:
     """SemDeDup over a PERSISTED IVF layout — the corpus-scale entry
     point: assignment was precomputed once by :func:`build_ivf_index`
@@ -255,5 +257,7 @@ def semantic_dedup_on_index(
         vec_col,
         cell_col="cell",
         max_cluster=max_cluster,
+        dot_fn=dot_fn,
+        norm_fn=norm_fn,
     )
     return removal_verdicts(pairs)

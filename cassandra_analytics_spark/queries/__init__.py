@@ -56,6 +56,7 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
     "dedup_semantic",                # SemDeDup cluster-then-dedup
+    "dedup_semantic_on_index",       # same, off a persisted IVF layout
     "mixture_sample_langs",          # domain-mixture hash sampling
     "hybrid_rrf_search",             # BM25+cosine reciprocal-rank fusion
     "dedup_intradoc_segments",       # C4-style intra-doc repetition removal
@@ -75,8 +76,11 @@ _ROUND_PRIORITY: list[str] = [
     # factor-out was proved hash-identical by this session's sf0.01
     # compare and keeps its r7 row.)
     "cosine_topk_embeddings",        # top-k now excludes unscorable rows
-    "dedup_cluster_assignment",      # CC output excludes NULL-id phantom
-    # (streaming_incremental_dedup's r8 change is RESTART-path behavior:
+    # (dedup_cluster_assignment keeps its r6 driver row — within the
+    # freshness criterion — and its r8 NULL-edge fix is pinned by
+    # tests/test_graph.py; untouched by this continuation, so its slot
+    # goes to the 5th new query. streaming_incremental_dedup's r8 change
+    # is RESTART-path behavior:
     # a fresh driver run cannot exercise it — the restart bootstrap is
     # pinned by tests/test_dedup_stream.py, the query itself has an r7
     # hash-matched row; its slot goes to the 4th new query)

@@ -2144,3 +2144,58 @@ def dedup_intradoc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return remove_repeated_segments(d, sep=" ").orderBy("doc_id")
+
+
+@query(
+    "dedup_semantic_on_index",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="The corpus-scale SemDeDup path, ORACLE-EXACT end to end: cell "
+    "assignments are PRECOMPUTED and persisted as a partitioned IVF "
+    "layout (the 100 TB posture - k grows with the corpus and the "
+    "assignment pass is paid once; see ann_index.semantic_dedup_on_index "
+    "and PERF.md's 100x row), then the within-cell pair stage + removal "
+    "verdicts run off the layout with zero assignment work. Same fixed "
+    "vec_id<32 centroids, portable decimal cosine, and oracle as "
+    "dedup_semantic, so the two paths are driver-proved EQUAL - the "
+    "layout roundtrip (write + partition-discovery read) is inside the "
+    "verified surface.",
+)
+def dedup_semantic_on_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        semantic_dedup_on_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import nearest_cell_expr
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
+    cent_rows = (
+        e.filter(F.col("vec_id") < 32)
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+
+    def psim(v, c):
+        return F.try_divide(_pdot(v, c), _psq_norm(v) * _psq_norm(c))
+
+    path = tempfile.mkdtemp(prefix="cas_semdedup_idx_") + "/ivf"
+    try:
+        corpus.select(
+            "vec_id",
+            "embedding",
+            nearest_cell_expr(F.col("embedding"), centroids, sim_fn=psim).alias("cell"),
+        ).write.partitionBy("cell").parquet(path)
+        return semantic_dedup_on_index(
+            spark, path, threshold=0.9, max_cluster=10_000,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).orderBy("removed").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
