@@ -53,6 +53,11 @@ def cosine(a: Column, b: Column) -> Column:
     # (or a zero query vector) would kill every similarity job. NULL
     # cosine sorts last under desc, so zero vectors simply never rank
     # (round-7 hostile pass — found by the Engine facade smoke test).
+    # MISMATCHED-LENGTH vectors also yield NULL (zip_with null-pads the
+    # shorter side): the SCORING paths (top-k/kNN/LSH) treat them as
+    # unscorable like zero-norm vectors, while the dedup/assignment
+    # paths raise instead — a silent NULL there would change VERDICTS,
+    # not just omit a score (round-8 continuation probe).
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
@@ -358,8 +363,26 @@ def nearest_cell_expr(
     if not centroids:
         raise ValueError("nearest_cell_expr needs at least one centroid")
     simf = sim_fn or (lambda v, c: cosine(v, c))
-    return _argmax_cell(
+    cell = _argmax_cell(
         [(cid, simf(vec, lit_vector(cvec))) for cid, cvec in centroids]
+    )
+    # a vector whose length differs from the centroids' would get every
+    # sim NULL'd by zip_with's null-padding and silently land in the
+    # LOWEST cell (round-8 continuation probe) — mixed dims are data
+    # corruption; fail loudly at the offending row instead
+    dim = len(centroids[0][1])
+    return F.when(
+        vec.isNull() | (F.size(vec) == dim), cell
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding dimension mismatch: centroids are {dim}-d "
+                    "but found a vector of length "
+                ),
+                F.size(vec).cast("string"),
+            )
+        ).cast("int")
     )
 
 
@@ -392,6 +415,8 @@ def vectorized_cell_udf(centroids: list[tuple[int, list[float]]]):
     cnorm = np.linalg.norm(cmat, axis=1)
     cids = np.asarray([cid for cid, _ in ordered], dtype="int32")
 
+    dim = cmat.shape[1]
+
     @pandas_udf("int")
     def _cell(vs: pd.Series) -> pd.Series:
         mask = vs.notna()
@@ -399,6 +424,17 @@ def vectorized_cell_udf(centroids: list[tuple[int, list[float]]]):
         # form: deterministic lowest cid, never a NULL partition
         out = np.full(len(vs), cids[0], dtype="int32")
         if mask.any():
+            bad = {len(v) for v in vs[mask] if len(v) != dim}
+            if bad:
+                # a ragged batch used to die as a cryptic numpy
+                # "setting an array element with a sequence" inside the
+                # worker (round-8 continuation probe)
+                raise ValueError(
+                    f"embedding dimension mismatch: centroids are {dim}-d "
+                    f"but batch contains vectors of length {sorted(bad)} — "
+                    "mixed-dimension embedding columns are data corruption; "
+                    "fix or filter them first"
+                )
             vmat = np.asarray([np.asarray(v, dtype="float64") for v in vs[mask]])
             vnorm = np.linalg.norm(vmat, axis=1)
             denom = np.outer(vnorm, cnorm)
@@ -438,6 +474,20 @@ def semantic_pairs_from_cells(
     dotf = dot_fn or dot
     normf = norm_fn or norm
     nrm = F.col(norm_col) if norm_col else normf(F.col(vec_col))
+    # mixed-dimension vectors would get their pair cosine NULL'd by
+    # zip_with's null-padding and silently drop every pair they touch
+    # (round-8 continuation probe): fail loudly at the offending pair
+    dim_guard = F.when(
+        F.size(F.col("pa")["v"]) == F.size(F.col("pb")["v"]), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "embedding dimension mismatch between candidate pair "
+                "members — mixed-dimension embedding columns are data "
+                "corruption; fix or filter them first"
+            )
+        ).cast("boolean")
+    )
     tagged = assigned.filter(F.col(vec_col).isNotNull()).select(
         id_col,
         F.struct(
@@ -448,9 +498,12 @@ def semantic_pairs_from_cells(
         F.col(cell_col).alias("__cell"),
     )
     pairs = _bucket_candidate_pairs(tagged, ["__cell"], id_col, "__p", max_cluster)
-    cos = F.try_divide(
-        dotf(F.col("pa")["v"], F.col("pb")["v"]),
-        F.col("pa")["nrm"] * F.col("pb")["nrm"],
+    cos = F.when(
+        dim_guard,
+        F.try_divide(
+            dotf(F.col("pa")["v"], F.col("pb")["v"]),
+            F.col("pa")["nrm"] * F.col("pb")["nrm"],
+        ),
     )
     return pairs.select(
         "a",

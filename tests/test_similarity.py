@@ -312,3 +312,39 @@ def test_nearest_cell_lowest_cid_tiebreak(spark):
         F.col("embedding"), [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
     )
     assert emb.select(cell.alias("c")).collect()[0].c == 3
+
+
+def test_dimension_mismatch_fails_loudly_in_dedup_paths(spark):
+    """Mixed-dimension embedding columns are data corruption. The dedup/
+    assignment paths must fail loudly (a silent NULL cosine there drops
+    pairs and mis-assigns cells — it changes VERDICTS); the scoring paths
+    keep the documented unscorable-exclusion policy (round-8 continuation
+    probe: expression paths silently put every ragged vector in the
+    lowest cell, the vectorized path died with a cryptic numpy error)."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        nearest_cell_expr,
+        semantic_dedup,
+        vectorized_cell_udf,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0])]
+    with pytest.raises(Exception, match="dimension mismatch"):
+        ragged.select(
+            nearest_cell_expr(F.col("embedding"), cents).alias("c")
+        ).collect()
+    with pytest.raises(Exception, match="dimension mismatch"):
+        semantic_dedup(ragged, cents, threshold=0.5).collect()
+    with pytest.raises(Exception, match="dimension mismatch"):
+        ragged.select(
+            vectorized_cell_udf(cents)(F.col("embedding")).alias("c")
+        ).collect()
+    # scoring path: ragged rows are unscorable, the rest still rank
+    top = brute_force_topk(ragged, [1.0, 0.0, 0.0], k=5).collect()
+    assert [r.vec_id for r in top] == [1]
