@@ -594,6 +594,21 @@ def semantic_dedup_pairs(
             for cid, cvec in centroids
         ]
     )
+    # same loud dimension guard as nearest_cell_expr: a ragged vector
+    # would otherwise silently take the lowest cell, and if it never
+    # lands in a pair the corruption stays invisible (round-8 probe)
+    dim = len(centroids[0][1])
+    cell = F.when(F.size(F.col(vec_col)) == dim, cell).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding dimension mismatch: centroids are {dim}-d "
+                    "but found a vector of length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("int")
+    )
     return semantic_pairs_from_cells(
         base.withColumn("__acell", cell),
         threshold,
