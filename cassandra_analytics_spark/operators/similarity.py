@@ -251,14 +251,18 @@ def nearest_centroid_cell(
             F.struct(
                 # try_divide: a zero-norm vector (or centroid) must
                 # assign to SOME cell instead of throwing under ANSI
-                # mode; coalesce(-2) ranks such sims below every real
-                # cosine so the assignment is still deterministic
-                F.coalesce(
+                # mode; non-finite sims (NULL/NaN/±inf — corrupt data)
+                # pin to -2 so they rank below every real cosine and the
+                # assignment stays deterministic AND consistent with the
+                # numpy path's ~np.isfinite pin (round-9 ADVICE; before
+                # this, a NaN sim won the array_max and the two forms
+                # could assign different cells)
+                _finite_or(
                     F.try_divide(
                         dot(vec, lit_vector(cvec)),
                         norm(vec) * norm(lit_vector(cvec)),
                     ),
-                    F.lit(-2.0),
+                    -2.0,
                 ).alias("sim"),
                 F.lit(cid).alias("cid"),
             )
@@ -327,16 +331,37 @@ def ivf_topk(
     )
 
 
+def _finite_or(sim: Column, fallback: float) -> Column:
+    """``sim`` as a double when it is finite, else ``fallback``.
+
+    NULL, NaN AND ±inf all pin to the fallback: Spark's ordering ranks
+    NaN ABOVE every double, so a NaN similarity (corrupt vector data)
+    inside an argmax would win the cell — while the numpy twin
+    (:func:`vectorized_cell_udf`) pins every non-finite sim to -2
+    (``~np.isfinite``). Pinning here keeps the two assignment forms
+    bit-identical on pathological inputs (round-9 ADVICE)."""
+    s = sim.cast("double")
+    finite = (
+        s.isNotNull()
+        & ~F.isnan(s)
+        & (s > F.lit(float("-inf")))
+        & (s < F.lit(float("inf")))
+    )
+    return F.when(finite, s).otherwise(F.lit(fallback))
+
+
 def _argmax_cell(sims: list[tuple[int, Column]]) -> Column:
     """Cell id of the max-similarity entry, LOWEST cid on ties (the repo's
     min-representative tiebreak convention — struct array_max alone picks
     the HIGHEST cid on a tie). Linear expression: array_max over
-    (sim, -cid) structs. NULL similarities rank below every real one
-    (coalesce -2), so every vector still gets a deterministic cell."""
+    (sim, -cid) structs. NULL/NaN/±inf similarities rank below every real
+    one (pinned to -2, matching :func:`vectorized_cell_udf`'s
+    ``~np.isfinite`` pin), so every vector still gets a deterministic
+    cell and the two assignment forms agree on corrupt inputs."""
     pairs = F.array(
         *[
             F.struct(
-                F.coalesce(sim, F.lit(-2.0)).alias("sim"),
+                _finite_or(sim, -2.0).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
             for cid, sim in sims
@@ -400,10 +425,12 @@ def vectorized_cell_udf(centroids: list[tuple[int, list[float]]]):
 
     Semantics match :func:`nearest_cell_expr` exactly: cosine similarity,
     lowest cid on ties (centroids are sorted by cid; ``np.argmax`` takes
-    the first maximum), and zero-norm AND NULL vectors get every sim
-    pinned to -2 and therefore the lowest cid (the expression's
-    coalesce(-2) behavior — every vector gets a deterministic cell, so a
-    partitioned layout never grows a NULL partition).
+    the first maximum), and NON-FINITE sims — zero-norm/NULL vectors and
+    NaN/±inf products alike — pin to -2 and therefore the lowest cid in
+    BOTH forms (``~np.isfinite`` here, :func:`_finite_or` in the
+    expression — every vector gets a deterministic cell, so a partitioned
+    layout never grows a NULL partition, and an index built in one mode
+    and extended in the other never splits on corrupt inputs).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf

@@ -488,12 +488,16 @@ def reciprocal_rank_fusion(
         raise ValueError(f"k must be >= 0, got {k}")
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
+    # filter BEFORE the select: filtering on rank_col after projecting it
+    # away only worked via the analyzer's missing-reference resolution and
+    # broke with an ambiguity error whenever a caller's list already had a
+    # column named '__r' (round-9 ADVICE)
     parts = [
-        df.select(
+        df.filter(F.col(rank_col).isNotNull() & (F.col(rank_col) >= 1))
+        .select(
             F.col(id_col),
             F.col(rank_col).cast("long").alias("__r"),
         )
-        .filter(F.col(rank_col).isNotNull() & (F.col(rank_col) >= 1))
         .groupBy(id_col)
         .agg(F.min("__r").alias("__r"))
         for df in ranked.values()

@@ -282,12 +282,17 @@ def bundle_write(
     """
     import hashlib
 
-    if digest_algorithm not in hashlib.algorithms_available:
+    if digest_algorithm not in hashlib.algorithms_guaranteed:
         # an unknown algorithm used to surface as a PythonException from
-        # inside the executor-side zip/digest task (round-8 probe)
+        # inside the executor-side zip/digest task (round-8 probe).
+        # Validate against algorithms_GUARANTEED, not _available: digests
+        # are computed on EXECUTORS whose OpenSSL builds may expose a
+        # different optional set than the driver's, so a driver-accepted
+        # optional algorithm could still die inside the task — the
+        # guaranteed set is portable by definition (round-9 ADVICE)
         raise ValueError(
-            f"unknown digest_algorithm {digest_algorithm!r}; available: "
-            f"{sorted(hashlib.algorithms_guaranteed)}"
+            f"unsupported digest_algorithm {digest_algorithm!r}; portable "
+            f"choices: {sorted(hashlib.algorithms_guaranteed)}"
         )
     job_id = f"job-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     staging, manifest, bundles = _stage_bundle_job(

@@ -426,7 +426,19 @@ def test_bundle_degenerate_inputs_fail_loudly(spark, tmp_path):
     from cassandra_analytics_spark.sinks.bundles import bundle_write, restore_bundles
 
     df = spark.createDataFrame([(1, "x")], "pk long, v string")
-    with pytest.raises(ValueError, match="unknown digest_algorithm"):
+    with pytest.raises(ValueError, match="digest_algorithm"):
         bundle_write(df, str(tmp_path / "s"), ["pk"], digest_algorithm="sha999")
+    # round-9 ADVICE: digests run on EXECUTORS, whose OpenSSL builds may
+    # not expose the driver's optional algorithms — only the guaranteed
+    # set is portable, so an available-but-not-guaranteed name must be
+    # rejected at the driver instead of dying inside a task
+    import hashlib
+
+    optional = sorted(hashlib.algorithms_available - hashlib.algorithms_guaranteed)
+    if optional:
+        with pytest.raises(ValueError, match="portable"):
+            bundle_write(
+                df, str(tmp_path / "s2"), ["pk"], digest_algorithm=optional[0]
+            )
     with pytest.raises(BulkWriteError, match="no bundle job at"):
         restore_bundles(spark, str(tmp_path / "nope"), str(tmp_path / "t"))

@@ -348,3 +348,47 @@ def test_dimension_mismatch_fails_loudly_in_dedup_paths(spark):
     # scoring path: ragged rows are unscorable, the rest still rank
     top = brute_force_topk(ragged, [1.0, 0.0, 0.0], k=5).collect()
     assert [r.vec_id for r in top] == [1]
+
+
+def test_non_finite_sims_pin_identically_in_both_assignment_forms(spark):
+    """Round-9 ADVICE: Spark orders NaN ABOVE every double, so a NaN
+    similarity used to WIN the expression argmax while the numpy path
+    pinned it to -2 — the same corpus could assign different cells in the
+    two modes, silently splitting an index built/extended across modes.
+    Both forms must now pin every non-finite sim (NaN/±inf) to -2."""
+    from cassandra_analytics_spark.operators.similarity import (
+        nearest_cell_expr,
+        nearest_centroid_cell,
+        vectorized_cell_udf,
+    )
+
+    nan = float("nan")
+    # vec 1: NaN component -> NaN sim vs EVERY centroid -> lowest cid.
+    # vec 2: clean -> nearest real centroid regardless of the NaN
+    # centroid (cid 5), whose sim must not hijack the argmax.
+    emb = spark.createDataFrame(
+        [(1, [nan, 1.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(3, [1.0, 0.0]), (5, [nan, 1.0]), (9, [0.0, 1.0])]
+
+    expr_cells = {
+        r.vec_id: r.c
+        for r in emb.select(
+            "vec_id", nearest_cell_expr(F.col("embedding"), cents).alias("c")
+        ).collect()
+    }
+    udf_cells = {
+        r.vec_id: r.c
+        for r in emb.select(
+            "vec_id", vectorized_cell_udf(cents)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert expr_cells == udf_cells == {1: 3, 2: 9}
+
+    # the legacy highest-cid builder (persisted-layout pinned) gets the
+    # same non-finite pin: the NaN centroid must not win
+    legacy = emb.select(
+        "vec_id", nearest_centroid_cell(F.col("embedding"), cents).alias("c")
+    ).collect()
+    assert {r.vec_id: r.c for r in legacy} == {1: 9, 2: 9}

@@ -343,6 +343,24 @@ def test_reciprocal_rank_fusion(spark):
     with pytest.raises(ValueError, match="scale must be >= 1"):
         reciprocal_rank_fusion({"a": a}, scale=0)
 
+    # round-9 ADVICE: the rank filter used to run AFTER the select had
+    # projected rank_col away — it only resolved via the analyzer's
+    # missing-reference fallback and died with an ambiguity error when a
+    # caller's list already carried a column named '__r'
+    collide = spark.createDataFrame(
+        [(1, 1, 99), (6, 3, 98)], "doc_id long, rank int, __r int"
+    )
+    out2 = {
+        r.doc_id: (r.rrf_fp, r.n_lists)
+        for r in reciprocal_rank_fusion({"a": collide, "b": b}).collect()
+    }
+    assert out2[1] == (16393 + 16129, 2)
+    assert out2[6] == (1_000_000 // 63, 1)
+    # rank_col literally named '__r' also works
+    named = spark.createDataFrame([(7, 1)], "doc_id long, __r int")
+    out3 = reciprocal_rank_fusion({"a": named}, rank_col="__r").collect()
+    assert (out3[0].doc_id, out3[0].rrf_fp) == (7, 16393)
+
 
 def test_remove_repeated_segments(spark):
     """Intra-doc repetition removal: first occurrence wins in original
