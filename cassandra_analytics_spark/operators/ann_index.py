@@ -61,6 +61,57 @@ def build_ann_index(
     tagged.write.mode("overwrite").partitionBy("sig").parquet(index_path)
 
 
+_IVF_SPEC_SCHEMA = (
+    "format string, assignment string, sim_id string, dim int, "
+    "num_centroids int, seed long"
+)
+
+
+def _dim_guarded(cell, vec_col: str, dim: int):
+    """Wrap a cell expression with the loud mixed-dimension guard (NULL
+    vectors allowed — they assign deterministically)."""
+    return F.when(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == dim), cell
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding dimension mismatch: index centroids are "
+                    f"{dim}-d but found a vector of length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("int")
+    )
+
+
+def _ivf_cell_for_mode(
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    assignment: str,
+    dot_fn,
+    norm_fn,
+):
+    """The cell expression for one assignment mode — ONE definition shared
+    by build and append so the two can never pick different argmax forms
+    for the same persisted layout."""
+    dim = len(centroids[0][1])
+    if assignment == "vectorized":
+        from cassandra_analytics_spark.operators.similarity import (
+            vectorized_cell_udf,
+        )
+
+        # the UDF raises on ragged batches itself
+        return vectorized_cell_udf(centroids)(F.col(vec_col))
+    if assignment == "expr":
+        return _dim_guarded(
+            nearest_centroid_cell(F.col(vec_col), centroids), vec_col, dim
+        )
+    # "custom" is handled by assign_nearest_cells at the caller (it needs
+    # the whole frame for the norm-once discipline)
+    raise ValueError(f"unknown assignment mode {assignment!r}")
+
+
 def build_ivf_index(
     df: DataFrame,
     index_path: str,
@@ -69,14 +120,24 @@ def build_ivf_index(
     num_centroids: int = 16,
     seed: int = 42,
     assignment: str = "expr",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the corpus partitioned by IVF cell (nearest centroid).
 
-    Centroids come from :func:`similarity.sample_centroids` (min-wise
-    hash sample — uniform over the whole corpus regardless of data
-    order). The centroid list is also persisted next to the cells so a
-    query session does not need the original corpus. Returns the
-    centroids for convenience.
+    By default centroids come from :func:`similarity.sample_centroids`
+    (min-wise hash sample — uniform over the whole corpus regardless of
+    data order); pass ``centroids`` to pin an external codebook (a
+    k-means fit, or SemDeDup's oracle-reproducible fixed set). The
+    centroid list is persisted next to the cells so a query session does
+    not need the original corpus, and the index SPEC — assignment mode,
+    custom-sim identifier, dimension — is persisted at
+    ``{index_path}_spec`` so :func:`append_to_ivf_index` can refuse a
+    mismatched extension instead of silently splitting the layout
+    (round-9 ADVICE: the modes disagree on exact-tie direction, so the
+    mode is part of the persisted layout). Returns the centroids.
 
     ``assignment``: ``"expr"`` (default) builds the nearest-cell argmax
     as a codegen expression — zero Python, the right shape to
@@ -86,14 +147,38 @@ def build_ivf_index(
     (:func:`similarity.vectorized_cell_udf`) — required for the large
     codebooks SemDeDup needs at corpus scale (k ∝ N; the expression form
     measured 1.5 MiB task binaries at k=256, PERF.md round 8); ties go
-    to the LOWEST cid (the repo convention). Pick one per index and
-    stay with it — the tie direction is part of the persisted layout.
+    to the LOWEST cid (the repo convention).
+
+    ``dot_fn``/``norm_fn`` switch assignment to the CUSTOM-math path
+    (norm-once :func:`similarity.assign_nearest_cells`, lowest-cid ties)
+    — e.g. the portable decimal cosine the oracle-exact SemDeDup queries
+    use. Custom math cannot be serialized into the spec, so callers MUST
+    pass ``sim_id``, a stable identifier for the (dot_fn, norm_fn) pair;
+    appends must present the same identifier with the same functions.
     """
     if assignment not in ("expr", "vectorized"):
         raise ValueError(
             f"assignment must be 'expr' or 'vectorized', got {assignment!r}"
         )
-    centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
+    custom = dot_fn is not None or norm_fn is not None
+    if custom:
+        if sim_id is None:
+            raise ValueError(
+                "build_ivf_index with custom dot_fn/norm_fn needs sim_id= — "
+                "a stable identifier for the similarity math; appends must "
+                "present the same identifier (the spec cannot serialize "
+                "Python functions)"
+            )
+        assignment = "custom"
+    elif sim_id is not None:
+        raise ValueError(
+            "sim_id is only meaningful with custom dot_fn/norm_fn — "
+            "the built-in modes are identified by the assignment name"
+        )
+    if centroids is None:
+        centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
+    else:
+        centroids = [(int(cid), [float(x) for x in v]) for cid, v in centroids]
     if not centroids:
         # empty corpus: zero-arg F.array() in nearest_centroid_cell would
         # otherwise produce a null cell partition, and a zero-row
@@ -103,15 +188,17 @@ def build_ivf_index(
         # returns empty instead of erroring
         tagged = df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("cell"))
         tagged.write.mode("overwrite").parquet(index_path)
-    else:
-        if assignment == "vectorized":
-            from cassandra_analytics_spark.operators.similarity import (
-                vectorized_cell_udf,
-            )
+    elif assignment == "custom":
+        from cassandra_analytics_spark.operators.similarity import (
+            assign_nearest_cells,
+        )
 
-            cell = vectorized_cell_udf(centroids)(F.col(vec_col))
-        else:
-            cell = nearest_centroid_cell(F.col(vec_col), centroids)
+        tagged = assign_nearest_cells(
+            df, centroids, id_col, vec_col, dot_fn, norm_fn, cell_col="cell"
+        )
+        tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    else:
+        cell = _ivf_cell_for_mode(vec_col, centroids, assignment, None, None)
         tagged = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
         tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     spark = df.sparkSession
@@ -119,7 +206,113 @@ def build_ivf_index(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_centroids")
+    dim = len(centroids[0][1]) if centroids else None
+    spark.createDataFrame(
+        [("ivf-v1", assignment, sim_id, dim, len(centroids), seed)],
+        _IVF_SPEC_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
     return centroids
+
+
+def read_ivf_spec(spark: SparkSession, index_path: str) -> dict:
+    """The persisted spec of an IVF layout, as a dict. Raises a named
+    error for pre-spec (legacy) layouts."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{index_path}_spec").collect()
+    except AnalysisException as exc:
+        raise ValueError(
+            f"{index_path!r} has no persisted spec ({index_path}_spec) — "
+            "it predates spec pinning; rebuild it with build_ivf_index "
+            "before appending (the assignment mode/tie direction is part "
+            "of the layout and cannot be inferred from the data)"
+        ) from exc
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt IVF spec at {index_path}_spec: expected exactly one "
+            f"row, found {len(rows)}"
+        )
+    return rows[0].asDict()
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+) -> None:
+    """Append new vectors to a persisted IVF layout, assigning them with
+    the PINNED codebook and assignment mode from the index spec.
+
+    The incremental story for growing embedding corpora (the engine's
+    stated ingest target) — the embedding twin of the text LSH index's
+    ``append_to_index``: per-refresh cost is proportional to the BATCH,
+    not the corpus, and the existing cells' files are never rewritten
+    (parquet ``append`` under the same ``partitionBy`` layout only adds
+    files inside matching cell directories). Reference analog: the bulk
+    writer's append-only batch model
+    (``bulkwriter/CassandraBulkSourceRelation.java:116-131``).
+
+    Refuses loudly when: the layout has no spec (legacy — rebuild), the
+    layout was built over an EMPTY corpus (unpartitioned, no centroids —
+    rebuild), the spec's assignment mode is ``custom`` but ``sim_id``
+    does not match (or the functions are missing), or a built-in-mode
+    index is appended with custom math. A silent mode mismatch would
+    split the same corpus across different cells depending on which call
+    wrote it — exactly the corruption the spec exists to prevent.
+    """
+    spark = df.sparkSession
+    spec = read_ivf_spec(spark, index_path)
+    centroids = [
+        (r.cid, list(r.centroid))
+        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+    ]
+    if not centroids:
+        raise ValueError(
+            f"{index_path!r} was built over an empty corpus (no centroids, "
+            "unpartitioned layout) — rebuild with build_ivf_index over the "
+            "union instead of appending"
+        )
+    centroids.sort(key=lambda t: t[0])
+    mode = spec["assignment"]
+    custom = dot_fn is not None or norm_fn is not None
+    if mode == "custom":
+        if not custom or sim_id is None:
+            raise ValueError(
+                f"index at {index_path!r} was built with custom similarity "
+                f"math (sim_id={spec['sim_id']!r}) — append must pass the "
+                "same dot_fn/norm_fn and sim_id"
+            )
+        if sim_id != spec["sim_id"]:
+            raise ValueError(
+                f"sim_id mismatch: index at {index_path!r} was built with "
+                f"{spec['sim_id']!r}, append presented {sim_id!r} — "
+                "different similarity math would assign the same vectors "
+                "to different cells"
+            )
+    elif custom or sim_id is not None:
+        raise ValueError(
+            f"index at {index_path!r} was built with the "
+            f"{mode!r} assignment mode — append must not pass custom "
+            "dot_fn/norm_fn/sim_id (rebuild with build_ivf_index(dot_fn=..., "
+            "norm_fn=..., sim_id=...) to switch)"
+        )
+    if mode == "custom":
+        from cassandra_analytics_spark.operators.similarity import (
+            assign_nearest_cells,
+        )
+
+        tagged = assign_nearest_cells(
+            df, centroids, id_col, vec_col, dot_fn, norm_fn, cell_col="cell"
+        )
+    else:
+        cell = _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
+        tagged = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    tagged.write.mode("append").partitionBy("cell").parquet(index_path)
 
 
 def query_ivf_index(

@@ -411,6 +411,89 @@ def nearest_cell_expr(
     )
 
 
+def assign_nearest_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_fn=None,
+    norm_fn=None,
+    cell_col: str = "cell",
+    keep_norm_as: str | None = None,
+) -> DataFrame:
+    """Tag every row with its nearest-centroid cell — the norm-once
+    assignment shared by :func:`semantic_dedup_pairs` and the custom-math
+    IVF builders (``ann_index.build_ivf_index``/``append_to_ivf_index``).
+
+    Norm discipline (HOFs are interpreted in Spark 4 — they must never
+    be recomputed per centroid): each ROW's norm is computed ONCE as a
+    carried column; each CENTROID's norm is computed once up front in a
+    k-row Spark job with the same ``norm_fn`` expression (so the float
+    math is bit-identical to the row side) and embedded as a literal.
+    Re-deriving ``norm_fn(vec)`` inside a per-centroid ``sim_fn`` costs
+    k redundant interpreted HOF evaluations per row — the exact
+    anti-pattern this helper exists to prevent (round-9 ADVICE found it
+    in the on-index SemDeDup layout build).
+
+    Ties go to the LOWEST cid (the repo's min-representative
+    convention); non-finite sims pin to -2 (:func:`_finite_or`), so
+    NULL vectors land deterministically in the lowest cell. Mixed
+    dimensions raise (assignment is a verdict path, not a scoring
+    path). Output: ``(id_col, vec_col[, keep_norm_as], cell_col)``.
+    """
+    if not centroids:
+        raise ValueError("assign_nearest_cells needs at least one centroid")
+    dotf = dot_fn or dot
+    normf = norm_fn or norm
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cid int, v array<double>",
+    )
+    cnorms = {
+        r["cid"]: r["n"]
+        for r in cdf.select("cid", normf(F.col("v")).alias("n")).collect()
+    }
+    nrm_name = keep_norm_as or "__anc_nrm"
+    base = df.select(
+        F.col(id_col), F.col(vec_col), normf(F.col(vec_col)).alias(nrm_name)
+    )
+    cell = _argmax_cell(
+        [
+            (
+                cid,
+                F.try_divide(
+                    dotf(F.col(vec_col), lit_vector(cvec)),
+                    F.col(nrm_name) * F.lit(float(cnorms[cid])),
+                ),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    # loud dim guard (NULL vectors allowed — they pin to the lowest
+    # cell): a ragged vector would otherwise silently take the lowest
+    # cell, and if it never lands in a pair the corruption stays
+    # invisible (round-8 probe)
+    dim = len(centroids[0][1])
+    cell = F.when(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == dim), cell
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding dimension mismatch: centroids are {dim}-d "
+                    "but found a vector of length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("int")
+    )
+    out = base.withColumn(cell_col, cell)
+    if keep_norm_as is None:
+        out = out.drop(nrm_name)
+    return out
+
+
 def vectorized_cell_udf(centroids: list[tuple[int, list[float]]]):
     """Arrow-batched nearest-centroid assignment for LARGE codebooks.
 
@@ -593,51 +676,23 @@ def semantic_dedup_pairs(
         raise ValueError(f"max_cluster must be >= 2, got {max_cluster}")
     if not centroids:
         raise ValueError("semantic_dedup_pairs needs at least one centroid")
-    from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
-
     dotf = dot_fn or dot
     normf = norm_fn or norm
-    spark = df.sparkSession
-    cdf = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
-        "cid int, v array<double>",
-    )
-    cnorms = {
-        r["cid"]: r["n"]
-        for r in cdf.select("cid", normf(F.col("v")).alias("n")).collect()
-    }
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), F.col(vec_col), normf(F.col(vec_col)).alias("__nrm")
-    )
-    cell = _argmax_cell(
-        [
-            (
-                cid,
-                F.try_divide(
-                    dotf(F.col(vec_col), lit_vector(cvec)),
-                    F.col("__nrm") * F.lit(float(cnorms[cid])),
-                ),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    # same loud dimension guard as nearest_cell_expr: a ragged vector
-    # would otherwise silently take the lowest cell, and if it never
-    # lands in a pair the corruption stays invisible (round-8 probe)
-    dim = len(centroids[0][1])
-    cell = F.when(F.size(F.col(vec_col)) == dim, cell).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"embedding dimension mismatch: centroids are {dim}-d "
-                    "but found a vector of length "
-                ),
-                F.size(F.col(vec_col)).cast("string"),
-            )
-        ).cast("int")
+    # NULL vectors are excluded up front (they have no meaningful cell
+    # and their NULL cosine could never clear the threshold); the shared
+    # assignment helper carries the row norm so the pair stage reuses it
+    assigned = assign_nearest_cells(
+        df.filter(F.col(vec_col).isNotNull()),
+        centroids,
+        id_col,
+        vec_col,
+        dot_fn=dotf,
+        norm_fn=normf,
+        cell_col="__acell",
+        keep_norm_as="__nrm",
     )
     return semantic_pairs_from_cells(
-        base.withColumn("__acell", cell),
+        assigned,
         threshold,
         id_col,
         vec_col,

@@ -1858,6 +1858,30 @@ SEMANTIC_DEDUP_ORACLE = f"""
 """
 
 
+def _semantic_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """The fixed vec_id<32 codebook shared by every oracle-exact SemDeDup
+    query (deterministic, oracle-reproducible stand-in for a production
+    k-means fit)."""
+    cent_rows = (
+        e.filter(F.col("vec_id") < 32)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+
+
+#: spec identifier for the portable decimal cosine (_pdot / _psq_norm) —
+#: pinned into every oracle-exact IVF layout so appends with different
+#: math are refused (ann_index spec discipline)
+_PORTABLE_SIM_ID = "portable-decimal-cosine-v1"
+
+
 @query(
     "dedup_semantic",
     oracle=SEMANTIC_DEDUP_ORACLE,
@@ -1879,17 +1903,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _planted_corpus(e)
-    cent_rows = (
-        e.filter(F.col("vec_id") < 32)
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
-        .orderBy("vec_id")
-        .collect()
-    )
-    if not cent_rows:
+    centroids = _semantic_centroids(e)
+    if not centroids:
         return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
-    centroids = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
-    ]
 
     # the oracle brute-forces every within-cell pair with NO size cap, so
     # the engine-side max_cluster cap must be unreachable for the
@@ -2165,34 +2181,84 @@ def dedup_semantic_on_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
         semantic_dedup_on_index,
     )
-    from cassandra_analytics_spark.operators.similarity import nearest_cell_expr
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _planted_corpus(e)
-    cent_rows = (
-        e.filter(F.col("vec_id") < 32)
-        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
-        .orderBy("vec_id")
-        .collect()
-    )
-    if not cent_rows:
+    centroids = _semantic_centroids(e)
+    if not centroids:
         return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
-    centroids = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
-    ]
-
-    def psim(v, c):
-        return F.try_divide(_pdot(v, c), _psq_norm(v) * _psq_norm(c))
 
     path = tempfile.mkdtemp(prefix="cas_semdedup_idx_") + "/ivf"
     try:
-        corpus.select(
-            "vec_id",
-            "embedding",
-            nearest_cell_expr(F.col("embedding"), centroids, sim_fn=psim).alias("cell"),
-        ).write.partitionBy("cell").parquet(path)
+        # the layout write is build_ivf_index's verified surface: pinned
+        # external codebook + the portable decimal cosine via the
+        # norm-once custom path (row norm carried ONCE, centroid norms
+        # precomputed in a k-row job — round-9 ADVICE: the previous
+        # per-(row x centroid) sim_fn re-evaluated both norms k times)
+        build_ivf_index(
+            corpus, path, centroids=centroids,
+            dot_fn=_pdot, norm_fn=_psq_norm, sim_id=_PORTABLE_SIM_ID,
+        )
+        return semantic_dedup_on_index(
+            spark, path, threshold=0.9, max_cluster=10_000,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).orderBy("removed").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "dedup_semantic_append_index",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="The GROWING-corpus SemDeDup path, ORACLE-EXACT end to end: the "
+    "IVF layout is built over HALF the corpus, the other half arrives "
+    "later via ann_index.append_to_ivf_index — which assigns the new "
+    "vectors with the PINNED codebook, assignment mode and sim_id from "
+    "the persisted spec (refusing any mismatch) — and the within-cell "
+    "dedup runs off the extended layout. Same fixed vec_id<32 centroids, "
+    "portable decimal cosine, and oracle as dedup_semantic/_on_index, so "
+    "build-then-append is driver-PROVED equal to build-once: the append "
+    "write path and spec roundtrip are inside the verified surface. "
+    "Scale: per-refresh cost is proportional to the appended batch "
+    "(assignment + one partitioned write), never the corpus.",
+)
+def dedup_semantic_append_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        semantic_dedup_on_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
+    centroids = _semantic_centroids(e)
+    if not centroids:
+        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
+
+    # deterministic split at the re-key boundary: the ORIGINALS build the
+    # index, the planted +1e6 near-dup copies arrive via append — so
+    # EVERY planted near-dup pair straddles the build/append boundary,
+    # which is exactly the property under test (a copy assigned to a
+    # different cell than its original would silently never pair)
+    first = corpus.filter(F.col("vec_id") < 1_000_000)
+    second = corpus.filter(F.col("vec_id") >= 1_000_000)
+
+    path = tempfile.mkdtemp(prefix="cas_semdedup_app_") + "/ivf"
+    try:
+        build_ivf_index(
+            first, path, centroids=centroids,
+            dot_fn=_pdot, norm_fn=_psq_norm, sim_id=_PORTABLE_SIM_ID,
+        )
+        append_to_ivf_index(
+            second, path,
+            dot_fn=_pdot, norm_fn=_psq_norm, sim_id=_PORTABLE_SIM_ID,
+        )
         return semantic_dedup_on_index(
             spark, path, threshold=0.9, max_cluster=10_000,
             dot_fn=_pdot, norm_fn=_psq_norm,

@@ -280,3 +280,124 @@ def test_semantic_dedup_on_index_matches_direct(spark, tmp_path):
         semantic_dedup_on_index(spark, lsh)
     with pytest.raises(ValueError, match="assignment must be"):
         build_ivf_index(df, str(tmp_path / "x"), assignment="magic")
+
+
+def _tiny_corpus(spark, ids):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in ids]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.mark.parametrize("mode", ["expr", "vectorized"])
+def test_append_equals_rebuild(spark, tmp_path, mode):
+    """build(A) + append(B) must produce the identical layout (same
+    (id, cell) assignments, same spec, same centroids) as build(A∪B)
+    with the SAME pinned codebook — the growing-corpus guarantee."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        read_ivf_spec,
+    )
+
+    both = _tiny_corpus(spark, range(40))
+    a = both.filter(F.col("vec_id") < 20)
+    b = both.filter(F.col("vec_id") >= 20)
+
+    inc_path = str(tmp_path / f"inc_{mode}")
+    cents = build_ivf_index(a, inc_path, num_centroids=4, assignment=mode)
+    append_to_ivf_index(b, inc_path)
+
+    full_path = str(tmp_path / f"full_{mode}")
+    build_ivf_index(
+        both, full_path, centroids=cents, assignment=mode
+    )
+
+    inc = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(inc_path).select("vec_id", "cell").collect()
+    }
+    full = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(full_path).select("vec_id", "cell").collect()
+    }
+    assert inc == full and len(inc) == 40
+    spec = read_ivf_spec(spark, inc_path)
+    assert spec["assignment"] == mode and spec["dim"] == 8
+
+
+def test_append_custom_math_and_spec_mismatches(spark, tmp_path):
+    """Spec pinning: a custom-math index demands the same sim_id (and
+    functions) on append; built-in-mode indexes refuse custom math;
+    legacy layouts without a spec refuse appends; empty layouts refuse
+    appends; ragged appended vectors die loudly."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        read_ivf_spec,
+        semantic_dedup_on_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import dot as sdot
+    from cassandra_analytics_spark.operators.similarity import norm as snorm
+
+    both = _tiny_corpus(spark, range(30))
+    a = both.filter(F.col("vec_id") < 15)
+    b = both.filter(F.col("vec_id") >= 15)
+
+    # custom math roundtrip: build+append == build-once
+    cpath = str(tmp_path / "custom")
+    cents = build_ivf_index(
+        a, cpath, num_centroids=4, dot_fn=sdot, norm_fn=snorm, sim_id="jvm-v1"
+    )
+    append_to_ivf_index(b, cpath, dot_fn=sdot, norm_fn=snorm, sim_id="jvm-v1")
+    fpath = str(tmp_path / "custom_full")
+    build_ivf_index(
+        both, fpath, centroids=cents, dot_fn=sdot, norm_fn=snorm, sim_id="jvm-v1"
+    )
+    inc = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(cpath).select("vec_id", "cell").collect()
+    }
+    full = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(fpath).select("vec_id", "cell").collect()
+    }
+    assert inc == full and len(inc) == 30
+    assert read_ivf_spec(spark, cpath)["sim_id"] == "jvm-v1"
+
+    # mismatches are named errors
+    with pytest.raises(ValueError, match="sim_id mismatch"):
+        append_to_ivf_index(b, cpath, dot_fn=sdot, norm_fn=snorm, sim_id="other")
+    with pytest.raises(ValueError, match="custom similarity"):
+        append_to_ivf_index(b, cpath)
+    epath = str(tmp_path / "exprmode")
+    build_ivf_index(a, epath, num_centroids=4)
+    with pytest.raises(ValueError, match="must not pass custom"):
+        append_to_ivf_index(b, epath, dot_fn=sdot, norm_fn=snorm, sim_id="x")
+    with pytest.raises(ValueError, match="sim_id"):
+        build_ivf_index(a, str(tmp_path / "nope"), dot_fn=sdot, norm_fn=snorm)
+    with pytest.raises(ValueError, match="only meaningful"):
+        build_ivf_index(a, str(tmp_path / "nope2"), sim_id="x")
+
+    # legacy layout (no spec file) refuses append with steering
+    legacy = str(tmp_path / "legacy")
+    a.withColumn("cell", F.lit(0)).write.partitionBy("cell").parquet(legacy)
+    with pytest.raises(ValueError, match="no persisted spec"):
+        append_to_ivf_index(b, legacy)
+
+    # empty-corpus layout refuses append (no centroids to assign with)
+    empty = str(tmp_path / "empty")
+    build_ivf_index(both.filter(F.lit(False)), empty)
+    with pytest.raises(ValueError, match="empty corpus"):
+        append_to_ivf_index(b, empty)
+
+    # ragged appended vectors are loud in every mode
+    ragged = spark.createDataFrame(
+        [(99, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        append_to_ivf_index(ragged, epath)
+
+    # the extended custom index still serves the downstream consumer
+    assert semantic_dedup_on_index(spark, cpath, threshold=0.99).count() >= 0
