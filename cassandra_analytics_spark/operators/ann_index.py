@@ -417,6 +417,7 @@ def semantic_dedup_on_index(
     max_cluster: int = 10_000,
     dot_fn=None,
     norm_fn=None,
+    skew_observation=None,
 ) -> DataFrame:
     """SemDeDup over a PERSISTED IVF layout — the corpus-scale entry
     point: assignment was precomputed once by :func:`build_ivf_index`
@@ -452,5 +453,6 @@ def semantic_dedup_on_index(
         max_cluster=max_cluster,
         dot_fn=dot_fn,
         norm_fn=norm_fn,
+        skew_observation=skew_observation,
     )
     return removal_verdicts(pairs)

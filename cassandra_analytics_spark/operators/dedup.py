@@ -235,6 +235,7 @@ def _bucket_candidate_pairs(
     id_col: str,
     payload_col: str,
     max_bucket: int,
+    skew_observation=None,
 ) -> DataFrame:
     """(a, b, pa, pb) distinct candidate pairs from an LSH bucket table.
 
@@ -248,12 +249,51 @@ def _bucket_candidate_pairs(
     ``max_bucket`` drops pathologically hot buckets (a bucket of size m
     emits m(m−1)/2 pairs — the standard LSH "too common to be
     informative" cap that keeps the 100 TB worst case bounded).
+
+    ``skew_observation`` makes the cap LOUD: pass a
+    ``pyspark.sql.Observation`` and, after any action on the result, its
+    ``.get`` reports ``skipped_buckets`` / ``skipped_rows`` (bucket-table
+    rows inside over-cap buckets, so a row is counted once per bucket it
+    was dropped from) / ``max_bucket_size``. For LSH bands a skipped
+    bucket is "too common to be informative"; for SemDeDup CELLS a
+    skipped cell means those documents are silently never deduped — at
+    100 TB with a skewed corpus that's invisible under-dedup unless this
+    signal is watched (round-9 VERDICT). Zero extra passes: the metrics
+    ride the existing bucket aggregation as a CollectMetrics node.
     """
     grouped = banded.groupBy(*bucket_cols).agg(
         F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p"))).alias(
             "xs"
         )
     )
+    if skew_observation is not None:
+        # the metrics must survive even when EVERY bucket is skipped and
+        # the result is empty — AQE's empty-relation propagation would
+        # eliminate the CollectMetrics node in exactly that case and
+        # Observation.get dies on a schemaless row (measured round 9).
+        # The repo's session excludes the rule by default (session.py);
+        # ensure it on FOREIGN sessions too, since the observation was
+        # explicitly requested (append-merge, never clobber)
+        rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+        conf = banded.sparkSession.conf
+        current = conf.get("spark.sql.adaptive.optimizer.excludedRules", None) or ""
+        if rule not in current.split(","):
+            conf.set(
+                "spark.sql.adaptive.optimizer.excludedRules",
+                f"{current},{rule}" if current else rule,
+            )
+        over = F.size("xs") > F.lit(max_bucket)
+        grouped = grouped.observe(
+            skew_observation,
+            F.coalesce(
+                F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+            ).alias("skipped_buckets"),
+            F.coalesce(
+                F.sum(F.when(over, F.size("xs")).otherwise(0)).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("skipped_rows"),
+            F.coalesce(F.max(F.size("xs")), F.lit(0)).alias("max_bucket_size"),
+        )
     grouped = grouped.filter(
         (F.size("xs") >= 2) & (F.size("xs") <= F.lit(max_bucket))
     )
@@ -291,6 +331,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    skew_observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
@@ -321,7 +362,8 @@ def minhash_lsh_candidates(
         ).alias("band", "bucket"),
     )
     pairs = _bucket_candidate_pairs(
-        banded, ["band", "bucket"], id_col, "sig", max_bucket
+        banded, ["band", "bucket"], id_col, "sig", max_bucket,
+        skew_observation=skew_observation,
     )
     est = F.aggregate(
         F.zip_with(F.col("pa"), F.col("pb"), lambda x, y: (x == y).cast("int")),
@@ -561,6 +603,7 @@ def simhash_near_dup_pairs(
     num_blocks: int = 4,
     max_bucket: int = 1000,
     blocks_per_key: int = 1,
+    skew_observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash + multi-block LSH (Manku et al.'s
     near-duplicate scheme).
@@ -616,7 +659,10 @@ def simhash_near_dup_pairs(
         "sk",
         F.posexplode(F.array(*keys)).alias("block", "val"),
     )
-    pairs = _bucket_candidate_pairs(blocks, ["block", "val"], "id", "sk", max_bucket)
+    pairs = _bucket_candidate_pairs(
+        blocks, ["block", "val"], "id", "sk", max_bucket,
+        skew_observation=skew_observation,
+    )
     hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     return (
         pairs.withColumn("hamming", hamming)

@@ -567,6 +567,7 @@ def semantic_pairs_from_cells(
     dot_fn=None,
     norm_fn=None,
     norm_col: str | None = None,
+    skew_observation=None,
 ) -> DataFrame:
     """Within-cell near-dup pairs ``(a, b, cell, cosine_sim)`` over an
     ALREADY-ASSIGNED corpus (``cell_col`` present — e.g. the persisted
@@ -607,7 +608,10 @@ def semantic_pairs_from_cells(
         ).alias("__p"),
         F.col(cell_col).alias("__cell"),
     )
-    pairs = _bucket_candidate_pairs(tagged, ["__cell"], id_col, "__p", max_cluster)
+    pairs = _bucket_candidate_pairs(
+        tagged, ["__cell"], id_col, "__p", max_cluster,
+        skew_observation=skew_observation,
+    )
     cos = F.when(
         dim_guard,
         F.try_divide(
@@ -642,6 +646,7 @@ def semantic_dedup_pairs(
     max_cluster: int = 10_000,
     dot_fn=None,
     norm_fn=None,
+    skew_observation=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate stage:
     semantic near-dup pairs ``(a, b, cell, cosine_sim)`` with a < b,
@@ -701,6 +706,7 @@ def semantic_dedup_pairs(
         dot_fn=dotf,
         norm_fn=normf,
         norm_col="__nrm",
+        skew_observation=skew_observation,
     )
 
 
@@ -713,6 +719,7 @@ def semantic_dedup(
     max_cluster: int = 10_000,
     dot_fn=None,
     norm_fn=None,
+    skew_observation=None,
 ) -> DataFrame:
     """SemDeDup removal verdicts: ``(removed, cell, kept_rep)`` — one row
     per document that loses its within-cluster near-dup resolution.
@@ -732,7 +739,8 @@ def semantic_dedup(
     ``kept_rep`` chains.
     """
     pairs = semantic_dedup_pairs(
-        df, centroids, threshold, id_col, vec_col, max_cluster, dot_fn, norm_fn
+        df, centroids, threshold, id_col, vec_col, max_cluster, dot_fn, norm_fn,
+        skew_observation=skew_observation,
     )
     return removal_verdicts(pairs)
 
@@ -744,6 +752,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
+    skew_observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucketing + exact cosine
     confirm (a < b). Candidates come from in-bucket pair expansion
@@ -761,7 +770,10 @@ def embedding_near_dup_pairs(
     dim = len(sample[0][vec_col])
     sig = sign_lsh_signature_column(F.col(vec_col), dim, num_planes, seed)
     tagged = df.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
-    pairs = _bucket_candidate_pairs(tagged, ["__sig"], id_col, vec_col, 10000)
+    pairs = _bucket_candidate_pairs(
+        tagged, ["__sig"], id_col, vec_col, 10000,
+        skew_observation=skew_observation,
+    )
     return (
         pairs.select(
             "a",

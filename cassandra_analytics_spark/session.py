@@ -40,6 +40,20 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's empty-relation propagation ELIMINATES CollectMetrics nodes
+        # when a downstream stage turns out empty at runtime, so every
+        # DataFrame.observe()-based signal (stats.py instrumentation, the
+        # dedup skew observations) would silently vanish exactly when the
+        # result is empty — which for the hot-bucket cap is the
+        # catastrophic all-work-skipped case the signal exists to expose
+        # (measured round 9: Observation.get dies in toPyRow on a
+        # schemaless empty row). Empty intermediates are rare in real
+        # pipelines and cheap to execute unoptimized, so the trade is a
+        # no-op in practice.
+        .config(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
