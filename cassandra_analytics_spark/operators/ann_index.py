@@ -179,6 +179,13 @@ def build_ivf_index(
         centroids = sample_centroids(df, num_centroids, id_col, vec_col, seed)
     else:
         centroids = [(int(cid), [float(x) for x in v]) for cid, v in centroids]
+        from cassandra_analytics_spark.operators.similarity import (
+            validate_codebook,
+        )
+
+        # external codebooks are caller data: duplicate cids / mixed dims
+        # would silently corrupt every assignment (round-9 probe)
+        validate_codebook(centroids)
     if not centroids:
         # empty corpus: zero-arg F.array() in nearest_centroid_cell would
         # otherwise produce a null cell partition, and a zero-row

@@ -168,9 +168,17 @@ def mixture_sample(
 
     if not weights:
         raise ValueError("mixture_sample needs at least one weighted domain")
-    bad = {d: w for d, w in weights.items() if w < 0}
+    # non-finite weights used to fail DOWNSTREAM of validation (inf: a
+    # ZeroDivisionError from a normalized-to-zero sibling; NaN: silently
+    # excluded by the w > 0 filter, then misreported as "all weights are
+    # zero") — round-9 executed probe. Loud and named instead.
+    bad = {
+        d: w
+        for d, w in weights.items()
+        if w < 0 or math.isnan(w) or math.isinf(w)
+    }
     if bad:
-        raise ValueError(f"mixture weights must be >= 0, got {bad}")
+        raise ValueError(f"mixture weights must be finite and >= 0, got {bad}")
     if total is not None and total <= 0:
         raise ValueError(f"total must be > 0, got {total}")
     active = {d: w for d, w in weights.items() if w > 0}
@@ -186,9 +194,22 @@ def mixture_sample(
         .agg(
             F.sum(size_expr).cast("double").alias("s"),
             F.count_if(F.col(id_col).isNull()).alias("n_null_ids"),
+            F.count_if(size_expr.isNull() | (size_expr < 0)).alias("n_bad_sizes"),
         )
         .collect()
     )
+    # NULL sizes silently contribute 0 to the domain's available mass and
+    # negative ones SHRINK it, so the keep fractions are computed against
+    # a fictitious corpus — and a negative domain total even turns X
+    # negative, keeping nothing with no error (round-9 executed probe).
+    # Size corruption is data corruption: loud.
+    bad_domains = {r["d"]: r["n_bad_sizes"] for r in rows if r["n_bad_sizes"]}
+    if bad_domains:
+        raise ValueError(
+            f"mixture_sample: NULL or negative {size_col!r} values in "
+            f"weighted domains {bad_domains} — sizes must be non-negative "
+            "and non-NULL; fix or filter them first"
+        )
     # a NULL id hashes to a NULL bucket and would be counted in the
     # domain's available size yet silently DROPPED by the keep filter —
     # the achieved mixture undershoots its target with no error (the

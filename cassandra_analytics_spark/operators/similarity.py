@@ -385,8 +385,7 @@ def nearest_cell_expr(
     invalidate them. New callers should prefer this function's
     lowest-cid convention (the repo-wide min-representative tiebreak).
     """
-    if not centroids:
-        raise ValueError("nearest_cell_expr needs at least one centroid")
+    validate_codebook(centroids)
     simf = sim_fn or (lambda v, c: cosine(v, c))
     cell = _argmax_cell(
         [(cid, simf(vec, lit_vector(cvec))) for cid, cvec in centroids]
@@ -409,6 +408,26 @@ def nearest_cell_expr(
             )
         ).cast("int")
     )
+
+
+def validate_codebook(centroids: list[tuple[int, list[float]]]) -> None:
+    """Reject malformed codebooks loudly: duplicate cids silently corrupt
+    assignment (norm lookups collapse to one entry, the persisted centroid
+    table carries duplicate keys), and mixed-dimension centroids NULL
+    every sim against the odd ones out, silently pinning their cells to
+    -2 (round-9 executed probe: both passed through unchecked)."""
+    if not centroids:
+        raise ValueError("codebook must have at least one centroid")
+    cids = [cid for cid, _ in centroids]
+    if len(set(cids)) != len(cids):
+        dupes = sorted({c for c in cids if cids.count(c) > 1})
+        raise ValueError(f"codebook has duplicate centroid ids: {dupes}")
+    dims = {len(v) for _, v in centroids}
+    if len(dims) != 1:
+        raise ValueError(
+            f"codebook has mixed centroid dimensions {sorted(dims)} — "
+            "all centroids must share one dimension"
+        )
 
 
 def assign_nearest_cells(
@@ -441,8 +460,7 @@ def assign_nearest_cells(
     dimensions raise (assignment is a verdict path, not a scoring
     path). Output: ``(id_col, vec_col[, keep_norm_as], cell_col)``.
     """
-    if not centroids:
-        raise ValueError("assign_nearest_cells needs at least one centroid")
+    validate_codebook(centroids)
     dotf = dot_fn or dot
     normf = norm_fn or norm
     spark = df.sparkSession
@@ -518,8 +536,7 @@ def vectorized_cell_udf(centroids: list[tuple[int, list[float]]]):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    if not centroids:
-        raise ValueError("vectorized_cell_udf needs at least one centroid")
+    validate_codebook(centroids)
     ordered = sorted(centroids, key=lambda t: t[0])
     cmat = np.asarray([c for _, c in ordered], dtype="float64")
     cnorm = np.linalg.norm(cmat, axis=1)

@@ -488,6 +488,21 @@ def reciprocal_rank_fusion(
         raise ValueError(f"k must be >= 0, got {k}")
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
+    # a NULL id is corrupt retrieval output — it would fuse into its own
+    # phantom result row (NULL groups like any value in groupBy), silently
+    # displacing a real doc from the final top-k (round-9 executed
+    # probe). Fail loudly at the offending row, like every other id-keyed
+    # verdict path in the repo.
+    guarded_id = F.when(
+        F.col(id_col).isNotNull(), F.col(id_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"reciprocal_rank_fusion: NULL {id_col!r} in a ranked "
+                "list — rank lists must carry non-NULL ids"
+            )
+        )
+    )
     # filter BEFORE the select: filtering on rank_col after projecting it
     # away only worked via the analyzer's missing-reference resolution and
     # broke with an ambiguity error whenever a caller's list already had a
@@ -495,7 +510,7 @@ def reciprocal_rank_fusion(
     parts = [
         df.filter(F.col(rank_col).isNotNull() & (F.col(rank_col) >= 1))
         .select(
-            F.col(id_col),
+            guarded_id.alias(id_col),
             F.col(rank_col).cast("long").alias("__r"),
         )
         .groupBy(id_col)

@@ -234,3 +234,38 @@ def test_mixture_sample_validation(spark):
         mixture_sample(df, {"a": 1.0}, total=0)
     with pytest.raises(ValueError, match="no data"):
         mixture_sample(df, {"a": 0.5, "nope": 0.5})
+
+
+def test_mixture_sample_round9_probe_hardening(spark):
+    """Round-9 executed probes: inf weights used to die as a cryptic
+    ZeroDivisionError (normalizing siblings to 0), NaN weights were
+    misreported as 'all weights are zero', and NULL/negative size values
+    silently distorted the achievable mixture (a negative domain total
+    even turned X negative, keeping nothing with no error)."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 7), (3, "b", 4)],
+        "doc_id long, lang string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="finite"):
+        mixture_sample(df, {"a": float("inf"), "b": 1.0})
+    with pytest.raises(ValueError, match="finite"):
+        mixture_sample(df, {"a": float("nan")})
+
+    bad_sz = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", None), (3, "b", -4), (4, "b", 9)],
+        "doc_id long, lang string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        mixture_sample(bad_sz, {"a": 1.0}, size_col="n_chars")
+    with pytest.raises(ValueError, match="NULL or negative"):
+        mixture_sample(bad_sz, {"b": 1.0}, size_col="n_chars")
+    # corrupt sizes OUTSIDE the weighted domains don't matter; and the
+    # row-count path (size_col=None) never inspects sizes at all
+    assert mixture_sample(
+        bad_sz.filter("doc_id != 2"), {"a": 1.0}, size_col="n_chars"
+    ).count() == 1
+    assert mixture_sample(bad_sz, {"a": 1.0}).count() == 2

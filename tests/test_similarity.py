@@ -462,3 +462,34 @@ def test_hot_bucket_cap_is_loud_on_minhash_and_simhash(spark):
         == 0
     )
     assert obs2.get["skipped_buckets"] >= 1
+
+
+def test_codebook_validation_rejects_duplicates_and_mixed_dims(spark):
+    """Round-9 executed probe: a codebook with duplicate cids or mixed
+    centroid dimensions passed every builder unchecked — duplicate cids
+    collapse the norm lookup and persist duplicate centroid-table keys,
+    mixed dims NULL every sim against the odd centroids out (silently
+    pinning their cells). All assignment builders now reject both."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.ann_index import build_ivf_index
+    from cassandra_analytics_spark.operators.similarity import (
+        assign_nearest_cells,
+        nearest_cell_expr,
+        vectorized_cell_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    dup = [(0, [1.0, 0.0]), (0, [0.0, 1.0])]
+    ragged = [(0, [1.0, 0.0]), (1, [0.0, 1.0, 0.5])]
+    for bad, pat in [(dup, "duplicate centroid ids"), (ragged, "mixed centroid dimensions")]:
+        with pytest.raises(ValueError, match=pat):
+            assign_nearest_cells(df, bad)
+        with pytest.raises(ValueError, match=pat):
+            nearest_cell_expr(F.col("embedding"), bad)
+        with pytest.raises(ValueError, match=pat):
+            vectorized_cell_udf(bad)
+        with pytest.raises(ValueError, match=pat):
+            build_ivf_index(df, "/tmp/never-written", centroids=bad)

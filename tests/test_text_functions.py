@@ -394,3 +394,16 @@ def test_remove_repeated_segments(spark):
 
     with pytest.raises(ValueError, match="non-empty separator"):
         remove_repeated_segments(df, sep="")
+
+
+def test_reciprocal_rank_fusion_null_ids_are_loud(spark):
+    """Round-9 executed probe: a NULL id in a ranked list used to fuse
+    into its own phantom result row, silently displacing a real doc from
+    the final top-k. Corrupt retrieval output now raises at the row."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.text import reciprocal_rank_fusion
+
+    bad = spark.createDataFrame([(None, 1), (2, 2)], "doc_id long, rank int")
+    with pytest.raises(Exception, match="non-NULL ids"):
+        reciprocal_rank_fusion({"a": bad}).collect()
