@@ -343,7 +343,14 @@ def query_ivf_index(
     the random-sampling baseline, so the centroid structure helps even
     without clusters, but cannot beat the curse of dimensionality on
     unclustered data). IVF's real win requires CLUSTERED embeddings,
-    where neighbors co-locate in few cells. Steering: probing every cell
+    where neighbors co-locate in few cells — MEASURED round 9 on a
+    planted-cluster corpus (scripts/measure_ann_recall_clustered.py,
+    PERF.md): mean recall@20 of 0.94 at ONE probe reading 1.6% of the
+    corpus (~60x the blind probed-fraction baseline), 1.0 by two probes
+    with the default sampled codebook, and 1.0 at one probe with a
+    learned codebook injected via ``build_ivf_index(centroids=...)`` —
+    so a k-means fit buys only the p=1 tail and sampled centroids are
+    the right default. Steering: probing every cell
     (``num_probes = num_centroids``) is exact (recall 1.0, pinned by
     test) and still partition-parallel; below ~10^6 vectors prefer
     :func:`~cassandra_analytics_spark.operators.similarity.
