@@ -30,6 +30,9 @@ def _signature_column(vec_col: str, dim: int, num_planes: int, seed: int):
     return _signature_column_expr(F.col(vec_col), dim, num_planes, seed)
 
 
+_LSH_SPEC_SCHEMA = "format string, num_planes int, seed long, dim int"
+
+
 def build_ann_index(
     df: DataFrame,
     index_path: str,
@@ -38,11 +41,20 @@ def build_ann_index(
     num_planes: int = 6,
     seed: int = 42,
 ) -> None:
-    """Materialize the corpus partitioned by LSH signature."""
+    """Materialize the corpus partitioned by LSH signature.
+
+    The layout parameters (num_planes, seed, dim) are persisted at
+    ``{index_path}_spec``: the signature planes are derived from them, so
+    a query or append run with different values would hash to DIFFERENT
+    buckets over the same layout and silently read/extend garbage —
+    :func:`query_ann_index` and :func:`append_to_ann_index` validate
+    against the spec (round 9, the IVF spec discipline applied to the
+    LSH twin)."""
     # dim probe must skip NULL vectors: a NULL in the FIRST row used to
     # TypeError the whole build even though NULL vectors hash to bucket 0
     # and never rank (round-8 probe pass)
     probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    spark = df.sparkSession
     if probe is None:
         # empty corpus: write a readable empty index instead of
         # TypeError-ing on the dim probe — UNpartitioned, because a
@@ -51,6 +63,9 @@ def build_ann_index(
         df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("sig")).write.mode(
             "overwrite"
         ).parquet(index_path)
+        spark.createDataFrame(
+            [("ann-lsh-v1", num_planes, seed, None)], _LSH_SPEC_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
         return
     dim = len(probe[vec_col])
     tagged = df.select(
@@ -59,6 +74,78 @@ def build_ann_index(
         _signature_column(vec_col, dim, num_planes, seed).alias("sig"),
     )
     tagged.write.mode("overwrite").partitionBy("sig").parquet(index_path)
+    spark.createDataFrame(
+        [("ann-lsh-v1", num_planes, seed, dim)], _LSH_SPEC_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
+
+
+def _read_lsh_spec(spark: SparkSession, index_path: str) -> dict | None:
+    """The persisted spec of a sign-LSH layout, or None for pre-spec
+    (legacy) layouts."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{index_path}_spec").collect()
+    except AnalysisException:
+        return None
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt LSH index spec at {index_path}_spec: expected exactly "
+            f"one row, found {len(rows)}"
+        )
+    return rows[0].asDict()
+
+
+def append_to_ann_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted sign-LSH layout, hashing them
+    with the PINNED plane family (num_planes, seed, dim) from the index
+    spec — the LSH twin of :func:`append_to_ivf_index`: per-refresh cost
+    is proportional to the batch, and existing signature directories only
+    gain files.
+
+    Refuses loudly when the layout predates spec pinning (the plane
+    family cannot be inferred from the data — rebuild), or when it was
+    built over an empty corpus (unpartitioned; rebuild over the union).
+    Ragged vectors die loudly: a vector whose length differs from the
+    spec dim would dot against null-padded planes and land in a
+    signature that the same vector would never query back."""
+    spark = df.sparkSession
+    spec = _read_lsh_spec(spark, index_path)
+    if spec is None:
+        raise ValueError(
+            f"{index_path!r} has no persisted spec ({index_path}_spec) — "
+            "it predates spec pinning; rebuild it with build_ann_index "
+            "before appending (the signature plane family is part of the "
+            "layout and cannot be inferred from the data)"
+        )
+    if spec["dim"] is None:
+        raise ValueError(
+            f"{index_path!r} was built over an empty corpus (unpartitioned "
+            "layout) — rebuild with build_ann_index over the union instead "
+            "of appending"
+        )
+    dim, num_planes, seed = spec["dim"], spec["num_planes"], spec["seed"]
+    sig = _signature_column(vec_col, dim, num_planes, seed)
+    guarded = F.when(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == dim), sig
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding dimension mismatch: index planes are "
+                    f"{dim}-d but found a vector of length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("int")
+    )
+    tagged = df.select(F.col(id_col), F.col(vec_col), guarded.alias("sig"))
+    tagged.write.mode("append").partitionBy("sig").parquet(index_path)
 
 
 _IVF_SPEC_SCHEMA = (
@@ -382,13 +469,20 @@ def query_ann_index(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 6,
-    seed: int = 42,
+    num_planes: int | None = None,
+    seed: int | None = None,
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Top-k within the query's bucket (+ buckets within ``probe_hamming``
     bit flips — multiprobe). The ``sig`` filter is a partition-column
     predicate, so only those directories are read.
+
+    ``num_planes``/``seed`` default to the layout's persisted spec — the
+    plane family IS the layout, so a mismatched value hashes the query
+    into buckets the corpus was never written to and silently returns
+    wrong neighbors (round 9: explicit values are validated against the
+    spec and refused on conflict; legacy no-spec layouts fall back to
+    the historical defaults 6/42 when no value is given).
 
     Recall envelope (measured alongside IVF's — see
     :func:`query_ivf_index` and PERF.md round 8): mean recall@20 of
@@ -396,6 +490,29 @@ def query_ann_index(
     planes on the near-random fixture — same probed-fraction story. For
     exhaustive-accurate search use ``probe_hamming = num_planes`` (all
     buckets) or brute_force_topk."""
+    spec = _read_lsh_spec(spark, index_path)
+    if spec is not None:
+        for name, given, pinned in (
+            ("num_planes", num_planes, spec["num_planes"]),
+            ("seed", seed, spec["seed"]),
+        ):
+            if given is not None and given != pinned:
+                raise ValueError(
+                    f"{name}={given} conflicts with the layout spec at "
+                    f"{index_path}_spec ({name}={pinned}) — querying with a "
+                    "different plane family reads buckets the corpus was "
+                    "never written to; omit the argument to use the spec"
+                )
+        num_planes = spec["num_planes"]
+        seed = spec["seed"]
+        if spec["dim"] is not None and len(query_vec) != spec["dim"]:
+            raise ValueError(
+                f"query vector is {len(query_vec)}-d but the layout's "
+                f"planes are {spec['dim']}-d (spec at {index_path}_spec)"
+            )
+    else:
+        num_planes = 6 if num_planes is None else num_planes
+        seed = 42 if seed is None else seed
     qsig = _signature_of(query_vec, num_planes, seed)
     # true multiprobe: every bucket within probe_hamming bit flips of the
     # query signature (a 1-flip-only loop silently capped the radius —

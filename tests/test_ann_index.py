@@ -401,3 +401,76 @@ def test_append_custom_math_and_spec_mismatches(spark, tmp_path):
 
     # the extended custom index still serves the downstream consumer
     assert semantic_dedup_on_index(spark, cpath, threshold=0.99).count() >= 0
+
+
+def test_lsh_append_equals_rebuild_and_spec_guards(spark, tmp_path):
+    """The sign-LSH layout gets the same spec discipline as IVF: append
+    hashes with the pinned plane family and equals a one-shot rebuild;
+    queries validate conflicting plane parameters instead of silently
+    reading buckets the corpus was never written to; legacy/empty
+    layouts refuse appends; ragged appends are loud."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    both = _tiny_corpus(spark, range(40))
+    a = both.filter(F.col("vec_id") < 20)
+    b = both.filter(F.col("vec_id") >= 20)
+
+    inc = str(tmp_path / "lsh_inc")
+    build_ann_index(a, inc, num_planes=5, seed=9)
+    append_to_ann_index(b, inc)
+    full = str(tmp_path / "lsh_full")
+    build_ann_index(both, full, num_planes=5, seed=9)
+    inc_rows = {
+        (r.vec_id, r.sig)
+        for r in spark.read.parquet(inc).select("vec_id", "sig").collect()
+    }
+    full_rows = {
+        (r.vec_id, r.sig)
+        for r in spark.read.parquet(full).select("vec_id", "sig").collect()
+    }
+    assert inc_rows == full_rows and len(inc_rows) == 40
+
+    # spec-resolved query needs no plane args and equals the explicit call
+    qv = [0.5] * 8
+    got_spec = [r.vec_id for r in query_ann_index(spark, inc, qv, k=5).collect()]
+    got_expl = [
+        r.vec_id
+        for r in query_ann_index(
+            spark, inc, qv, k=5, num_planes=5, seed=9
+        ).collect()
+    ]
+    assert got_spec == got_expl and len(got_spec) > 0
+
+    # conflicting plane family is refused, not silently wrong
+    with pytest.raises(ValueError, match="conflicts with the layout spec"):
+        query_ann_index(spark, inc, qv, k=5, num_planes=6)
+    with pytest.raises(ValueError, match="conflicts with the layout spec"):
+        query_ann_index(spark, inc, qv, k=5, seed=42)
+    with pytest.raises(ValueError, match="planes are 8-d"):
+        query_ann_index(spark, inc, [1.0, 2.0], k=5)
+
+    # legacy layout (no spec): append refuses, query falls back to 6/42
+    legacy = str(tmp_path / "lsh_legacy")
+    a.withColumn("sig", F.lit(0)).write.partitionBy("sig").parquet(legacy)
+    with pytest.raises(ValueError, match="no persisted spec"):
+        append_to_ann_index(b, legacy)
+    # full-radius probe covers every bucket, so the legacy fallback
+    # (defaults 6/42) still reads the layout
+    assert query_ann_index(spark, legacy, qv, k=3, probe_hamming=6).count() > 0
+
+    # empty-corpus layout refuses append
+    empty = str(tmp_path / "lsh_empty")
+    build_ann_index(both.filter(F.lit(False)), empty)
+    with pytest.raises(ValueError, match="empty corpus"):
+        append_to_ann_index(b, empty)
+
+    # ragged appended vectors are loud
+    ragged = spark.createDataFrame(
+        [(99, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        append_to_ann_index(ragged, inc)
