@@ -55,6 +55,10 @@ def build_ann_index(
     # and never rank (round-8 probe pass)
     probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     spark = df.sparkSession
+    # delete the spec BEFORE overwriting the layout: a crash mid-rebuild
+    # leaves a detectably spec-less layout (queries warn, appends refuse)
+    # instead of a fresh spec paired with the PREVIOUS build's buckets
+    _delete_path(spark, f"{index_path}_spec")
     if probe is None:
         # empty corpus: write a readable empty index instead of
         # TypeError-ing on the dim probe — UNpartitioned, because a
@@ -152,6 +156,16 @@ _IVF_SPEC_SCHEMA = (
     "format string, assignment string, sim_id string, dim int, "
     "num_centroids int, seed long"
 )
+
+
+def _delete_path(spark: SparkSession, path_str: str) -> None:
+    """Recursively delete a filesystem path via the Hadoop FS API (works
+    on any Spark-supported store, not just local disk)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def _dim_guarded(cell, vec_col: str, dim: int):
@@ -273,6 +287,16 @@ def build_ivf_index(
         # external codebooks are caller data: duplicate cids / mixed dims
         # would silently corrupt every assignment (round-9 probe)
         validate_codebook(centroids)
+    # REBUILD torn-state discipline: the three writes (layout, centroids,
+    # spec) cannot be one atomic commit, so delete the sidecars FIRST — a
+    # crash mid-rebuild then leaves a layout whose queries fail LOUDLY on
+    # the missing centroid table (and whose appends are refused on the
+    # missing spec) instead of silently scoring new cells against the
+    # PREVIOUS build's centroids (round-9 hostile review). For production
+    # refreshes, build to a fresh path and swap.
+    spark = df.sparkSession
+    _delete_path(spark, f"{index_path}_spec")
+    _delete_path(spark, f"{index_path}_centroids")
     if not centroids:
         # empty corpus: zero-arg F.array() in nearest_centroid_cell would
         # otherwise produce a null cell partition, and a zero-row
@@ -295,7 +319,6 @@ def build_ivf_index(
         cell = _ivf_cell_for_mode(vec_col, centroids, assignment, None, None)
         tagged = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
         tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
-    spark = df.sparkSession
     spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, centroid array<double>",
@@ -444,10 +467,21 @@ def query_ivf_index(
     brute_force_topk` — one scan of a corpus that small costs less than
     index maintenance. Raise ``num_probes`` (not centroid count) first
     when recall matters more than scan cost."""
+    if num_probes < 1:
+        raise ValueError(f"num_probes must be >= 1, got {num_probes}")
     centroids = [
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()
     ]
+    # a query vector of the wrong dimension would rank cells with
+    # silently TRUNCATED driver-side dot products (zip stops at the
+    # shorter side) and then score candidates to NULL — empty results
+    # with no hint why (round-9 hostile review)
+    if centroids and len(query_vec) != len(centroids[0][1]):
+        raise ValueError(
+            f"query vector is {len(query_vec)}-d but the index centroids "
+            f"are {len(centroids[0][1])}-d"
+        )
     cells = nearest_cells_for(query_vec, centroids, num_probes)
     index = spark.read.parquet(index_path)
     candidates = index.filter(F.col("cell").isin(cells))
@@ -511,6 +545,16 @@ def query_ann_index(
                 f"planes are {spec['dim']}-d (spec at {index_path}_spec)"
             )
     else:
+        if num_planes is None or seed is None:
+            import warnings
+
+            warnings.warn(
+                f"{index_path!r} has no persisted spec (pre-spec layout, or "
+                "a rebuild crashed mid-write): assuming the historical "
+                "default plane family (num_planes=6, seed=42) — pass both "
+                "explicitly if the layout was built with other values",
+                stacklevel=2,
+            )
         num_planes = 6 if num_planes is None else num_planes
         seed = 42 if seed is None else seed
     qsig = _signature_of(query_vec, num_planes, seed)

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 def observed(
     df: DataFrame,
-    name: str = "scan_stats",
+    name: str | None = None,
     extra_metrics: Sequence | None = None,
 ) -> tuple[DataFrame, Observation]:
     """Attach scan metrics to a DataFrame; read ``observation.get`` after
@@ -26,8 +26,18 @@ def observed(
 
     Default metrics: row count + null-free row count of the first column.
     Additional aggregate expressions can be supplied.
+
+    ``name`` defaults to an auto-generated UNIQUE name: two observations
+    registered under the same name on one session make ``Observation.get``
+    block FOREVER on whichever one the listener dropped — and the old
+    fixed default ("scan_stats") collided with itself on the second
+    ``observed()`` call of any session (round-9 executed probe, hung the
+    probe harness). Pass an explicit name only if you guarantee it is
+    unique for the session's lifetime; also never call ``.get`` when the
+    action itself failed — the metrics never arrive and ``.get`` has no
+    timeout.
     """
-    obs = Observation(name)
+    obs = Observation(name) if name is not None else Observation()
     metrics = [F.count(F.lit(1)).alias("rows_read")]
     if df.columns:
         # a zero-column frame (all columns dropped) used to IndexError on

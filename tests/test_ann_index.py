@@ -474,3 +474,39 @@ def test_lsh_append_equals_rebuild_and_spec_guards(spark, tmp_path):
     )
     with pytest.raises(Exception, match="dimension mismatch"):
         append_to_ann_index(ragged, inc)
+
+
+def test_torn_rebuild_is_loud_not_silently_stale(spark, tmp_path):
+    """Round-9 hostile review: a rebuild crashing between the layout and
+    sidecar writes used to leave the PREVIOUS build's centroids/spec
+    paired with the new cells — silent wrong results. Sidecars are now
+    deleted before the layout overwrite, so the torn state fails loudly
+    (IVF: missing centroids; LSH: spec-less layout warns and refuses
+    appends). Also: IVF queries validate query dimension and probe count."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+        read_ivf_spec,
+    )
+
+    corpus = _tiny_corpus(spark, range(20))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, num_centroids=4)
+
+    # simulate the torn rebuild: layout rewritten, sidecars already gone
+    import shutil as _sh
+
+    _sh.rmtree(path + "_centroids")
+    _sh.rmtree(path + "_spec")
+    with pytest.raises(Exception):  # loud, not stale results
+        query_ivf_index(spark, path, [0.0] * 8, k=3).collect()
+    with pytest.raises(ValueError, match="no persisted spec"):
+        read_ivf_spec(spark, path)
+
+    # rebuild heals; then validation probes
+    build_ivf_index(corpus, path, num_centroids=4)
+    with pytest.raises(ValueError, match="num_probes"):
+        query_ivf_index(spark, path, [0.0] * 8, k=3, num_probes=0)
+    with pytest.raises(ValueError, match="query vector is 2-d"):
+        query_ivf_index(spark, path, [0.0, 1.0], k=3)
+    assert query_ivf_index(spark, path, [0.1] * 8, k=3).count() == 3

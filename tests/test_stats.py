@@ -49,3 +49,19 @@ def test_observed_zero_column_frame(spark):
     df, obs = observed(spark.range(3).drop("id"))
     df.write.mode("overwrite").format("noop").save()
     assert obs.get["rows_read"] == 3
+
+
+def test_observed_default_names_never_collide(spark):
+    """Round-9 executed probe: two observations registered under the same
+    name on one session make Observation.get block FOREVER on whichever
+    one the listener dropped — and the old fixed default name collided
+    with itself on the second observed() call of any session. Default
+    names are now auto-unique; both gets must return."""
+    from cassandra_analytics_spark.stats import observed
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    o1, ob1 = observed(df)
+    o2, ob2 = observed(df)
+    assert o1.count() == 2 and o2.count() == 2
+    assert ob1.get["rows_read"] == 2
+    assert ob2.get["rows_read"] == 2
