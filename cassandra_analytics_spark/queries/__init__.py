@@ -56,7 +56,8 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # older than r7.
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
-    "dedup_semantic_append_index",   # build+append == build-once equality
+    "dedup_semantic_append_index",   # IVF build+append == build-once
+    "ann_lsh_append_topk",           # LSH build+append+read roundtrip
     # --- (1) implementation touched this round ---
     "dedup_semantic_on_index",       # layout now built via build_ivf_index
     "dedup_semantic",                # rides assign_nearest_cells now

@@ -2265,3 +2265,58 @@ def dedup_semantic_append_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("removed").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ann_lsh_append_topk",
+    oracle=_COSINE_ORACLE,
+    doc="The sign-LSH persisted layout's build+append+read roundtrip, "
+    "ORACLE-EXACT: half the corpus builds the signature-partitioned "
+    "layout, the other half arrives via ann_index.append_to_ann_index "
+    "(hashed with the plane family PINNED in the persisted spec), and "
+    "exact portable-cosine top-10 over the partition-discovery read of "
+    "the extended layout must hash-match the brute-force DuckDB twin - "
+    "proving the layout write, the spec roundtrip, and the append path "
+    "preserve the corpus byte-exactly (the LSH twin of "
+    "dedup_semantic_append_index's equality proof). Scale: per-refresh "
+    "append cost is proportional to the batch; signature directories "
+    "only gain files.",
+)
+def ann_lsh_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        append_to_ann_index,
+        build_ann_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    q = lit_vector(qvec)
+    qnorm = _py_psq_norm(qvec)
+
+    first = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    second = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="cas_lsh_app_") + "/lsh"
+    try:
+        build_ann_index(first, path, num_planes=6, seed=42)
+        append_to_ann_index(second, path)
+        layout = spark.read.parquet(path)
+        scored = layout.filter(F.col("vec_id") != 0).select(
+            "vec_id",
+            (
+                _pdot(F.col("embedding"), q)
+                / (_psq_norm(F.col("embedding")) * F.lit(qnorm))
+            ).alias("cosine_sim"),
+        )
+        return (
+            scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+            .limit(10)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
