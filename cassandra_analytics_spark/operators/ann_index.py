@@ -263,6 +263,16 @@ def build_ivf_index(
         )
     custom = dot_fn is not None or norm_fn is not None
     if custom:
+        if assignment == "vectorized":
+            # custom math runs through the EXPRESSION-based norm-once
+            # path — silently downgrading a requested vectorized build
+            # would surprise exactly the large-codebook callers who
+            # asked for it (round-9 hostile read of this round's code)
+            raise ValueError(
+                "custom dot_fn/norm_fn have no vectorized path — drop "
+                "assignment='vectorized' (the custom expression path is "
+                "used) or drop the custom math"
+            )
         if sim_id is None:
             raise ValueError(
                 "build_ivf_index with custom dot_fn/norm_fn needs sim_id= — "

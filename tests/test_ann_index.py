@@ -510,3 +510,18 @@ def test_torn_rebuild_is_loud_not_silently_stale(spark, tmp_path):
     with pytest.raises(ValueError, match="query vector is 2-d"):
         query_ivf_index(spark, path, [0.0, 1.0], k=3)
     assert query_ivf_index(spark, path, [0.1] * 8, k=3).count() == 3
+
+
+def test_custom_math_refuses_vectorized_mode(spark, tmp_path):
+    """Custom dot_fn/norm_fn run through the expression path; silently
+    downgrading an explicit assignment='vectorized' request would
+    surprise exactly the large-codebook callers who asked for it."""
+    from cassandra_analytics_spark.operators.ann_index import build_ivf_index
+    from cassandra_analytics_spark.operators.similarity import dot as sdot
+
+    df = _tiny_corpus(spark, range(4))
+    with pytest.raises(ValueError, match="no vectorized path"):
+        build_ivf_index(
+            df, str(tmp_path / "x"), assignment="vectorized",
+            dot_fn=sdot, sim_id="j",
+        )
