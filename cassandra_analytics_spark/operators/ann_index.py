@@ -392,6 +392,27 @@ def append_to_ivf_index(
     split the same corpus across different cells depending on which call
     wrote it — exactly the corruption the spec exists to prevent.
     """
+    tagged = assign_with_index_spec(
+        df, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
+    )
+    tagged.write.mode("append").partitionBy("cell").parquet(index_path)
+
+
+def assign_with_index_spec(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+) -> DataFrame:
+    """Tag ``df`` with the ``cell`` each row would occupy in the layout at
+    ``index_path``, using the PINNED codebook and assignment mode from the
+    persisted spec — the assignment half of :func:`append_to_ivf_index`
+    (which writes the result), shared with the streaming semantic-dedup
+    path (which needs the assignment for the batch-vs-corpus join before
+    appending). All spec/mode/sim_id mismatch checks apply."""
     spark = df.sparkSession
     spec = read_ivf_spec(spark, index_path)
     centroids = [
@@ -433,13 +454,11 @@ def append_to_ivf_index(
             assign_nearest_cells,
         )
 
-        tagged = assign_nearest_cells(
+        return assign_nearest_cells(
             df, centroids, id_col, vec_col, dot_fn, norm_fn, cell_col="cell"
         )
-    else:
-        cell = _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
-        tagged = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
-    tagged.write.mode("append").partitionBy("cell").parquet(index_path)
+    cell = _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
+    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
 def query_ivf_index(

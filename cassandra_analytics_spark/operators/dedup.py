@@ -319,6 +319,13 @@ def _bucket_candidate_pairs(
             F.col("__pa")["p"].alias("pa"),
             F.col("__pb")["p"].alias("pb"),
         )
+        # a row can never be a near-dup OF ITSELF: a corpus carrying the
+        # same id twice (an at-least-once replay duplicating an index
+        # append, an un-deduped upstream) used to emit the (a, a)
+        # self-pair — which removal_verdicts turns into "removed=a,
+        # kept_rep=a", deleting the document and naming it its own keeper
+        # (round-9 streaming design probe)
+        .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
 

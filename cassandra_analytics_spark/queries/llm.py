@@ -2320,3 +2320,79 @@ def ann_lsh_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "streaming_semantic_dedup",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="Streaming incremental SemDeDup end-to-end "
+    "(streaming/semantic_stream.py), ORACLE-EXACT: the planted-dup "
+    "embedding corpus arrives as TWO file-source micro-batches "
+    "(originals, then the +1e6 near-dup copies) through a REAL "
+    "Structured Streaming foreachBatch run - batch 0 builds the IVF "
+    "layout with the fixed vec_id<32 codebook, batch 1 assigns with the "
+    "PINNED spec, pairs against only the touched layout partitions "
+    "(partition pruning) plus itself, and appends. Removal verdicts "
+    "over the accumulated pairs must hash-match the same brute-force "
+    "DuckDB twin as dedup_semantic - a pair missed across the batch "
+    "boundary, reported twice, or mis-scored breaks the hash. Per-batch "
+    "cost is proportional to the batch times touched-cell occupancy, "
+    "never the corpus.",
+)
+def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.similarity import removal_verdicts
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        collected_semantic_pairs,
+        run_semantic_dedup_stream,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
+    centroids = _semantic_centroids(e)
+    if not centroids:
+        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
+
+    tmp = tempfile.mkdtemp(prefix="cas_stream_semdedup_")
+    src = os.path.join(tmp, "incoming")
+    corpus.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus.filter(F.col("vec_id") >= 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        q = run_semantic_dedup_stream(
+            stream,
+            index_path=os.path.join(tmp, "ivf"),
+            pairs_out=os.path.join(tmp, "pairs"),
+            centroids=centroids,
+            threshold=0.9,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            dot_fn=_pdot,
+            norm_fn=_psq_norm,
+            sim_id=_PORTABLE_SIM_ID,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = collected_semantic_pairs(
+            spark, os.path.join(tmp, "pairs")
+        ).dropDuplicates(["a", "b"])
+        return (
+            removal_verdicts(pairs)
+            .orderBy("removed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,238 @@
+"""Streaming incremental SEMANTIC dedup: SemDeDup over a continuously
+growing embedding corpus — the embedding twin of
+:mod:`.dedup_stream` (text MinHash-LSH), built on the persisted IVF
+layout instead of the bucketed shingle index.
+
+Per micro-batch: assign the batch's vectors to cells with the layout's
+PINNED codebook/mode/sim (``ann_index.assign_with_index_spec``), find
+near-dup pairs where at least one side is in the batch — an equi-join
+on the cell key against only the layout partitions the batch touches
+(partition pruning), plus the within-batch pair expansion — publish the
+confirmed pairs idempotently per batch, then append the batch to the
+layout. Cost per trigger is proportional to the BATCH (times touched
+cell occupancy), never the corpus.
+
+``foreachBatch`` is the right tool (not a stateful operator): the dedup
+state is the partitioned IVF layout — far too large for the streaming
+state store at corpus scale, already persistent, already incremental.
+
+Delivery semantics (at-least-once micro-batch replay is harmless by
+construction):
+
+- pair outputs go to per-batch subdirectories overwritten on replay
+  (idempotent publish keyed by ``batch_id``);
+- a replayed layout append duplicates (id, vec, cell) rows, which
+  cannot change results: the shared pair expansion drops same-id pairs
+  (a row is never a near-dup of itself) and ``dropDuplicates(a, b)``
+  collapses the rest — duplicate layout rows only cost storage, exactly
+  the text twin's contract for duplicated banded rows;
+- in-batch duplicate ids collapse to a DETERMINISTIC winner
+  (greatest-vector-wins — arrays order lexicographically — the repo's
+  LWW tiebreak convention) so a replay republishes byte-identical
+  pairs;
+- RESTART in a new process needs no rebuild, unlike the text twin: the
+  layout lives at a filesystem path (not a session catalog), so the
+  checkpoint skips processed batches and post-restart batches see the
+  full prior corpus as-is.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cassandra_analytics_spark.operators.ann_index import (
+    assign_with_index_spec,
+    build_ivf_index,
+    read_ivf_spec,
+)
+from cassandra_analytics_spark.operators.similarity import (
+    dot as _fast_dot,
+    norm as _fast_norm,
+    semantic_pairs_from_cells,
+)
+
+
+def _spec_exists(spark, index_path: str) -> bool:
+    try:
+        read_ivf_spec(spark, index_path)
+        return True
+    except ValueError:
+        return False
+
+
+def run_semantic_dedup_stream(
+    stream: DataFrame,
+    index_path: str,
+    pairs_out: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    checkpoint_dir: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+    max_cell: int = 10_000,
+) -> StreamingQuery:
+    """Start the incremental semantic-dedup stream over an embedding
+    stream.
+
+    ``centroids`` is the coarse codebook (a k-means fit, or any fixed
+    external set — the SemDeDup posture: the codebook is chosen once for
+    the corpus, k ∝ expected N). The first non-empty batch builds the
+    IVF layout at ``index_path`` with it (idempotent overwrite on
+    replay); every later batch assigns with the layout's pinned spec and
+    refuses codebook/math mismatches. ``dot_fn``/``norm_fn``/``sim_id``
+    follow :func:`~cassandra_analytics_spark.operators.ann_index.
+    build_ivf_index`'s custom-math contract.
+
+    Published rows: ``(a, b, cell, cosine_sim, batch_id)`` with a < b,
+    one row per near-dup pair the batch completed (both-in-batch pairs
+    and batch-vs-prior-corpus pairs). Feed the accumulated pairs into
+    :func:`~cassandra_analytics_spark.operators.similarity.
+    removal_verdicts` (pairwise keep rule) or ``graph.dedup_clusters``
+    (transitive) downstream.
+
+    ``max_cell`` caps the per-cell work like the batch path's
+    ``max_cluster``: within-batch expansion skips over-cap cells, and
+    the batch-vs-corpus join skips cells whose CORPUS occupancy exceeds
+    the cap (raise the centroid count instead — a skipped cell is
+    silent under-dedup, the same trade the batch path documents).
+    """
+    import tempfile
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if not centroids:
+        raise ValueError("run_semantic_dedup_stream needs a codebook")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="semdedup-stream-ckpt-")
+    dotf = dot_fn or _fast_dot
+    normf = norm_fn or _fast_norm
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # in-batch duplicate ids collapse to a deterministic winner
+        # (greatest vector wins) so replays republish identical pairs
+        batch = (
+            batch_df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.max(vec_col).alias(vec_col))
+        )
+        if batch.isEmpty():
+            return
+        out_dir = os.path.join(pairs_out, f"batch-{batch_id:010d}")
+
+        if not _spec_exists(spark, index_path):
+            # bootstrap: the first batch IS the corpus — build the layout
+            # (overwrite-idempotent on replay), report its internal pairs
+            build_ivf_index(
+                batch, index_path, id_col=id_col, vec_col=vec_col,
+                centroids=centroids, dot_fn=dot_fn, norm_fn=norm_fn,
+                sim_id=sim_id,
+            )
+            pairs = semantic_pairs_from_cells(
+                spark.read.parquet(index_path),
+                threshold, id_col, vec_col, cell_col="cell",
+                max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
+            )
+            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(out_dir)
+            return
+
+        assigned = assign_with_index_spec(
+            batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
+        ).withColumn("__nrm", normf(F.col(vec_col)))
+
+        # within-batch pairs (shared expansion: same-id pairs dropped,
+        # over-cap cells skipped)
+        in_pairs = semantic_pairs_from_cells(
+            assigned, threshold, id_col, vec_col, cell_col="cell",
+            max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
+            norm_col="__nrm",
+        )
+
+        # batch-vs-corpus pairs: equi-join on the cell key against ONLY
+        # the layout partitions the batch touches (the cell filter is a
+        # partition-column predicate → partition pruning). Work is
+        # |batch ∩ cell| x |cell|, bounded by max_cell.
+        touched = [
+            r.cell for r in assigned.select("cell").distinct().collect()
+        ]
+        corpus = spark.read.parquet(index_path).filter(
+            F.col("cell").isin(touched)
+        )
+        occupancy = corpus.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("__occ")
+        )
+        corpus = (
+            corpus.join(occupancy, "cell")
+            .filter(F.col("__occ") <= F.lit(max_cell))
+            .drop("__occ")
+            .withColumn("__cnrm", normf(F.col(vec_col)))
+        )
+        b = assigned.select(
+            F.col(id_col).alias("__bid_"),
+            F.col(vec_col).alias("__bvec"),
+            F.col("__nrm").alias("__bnrm"),
+            "cell",
+        )
+        c = corpus.select(
+            F.col(id_col).alias("__cid_"),
+            F.col(vec_col).alias("__cvec"),
+            F.col("__cnrm"),
+            "cell",
+        )
+        cos = F.try_divide(
+            dotf(F.col("__bvec"), F.col("__cvec")),
+            F.col("__bnrm") * F.col("__cnrm"),
+        )
+        cross = (
+            b.join(c, "cell")
+            .filter(F.col("__bid_") != F.col("__cid_"))
+            .withColumn("cosine_sim", cos)
+            .filter(F.col("cosine_sim") >= threshold)
+            .select(
+                F.least("__bid_", "__cid_").alias("a"),
+                F.greatest("__bid_", "__cid_").alias("b"),
+                "cell",
+                "cosine_sim",
+            )
+        )
+        pairs = in_pairs.unionByName(cross).dropDuplicates(["a", "b"])
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        # append AFTER the publish: a replay then recomputes the same
+        # pair set (the batch copy already in the layout only adds
+        # same-id pairs, dropped, and duplicate (a, b) rows, deduped)
+        assigned.drop("__nrm").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def collected_semantic_pairs(
+    spark, pairs_out: str, id_type: str = "long"
+) -> DataFrame:
+    """All pairs the stream has published so far — empty (with the right
+    schema) before the first batch publishes."""
+    import glob
+
+    if not glob.glob(os.path.join(pairs_out, "batch-*")):
+        return spark.createDataFrame(
+            [],
+            f"a {id_type}, b {id_type}, cell int, cosine_sim double, "
+            "batch_id int",
+        )
+    return spark.read.parquet(os.path.join(pairs_out, "batch-*"))
