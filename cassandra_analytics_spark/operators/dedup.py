@@ -387,6 +387,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    skew_observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -417,8 +418,22 @@ def ngram_jaccard_pairs(
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_shingle_df)
-            .select("sh")
         )
+        if skew_observation is not None:
+            # the same loudness contract as the LSH max_bucket cap
+            # (round-9): after any action, the observation reports how
+            # many stop-shingles the df cap dropped and the hottest df
+            # seen among them — zero extra passes
+            hot = hot.observe(
+                skew_observation,
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias(
+                    "skipped_shingles"
+                ),
+                F.coalesce(F.max("__df"), F.lit(0)).alias(
+                    "max_shingle_df_seen"
+                ),
+            )
+        hot = hot.select("sh")
         # not persisted: each consumer replays only a broadcast-anti map
         # pass over the cached pre-cap rows — no rescan, no shuffle.
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")

@@ -289,6 +289,7 @@ def incremental_candidates(
     broadcast_new: bool = True,
     include_new_new: bool = True,
     new_banded: DataFrame | None = None,
+    skew_observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b, est_jaccard) touching the new batch.
 
@@ -361,8 +362,20 @@ def incremental_candidates(
             F.coalesce("__nc", F.lit(0)) + F.coalesce("__nn", F.lit(0))
             > spec.max_bucket
         )
-        .select("band", "bucket")
     )
+    if skew_observation is not None:
+        # the LSH-cap loudness contract (round-9): report how many
+        # buckets the occupancy cap dropped and how many banded cells
+        # they held, riding the existing aggregation
+        occ = F.coalesce("__nc", F.lit(0)) + F.coalesce("__nn", F.lit(0))
+        hot = hot.observe(
+            skew_observation,
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("skipped_buckets"),
+            F.coalesce(F.sum(occ).cast("long"), F.lit(0).cast("long")).alias(
+                "skipped_rows"
+            ),
+        )
+    hot = hot.select("band", "bucket")
 
     def est(sa, sb) -> F.Column:
         return (
@@ -472,6 +485,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_pushdown_ids: int = 10_000,
+    skew_observation=None,
 ) -> DataFrame:
     """The end-to-end incremental dedup recipe, one call per ingest batch:
 
@@ -506,7 +520,8 @@ def ingest_batch(
         eager=True
     )
     cands = incremental_candidates(
-        spark, table_name, new_df, spec, id_col, text_col, new_banded=banded
+        spark, table_name, new_df, spec, id_col, text_col, new_banded=banded,
+        skew_observation=skew_observation,
     ).localCheckpoint(eager=True)
     # the BATCH's text wins for ids present on both sides: a re-ingest
     # with changed content must confirm against the new text, and a bare

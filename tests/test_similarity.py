@@ -493,3 +493,56 @@ def test_codebook_validation_rejects_duplicates_and_mixed_dims(spark):
             vectorized_cell_udf(bad)
         with pytest.raises(ValueError, match=pat):
             build_ivf_index(df, "/tmp/never-written", centroids=bad)
+
+
+def test_skew_signal_on_ngram_and_incremental_caps(spark):
+    """The round-9 loudness contract extends to the remaining two silent
+    caps: ngram_jaccard_pairs' max_shingle_df drop and the incremental
+    index's combined-occupancy bucket cap."""
+    from pyspark.sql import Observation
+
+    from cassandra_analytics_spark.operators.dedup import ngram_jaccard_pairs
+    from cassandra_analytics_spark.operators.dedup_index import (
+        LshIndexSpec,
+        build_index,
+        ingest_batch,
+    )
+
+    # 'the common' 3-grams appear in all 6 docs -> over a df cap of 4
+    docs = spark.createDataFrame(
+        [(i, f"the common boilerplate header unique{i} tail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    obs = Observation()
+    ngram_jaccard_pairs(
+        docs, threshold=0.1, max_shingle_df=4, skew_observation=obs
+    ).count()
+    got = obs.get
+    assert got["skipped_shingles"] >= 2
+    assert got["max_shingle_df_seen"] == 6
+
+    # incremental path: 5 identical docs indexed, 1 more ingested with a
+    # tiny cap -> every touched bucket is over combined occupancy
+    import uuid
+
+    same = [(i, "identical text for every single document here") for i in range(5)]
+    corpus = spark.createDataFrame(same, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(9, "identical text for every single document here")],
+        "doc_id long, text string",
+    )
+    spec = LshIndexSpec(max_bucket=3)
+    tbl = f"lsh_skew_{uuid.uuid4().hex[:8]}"
+    try:
+        build_index(corpus, tbl, spec)
+        obs2 = Observation()
+        confirmed = ingest_batch(
+            spark, tbl, batch, texts=corpus, spec=spec, threshold=0.9,
+            skew_observation=obs2,
+        )
+        assert confirmed.count() == 0  # every bucket capped -> no pairs
+        got2 = obs2.get
+        assert got2["skipped_buckets"] >= 1
+        assert got2["skipped_rows"] >= 6
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
