@@ -34,6 +34,15 @@ construction):
   layout lives at a filesystem path (not a session catalog), so the
   checkpoint skips processed batches and post-restart batches see the
   full prior corpus as-is.
+
+ID IMMUTABILITY CONTRACT: the IVF layout is append-only and IS the
+vector store, so re-ingesting an EXISTING id with a CHANGED embedding
+is not an update — both versions stay in the layout (possibly in
+different cells) and future batches pair against both. Model embedding
+updates as new ids (or rebuild the layout); this differs from the text
+twin, whose doc store is separate from its index and resolves
+latest-batch-wins at confirm time. Re-presenting an id with the SAME
+embedding (the replay case) is always harmless per the rules above.
 """
 
 from __future__ import annotations
