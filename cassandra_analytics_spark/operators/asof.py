@@ -42,6 +42,19 @@ def asof_join(
 
     keys = list(on)
     carried = [right_ts] + [c for c in right_value_cols if c != right_ts]
+    # a left column named like a generated output (<carried><suffix>)
+    # would yield a DUPLICATE column name in the result — every
+    # downstream select on it dies with an ambiguity error, or silently
+    # reads whichever copy resolves first (round-9 executed probe)
+    collisions = sorted(
+        {f"{c}{suffix}" for c in carried} & set(left.columns)
+    )
+    if collisions:
+        raise ValueError(
+            f"asof_join output name collision: left column(s) {collisions} "
+            f"match a carried-right output name (<col>{suffix!r}) — rename "
+            "the left column or pass a different suffix"
+        )
 
     lhs = left.withColumn("__side", F.lit(1))
     rhs = right.select(

@@ -154,3 +154,22 @@ def test_null_timestamps_never_match(spark):
     }
     assert fwd[(1, 100)] == (None, None)    # no right at ts >= 100
     assert fwd[(1, None)] == (None, None)
+
+
+def test_asof_output_name_collision_is_loud(spark):
+    """Round-9 executed probe: a left column named like a generated
+    output (<carried><suffix>) produced a DUPLICATE column name in the
+    result — ambiguous for every downstream select. Named error now."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1)], "k string, ts int, rts_asof int"
+    )
+    right = spark.createDataFrame([("a", 5, 100)], "k string, rts int, val int")
+    with pytest.raises(ValueError, match="name collision"):
+        asof_join(left, right, ["k"], "ts", "rts", ["val"])
+    # a different suffix resolves it
+    out = asof_join(left, right, ["k"], "ts", "rts", ["val"], suffix="_r")
+    assert sorted(out.columns) == ["k", "rts_asof", "rts_r", "ts", "val_r"]
