@@ -660,3 +660,123 @@ def semantic_dedup_on_index(
         skew_observation=skew_observation,
     )
     return removal_verdicts(pairs)
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    query_id: str = "qid",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_probes: int = 4,
+    dot_fn=None,
+    norm_fn=None,
+) -> DataFrame:
+    """Index-accelerated k-NN JOIN: top-k corpus neighbors for EVERY row
+    of a small query set, probing only the IVF cells each query is
+    nearest to — the scale path `similarity.knn_join` (broadcast
+    brute-force) lacks.
+
+    Contract mirrors ``knn_join``: the query set is SMALL (collected to
+    the driver to plan the probe cells — same bounded collect as the
+    centroid table). The corpus side reads only the UNION of all
+    queries' probe cells (one partition-pruned scan regardless of query
+    count), the (query x cell) routing table broadcasts, and scoring +
+    per-query top-k stay JVM-side (window over each query's candidates).
+    With ``num_probes = num_centroids`` the result is EXACT per query
+    (probe-all covers every cell — the same guarantee query_ivf_index
+    pins by test). Rows with NULL query vectors produce no output;
+    unscorable corpus rows (NULL cosine) never rank.
+
+    ``dot_fn``/``norm_fn`` swap in custom similarity math (e.g. the
+    portable decimal cosine for oracle-exact runs); query norms are
+    computed with the SAME ``norm_fn`` expression in one small job so
+    the float math matches the corpus side bit-for-bit.
+
+    Output: ``(query_id, id_col, cosine_sim)`` — up to k rows per query,
+    ties broken by ``id_col``.
+    """
+    from pyspark.sql import Window
+
+    from cassandra_analytics_spark.operators.similarity import (
+        dot as _dot,
+        norm as _norm,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if num_probes < 1:
+        raise ValueError(f"num_probes must be >= 1, got {num_probes}")
+    dotf = dot_fn or _dot
+    normf = norm_fn or _norm
+    spark = queries.sparkSession
+    centroids = [
+        (r.cid, list(r.centroid))
+        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+    ]
+    out_schema = (
+        f"{query_id} long, {id_col} long, cosine_sim double"
+    )
+    if not centroids:
+        return spark.createDataFrame([], out_schema)
+    dim = len(centroids[0][1])
+
+    # query norms via the same norm_fn expression as the corpus side
+    # (one small job over the query set — bit-identical float math)
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id),
+            F.col(vec_col),
+            normf(F.col(vec_col)).alias("__qn"),
+        )
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    bad = {len(r[vec_col]) for r in qrows if len(r[vec_col]) != dim}
+    if bad:
+        raise ValueError(
+            f"query vectors of length {sorted(bad)} against a {dim}-d "
+            "index — dimension mismatch"
+        )
+    routing = []
+    for r in qrows:
+        vec = [float(x) for x in r[vec_col]]
+        for cell in nearest_cells_for(vec, centroids, num_probes):
+            routing.append((r[query_id], cell, vec, float(r["__qn"])))
+    route_df = spark.createDataFrame(
+        routing,
+        f"{query_id} long, cell int, __qv array<double>, __qn double",
+    )
+
+    index = spark.read.parquet(index_path)
+    touched = sorted({c for _, c, _, _ in routing})
+    candidates = index.filter(F.col("cell").isin(touched))
+    cos = F.try_divide(
+        dotf(F.col(vec_col), F.col("__qv")),
+        normf(F.col(vec_col)) * F.col("__qn"),
+    )
+    scored = (
+        candidates.join(F.broadcast(route_df), "cell")
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim").isNotNull())
+        # a corpus row can sit in SEVERAL probed cells of one query only
+        # if the layout carries duplicate ids (replayed appends) — keep
+        # the max so duplicates never double-fill the top-k
+        .groupBy(query_id, id_col)
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

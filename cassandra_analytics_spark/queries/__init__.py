@@ -59,6 +59,7 @@ _ROUND_PRIORITY: list[str] = [
     "dedup_semantic_append_index",   # IVF build+append == build-once
     "ann_lsh_append_topk",           # LSH build+append+read roundtrip
     "streaming_semantic_dedup",      # SemDeDup as a foreachBatch stream
+    "ann_ivf_knn_join_exact",        # index-accelerated kNN join, probe-all
     # --- (1) implementation touched this round ---
     "dedup_semantic_on_index",       # layout now built via build_ivf_index
     "dedup_semantic",                # rides assign_nearest_cells now

