@@ -46,14 +46,15 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # (CORRECTNESS_r0{4,...,8}.json are each exactly the first 50 in
 # registration order). To get every query a driver row across rounds,
 # each round front-loads the names that most need one. Round-9 priority
-# (VERDICT r8 item 1): (1) the one NEW query plus the queries whose
-# implementation round 9 touched — the IVF-append/spec work, the
-# assign_nearest_cells refactor under the SemDeDup family, the RRF
-# filter-order + NULL-id fixes, and the mixture_sample validation pass;
-# (2) the 40 names whose newest driver evidence is r6 (the exact set
-# VERDICT r8 computed by CORRECTNESS set difference). 5 + 40 = 45 of
-# the 50-row window; after this round no query's newest driver row is
-# older than r7.
+# (VERDICT r8 item 1): (1) the FOUR new queries (IVF append equality,
+# LSH append roundtrip, streaming SemDeDup, index kNN join) plus the
+# queries whose implementation round 9 touched — the IVF-append/spec
+# work, the assign_nearest_cells refactor under the SemDeDup family,
+# the RRF filter-order + NULL-id fixes, and the mixture_sample
+# validation pass; (2) the 40 names whose newest driver evidence is r6
+# (the exact set VERDICT r8 computed by CORRECTNESS set difference).
+# 8 + 40 = 48 of the 50-row window; after this round no query's newest
+# driver row is older than r7.
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
     "dedup_semantic_append_index",   # IVF build+append == build-once
