@@ -1,0 +1,37 @@
+"""Thin wrappers over the Hadoop FileSystem API.
+
+Spark paths are not local paths: an index layout or a stream's output
+directory can live on HDFS/S3/ABFS, where ``os.path`` / ``glob.glob``
+silently see nothing (round-9 ADVICE: ``collected_semantic_pairs``
+probed for published batches with ``glob.glob`` and returned the empty
+frame on every non-local store — silent loss of every verdict). These
+helpers resolve the filesystem FROM the path's own scheme via the
+session's Hadoop configuration, so they work on any Spark-supported
+store, including the ``file:`` scheme tests use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def delete_path(spark: SparkSession, path_str: str) -> None:
+    """Recursively delete ``path_str`` (no-op when absent)."""
+    fs, path = _fs_and_path(spark, path_str)
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def glob_exists(spark: SparkSession, pattern: str) -> bool:
+    """True iff the Hadoop glob ``pattern`` matches at least one path —
+    the store-agnostic twin of ``bool(glob.glob(pattern))``."""
+    fs, path = _fs_and_path(spark, pattern)
+    statuses = fs.globStatus(path)
+    return statuses is not None and len(statuses) > 0

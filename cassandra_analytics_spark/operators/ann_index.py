@@ -161,11 +161,9 @@ _IVF_SPEC_SCHEMA = (
 def _delete_path(spark: SparkSession, path_str: str) -> None:
     """Recursively delete a filesystem path via the Hadoop FS API (works
     on any Spark-supported store, not just local disk)."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    from cassandra_analytics_spark.fs import delete_path
+
+    delete_path(spark, path_str)
 
 
 def _dim_guarded(cell, vec_col: str, dim: int):
@@ -341,26 +339,104 @@ def build_ivf_index(
     return centroids
 
 
-def read_ivf_spec(spark: SparkSession, index_path: str) -> dict:
-    """The persisted spec of an IVF layout, as a dict. Raises a named
-    error for pre-spec (legacy) layouts."""
+def _read_ivf_spec_optional(spark: SparkSession, index_path: str) -> dict | None:
+    """The persisted IVF spec, or None for pre-spec (legacy) layouts.
+    A PRESENT-but-corrupt spec still raises — a multi-row spec is damage,
+    not legacy."""
     from pyspark.errors import AnalysisException
 
     try:
         rows = spark.read.parquet(f"{index_path}_spec").collect()
-    except AnalysisException as exc:
-        raise ValueError(
-            f"{index_path!r} has no persisted spec ({index_path}_spec) — "
-            "it predates spec pinning; rebuild it with build_ivf_index "
-            "before appending (the assignment mode/tie direction is part "
-            "of the layout and cannot be inferred from the data)"
-        ) from exc
+    except AnalysisException:
+        return None
     if len(rows) != 1:
         raise ValueError(
             f"corrupt IVF spec at {index_path}_spec: expected exactly one "
             f"row, found {len(rows)}"
         )
     return rows[0].asDict()
+
+
+def read_ivf_spec(spark: SparkSession, index_path: str) -> dict:
+    """The persisted spec of an IVF layout, as a dict. Raises a named
+    error for pre-spec (legacy) layouts."""
+    spec = _read_ivf_spec_optional(spark, index_path)
+    if spec is None:
+        raise ValueError(
+            f"{index_path!r} has no persisted spec ({index_path}_spec) — "
+            "it predates spec pinning; rebuild it with build_ivf_index "
+            "before appending (the assignment mode/tie direction is part "
+            "of the layout and cannot be inferred from the data)"
+        )
+    return spec
+
+
+def _validate_read_math(
+    spec: dict | None,
+    dot_fn,
+    norm_fn,
+    sim_id: str | None,
+    index_path: str,
+) -> None:
+    """THE MIXED-MATH READ CONTRACT (pinned round 10; the append path's
+    sibling decision at :func:`assign_with_index_spec`).
+
+    Read-time scoring math is a FREE CHOICE: a read never mutates the
+    layout, and cell ROUTING is driver-side float math
+    (:func:`similarity.nearest_cells_for`) regardless of the build's
+    assignment math, so ``dot_fn``/``norm_fn`` affect candidate SCORES
+    only. Querying a custom-math layout with the built-in cosine (or
+    with custom math it cannot verify) is therefore SANCTIONED but LOUD:
+    scores can differ from the build's math in the last ulp — rankings
+    differ only at exact ties — which is invisible until an oracle
+    comparison hash-mismatches, so a warning names the spec's sim_id for
+    callers that need bit-exact runs. When ``sim_id`` IS presented it is
+    validated against the spec and refused on mismatch, exactly as the
+    append path does; presenting it against a built-in-mode layout, a
+    spec-less legacy layout, or without the functions it names is a
+    named error (an unverifiable claim is worse than no claim)."""
+    import warnings
+
+    custom = dot_fn is not None or norm_fn is not None
+    if sim_id is not None and not custom:
+        raise ValueError(
+            "sim_id names a (dot_fn, norm_fn) pair — passing it without "
+            "the functions claims custom math while scoring with the "
+            "built-in cosine; drop sim_id or pass the functions it names"
+        )
+    if spec is None:
+        if sim_id is not None:
+            raise ValueError(
+                f"{index_path!r} has no persisted spec to validate "
+                f"sim_id={sim_id!r} against (pre-spec layout) — rebuild "
+                "with build_ivf_index, or drop sim_id"
+            )
+        return
+    if spec["assignment"] == "custom":
+        if sim_id is not None and sim_id != spec["sim_id"]:
+            raise ValueError(
+                f"sim_id mismatch: index at {index_path!r} was built with "
+                f"{spec['sim_id']!r}, the read presented {sim_id!r} — "
+                "different similarity math scores the same candidates "
+                "differently"
+            )
+        if sim_id is None:
+            warnings.warn(
+                f"reading a custom-math IVF layout "
+                f"(sim_id={spec['sim_id']!r} at {index_path}_spec) with "
+                "unverified scoring math: candidate scores may differ "
+                "from the build's math in the last ulp (rankings differ "
+                "only at exact ties) — pass the layout's dot_fn/norm_fn "
+                f"with sim_id={spec['sim_id']!r} for bit-exact runs",
+                stacklevel=3,
+            )
+    elif sim_id is not None:
+        raise ValueError(
+            f"index at {index_path!r} was built with the "
+            f"{spec['assignment']!r} assignment mode — sim_id is only "
+            "meaningful against a custom-math layout (custom dot_fn/"
+            "norm_fn remain a sanctioned read-time scoring choice)"
+        )
 
 
 def append_to_ivf_index(
@@ -469,10 +545,20 @@ def query_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_probes: int = 4,
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
 ) -> DataFrame:
     """Top-k over the ``num_probes`` nearest cells only — the ``cell``
     filter is a partition-column predicate, so Spark reads just those
     directories (partition pruning; no corpus scan).
+
+    ``dot_fn``/``norm_fn`` swap in custom scoring math; ``sim_id``
+    validates it against a custom-math layout's spec. The full
+    mixed-math read contract — what is refused, what is sanctioned-but-
+    loud — is pinned at :func:`_validate_read_math`: reads never mutate
+    the layout and routing is driver-side float either way, so scoring
+    math is a read-time choice, validated when named.
 
     RECALL ENVELOPE (measured, scripts/measure_ann_recall.py, PERF.md
     round 8): on the driver's near-random isotropic fixture recall
@@ -498,6 +584,10 @@ def query_ivf_index(
     when recall matters more than scan cost."""
     if num_probes < 1:
         raise ValueError(f"num_probes must be >= 1, got {num_probes}")
+    _validate_read_math(
+        _read_ivf_spec_optional(spark, index_path),
+        dot_fn, norm_fn, sim_id, index_path,
+    )
     centroids = [
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()
@@ -515,10 +605,24 @@ def query_ivf_index(
     index = spark.read.parquet(index_path)
     candidates = index.filter(F.col("cell").isin(cells))
     q = lit_vector(query_vec)
-    return (
-        candidates.select(
-            F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
+    if dot_fn is not None or norm_fn is not None:
+        from cassandra_analytics_spark.operators.similarity import (
+            dot as _dot,
+            norm as _norm,
         )
+
+        dotf = dot_fn or _dot
+        normf = norm_fn or _norm
+        # the query norm runs through the SAME norm_fn expression over
+        # the literal vector, so the float math matches a corpus built
+        # with this sim bit-for-bit
+        score = F.try_divide(
+            dotf(F.col(vec_col), q), normf(F.col(vec_col)) * normf(q)
+        )
+    else:
+        score = cosine(F.col(vec_col), q)
+    return (
+        candidates.select(F.col(id_col), score.alias("cosine_sim"))
         .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -574,18 +678,29 @@ def query_ann_index(
                 f"planes are {spec['dim']}-d (spec at {index_path}_spec)"
             )
     else:
-        if num_planes is None or seed is None:
-            import warnings
-
-            warnings.warn(
-                f"{index_path!r} has no persisted spec (pre-spec layout, or "
-                "a rebuild crashed mid-write): assuming the historical "
-                "default plane family (num_planes=6, seed=42) — pass both "
-                "explicitly if the layout was built with other values",
-                stacklevel=2,
-            )
+        assumed = [
+            name
+            for name, given in (("num_planes=6", num_planes), ("seed=42", seed))
+            if given is None
+        ]
         num_planes = 6 if num_planes is None else num_planes
         seed = 42 if seed is None else seed
+        if assumed:
+            import warnings
+
+            # name ONLY the argument(s) actually defaulted and the full
+            # effective family — the old message claimed both defaults
+            # were assumed even when one was explicitly passed (round-10
+            # ADVICE: a misstated warning is worse than none)
+            warnings.warn(
+                f"{index_path!r} has no persisted spec (pre-spec layout, or "
+                f"a rebuild crashed mid-write): assuming the historical "
+                f"default {' and '.join(assumed)} — effective plane family "
+                f"is num_planes={num_planes}, seed={seed}; pass the missing "
+                "argument explicitly if the layout was built with other "
+                "values",
+                stacklevel=2,
+            )
     qsig = _signature_of(query_vec, num_planes, seed)
     # true multiprobe: every bucket within probe_hamming bit flips of the
     # query signature (a 1-flip-only loop silently capped the radius —
@@ -672,6 +787,7 @@ def ivf_knn_join(
     num_probes: int = 4,
     dot_fn=None,
     norm_fn=None,
+    sim_id: str | None = None,
 ) -> DataFrame:
     """Index-accelerated k-NN JOIN: top-k corpus neighbors for EVERY row
     of a small query set, probing only the IVF cells each query is
@@ -692,12 +808,32 @@ def ivf_knn_join(
     ``dot_fn``/``norm_fn`` swap in custom similarity math (e.g. the
     portable decimal cosine for oracle-exact runs); query norms are
     computed with the SAME ``norm_fn`` expression in one small job so
-    the float math matches the corpus side bit-for-bit.
+    the float math matches the corpus side bit-for-bit. ``sim_id``
+    validates the math against a custom-math layout's spec — the full
+    mixed-math read contract is pinned at :func:`_validate_read_math`.
+
+    Query ids must be NON-NULL and UNIQUE: two query rows sharing an id
+    would silently BLEND into one top-k (the per-query window partitions
+    on the id) — since the query set is already collected to plan probe
+    cells, duplicates are refused loudly instead (round-10 probe;
+    ``knn_join``'s lazy plan documents the same hazard but cannot check
+    it without an extra job).
 
     Output: ``(query_id, id_col, cosine_sim)`` — up to k rows per query,
-    ties broken by ``id_col``.
+    ties broken by ``id_col``. Id columns keep the INPUT types: the
+    query id column's type comes from ``queries``' schema, the corpus id
+    column's from the layout's (string/UUID doc ids work — round-10 fix
+    of the hardcoded long schema, which made the empty path disagree
+    with the non-empty path for any non-long id).
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
     from cassandra_analytics_spark.operators.similarity import (
         dot as _dot,
@@ -711,12 +847,24 @@ def ivf_knn_join(
     dotf = dot_fn or _dot
     normf = norm_fn or _norm
     spark = queries.sparkSession
+    _validate_read_math(
+        _read_ivf_spec_optional(spark, index_path),
+        dot_fn, norm_fn, sim_id, index_path,
+    )
     centroids = [
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()
     ]
-    out_schema = (
-        f"{query_id} long, {id_col} long, cosine_sim double"
+    index = spark.read.parquet(index_path)
+    # id types derive from the INPUTS so the empty-result schema agrees
+    # with the non-empty path and non-long ids survive createDataFrame
+    qid_type = queries.schema[query_id].dataType
+    out_schema = StructType(
+        [
+            StructField(query_id, qid_type),
+            StructField(id_col, index.schema[id_col].dataType),
+            StructField("cosine_sim", DoubleType()),
+        ]
     )
     if not centroids:
         return spark.createDataFrame([], out_schema)
@@ -735,6 +883,21 @@ def ivf_knn_join(
     )
     if not qrows:
         return spark.createDataFrame([], out_schema)
+    qids = [r[query_id] for r in qrows]
+    if any(q is None for q in qids):
+        raise ValueError(
+            f"NULL {query_id} in the query set — every query needs a "
+            "non-NULL id (NULL rows would blend into one phantom query)"
+        )
+    if len(set(qids)) != len(qids):
+        from collections import Counter
+
+        dupes = sorted(q for q, n in Counter(qids).items() if n > 1)
+        raise ValueError(
+            f"duplicate {query_id} values in the query set: {dupes!r} — "
+            "rows sharing an id would silently blend into one top-k; "
+            "make query ids unique"
+        )
     bad = {len(r[vec_col]) for r in qrows if len(r[vec_col]) != dim}
     if bad:
         raise ValueError(
@@ -748,10 +911,15 @@ def ivf_knn_join(
             routing.append((r[query_id], cell, vec, float(r["__qn"])))
     route_df = spark.createDataFrame(
         routing,
-        f"{query_id} long, cell int, __qv array<double>, __qn double",
+        StructType(
+            [
+                StructField(query_id, qid_type),
+                StructField("cell", IntegerType()),
+                StructField("__qv", ArrayType(DoubleType())),
+                StructField("__qn", DoubleType()),
+            ]
+        ),
     )
-
-    index = spark.read.parquet(index_path)
     touched = sorted({c for _, c, _, _ in routing})
     candidates = index.filter(F.col("cell").isin(touched))
     cos = F.try_divide(

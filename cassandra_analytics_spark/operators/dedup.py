@@ -268,20 +268,11 @@ def _bucket_candidate_pairs(
     )
     if skew_observation is not None:
         # the metrics must survive even when EVERY bucket is skipped and
-        # the result is empty — AQE's empty-relation propagation would
-        # eliminate the CollectMetrics node in exactly that case and
-        # Observation.get dies on a schemaless row (measured round 9).
-        # The repo's session excludes the rule by default (session.py);
-        # ensure it on FOREIGN sessions too, since the observation was
-        # explicitly requested (append-merge, never clobber)
-        rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
-        conf = banded.sparkSession.conf
-        current = conf.get("spark.sql.adaptive.optimizer.excludedRules", None) or ""
-        if rule not in current.split(","):
-            conf.set(
-                "spark.sql.adaptive.optimizer.excludedRules",
-                f"{current},{rule}" if current else rule,
-            )
+        # the result is empty — shared helper (stats.py), required at
+        # every observe() site on foreign sessions
+        from cassandra_analytics_spark.stats import ensure_metrics_survive_empty
+
+        ensure_metrics_survive_empty(banded.sparkSession)
         over = F.size("xs") > F.lit(max_bucket)
         grouped = grouped.observe(
             skew_observation,
@@ -423,7 +414,15 @@ def ngram_jaccard_pairs(
             # the same loudness contract as the LSH max_bucket cap
             # (round-9): after any action, the observation reports how
             # many stop-shingles the df cap dropped and the hottest df
-            # seen among them — zero extra passes
+            # seen among them — zero extra passes. NO over-cap shingles
+            # (hot empty) is the COMMON case: without the AQE exclusion
+            # the CollectMetrics node vanishes exactly then and .get
+            # hangs on foreign sessions (round-10 ADVICE)
+            from cassandra_analytics_spark.stats import (
+                ensure_metrics_survive_empty,
+            )
+
+            ensure_metrics_survive_empty(df.sparkSession)
             hot = hot.observe(
                 skew_observation,
                 F.coalesce(F.count(F.lit(1)), F.lit(0)).alias(

@@ -366,7 +366,13 @@ def incremental_candidates(
     if skew_observation is not None:
         # the LSH-cap loudness contract (round-9): report how many
         # buckets the occupancy cap dropped and how many banded cells
-        # they held, riding the existing aggregation
+        # they held, riding the existing aggregation. `hot` empty (no
+        # over-cap buckets) is the COMMON case — ensure the AQE
+        # exclusion so the CollectMetrics node survives it on foreign
+        # sessions (round-10 ADVICE)
+        from cassandra_analytics_spark.stats import ensure_metrics_survive_empty
+
+        ensure_metrics_survive_empty(spark)
         occ = F.coalesce("__nc", F.lit(0)) + F.coalesce("__nn", F.lit(0))
         hot = hot.observe(
             skew_observation,

@@ -16,6 +16,30 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def ensure_metrics_survive_empty(spark) -> None:
+    """Exclude AQE's empty-relation propagation on ``spark`` so
+    ``DataFrame.observe`` metrics survive EMPTY results.
+
+    AQE's ``AQEPropagateEmptyRelation`` eliminates CollectMetrics nodes
+    when a stage turns out empty at runtime, and ``Observation.get`` then
+    hangs forever / dies on a schemaless row (measured round 9) — for the
+    dedup skew observations, empty is the COMMON case (no over-cap
+    buckets) and also the catastrophic all-work-skipped case the signal
+    exists to expose. ``get_session`` excludes the rule by default; every
+    ``observe()`` call site MUST call this for foreign sessions too
+    (round-10 ADVICE: two of the three skew sites lacked it).
+    Append-merge, never clobbers a user's existing exclusions.
+    """
+    rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+    conf = spark.conf
+    current = conf.get("spark.sql.adaptive.optimizer.excludedRules", None) or ""
+    if rule not in current.split(","):
+        conf.set(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            f"{current},{rule}" if current else rule,
+        )
+
+
 def observed(
     df: DataFrame,
     name: str | None = None,

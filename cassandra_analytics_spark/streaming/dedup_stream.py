@@ -192,11 +192,16 @@ def collected_pairs(spark, pairs_out: str, id_type: str = "long") -> DataFrame:
     need a try/except around a path-not-found AnalysisException.
     ``id_type`` is the Spark type of the stream's id column (the a/b
     pair columns inherit it — pass e.g. ``"string"`` for string doc ids
-    so the pre-publish empty frame matches the published schema)."""
-    import glob
+    so the pre-publish empty frame matches the published schema).
 
-    if not glob.glob(os.path.join(pairs_out, "batch-*")):
+    The pre-publish probe goes through the Hadoop FS glob, not
+    ``glob.glob``, so it works on any Spark-supported store (round-10:
+    the local-only probe returned the empty frame forever on HDFS/S3)."""
+    from cassandra_analytics_spark.fs import glob_exists
+
+    pattern = pairs_out.rstrip("/") + "/batch-*"
+    if not glob_exists(spark, pattern):
         return spark.createDataFrame(
             [], f"a {id_type}, b {id_type}, jaccard double, batch_id int"
         )
-    return spark.read.parquet(os.path.join(pairs_out, "batch-*"))
+    return spark.read.parquet(pattern)

@@ -119,110 +119,16 @@ def run_semantic_dedup_stream(
     if not centroids:
         raise ValueError("run_semantic_dedup_stream needs a codebook")
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="semdedup-stream-ckpt-")
-    dotf = dot_fn or _fast_dot
-    normf = norm_fn or _fast_norm
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # in-batch duplicate ids collapse to a deterministic winner
-        # (greatest vector wins) so replays republish identical pairs
-        batch = (
-            batch_df.select(id_col, vec_col)
-            .filter(F.col(vec_col).isNotNull())
-            .groupBy(id_col)
-            .agg(F.max(vec_col).alias(vec_col))
+        process_semantic_batch(
+            batch_df, batch_id,
+            index_path=index_path, pairs_out=pairs_out,
+            centroids=centroids, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+            dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
+            max_cell=max_cell,
         )
-        if batch.isEmpty():
-            return
-        out_dir = os.path.join(pairs_out, f"batch-{batch_id:010d}")
-
-        if not _spec_exists(spark, index_path):
-            # bootstrap: the first batch IS the corpus — build the layout
-            # (overwrite-idempotent on replay), report its internal pairs
-            build_ivf_index(
-                batch, index_path, id_col=id_col, vec_col=vec_col,
-                centroids=centroids, dot_fn=dot_fn, norm_fn=norm_fn,
-                sim_id=sim_id,
-            )
-            pairs = semantic_pairs_from_cells(
-                spark.read.parquet(index_path),
-                threshold, id_col, vec_col, cell_col="cell",
-                max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
-            )
-            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).parquet(out_dir)
-            return
-
-        assigned = assign_with_index_spec(
-            batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
-        ).withColumn("__nrm", normf(F.col(vec_col)))
-
-        # within-batch pairs (shared expansion: same-id pairs dropped,
-        # over-cap cells skipped)
-        in_pairs = semantic_pairs_from_cells(
-            assigned, threshold, id_col, vec_col, cell_col="cell",
-            max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
-            norm_col="__nrm",
-        )
-
-        # batch-vs-corpus pairs: equi-join on the cell key against ONLY
-        # the layout partitions the batch touches (the cell filter is a
-        # partition-column predicate → partition pruning). Work is
-        # |batch ∩ cell| x |cell|, bounded by max_cell.
-        touched = [
-            r.cell for r in assigned.select("cell").distinct().collect()
-        ]
-        corpus = spark.read.parquet(index_path).filter(
-            F.col("cell").isin(touched)
-        )
-        occupancy = corpus.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("__occ")
-        )
-        corpus = (
-            corpus.join(occupancy, "cell")
-            .filter(F.col("__occ") <= F.lit(max_cell))
-            .drop("__occ")
-            .withColumn("__cnrm", normf(F.col(vec_col)))
-        )
-        b = assigned.select(
-            F.col(id_col).alias("__bid_"),
-            F.col(vec_col).alias("__bvec"),
-            F.col("__nrm").alias("__bnrm"),
-            "cell",
-        )
-        c = corpus.select(
-            F.col(id_col).alias("__cid_"),
-            F.col(vec_col).alias("__cvec"),
-            F.col("__cnrm"),
-            "cell",
-        )
-        cos = F.try_divide(
-            dotf(F.col("__bvec"), F.col("__cvec")),
-            F.col("__bnrm") * F.col("__cnrm"),
-        )
-        cross = (
-            b.join(c, "cell")
-            .filter(F.col("__bid_") != F.col("__cid_"))
-            .withColumn("cosine_sim", cos)
-            .filter(F.col("cosine_sim") >= threshold)
-            .select(
-                F.least("__bid_", "__cid_").alias("a"),
-                F.greatest("__bid_", "__cid_").alias("b"),
-                "cell",
-                "cosine_sim",
-            )
-        )
-        pairs = in_pairs.unionByName(cross).dropDuplicates(["a", "b"])
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
-        # append AFTER the publish: a replay then recomputes the same
-        # pair set (the batch copy already in the layout only adds
-        # same-id pairs, dropped, and duplicate (a, b) rows, deduped)
-        assigned.drop("__nrm").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(index_path)
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -231,17 +137,161 @@ def run_semantic_dedup_stream(
     )
 
 
+def process_semantic_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_path: str,
+    pairs_out: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+    max_cell: int = 10_000,
+    on_published=None,
+) -> None:
+    """One micro-batch of the semantic-dedup stream — the body of
+    :func:`run_semantic_dedup_stream`'s ``foreachBatch``, module-level so
+    the crash seams are testable without a streaming harness.
+
+    ``on_published`` (optional) runs AFTER the batch's pairs land at
+    ``pairs_out/batch-<id>`` and BEFORE the layout append — the exact
+    point where a crash leaves the published verdicts without their
+    layout rows. The replay contract holds through it: the checkpoint
+    never committed, so the batch replays, the publish overwrites the
+    same directory with the same rows, and the append finally lands
+    (round-10 executed probe; the bulk writer's crash-at-commit tests
+    are the pattern)."""
+    dotf = dot_fn or _fast_dot
+    normf = norm_fn or _fast_norm
+    spark = batch_df.sparkSession
+    # in-batch duplicate ids collapse to a deterministic winner
+    # (greatest vector wins) so replays republish identical pairs
+    batch = (
+        batch_df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.max(vec_col).alias(vec_col))
+    )
+    if batch.isEmpty():
+        return
+    out_dir = os.path.join(pairs_out, f"batch-{batch_id:010d}")
+
+    if not _spec_exists(spark, index_path):
+        # bootstrap: the first batch IS the corpus — build the layout
+        # (overwrite-idempotent on replay), report its internal pairs.
+        # A bootstrap that crashed between the layout write and the spec
+        # write lands here again on replay (spec-less layout) and the
+        # overwrite IS the recovery: the torn layout held only this
+        # batch's rows (round-10 probe pins this)
+        build_ivf_index(
+            batch, index_path, id_col=id_col, vec_col=vec_col,
+            centroids=centroids, dot_fn=dot_fn, norm_fn=norm_fn,
+            sim_id=sim_id,
+        )
+        pairs = semantic_pairs_from_cells(
+            spark.read.parquet(index_path),
+            threshold, id_col, vec_col, cell_col="cell",
+            max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        return
+
+    assigned = assign_with_index_spec(
+        batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
+    ).withColumn("__nrm", normf(F.col(vec_col)))
+
+    # within-batch pairs (shared expansion: same-id pairs dropped,
+    # over-cap cells skipped)
+    in_pairs = semantic_pairs_from_cells(
+        assigned, threshold, id_col, vec_col, cell_col="cell",
+        max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
+        norm_col="__nrm",
+    )
+
+    # batch-vs-corpus pairs: equi-join on the cell key against ONLY
+    # the layout partitions the batch touches (the cell filter is a
+    # partition-column predicate → partition pruning). Work is
+    # |batch ∩ cell| x |cell|, bounded by max_cell.
+    touched = [
+        r.cell for r in assigned.select("cell").distinct().collect()
+    ]
+    corpus = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(touched)
+    )
+    occupancy = corpus.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    corpus = (
+        corpus.join(occupancy, "cell")
+        .filter(F.col("__occ") <= F.lit(max_cell))
+        .drop("__occ")
+        .withColumn("__cnrm", normf(F.col(vec_col)))
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__bid_"),
+        F.col(vec_col).alias("__bvec"),
+        F.col("__nrm").alias("__bnrm"),
+        "cell",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid_"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__cnrm"),
+        "cell",
+    )
+    cos = F.try_divide(
+        dotf(F.col("__bvec"), F.col("__cvec")),
+        F.col("__bnrm") * F.col("__cnrm"),
+    )
+    cross = (
+        b.join(c, "cell")
+        .filter(F.col("__bid_") != F.col("__cid_"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.least("__bid_", "__cid_").alias("a"),
+            F.greatest("__bid_", "__cid_").alias("b"),
+            "cell",
+            "cosine_sim",
+        )
+    )
+    pairs = in_pairs.unionByName(cross).dropDuplicates(["a", "b"])
+    pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    if on_published is not None:
+        on_published(batch_id)
+    # append AFTER the publish: a replay then recomputes the same
+    # pair set (the batch copy already in the layout only adds
+    # same-id pairs, dropped, and duplicate (a, b) rows, deduped)
+    assigned.drop("__nrm").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(index_path)
+
+
 def collected_semantic_pairs(
     spark, pairs_out: str, id_type: str = "long"
 ) -> DataFrame:
     """All pairs the stream has published so far — empty (with the right
-    schema) before the first batch publishes."""
-    import glob
+    schema) before the first batch publishes.
 
-    if not glob.glob(os.path.join(pairs_out, "batch-*")):
+    The pre-publish probe goes through the Hadoop FS glob, not
+    ``glob.glob``: the stream writes through Spark to ANY store, and a
+    local-only probe on HDFS/S3 would return the empty frame forever —
+    silent loss of every verdict (round-9 ADVICE)."""
+    from cassandra_analytics_spark.fs import glob_exists
+
+    pattern = pairs_out.rstrip("/") + "/batch-*"
+    if not glob_exists(spark, pattern):
         return spark.createDataFrame(
             [],
             f"a {id_type}, b {id_type}, cell int, cosine_sim double, "
             "batch_id int",
         )
-    return spark.read.parquet(os.path.join(pairs_out, "batch-*"))
+    return spark.read.parquet(pattern)

@@ -590,3 +590,188 @@ def test_ivf_knn_join_exact_at_probe_all_and_validation(spark, tmp_path):
         ivf_knn_join(queries, path, k=0)
     with pytest.raises(ValueError, match="num_probes"):
         ivf_knn_join(queries, path, k=5, num_probes=0)
+
+
+def test_ivf_knn_join_string_ids_and_derived_schema(spark, tmp_path):
+    """Round-10 fix: the output/routing id types derive from the INPUTS
+    (string/UUID doc ids are routine in LLM pipelines) — the old
+    hardcoded `long` schema died in createDataFrame with an error that
+    never named the problem, and the empty path disagreed with the
+    non-empty path for any non-long id."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+    )
+    from cassandra_analytics_spark.operators.similarity import knn_join
+
+    corpus = _tiny_corpus(spark, range(100, 130)).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    queries = _tiny_corpus(spark, range(3)).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("qid"), "embedding"
+    )
+    path = str(tmp_path / "sknn")
+    build_ivf_index(corpus, path, num_centroids=4)
+
+    got = ivf_knn_join(queries, path, k=3, num_probes=4)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "string", "string", "double",
+    ]
+    want = {
+        (r.qid, r.vec_id, round(r.cosine_sim, 9))
+        for r in knn_join(queries, corpus, k=3, query_id="qid").collect()
+    }
+    assert {
+        (r.qid, r.vec_id, round(r.cosine_sim, 9)) for r in got.collect()
+    } == want and len(want) == 9
+
+    # the empty-result path (all query vectors NULL) returns the SAME schema
+    null_q = spark.createDataFrame(
+        [("qx", None)], "qid string, embedding array<double>"
+    )
+    empty = ivf_knn_join(null_q, path, k=3)
+    assert empty.schema == got.schema
+    assert empty.count() == 0
+
+
+def test_ivf_knn_join_qid_uniqueness_and_probe_bounds(spark, tmp_path):
+    """Round-10 executed probes: duplicate / NULL query ids would
+    silently BLEND two queries into one top-k (window partitions on the
+    id) — refused loudly; num_probes beyond the centroid count is
+    probe-all, and k beyond the candidate count returns every candidate
+    once."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+    )
+
+    corpus = _tiny_corpus(spark, range(100, 120))
+    path = str(tmp_path / "dq")
+    build_ivf_index(corpus, path, num_centroids=4)
+    q = _tiny_corpus(spark, range(2)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    with pytest.raises(ValueError, match="duplicate qid"):
+        ivf_knn_join(q.unionByName(q.limit(1)), path, k=3)
+    nulled = q.unionByName(
+        spark.createDataFrame(
+            [(None, [0.1] * 8)], "qid long, embedding array<double>"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL qid"):
+        ivf_knn_join(nulled, path, k=3)
+
+    got = ivf_knn_join(q, path, k=500, num_probes=99).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, set()).add(r.vec_id)
+    assert set(per_q) == {0, 1}
+    assert all(len(s) == 20 for s in per_q.values())
+
+
+def test_mixed_math_read_contract(spark, tmp_path):
+    """The pinned round-10 decision (_validate_read_math): read-time
+    scoring math is a free choice; sim_id is VALIDATED when presented
+    (refused on mismatch, like the append path); reading a custom-math
+    layout without it is sanctioned but LOUD; incoherent claims (sim_id
+    without its functions, sim_id against a built-in layout or a
+    spec-less legacy layout) are named errors."""
+    import warnings as w
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+        query_ivf_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        dot as sdot,
+        norm as snorm,
+    )
+
+    corpus = _tiny_corpus(spark, range(50, 90))
+    custom = str(tmp_path / "custom")
+    build_ivf_index(
+        corpus, custom, num_centroids=4,
+        dot_fn=sdot, norm_fn=snorm, sim_id="twin-v1",
+    )
+    builtin = str(tmp_path / "builtin")
+    build_ivf_index(corpus, builtin, num_centroids=4)
+    qv = [0.1] * 8
+    q = _tiny_corpus(spark, range(2)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    # matching sim_id on a custom layout: accepted, silent
+    with w.catch_warnings():
+        w.simplefilter("error")
+        assert query_ivf_index(
+            spark, custom, qv, k=3, num_probes=4,
+            dot_fn=sdot, norm_fn=snorm, sim_id="twin-v1",
+        ).count() == 3
+        assert ivf_knn_join(
+            q, custom, k=3, num_probes=4,
+            dot_fn=sdot, norm_fn=snorm, sim_id="twin-v1",
+        ).count() == 6
+        # custom scoring on a BUILT-IN layout: sanctioned, silent
+        assert query_ivf_index(
+            spark, builtin, qv, k=3, num_probes=4,
+            dot_fn=sdot, norm_fn=snorm,
+        ).count() == 3
+
+    # wrong sim_id refused on both read paths
+    with pytest.raises(ValueError, match="sim_id mismatch"):
+        query_ivf_index(
+            spark, custom, qv, k=3, dot_fn=sdot, norm_fn=snorm, sim_id="other"
+        )
+    with pytest.raises(ValueError, match="sim_id mismatch"):
+        ivf_knn_join(
+            q, custom, k=3, dot_fn=sdot, norm_fn=snorm, sim_id="other"
+        )
+
+    # custom layout read without sim_id: sanctioned but loud
+    with pytest.warns(UserWarning, match="unverified scoring math"):
+        query_ivf_index(spark, custom, qv, k=3).count()
+    with pytest.warns(UserWarning, match="unverified scoring math"):
+        ivf_knn_join(q, custom, k=3).count()
+
+    # incoherent claims are named errors
+    with pytest.raises(ValueError, match="without the functions"):
+        query_ivf_index(spark, custom, qv, k=3, sim_id="twin-v1")
+    with pytest.raises(ValueError, match="only meaningful"):
+        query_ivf_index(
+            spark, builtin, qv, k=3, dot_fn=sdot, norm_fn=snorm, sim_id="x"
+        )
+
+
+def test_legacy_warning_names_only_the_missing_argument(spark, tmp_path):
+    """Round-10 ADVICE: the pre-spec-layout warning used to claim BOTH
+    defaults were assumed even when one was passed explicitly."""
+    import shutil as sh
+    import warnings as w
+
+    corpus = _tiny_corpus(spark, range(10))
+    legacy = str(tmp_path / "legacy")
+    build_ann_index(corpus, legacy, num_planes=4, seed=7)
+    sh.rmtree(legacy + "_spec")  # simulate a pre-spec layout
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        query_ann_index(
+            spark, legacy, [0.1] * 8, k=3, num_planes=4, probe_hamming=4
+        ).count()
+    msgs = [str(c.message) for c in caught if "no persisted spec" in str(c.message)]
+    assert len(msgs) == 1
+    # only seed was defaulted; num_planes=4 was given and must not be
+    # claimed as assumed — the effective family is stated in full
+    assert "default seed=42" in msgs[0]
+    assert "num_planes=6" not in msgs[0].split("effective")[0]
+    assert "num_planes=4, seed=42" in msgs[0]
+
+    # both explicit: no warning at all
+    with w.catch_warnings():
+        w.simplefilter("error")
+        query_ann_index(
+            spark, legacy, [0.1] * 8, k=3, num_planes=4, seed=7,
+            probe_hamming=4,
+        ).count()

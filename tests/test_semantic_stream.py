@@ -174,3 +174,174 @@ def test_stream_duplicate_ids_and_validation(spark, tmp_path):
         run_semantic_dedup_stream(
             stream, str(tmp_path / "i3"), str(tmp_path / "p3"), centroids=[],
         )
+
+
+def _batch_kwargs(tmp):
+    return dict(
+        index_path=os.path.join(tmp, "ivf"),
+        pairs_out=os.path.join(tmp, "pairs"),
+        centroids=CENTROIDS,
+        threshold=0.98,
+    )
+
+
+def test_crash_between_publish_and_append_replays_clean(spark, tmp_path):
+    """Round-10 executed probe (VERDICT item 2): a crash AFTER the pairs
+    publish but BEFORE the layout append leaves published verdicts with
+    no layout rows — the checkpoint never committed, so the batch
+    REPLAYS: the publish overwrites the same directory with the same
+    rows, the append finally lands, and later batches see the full
+    corpus. Driven through process_semantic_batch (the foreachBatch
+    body) with the on_published crash seam."""
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        process_semantic_batch,
+    )
+
+    rows = _corpus_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = _batch_kwargs(str(tmp_path))
+    b0 = df.filter(F.col("vec_id") < 20)
+    b1 = df.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    b2 = df.filter(F.col("vec_id") >= 40)
+
+    process_semantic_batch(b0, 0, **kw)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(batch_id):
+        raise Boom(f"crash after publish of batch {batch_id}")
+
+    with pytest.raises(Boom):
+        process_semantic_batch(b1, 1, on_published=crash, **kw)
+
+    # published but NOT appended — the torn state under test
+    layout = spark.read.parquet(kw["index_path"])
+    assert layout.count() == 20
+    published = collected_semantic_pairs(spark, kw["pairs_out"])
+    assert published.filter("batch_id = 1").count() > 0
+
+    # replay batch 1 (foreachBatch redelivers the same batch_id), then
+    # process batch 2 normally
+    process_semantic_batch(b1, 1, **kw)
+    process_semantic_batch(b2, 2, **kw)
+
+    assert spark.read.parquet(kw["index_path"]).count() == 60
+    got = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in collected_semantic_pairs(spark, kw["pairs_out"]).collect()
+    }
+    want = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in semantic_dedup_pairs(df, CENTROIDS, threshold=0.98).collect()
+    }
+    assert got == want
+
+
+def test_torn_bootstrap_replay_recovers(spark, tmp_path):
+    """Round-10 executed probe: a bootstrap crash between the layout
+    write and the spec write (build_ivf_index deletes sidecars FIRST)
+    leaves a spec-less layout; the replayed first batch re-bootstraps
+    (overwrite) — correct, because the torn layout held only that same
+    batch's rows."""
+    import shutil as sh
+
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        process_semantic_batch,
+    )
+
+    rows = _corpus_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = _batch_kwargs(str(tmp_path))
+    b0 = df.filter(F.col("vec_id") < 30)
+    b1 = df.filter(F.col("vec_id") >= 30)
+
+    process_semantic_batch(b0, 0, **kw)
+    # simulate the torn bootstrap: spec never landed
+    sh.rmtree(kw["index_path"] + "_spec")
+
+    # replayed batch 0 re-bootstraps instead of erroring on the torn spec
+    process_semantic_batch(b0, 0, **kw)
+    process_semantic_batch(b1, 1, **kw)
+
+    assert spark.read.parquet(kw["index_path"]).count() == 60
+    got = {
+        (r.a, r.b)
+        for r in collected_semantic_pairs(spark, kw["pairs_out"]).collect()
+    }
+    want = {
+        (r.a, r.b)
+        for r in semantic_dedup_pairs(df, CENTROIDS, threshold=0.98).collect()
+    }
+    assert got == want
+
+
+def test_max_cell_boundary_is_inclusive(spark, tmp_path):
+    """Round-10 executed probe: a corpus cell at EXACTLY max_cell
+    occupancy still pairs (the cap is <=, matching the batch path's
+    max_cluster); one past it is skipped — silent under-dedup by
+    documented design, so the boundary must not be off by one."""
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        process_semantic_batch,
+    )
+
+    # 5 corpus vectors in cell 0, all near-dups of the batch vector
+    corpus_rows = [(i, [1.0, float(i) * 1e-4]) for i in range(5)]
+    batch_rows = [(99, [1.0, 0.0001])]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    cents = [(0, [1.0, 0.0])]
+
+    # occupancy 5 == max_cell 5: the cell participates
+    kw = dict(
+        index_path=str(tmp_path / "at_cap" / "ivf"),
+        pairs_out=str(tmp_path / "at_cap" / "pairs"),
+        centroids=cents, threshold=0.9, max_cell=5,
+    )
+    process_semantic_batch(corpus, 0, **kw)
+    process_semantic_batch(batch, 1, **kw)
+    at_cap = collected_semantic_pairs(spark, kw["pairs_out"]).filter(
+        "batch_id = 1"
+    )
+    assert at_cap.count() == 5  # 99 paired with all five corpus rows
+
+    # occupancy 5 > max_cell 4: the cell is skipped for batch-vs-corpus
+    kw2 = dict(
+        index_path=str(tmp_path / "over_cap" / "ivf"),
+        pairs_out=str(tmp_path / "over_cap" / "pairs"),
+        centroids=cents, threshold=0.9, max_cell=4,
+    )
+    process_semantic_batch(corpus, 0, **kw2)
+    process_semantic_batch(batch, 1, **kw2)
+    over_cap = collected_semantic_pairs(spark, kw2["pairs_out"]).filter(
+        "batch_id = 1"
+    )
+    assert over_cap.count() == 0
+
+
+def test_collected_pairs_probe_is_store_agnostic(spark, tmp_path):
+    """Round-10 fix: the pre-publish probe goes through the Hadoop FS
+    glob, so an explicit `file:`-scheme URI (the local stand-in for any
+    non-local store, where glob.glob sees nothing) finds published
+    batches; an absent directory still returns the typed empty frame."""
+    from cassandra_analytics_spark.streaming.dedup_stream import collected_pairs
+
+    # absent path: typed empty frames on both helpers
+    missing = "file://" + str(tmp_path / "nope")
+    empty = collected_semantic_pairs(spark, missing, id_type="string")
+    assert empty.count() == 0
+    assert empty.schema["a"].dataType.simpleString() == "string"
+    assert collected_pairs(spark, missing).count() == 0
+
+    # published batch behind a file:-scheme URI is FOUND
+    out = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(1, 2, 0, 0.99, 0)],
+        "a long, b long, cell int, cosine_sim double, batch_id int",
+    ).write.parquet(os.path.join(out, "batch-0000000000"))
+    got = collected_semantic_pairs(spark, "file://" + out)
+    assert [(r.a, r.b) for r in got.collect()] == [(1, 2)]
