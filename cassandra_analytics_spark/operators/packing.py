@@ -68,6 +68,24 @@ def distributed_cumsum(
     the prefix sums. Checkpointing pins one partitioning for both phases
     (and avoids recomputing the upstream lineage a second time).
     """
+    from pyspark.sql import types as T
+
+    # integral addends only: the per-partition offsets accumulate on the
+    # driver and rejoin as literals, and the result casts to long — a
+    # DOUBLE value_col would silently TRUNCATE both (a caller prefix-
+    # summing revenue gets wrong sums with no hint; round-10 hostile
+    # re-review). Cast to long/decimal first if that is really wanted.
+    vtype = df.schema[value_col].dataType
+    integral = isinstance(vtype, T.IntegralType) or (
+        isinstance(vtype, T.DecimalType) and vtype.scale == 0
+    )
+    if not integral:
+        raise ValueError(
+            f"distributed_cumsum: value_col {value_col!r} is "
+            f"{vtype.simpleString()} — only integral addends (or scale-0 "
+            "decimals) sum exactly; the long offsets would silently "
+            "truncate fractional values; cast first"
+        )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -129,7 +147,12 @@ def distributed_cumsum(
     for r in totals:
         offsets.append((r["__pid"], acc))
         acc += int(r["__total"])
-    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
+    # explicit schema: an EMPTY corpus (or chunk_layout over documents
+    # that are all non-positive length) yields zero offsets, and
+    # name-only schema inference dies on an empty list — the empty
+    # result must flow through with the right columns instead
+    # (round-10 hostile re-review)
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))

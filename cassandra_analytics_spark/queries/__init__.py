@@ -43,76 +43,83 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 
 
 # The round driver verifies the FIRST ~50 registry entries per round
-# (CORRECTNESS_r0{4,...,8}.json are each exactly the first 50 in
+# (CORRECTNESS_r0{4,...,9}.json are each exactly the first 50 in
 # registration order). To get every query a driver row across rounds,
-# each round front-loads the names that most need one. Round-9 priority
-# (VERDICT r8 item 1): (1) the FOUR new queries (IVF append equality,
-# LSH append roundtrip, streaming SemDeDup, index kNN join) plus the
-# queries whose implementation round 9 touched — the IVF-append/spec
-# work, the assign_nearest_cells refactor under the SemDeDup family,
-# the RRF filter-order + NULL-id fixes, and the mixture_sample
-# validation pass; (2) the 40 names whose newest driver evidence is r6
-# (the exact set VERDICT r8 computed by CORRECTNESS set difference).
-# 8 + 40 = 48 of the 50-row window; after this round no query's newest
-# driver row is older than r7.
+# each round front-loads the names that most need one. Round-10
+# priority (VERDICT r9 item 1): (1) the NEW string-id kNN join query,
+# never driver-proved; (2) the two r9-proved queries whose
+# implementation round 10 touched — ivf_knn_join (derived id schemas,
+# spec-validated read math, qid uniqueness) and the semantic stream
+# (process_semantic_batch extraction + store-agnostic pair collection);
+# (3) 47 of the 49 names whose newest driver evidence is r7 (the exact
+# set computed by CORRECTNESS set difference). 1 + 2 + 47 fills the
+# 50-row window; the two rolled names (token_range_histogram,
+# agg_hll_sketch_union — both rows-only BY DESIGN, so a driver row
+# re-checks least for them, and each has an oracle-exact companion
+# in-window) go first in r11. After this round no ORACLE-GATED query's
+# newest driver row is older than r8.
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
-    "dedup_semantic_append_index",   # IVF build+append == build-once
-    "ann_lsh_append_topk",           # LSH build+append+read roundtrip
-    "streaming_semantic_dedup",      # SemDeDup as a foreachBatch stream
-    "ann_ivf_knn_join_exact",        # index-accelerated kNN join, probe-all
+    "ann_ivf_knn_join_string_ids",   # string ids both sides, oracle-exact
     # --- (1) implementation touched this round ---
-    "dedup_semantic_on_index",       # layout now built via build_ivf_index
-    "dedup_semantic",                # rides assign_nearest_cells now
-    "hybrid_rrf_search",             # RRF filter order + NULL-id guard
-    "mixture_sample_langs",          # non-finite weight / bad-size guards
-    # (dedup_intradoc_segments / cosine_topk_embeddings /
-    # dedup_incremental_lsh_confirmed keep their r8 rows — their
-    # operators are untouched this round; the skew_observation threading
-    # through minhash/simhash/embedding pair entry points is a NO-OP
-    # when the parameter is absent — those queries keep their fresh
-    # r8/r9 stale-rotation slots below where applicable)
-    # --- (2) stale: newest driver evidence r6 ---
-    "asof_purchase_click",
-    "case_when_tiering",
-    "date_trunc_variants",
-    "decontaminate_benchmark",
-    "dedup_boilerplate_segments",
-    "dedup_cluster_assignment",
-    "dedup_exact_docs",
-    "dedup_minhash_confirmed",
-    "dedup_ngram_jaccard",
-    "dedup_span_fraction",
-    "distinct_part_attrs",
-    "events_sessionize",
-    "having_big_customers",
-    "multimodal_blob_stats",
-    "multimodal_image_features",
-    "nested_map_clustering",
-    "nested_struct_explode",
-    "pk_in_list_pushdown",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "range_join_error_bursts",
-    "regexp_extract_groups",
-    "replica_read_all",
-    "rollup_time_hierarchy",
-    "setop_except_all",
-    "setop_intersect_all",
-    "setop_union_by_name",
-    "skew_salted_returnflag",
-    "streaming_stateful_profile",
-    "text_bm25_search",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_tfidf_search",
-    "topk_global_orders",
-    "train_val_test_split",
+    "ann_ivf_knn_join_exact",        # derived schemas + read-math validation
+    "streaming_semantic_dedup",      # foreachBatch body extracted + FS glob
+    # (ann_ivf_topk also rides the touched query_ivf_index read path —
+    # it is already in the stale cohort below; dedup_ngram_jaccard /
+    # dedup_incremental_* queries don't pass skew_observation, so the
+    # ensure-helper refactor is a no-op for their plans and their
+    # r8/r9 rows stand)
+    # --- (2) stale: newest driver evidence r7 ---
+    "agg_approx_distinct",
+    "agg_approx_distinct_bounded",
+    "agg_approx_quantile",
+    "agg_approx_quantile_bounded",
+    "agg_cube_status",
+    "agg_distinct_suppliers",
+    "agg_hll_sketch_union_bounded",
+    "agg_rollup_orders_time",
+    "ann_ivf_topk",
+    "bundle_write_restore",
+    "cell_pivot_roundtrip",
+    "coordinated_write_roundtrip",
+    "corpus_budget_select",
+    "dedup_fingerprint_md5",
+    "dedup_simhash_confirmed",
+    "embedding_label_norms",
+    "embedding_near_dup",
+    "embedding_near_dup_confirmed",
+    "join_anti_no_orders",
+    "join_cross_region_status",
+    "join_full_outer_nation_counts",
+    "join_semi_open_orders",
+    "lang_id_heuristic",
+    "lmt_last_modified",
+    "pack_training_chunks",
+    "partition_size_orders",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "scalar_string_funcs",
+    "setop_except_customers",
+    "setop_intersect_customers",
+    "setop_union_segments",
+    "sql_grouping_sets",
+    "static_column_propagation",
+    "stratified_sample_langs",
+    "streaming_dedup_union",
+    "streaming_hourly_stats",
+    "streaming_incremental_dedup",
+    "text_bpe_tokens",
+    "text_quality_features",
+    "text_token_stats",
+    "training_data_pipeline",
+    "window_lag_order_gap",
+    "window_moving_avg",
+    "window_running_revenue",
+    "window_topk_orders_per_customer",
+    # --- (3) roll to r11 (rows-only by design; companions in-window) ---
+    "token_range_histogram",
+    "agg_hll_sketch_union",
 ]
 
 

