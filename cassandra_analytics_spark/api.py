@@ -192,6 +192,45 @@ class Engine:
 
         return query_ivf_index(self.spark, index_path, query_vec, **kwargs)
 
+    @staticmethod
+    def append_to_ivf_index(df: DataFrame, index_path: str, **kwargs) -> None:
+        """Incremental extension of a persisted IVF layout — per-refresh
+        cost ∝ batch, mode/sim pinned by the layout spec."""
+        from cassandra_analytics_spark.operators.ann_index import (
+            append_to_ivf_index,
+        )
+
+        return append_to_ivf_index(df, index_path, **kwargs)
+
+    @staticmethod
+    def ivf_knn_join(queries: DataFrame, index_path: str, k: int = 5,
+                     **kwargs) -> DataFrame:
+        """Index-accelerated k-NN join: top-k corpus neighbors for every
+        query row, reading only the union of probe cells."""
+        from cassandra_analytics_spark.operators.ann_index import ivf_knn_join
+
+        return ivf_knn_join(queries, index_path, k, **kwargs)
+
+    @staticmethod
+    def build_ann_index(df: DataFrame, index_path: str, **kwargs) -> None:
+        from cassandra_analytics_spark.operators.ann_index import build_ann_index
+
+        return build_ann_index(df, index_path, **kwargs)
+
+    @staticmethod
+    def append_to_ann_index(df: DataFrame, index_path: str, **kwargs) -> None:
+        from cassandra_analytics_spark.operators.ann_index import (
+            append_to_ann_index,
+        )
+
+        return append_to_ann_index(df, index_path, **kwargs)
+
+    def query_ann_index(self, index_path: str, query_vec: list[float],
+                        **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.ann_index import query_ann_index
+
+        return query_ann_index(self.spark, index_path, query_vec, **kwargs)
+
     # -- temporal joins ---------------------------------------------------
     @staticmethod
     def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
@@ -391,3 +430,30 @@ class Engine:
         return run_incremental_dedup_stream(
             stream, index_table, doc_store, pairs_out, **kwargs
         )
+
+    @staticmethod
+    def run_semantic_dedup_stream(stream: DataFrame, index_path: str,
+                                  pairs_out: str, centroids: list, **kwargs):
+        """Streaming incremental SemDeDup over the persisted IVF layout
+        (the embedding twin of run_incremental_dedup_stream)."""
+        from cassandra_analytics_spark.streaming.semantic_stream import (
+            run_semantic_dedup_stream,
+        )
+
+        return run_semantic_dedup_stream(
+            stream, index_path, pairs_out, centroids, **kwargs
+        )
+
+    def collected_semantic_pairs(self, pairs_out: str, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.streaming.semantic_stream import (
+            collected_semantic_pairs,
+        )
+
+        return collected_semantic_pairs(self.spark, pairs_out, **kwargs)
+
+    def collected_dedup_pairs(self, pairs_out: str, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.streaming.dedup_stream import (
+            collected_pairs,
+        )
+
+        return collected_pairs(self.spark, pairs_out, **kwargs)

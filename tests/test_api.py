@@ -198,3 +198,39 @@ def test_engine_facade_round8_continuation_methods(spark):
         spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
     ).collect()[0]
     assert (cleaned.text, cleaned.n_removed) == ("x y", 1)
+
+
+def test_engine_facade_ann_and_streaming_surfaces(spark, tmp_path):
+    """Round-10: the incremental ANN layer and both streaming collection
+    helpers are reachable through the facade — a user of the 'one-stop
+    surface' should not need to import operator modules for the round-9
+    additions."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.api import Engine
+
+    eng = Engine(spark)
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-3]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+
+    ivf = str(tmp_path / "ivf")
+    Engine.build_ivf_index(emb.filter("vec_id < 4"), ivf, num_centroids=2)
+    Engine.append_to_ivf_index(emb.filter("vec_id >= 4"), ivf)
+    assert spark.read.parquet(ivf).count() == 6
+    got = Engine.ivf_knn_join(
+        emb.limit(2).select(F.col("vec_id").alias("qid"), "embedding"),
+        ivf, k=3, num_probes=2,
+    )
+    assert got.count() == 6  # 2 queries x top-3
+
+    lsh = str(tmp_path / "lsh")
+    Engine.build_ann_index(emb.filter("vec_id < 4"), lsh, num_planes=4)
+    Engine.append_to_ann_index(emb.filter("vec_id >= 4"), lsh)
+    assert eng.query_ann_index(lsh, [1.0, 0.0], k=3).count() == 3
+
+    # collection helpers return typed empty frames pre-publish
+    assert eng.collected_semantic_pairs(str(tmp_path / "nope")).count() == 0
+    assert eng.collected_dedup_pairs(str(tmp_path / "nope2")).count() == 0
+    assert callable(Engine.run_semantic_dedup_stream)
