@@ -162,6 +162,19 @@ class Engine:
         return contamination_overlap(corpus, benchmark, **kwargs)
 
     @staticmethod
+    def contamination_overlap_bloom(
+        corpus: DataFrame, benchmark: DataFrame, **kwargs
+    ) -> DataFrame:
+        """Decontamination for eval suites too large to broadcast exactly:
+        distributively-built Bloom prefilter + exact-join confirm (same
+        result as contamination_overlap)."""
+        from cassandra_analytics_spark.operators.dedup import (
+            contamination_overlap_bloom,
+        )
+
+        return contamination_overlap_bloom(corpus, benchmark, **kwargs)
+
+    @staticmethod
     def salted_aggregate(df: DataFrame, keys: Sequence[str], aggs: dict, **kwargs) -> DataFrame:
         from cassandra_analytics_spark.operators.skew import salted_aggregate
 

@@ -520,6 +520,129 @@ def contamination_overlap(
     )
 
 
+def contamination_overlap_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+    num_bits: int = 1 << 23,
+) -> DataFrame:
+    """:func:`contamination_overlap` for the case the broadcast path
+    cannot handle: an eval suite whose distinct shingle set is itself
+    too large to broadcast exactly (consortium-scale benchmark unions —
+    at 100 TB the "eval set is tiny" assumption eventually breaks).
+
+    Same result, different scale shape: a fixed-size two-hash Bloom
+    bitmap over the benchmark shingles is built DISTRIBUTIVELY (per-word
+    ``bit_or`` aggregate → at most ``num_bits/64`` rows collected, so
+    driver memory is O(num_bits) REGARDLESS of eval-set size), broadcast
+    as a numpy array, and applied map-side to the corpus shingle stream
+    — hashing stays JVM (``xxhash64``), only the two-bit membership test
+    runs in a vectorized Arrow batch. Survivors (true matches + false
+    positives) are then CONFIRMED with an exact join against the
+    benchmark shingle set, so Bloom false positives never reach the
+    output — the result is bit-identical to the exact operator (pinned
+    by test at a num_bits small enough to force real FPs, and by the
+    shared driver oracle). Shuffled volume is matches + FP·|corpus|
+    shingles instead of every corpus token (plain-join fallback) or an
+    over-budget broadcast.
+
+    FP rate ≈ (1 − e^(−2n/m))² for n distinct eval shingles and m =
+    ``num_bits`` (k = 2 hash functions): n = 1M at the default m = 8M
+    gives ~5% — i.e. ~95% of non-matching corpus shingles never leave
+    their scan task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    if num_bits < 64:
+        raise ValueError(
+            f"contamination_overlap_bloom: num_bits must be >= 64, got "
+            f"{num_bits}"
+        )
+    spark = corpus.sparkSession
+    bench_sh = (
+        shingle_stream(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(text_col)),
+            id_col="__bid",
+            text_col=text_col,
+            n=shingle_n,
+        )
+        .select("sh")
+        .distinct()
+    )
+
+    def _positions(frame: DataFrame) -> DataFrame:
+        return frame.withColumns(
+            {
+                "__p1": F.pmod(F.xxhash64(F.col("sh")), F.lit(num_bits)),
+                "__p2": F.pmod(
+                    F.xxhash64(F.col("sh"), F.lit(1)), F.lit(num_bits)
+                ),
+            }
+        )
+
+    n_words = (num_bits + 63) // 64
+    tagged_bench = _positions(bench_sh)
+    pos = tagged_bench.select(F.col("__p1").alias("p")).unionAll(
+        tagged_bench.select(F.col("__p2").alias("p"))
+    )
+    words = (
+        pos.select(
+            F.expr("p div 64").cast("long").alias("w"),
+            # shiftleft's python wrapper takes only literal shift counts —
+            # the SQL form shifts by a column
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    bitmap = np.zeros(n_words, dtype=np.int64)
+    for r in words:
+        bitmap[r["w"]] = r["mask"]
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    def _in_bloom_fn(p1, p2):
+        bm = bc.value
+        a = p1.to_numpy(np.int64)
+        b = p2.to_numpy(np.int64)
+        # arithmetic shift is safe: &1 reads bit 0, which equals the
+        # original bit regardless of sign propagation
+        hit = (((bm[a >> 6] >> (a & 63)) & 1) != 0) & (
+            ((bm[b >> 6] >> (b & 63)) & 1) != 0
+        )
+        return pd.Series(hit)
+
+    # the module's future-annotations make inline hints strings that the
+    # UDF type inference cannot resolve (pandas is function-local here);
+    # real class objects in __annotations__ sidestep the lookup
+    _in_bloom_fn.__annotations__ = {
+        "p1": pd.Series, "p2": pd.Series, "return": pd.Series,
+    }
+    _in_bloom = pandas_udf(_in_bloom_fn, "boolean")
+
+    corpus_sh = _positions(
+        shingle_stream(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
+    )
+    survivors = corpus_sh.filter(_in_bloom(F.col("__p1"), F.col("__p2"))).select(
+        "id", "sh"
+    )
+    # exact confirm: no broadcast hint — at eval-set sizes that need this
+    # path Catalyst picks a shuffle join over the SURVIVORS only
+    return (
+        survivors.join(bench_sh, "sh")
+        .groupBy("id")
+        .agg(F.countDistinct("sh").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
+
+
 def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2) -> Column:
     """64-bit SimHash over word shingles, as a pure expression tree.
 

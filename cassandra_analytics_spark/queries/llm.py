@@ -25,7 +25,7 @@ from cassandra_analytics_spark.operators.similarity import (
     lit_vector,
 )
 from cassandra_analytics_spark.operators.text import quality_features, token_count
-from cassandra_analytics_spark.queries import query
+from cassandra_analytics_spark.queries import REGISTRY, query
 from cassandra_analytics_spark.queries._util import davg_sql, dsum_sql
 
 DECV = "decimal(28,12)"
@@ -771,6 +771,33 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     return contamination_overlap(
         corpus, bench, shingle_n=3, min_overlap=3
+    ).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=REGISTRY["decontaminate_benchmark"].oracle,
+    doc="Bloom-prefiltered decontamination "
+    "(dedup.contamination_overlap_bloom): the SAME oracle as the exact "
+    "broadcast path, because the exact-join confirm absorbs every Bloom "
+    "false positive — run here with a deliberately tiny bitmap "
+    "(num_bits=2^12, heavily saturated at this SF) so the FP-absorption "
+    "claim is what the gate actually exercises. The scale story: the "
+    "bitmap is built distributively (bit_or per 64-bit word, O(num_bits) "
+    "driver memory regardless of eval-set size) for eval suites too big "
+    "to broadcast exactly; corpus shingles that miss the bitmap never "
+    "leave their scan task.",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.dedup import (
+        contamination_overlap_bloom,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap_bloom(
+        corpus, bench, shingle_n=3, min_overlap=3, num_bits=1 << 12
     ).orderBy("doc_id")
 
 

@@ -407,3 +407,55 @@ def test_reciprocal_rank_fusion_null_ids_are_loud(spark):
     bad = spark.createDataFrame([(None, 1), (2, 2)], "doc_id long, rank int")
     with pytest.raises(Exception, match="non-NULL ids"):
         reciprocal_rank_fusion({"a": bad}).collect()
+
+
+def test_contamination_bloom_equals_exact_even_with_forced_fps(spark):
+    """Round-10: the Bloom-prefiltered decontamination path must be
+    bit-identical to the exact broadcast path — the exact-join confirm
+    absorbs every false positive, pinned here with num_bits=64 (a
+    saturated bitmap, so nearly EVERY corpus shingle survives the
+    prefilter) and at a realistic size. Empty benchmarks yield empty
+    results, and degenerate num_bits is a named error."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.dedup import (
+        contamination_overlap,
+        contamination_overlap_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different text with no shared phrases at all"),
+            (3, "the quick brown fox jumps over something else entirely"),
+            (97, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 97")
+    corpus = docs.filter("doc_id <> 97")
+
+    want = {
+        (r.doc_id, r.n_overlap)
+        for r in contamination_overlap(
+            corpus, bench, shingle_n=3, min_overlap=2
+        ).collect()
+    }
+    assert want  # doc 1 (and maybe 3) overlap the benchmark
+    for m in (64, 1 << 20):
+        got = {
+            (r.doc_id, r.n_overlap)
+            for r in contamination_overlap_bloom(
+                corpus, bench, shingle_n=3, min_overlap=2, num_bits=m
+            ).collect()
+        }
+        assert got == want, f"num_bits={m}"
+
+    assert (
+        contamination_overlap_bloom(
+            corpus, bench.filter("doc_id < 0"), min_overlap=1
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="num_bits"):
+        contamination_overlap_bloom(corpus, bench, num_bits=32)
