@@ -347,6 +347,25 @@ class Engine:
 
         return ngram_jaccard_pairs(df, **kwargs)
 
+    # -- embedding storage ------------------------------------------------
+    @staticmethod
+    def quantize_embeddings(df: DataFrame, **kwargs) -> DataFrame:
+        """Affine int8 codes per vector (~4x smaller embedding storage;
+        reconstruction error <= scale/2 per element)."""
+        from cassandra_analytics_spark.operators.quantize import (
+            quantize_embeddings,
+        )
+
+        return quantize_embeddings(df, **kwargs)
+
+    @staticmethod
+    def dequantize_embeddings(df: DataFrame, **kwargs) -> DataFrame:
+        from cassandra_analytics_spark.operators.quantize import (
+            dequantize_embeddings,
+        )
+
+        return dequantize_embeddings(df, **kwargs)
+
     # -- similarity search ------------------------------------------------
     @staticmethod
     def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,

@@ -802,6 +802,70 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_stats",
+    oracle=r"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_aggregate(v, 'min') AS vmin,
+               list_aggregate(v, 'max') AS vmax
+        FROM e
+    ),
+    p AS (
+        SELECT vec_id, v, vmin,
+               CASE WHEN (vmax - vmin) / 255.0 = 0 THEN 1.0
+                    ELSE (vmax - vmin) / 255.0 END AS scale
+        FROM s
+    ),
+    c AS (
+        SELECT vec_id, vmin, scale,
+               list_transform(
+                   v, x -> CAST(round((x - vmin) / scale) - 128 AS BIGINT)
+               ) AS codes
+        FROM p
+    )
+    SELECT vec_id,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(codes, 'min') AS INT) AS q_min,
+           CAST(list_aggregate(codes, 'max') AS INT) AS q_max,
+           vmin AS emb_min,
+           scale AS emb_scale
+    FROM c
+    ORDER BY vec_id
+    """,
+    doc="Affine int8 embedding quantization (operators/quantize.py): "
+    "per-vector code sum/min/max plus the (min, scale) metadata, "
+    "oracle-exact elementwise against DuckDB recomputing the same "
+    "round((x-min)/scale)-128 codes — scalar aggregates over the codes "
+    "pin every element without hashing raw arrays. The 100 TB story: "
+    "int8 codes are a pure codegen transform riding the scan (no "
+    "shuffle, no UDF) and cut embedding scan/shuffle bytes ~4x for "
+    "candidate-generation passes; reconstruction error <= scale/2 per "
+    "element is pinned by test.",
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.quantize import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda c: c.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_sum"),
+        F.array_min("qvec").cast("int").alias("q_min"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+        F.col("embedding_min").alias("emb_min"),
+        F.col("embedding_scale").alias("emb_scale"),
+    ).orderBy("vec_id")
+
+
+@query(
     "text_repetition_stats",
     oracle=r"""
     WITH norm AS (

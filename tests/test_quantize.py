@@ -1,0 +1,91 @@
+"""Int8 embedding quantization (operators/quantize.py): error bound,
+constant vectors, NULL handling, non-finite refusal, storage typing."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.operators.quantize import (
+    dequantize_embeddings,
+    quantize_embeddings,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_roundtrip_error_bounded_and_types(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(50)
+    ]
+    df = _emb(spark, rows)
+    q = quantize_embeddings(df)
+    assert q.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+
+    rec = dequantize_embeddings(q, out_col="rec")
+    joined = rec.join(df, "vec_id").select(
+        "vec_id",
+        "embedding_scale",
+        F.aggregate(
+            F.zip_with(
+                "embedding", "rec", lambda x, y: F.abs(x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ).alias("max_err"),
+    )
+    # per-element reconstruction error <= scale/2 (+ double-rounding eps)
+    bad = joined.filter(
+        F.col("max_err") > F.col("embedding_scale") / 2 + 1e-12
+    ).count()
+    assert bad == 0
+    # codes use the full [-128, 127] range: min element -> -128, max -> 127
+    spans = quantize_embeddings(df).select(
+        F.array_min("qvec").alias("lo"), F.array_max("qvec").alias("hi")
+    ).collect()
+    assert all(r.lo == -128 and r.hi == 127 for r in spans)
+
+
+def test_constant_null_and_nonfinite_vectors(spark):
+    # constant vector: scale pins to 1, codes all -128, exact roundtrip
+    df = _emb(spark, [(1, [2.5] * 4)])
+    q = quantize_embeddings(df)
+    row = q.collect()[0]
+    assert list(row.qvec) == [-128] * 4 and row.embedding_scale == 1.0
+    rec = dequantize_embeddings(q, out_col="rec").collect()[0]
+    assert list(rec.rec) == [2.5] * 4
+
+    # NULL vector passes through as NULL codes/meta
+    rows = quantize_embeddings(_emb(spark, [(1, None)])).collect()
+    assert rows[0].qvec is None
+
+    # NaN / Inf / NULL elements are refused loudly
+    for v in ([1.0, float("nan")], [1.0, float("inf")], [1.0, None]):
+        with pytest.raises(Exception, match="poisons the scale"):
+            quantize_embeddings(_emb(spark, [(1, v)])).collect()
+
+
+def test_quantized_candidates_float_input(spark):
+    """FLOAT-typed storage (the fixture's type) quantizes identically to
+    its double cast — elements are promoted before any arithmetic."""
+    rows = [(i, [i * 0.5, 1.0 - i * 0.25, 3.0]) for i in range(8)]
+    as_double = _emb(spark, rows)
+    as_float = as_double.select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    a = {
+        (r.vec_id, tuple(r.qvec))
+        for r in quantize_embeddings(as_double).collect()
+    }
+    b = {
+        (r.vec_id, tuple(r.qvec))
+        for r in quantize_embeddings(as_float).collect()
+    }
+    assert a == b
