@@ -366,6 +366,15 @@ class Engine:
 
         return dequantize_embeddings(df, **kwargs)
 
+    @staticmethod
+    def quantized_topk(qdf: DataFrame, query_vec: list[float], k: int = 10,
+                       **kwargs) -> DataFrame:
+        """Two-phase cosine top-k over int8 codes (phase-1 scan reads
+        ~1/8 the bytes) with optional exact float rescore."""
+        from cassandra_analytics_spark.operators.quantize import quantized_topk
+
+        return quantized_topk(qdf, query_vec, k, **kwargs)
+
     # -- similarity search ------------------------------------------------
     @staticmethod
     def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,

@@ -40,6 +40,13 @@ def salted_aggregate(
         raise ValueError(
             f"salted_aggregate: salt_buckets must be >= 1, got {salt_buckets}"
         )
+    if "__salt" in df.columns:
+        # withColumn would silently OVERWRITE the caller's column and the
+        # result would drop it — silent data loss (round-10 probe)
+        raise ValueError(
+            "salted_aggregate: input already has a '__salt' column — the "
+            "operator reserves that name; rename it first"
+        )
 
     def _phase1(fn: str, c: str):
         if fn != "count":
@@ -94,6 +101,12 @@ def salted_join(
         raise ValueError(
             f"salted_join: salt_buckets must be >= 1, got {salt_buckets}"
         )
+    for side, frame in (("skewed", skewed), ("small", small)):
+        if "__salt" in frame.columns:
+            raise ValueError(
+                f"salted_join: the {side} side already has a '__salt' "
+                "column — the operator reserves that name; rename it first"
+            )
     keys = list(on)
     left = skewed.withColumn(
         "__salt",

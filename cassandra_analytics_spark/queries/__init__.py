@@ -52,19 +52,20 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # spec-validated read math, qid uniqueness) and the semantic stream
 # (process_semantic_batch extraction + store-agnostic pair collection);
 # (3) 47 of the 49 names whose newest driver evidence is r7 (the exact
-# set computed by CORRECTNESS set difference). 3 new + 2 touched + 45
-# stale fill the 50-row window; the four names past the window
-# (window_running_revenue, window_topk_orders_per_customer,
-# token_range_histogram, agg_hll_sketch_union — the latter two
-# rows-only BY DESIGN, so a driver row re-checks least for them, and
-# each has an oracle-exact companion in-window) go first in r11. After
-# this round at most two oracle-gated queries' newest driver rows are
-# older than r8.
+# set computed by CORRECTNESS set difference). 4 new + 2 touched + 44
+# stale fill the 50-row window; the five names past the window
+# (window_moving_avg, window_running_revenue,
+# window_topk_orders_per_customer, token_range_histogram,
+# agg_hll_sketch_union — the latter two rows-only BY DESIGN, so a
+# driver row re-checks least for them, and each has an oracle-exact
+# companion in-window) go first in r11. After this round at most three
+# oracle-gated queries' newest driver rows are older than r8.
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
     "ann_ivf_knn_join_string_ids",   # string ids both sides, oracle-exact
     "decontaminate_bloom",           # Bloom prefilter + exact confirm
     "embedding_quantize_stats",      # int8 affine quantization, elementwise
+    "quantized_topk_rescored",       # code-scan phase 1 + exact rescore
     # --- (1) implementation touched this round ---
     "ann_ivf_knn_join_exact",        # derived schemas + read-math validation
     "streaming_semantic_dedup",      # foreachBatch body extracted + FS glob

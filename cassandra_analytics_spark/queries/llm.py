@@ -1185,6 +1185,40 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantized_topk_rescored",
+    oracle=_COSINE_ORACLE,
+    doc="Two-phase quantized similarity search "
+    "(quantize.quantized_topk): phase 1 ranks by cosine reconstructed "
+    "FROM int8 codes (closed-form norm from three integer reductions — "
+    "the scan reads ~1/8 the bytes), phase 2 rescores the top "
+    "k*8 survivors with exact float cosine. Shares the brute-force "
+    "oracle: at these SFs the rescore window absorbs every phase-1 "
+    "rank swap, so the result is hash-identical to the exact top-k — "
+    "the empirical-exactness claim the operator documents, gated here.",
+)
+def quantized_topk_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = quantize_embeddings(
+        e.filter(F.col("vec_id") != 0), keep_vec=True
+    )
+    # rescore with the portable decimal cosine so survivor scores match
+    # the oracle bit-for-bit (same contract as cosine_topk_embeddings)
+    return quantized_topk(
+        corpus, qvec, k=10, vec_col="embedding", rescore_factor=8,
+        dot_fn=_pdot, norm_fn=_psq_norm,
+    )
+
+
+@query(
     "embedding_label_norms",
     oracle=f"""
     WITH sq AS (

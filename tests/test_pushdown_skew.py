@@ -154,3 +154,21 @@ def test_salting_validates_bucket_count(spark):
         salted_aggregate(df, ["k"], {"s": ("sum", "v")}, salt_buckets=0)
     with pytest.raises(ValueError, match="salt_buckets must be >= 1"):
         salted_join(df, small, ["k"], salt_buckets=-3)
+
+
+def test_salt_column_collision_refused(spark):
+    """Round-10 probe: a caller's own '__salt' column was silently
+    overwritten and dropped by both salted operators — silent data
+    loss; refused loudly now."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2, 3)], "k long, v long, __salt long"
+    )
+    with pytest.raises(ValueError, match="reserves that name"):
+        salted_aggregate(df, ["k"], {"s": ("sum", "v")})
+    clean = df.drop("__salt")
+    with pytest.raises(ValueError, match="reserves that name"):
+        salted_join(df, clean, ["k"])
+    with pytest.raises(ValueError, match="reserves that name"):
+        salted_join(clean, df, ["k"])

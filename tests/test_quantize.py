@@ -89,3 +89,61 @@ def test_quantized_candidates_float_input(spark):
         for r in quantize_embeddings(as_float).collect()
     }
     assert a == b
+
+
+def test_quantized_topk_matches_brute_force_with_rescore(spark):
+    """Two-phase quantized top-k: with the float column carried, the
+    rescored top-k equals brute_force_topk exactly on a random corpus
+    (the rescore window absorbs phase-1 rank swaps); without it, the
+    approximate scores still agree on membership within quantization
+    noise. Validation errors are named."""
+    from cassandra_analytics_spark.operators.quantize import quantized_topk
+    from cassandra_analytics_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = _emb(spark, rows)
+    qvec = rows[0][1]
+    corpus = df.filter("vec_id <> 0")
+    q = quantize_embeddings(corpus, keep_vec=True)
+
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(corpus, qvec, k=10).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in quantized_topk(
+            q, qvec, k=10, vec_col="embedding", rescore_factor=8
+        ).collect()
+    ]
+    assert got == want
+
+    # approx-only mode: top-10 membership overlaps heavily with exact
+    approx = {
+        r.vec_id for r in quantized_topk(q, qvec, k=10).collect()
+    }
+    assert len(approx & {v for v, _ in want}) >= 8
+
+    # a NULL-code row (from a NULL vector) never ranks
+    with_null = q.unionByName(
+        spark.createDataFrame(
+            [(999, None, None, None, None)],
+            "vec_id long, embedding array<double>, qvec array<tinyint>, "
+            "embedding_min double, embedding_scale double",
+        )
+    )
+    assert not [
+        r.vec_id
+        for r in quantized_topk(
+            with_null, qvec, k=300, vec_col="embedding", rescore_factor=1
+        ).collect()
+        if r.vec_id == 999
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        quantized_topk(q, qvec, k=0)
+    with pytest.raises(ValueError, match="rescore_factor"):
+        quantized_topk(q, qvec, k=3, rescore_factor=0)
