@@ -154,8 +154,13 @@ def quantized_topk(
     norm_sq = s * s * sum_uu + F.lit(2.0) * s * m * sum_u + d * m * m
     approx = F.try_divide(dot_approx, F.sqrt(norm_sq) * F.lit(qnorm))
 
-    scored = qdf.withColumn("__approx", approx).filter(
-        F.col("__approx").isNotNull()
+    # phase 1 projects ONLY (id, approx): carrying the float column
+    # through the TakeOrderedAndProject would make the scan read floats
+    # for EVERY row, silently defeating the 1-byte/dim claim (round-10
+    # plan audit — .explain showed embedding carried through phase 1)
+    scored = (
+        qdf.select(F.col(id_col), approx.alias("__approx"))
+        .filter(F.col("__approx").isNotNull())
     )
     if vec_col is None:
         return (
@@ -163,9 +168,28 @@ def quantized_topk(
             .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
             .limit(k)
         )
-    survivors = scored.orderBy(
-        F.col("__approx").desc(), F.col(id_col)
-    ).limit(k * rescore_factor)
+    # bounded collect (k * rescore_factor ids — the centroid-table
+    # convention): the survivor list comes back as an isin() predicate,
+    # so the float-column rescan is PRUNED at the source (PushedFilters)
+    # instead of a second full scan
+    survivor_ids = [
+        r[id_col]
+        for r in scored.orderBy(F.col("__approx").desc(), F.col(id_col))
+        .limit(k * rescore_factor)
+        .collect()
+    ]
+    if not survivor_ids:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        return qdf.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, qdf.schema[id_col].dataType),
+                    StructField("cosine_sim", DoubleType()),
+                ]
+            ),
+        )
     if dot_fn is not None or norm_fn is not None:
         from cassandra_analytics_spark.operators.similarity import (
             dot as _dot,
@@ -180,7 +204,8 @@ def quantized_topk(
     else:
         exact = cosine(F.col(vec_col), qlit)
     return (
-        survivors.select(F.col(id_col), exact.alias("cosine_sim"))
+        qdf.filter(F.col(id_col).isin(survivor_ids))
+        .select(F.col(id_col), exact.alias("cosine_sim"))
         .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
