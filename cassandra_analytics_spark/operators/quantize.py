@@ -136,11 +136,33 @@ def quantized_topk(
             f"rescore_factor must be >= 1, got {rescore_factor}"
         )
     qv = [float(x) for x in query_vec]
+    if not qv or not all(math.isfinite(x) for x in qv):
+        # a NaN/Inf query scores every row to NULL → silent empty result
+        raise ValueError(
+            "quantized_topk: query vector must be non-empty and finite"
+        )
     qnorm = math.sqrt(sum(x * x for x in qv))
     qsum = sum(qv)
     qlit = lit_vector(qv)
 
-    u = F.transform(F.col(code_col), lambda c: c.cast("double") + F.lit(128.0))
+    # zip_with NULL-pads the shorter side, so a dimension mismatch would
+    # silently score to NULL and return an EMPTY result — raise with the
+    # offending length instead (the query_ivf_index convention)
+    dim_ok = F.size(F.col(code_col)) == F.lit(len(qv))
+    guarded_codes = F.when(
+        F.col(code_col).isNull() | dim_ok, F.col(code_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"quantized_topk: query vector is {len(qv)}-d but "
+                    "found a code vector of length "
+                ),
+                F.size(F.col(code_col)).cast("string"),
+            )
+        ).cast(qdf.schema[code_col].dataType)
+    )
+    u = F.transform(guarded_codes, lambda c: c.cast("double") + F.lit(128.0))
     dot_uq = F.aggregate(
         F.zip_with(u, qlit, lambda a, b: a * b),
         F.lit(0.0),

@@ -147,3 +147,21 @@ def test_quantized_topk_matches_brute_force_with_rescore(spark):
         quantized_topk(q, qvec, k=0)
     with pytest.raises(ValueError, match="rescore_factor"):
         quantized_topk(q, qvec, k=3, rescore_factor=0)
+
+
+def test_quantized_topk_dim_and_query_validation(spark):
+    """Round-10 probe: a query/code dimension mismatch used to NULL
+    every score (zip_with NULL-pads) and return an EMPTY result with no
+    hint; non-finite query vectors did the same via a NaN norm. Both are
+    named errors now."""
+    from cassandra_analytics_spark.operators.quantize import quantized_topk
+
+    df = _emb(spark, [(1, [1.0, 2.0, 3.0]), (2, [0.5, 0.5, 0.5])])
+    q = quantize_embeddings(df)
+    with pytest.raises(Exception, match="query vector is 2-d"):
+        quantized_topk(q, [1.0, 2.0], k=1).collect()
+    for bad in ([], [1.0, float("nan")], [1.0, float("inf"), 0.0]):
+        with pytest.raises(ValueError, match="non-empty and finite"):
+            quantized_topk(q, bad, k=1)
+    # matching dims still work
+    assert quantized_topk(q, [1.0, 0.0, 0.0], k=2).count() == 2
