@@ -21,19 +21,35 @@ from cassandra_analytics_spark.operators.merge import REPLICA_ID, compaction_mer
 
 
 def block_for(consistency: str, rf: int) -> int:
-    """Replicas a read must block for (ConsistencyLevel.java:26-123)."""
+    """Replicas a read must block for (ConsistencyLevel.java:26-123).
+
+    rf < 1 is refused here (it used to surface as an ANSI pmod-by-zero
+    deep inside the selection job), and a consistency level whose
+    blockFor exceeds rf is an impossible config — Cassandra throws
+    UnavailableException for it at read time; silently selecting every
+    replica would quietly weaken the caller's requested guarantee
+    (round-10 probe)."""
+    if int(rf) < 1:
+        raise ValueError(f"block_for: rf must be >= 1, got {rf}")
     cl = consistency.upper()
     if cl in ("ONE", "LOCAL_ONE"):
-        return 1
-    if cl == "TWO":
-        return 2
-    if cl == "THREE":
-        return 3
-    if cl in ("QUORUM", "LOCAL_QUORUM", "EACH_QUORUM"):
-        return rf // 2 + 1
-    if cl == "ALL":
-        return rf
-    raise ValueError(f"unsupported consistency level: {consistency}")
+        n = 1
+    elif cl == "TWO":
+        n = 2
+    elif cl == "THREE":
+        n = 3
+    elif cl in ("QUORUM", "LOCAL_QUORUM", "EACH_QUORUM"):
+        n = rf // 2 + 1
+    elif cl == "ALL":
+        n = rf
+    else:
+        raise ValueError(f"unsupported consistency level: {consistency}")
+    if n > rf:
+        raise ValueError(
+            f"consistency {consistency} needs {n} replicas but rf={rf} — "
+            "an impossible configuration (Cassandra: UnavailableException)"
+        )
+    return n
 
 
 def select_replicas(

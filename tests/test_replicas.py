@@ -159,3 +159,21 @@ def test_missing_repaired_col_raises(spark):
         read_with_consistency(
             df, ["pk"], ["ck"], "ALL", rf=3, repaired_col="repared"  # typo
         )
+
+
+def test_block_for_validates_impossible_configs():
+    """Round-10 probe: rf < 1 used to surface as an ANSI pmod-by-zero
+    deep in the job; blockFor > rf silently selected every replica,
+    quietly weakening the requested guarantee."""
+    import pytest
+
+    from cassandra_analytics_spark.operators.replicas import block_for
+
+    with pytest.raises(ValueError, match="rf must be >= 1"):
+        block_for("ONE", 0)
+    with pytest.raises(ValueError, match="impossible configuration"):
+        block_for("TWO", 1)
+    with pytest.raises(ValueError, match="impossible configuration"):
+        block_for("THREE", 2)
+    assert block_for("QUORUM", 3) == 2
+    assert block_for("ALL", 1) == 1
