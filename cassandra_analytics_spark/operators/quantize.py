@@ -5,9 +5,12 @@ column is 4 bytes/dim; affine per-vector int8 quantization stores 1
 byte/dim plus two doubles of metadata — a ~4x scan/shuffle reduction
 for every downstream pass that tolerates quantization noise (ANN
 candidate generation, near-dup prefilters), with the float column kept
-only for final re-scoring. The standard per-vector affine scheme
-(``code = round((x - min) / scale) - 128``, ``scale = (max - min)/255``)
-is used by FAISS's SQ8 and most vector stores.
+only for final re-scoring. The scheme is FAISS-style affine scalar
+quantization (``code = round((x - min) / scale) - 128``,
+``scale = (max - min)/255``) — note FAISS's QT_8bit reconstructs at bin
+CENTERS (``(code + 0.5) * scale + min``) while this module decodes at
+bin edges (``(code + 128) * scale + min``); the scheme here is
+self-consistent and oracle-pinned, just offset half a bin from FAISS's.
 
 Everything is a pure codegen expression — no UDFs, no shuffles: the
 quantization is a per-row ``transform`` over the array, so it rides any
@@ -71,14 +74,108 @@ def quantize_embeddings(
     cols = [F.col(id_col)]
     if keep_vec:
         cols.append(F.col(vec_col))
+    # the guard wraps EVERY output column, not just the codes: Catalyst
+    # column pruning drops unused projections, so a consumer selecting
+    # only (id, min, scale) would otherwise skip the refusal entirely and
+    # carry NaN-poisoned metadata (round-10 ADVICE)
     cols.extend(
         [
             F.when(guard, codes).alias(code_col),
-            vmin.alias(f"{vec_col}_min"),
-            scale.alias(f"{vec_col}_scale"),
+            F.when(guard, vmin).alias(f"{vec_col}_min"),
+            F.when(guard, scale).alias(f"{vec_col}_scale"),
         ]
     )
     return df.select(*cols)
+
+
+def approx_cosine_from_codes(
+    query_vec: list[float],
+    code_col: str = "qvec",
+    min_col: str = "embedding_min",
+    scale_col: str = "embedding_scale",
+    code_type: str = "array<tinyint>",
+):
+    """Cosine of the RECONSTRUCTED vector against a literal query,
+    computed entirely from the int8 codes + (min, scale) metadata — the
+    phase-1 scoring expression shared by :func:`quantized_topk` and the
+    quantized IVF probe path (``ann_index.query_ivf_index_quantized``).
+
+    With ``u = code + 128`` and ``x̂ = u·s + m``: ``x̂·q = s·Σ(uᵢqᵢ) +
+    m·Σq`` and ``‖x̂‖² = s²·Σu² + 2sm·Σu + d·m²`` — three integer
+    reductions over the codes, no float-column read. A code vector whose
+    length differs from the query raises loudly (zip_with would NULL-pad
+    and silently score to NULL). NULL code vectors score NULL.
+    """
+    from cassandra_analytics_spark.operators.similarity import lit_vector
+
+    qv = [float(x) for x in query_vec]
+    if not qv or not all(math.isfinite(x) for x in qv):
+        raise ValueError(
+            "approx_cosine_from_codes: query vector must be non-empty "
+            "and finite"
+        )
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    qsum = sum(qv)
+    qlit = lit_vector(qv)
+    dim_ok = F.size(F.col(code_col)) == F.lit(len(qv))
+    guarded_codes = F.when(
+        F.col(code_col).isNull() | dim_ok, F.col(code_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"approx_cosine_from_codes: query vector is {len(qv)}-d "
+                    "but found a code vector of length "
+                ),
+                F.size(F.col(code_col)).cast("string"),
+            )
+        ).cast(code_type)
+    )
+    u = F.transform(guarded_codes, lambda c: c.cast("double") + F.lit(128.0))
+    dot_uq = F.aggregate(
+        F.zip_with(u, qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sum_u = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x)
+    sum_uu = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x)
+    d = F.size(F.col(code_col)).cast("double")
+    s, m = F.col(scale_col), F.col(min_col)
+    dot_approx = s * dot_uq + m * F.lit(qsum)
+    norm_sq = s * s * sum_uu + F.lit(2.0) * s * m * sum_u + d * m * m
+    return F.try_divide(dot_approx, F.sqrt(norm_sq) * F.lit(qnorm))
+
+
+def approx_cosine_codes_vs_query_col(
+    qvec_col,
+    qsum_col,
+    qnorm_col,
+    code_col: str = "qvec",
+    min_col: str = "embedding_min",
+    scale_col: str = "embedding_scale",
+):
+    """:func:`approx_cosine_from_codes` with the query as COLUMNS instead
+    of a literal — the kNN-JOIN shape, where each candidate row carries
+    its routed query vector (``qvec_col`` array<double>), its precomputed
+    element sum (``qsum_col``) and norm (``qnorm_col``) from the
+    broadcast routing table. Dimension validation happens driver-side in
+    the join planner (the query set is collected there anyway), so this
+    expression carries no per-row guard."""
+    u = F.transform(
+        F.col(code_col), lambda c: c.cast("double") + F.lit(128.0)
+    )
+    dot_uq = F.aggregate(
+        F.zip_with(u, qvec_col, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sum_u = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x)
+    sum_uu = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x)
+    d = F.size(F.col(code_col)).cast("double")
+    s, m = F.col(scale_col), F.col(min_col)
+    dot_approx = s * dot_uq + m * qsum_col
+    norm_sq = s * s * sum_uu + F.lit(2.0) * s * m * sum_u + d * m * m
+    return F.try_divide(dot_approx, F.sqrt(norm_sq) * qnorm_col)
 
 
 def quantized_topk(
@@ -93,6 +190,7 @@ def quantized_topk(
     rescore_factor: int = 8,
     dot_fn=None,
     norm_fn=None,
+    rescore_mode: str = "pushdown",
 ) -> DataFrame:
     """Two-phase cosine top-k over a QUANTIZED corpus: phase 1 ranks by
     the reconstructed-vector cosine computed FROM THE CODES (the scan
@@ -123,6 +221,20 @@ def quantized_topk(
     custom math for the RESCORE phase only (e.g. the portable decimal
     cosine for oracle-exact runs — the repo's standard read-math hook);
     phase 1 always uses the closed-form code arithmetic above.
+
+    ``rescore_mode`` picks how survivors reach phase 2:
+
+    - ``"pushdown"`` (default): the k·rescore_factor survivor ids are
+      COLLECTED (bounded — the centroid-table convention) and come back
+      as an ``isin()`` predicate, so the float-column rescan is pruned
+      at the source (``PushedFilters``). Right while k·factor is a
+      driver-friendly list.
+    - ``"join"``: survivors stay DISTRIBUTED — phase 2 is a broadcast
+      semi-join of the survivor-id frame against the float column, no
+      driver hop at all. Right when k·rescore_factor is large enough
+      that a literal id list is unreasonable; the trade is a join
+      instead of a source-pruned scan. Same result either way
+      (plan-asserted + oracle-shared by test).
     """
     from cassandra_analytics_spark.operators.similarity import (
         cosine,
@@ -135,46 +247,24 @@ def quantized_topk(
         raise ValueError(
             f"rescore_factor must be >= 1, got {rescore_factor}"
         )
+    if rescore_mode not in ("pushdown", "join"):
+        raise ValueError(
+            f"rescore_mode must be 'pushdown' or 'join', got {rescore_mode!r}"
+        )
     qv = [float(x) for x in query_vec]
     if not qv or not all(math.isfinite(x) for x in qv):
         # a NaN/Inf query scores every row to NULL → silent empty result
         raise ValueError(
             "quantized_topk: query vector must be non-empty and finite"
         )
-    qnorm = math.sqrt(sum(x * x for x in qv))
-    qsum = sum(qv)
     qlit = lit_vector(qv)
-
-    # zip_with NULL-pads the shorter side, so a dimension mismatch would
-    # silently score to NULL and return an EMPTY result — raise with the
-    # offending length instead (the query_ivf_index convention)
-    dim_ok = F.size(F.col(code_col)) == F.lit(len(qv))
-    guarded_codes = F.when(
-        F.col(code_col).isNull() | dim_ok, F.col(code_col)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"quantized_topk: query vector is {len(qv)}-d but "
-                    "found a code vector of length "
-                ),
-                F.size(F.col(code_col)).cast("string"),
-            )
-        ).cast(qdf.schema[code_col].dataType)
+    # a dimension mismatch raises loudly inside the expression (zip_with
+    # would NULL-pad and silently return an EMPTY result); raise_error's
+    # cast tracks the actual code-column type
+    approx = approx_cosine_from_codes(
+        qv, code_col, min_col, scale_col,
+        code_type=qdf.schema[code_col].dataType.simpleString(),
     )
-    u = F.transform(guarded_codes, lambda c: c.cast("double") + F.lit(128.0))
-    dot_uq = F.aggregate(
-        F.zip_with(u, qlit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sum_u = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x)
-    sum_uu = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x)
-    d = F.size(F.col(code_col)).cast("double")
-    s, m = F.col(scale_col), F.col(min_col)
-    dot_approx = s * dot_uq + m * F.lit(qsum)
-    norm_sq = s * s * sum_uu + F.lit(2.0) * s * m * sum_u + d * m * m
-    approx = F.try_divide(dot_approx, F.sqrt(norm_sq) * F.lit(qnorm))
 
     # phase 1 projects ONLY (id, approx): carrying the float column
     # through the TakeOrderedAndProject would make the scan read floats
@@ -190,28 +280,6 @@ def quantized_topk(
             .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
             .limit(k)
         )
-    # bounded collect (k * rescore_factor ids — the centroid-table
-    # convention): the survivor list comes back as an isin() predicate,
-    # so the float-column rescan is PRUNED at the source (PushedFilters)
-    # instead of a second full scan
-    survivor_ids = [
-        r[id_col]
-        for r in scored.orderBy(F.col("__approx").desc(), F.col(id_col))
-        .limit(k * rescore_factor)
-        .collect()
-    ]
-    if not survivor_ids:
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        return qdf.sparkSession.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField(id_col, qdf.schema[id_col].dataType),
-                    StructField("cosine_sim", DoubleType()),
-                ]
-            ),
-        )
     if dot_fn is not None or norm_fn is not None:
         from cassandra_analytics_spark.operators.similarity import (
             dot as _dot,
@@ -225,9 +293,33 @@ def quantized_topk(
         )
     else:
         exact = cosine(F.col(vec_col), qlit)
+
+    survivors = scored.orderBy(
+        F.col("__approx").desc(), F.col(id_col)
+    ).limit(k * rescore_factor)
+    if rescore_mode == "join":
+        # distributed rescore: the survivor ids never touch the driver —
+        # a broadcast inner join (k·factor rows) filters the float scan
+        rescan = qdf.join(
+            F.broadcast(survivors.select(id_col)), id_col
+        )
+    else:
+        survivor_ids = [r[id_col] for r in survivors.collect()]
+        if not survivor_ids:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            return qdf.sparkSession.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(id_col, qdf.schema[id_col].dataType),
+                        StructField("cosine_sim", DoubleType()),
+                    ]
+                ),
+            )
+        rescan = qdf.filter(F.col(id_col).isin(survivor_ids))
     return (
-        qdf.filter(F.col(id_col).isin(survivor_ids))
-        .select(F.col(id_col), exact.alias("cosine_sim"))
+        rescan.select(F.col(id_col), exact.alias("cosine_sim"))
         .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)

@@ -165,3 +165,55 @@ def test_quantized_topk_dim_and_query_validation(spark):
             quantized_topk(q, bad, k=1)
     # matching dims still work
     assert quantized_topk(q, [1.0, 0.0, 0.0], k=2).count() == 2
+
+
+def test_rescore_mode_join_matches_pushdown_no_collect(spark):
+    """VERDICT r10 item 7: the join-based rescore returns the SAME rows
+    as the pushdown rescore with no driver-side survivor collect — the
+    survivor frame reaches phase 2 as a broadcast join (plan-asserted)."""
+    from cassandra_analytics_spark.operators.quantize import quantized_topk
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(12)]) for i in range(200)]
+    df = _emb(spark, rows)
+    qvec = rows[0][1]
+    q = quantize_embeddings(df.filter("vec_id <> 0"), keep_vec=True)
+
+    push = quantized_topk(
+        q, qvec, k=10, vec_col="embedding", rescore_factor=8
+    )
+    join = quantized_topk(
+        q, qvec, k=10, vec_col="embedding", rescore_factor=8,
+        rescore_mode="join",
+    )
+    assert [
+        (r.vec_id, round(r.cosine_sim, 9)) for r in push.collect()
+    ] == [(r.vec_id, round(r.cosine_sim, 9)) for r in join.collect()]
+
+    plan = join._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    # empty corpus: both modes return empty with the same schema
+    empty = quantize_embeddings(
+        df.filter("vec_id < 0"), keep_vec=True
+    )
+    for mode in ("pushdown", "join"):
+        out = quantized_topk(
+            empty, qvec, k=5, vec_col="embedding", rescore_mode=mode
+        )
+        assert out.count() == 0
+        assert out.columns == ["vec_id", "cosine_sim"]
+
+    with pytest.raises(ValueError, match="rescore_mode"):
+        quantized_topk(q, qvec, k=1, rescore_mode="nope")
+
+
+def test_quantize_guard_survives_column_pruning(spark):
+    """Round-10 ADVICE: the NaN/Inf refusal must fire even when the
+    consumer selects ONLY the metadata columns — Catalyst prunes the code
+    column (and with it an unwrapped guard) out of the plan."""
+    df = _emb(spark, [(1, [1.0, float("nan")])])
+    q = quantize_embeddings(df)
+    for col in ("embedding_min", "embedding_scale"):
+        with pytest.raises(Exception, match="poisons the scale"):
+            q.select("vec_id", col).collect()
