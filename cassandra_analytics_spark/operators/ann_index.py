@@ -154,8 +154,35 @@ def append_to_ann_index(
 
 _IVF_SPEC_SCHEMA = (
     "format string, assignment string, sim_id string, dim int, "
-    "num_centroids int, seed long"
+    "num_centroids int, seed long, quantized boolean"
 )
+
+# fixed column names for the quantized layout (independent of vec_col so
+# probes don't have to rediscover them): int8 codes + affine metadata
+_QCODE, _QMIN, _QSCALE = "qvec", "qmin", "qscale"
+
+
+def _spec_quantized(spec: dict | None) -> bool:
+    """Whether a persisted spec declares a quantized layout. Specs written
+    before round 11 have no ``quantized`` column — they read as
+    unquantized (exactly what they are)."""
+    return bool(spec and spec.get("quantized"))
+
+
+def _with_layout_codes(tagged: DataFrame, vec_col: str) -> DataFrame:
+    """Attach the affine-int8 code columns (``qvec``/``qmin``/``qscale``)
+    to a cell-tagged frame — the storage side of the quantized IVF
+    layout. Codes ride the same write as the floats; a probe then reads
+    ~1 byte/dim from the pruned cells and touches the float column only
+    to rescore survivors."""
+    from cassandra_analytics_spark.operators.quantize import (
+        quantization_exprs,
+    )
+
+    codes, vmin, scale = quantization_exprs(vec_col)
+    return tagged.withColumns(
+        {_QCODE: codes, _QMIN: vmin, _QSCALE: scale}
+    )
 
 
 def _delete_path(spark: SparkSession, path_str: str) -> None:
@@ -223,8 +250,18 @@ def build_ivf_index(
     dot_fn=None,
     norm_fn=None,
     sim_id: str | None = None,
+    quantize: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the corpus partitioned by IVF cell (nearest centroid).
+
+    ``quantize=True`` stores affine-int8 codes (``qvec``/``qmin``/
+    ``qscale``, the :mod:`~cassandra_analytics_spark.operators.quantize`
+    scheme) NEXT TO the float column in every cell — the FAISS IVF+SQ8
+    composition: a probe is then partition-pruned AND reads ~1 byte/dim
+    for candidate ranking (:func:`query_ivf_index_quantized`), touching
+    floats only to rescore survivors. The flag is part of the persisted
+    spec; appends follow it automatically and refuse an explicit
+    mismatch.
 
     By default centroids come from :func:`similarity.sample_centroids`
     (min-wise hash sample — uniform over the whole corpus regardless of
@@ -258,6 +295,11 @@ def build_ivf_index(
     if assignment not in ("expr", "vectorized"):
         raise ValueError(
             f"assignment must be 'expr' or 'vectorized', got {assignment!r}"
+        )
+    if quantize and {id_col, vec_col} & {_QCODE, _QMIN, _QSCALE}:
+        raise ValueError(
+            f"quantize=True reserves the layout columns "
+            f"{(_QCODE, _QMIN, _QSCALE)} — rename id_col/vec_col"
         )
     custom = dot_fn is not None or norm_fn is not None
     if custom:
@@ -313,19 +355,28 @@ def build_ivf_index(
         # data column) + an empty centroid table so query_ivf_index
         # returns empty instead of erroring
         tagged = df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("cell"))
+        if quantize:
+            tagged = _with_layout_codes(tagged, vec_col)
         tagged.write.mode("overwrite").parquet(index_path)
-    elif assignment == "custom":
-        from cassandra_analytics_spark.operators.similarity import (
-            assign_nearest_cells,
-        )
-
-        tagged = assign_nearest_cells(
-            df, centroids, id_col, vec_col, dot_fn, norm_fn, cell_col="cell"
-        )
-        tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     else:
-        cell = _ivf_cell_for_mode(vec_col, centroids, assignment, None, None)
-        tagged = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        if assignment == "custom":
+            from cassandra_analytics_spark.operators.similarity import (
+                assign_nearest_cells,
+            )
+
+            tagged = assign_nearest_cells(
+                df, centroids, id_col, vec_col, dot_fn, norm_fn,
+                cell_col="cell",
+            )
+        else:
+            cell = _ivf_cell_for_mode(
+                vec_col, centroids, assignment, None, None
+            )
+            tagged = df.select(
+                F.col(id_col), F.col(vec_col), cell.alias("cell")
+            )
+        if quantize:
+            tagged = _with_layout_codes(tagged, vec_col)
         tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
@@ -333,7 +384,7 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_centroids")
     dim = len(centroids[0][1]) if centroids else None
     spark.createDataFrame(
-        [("ivf-v1", assignment, sim_id, dim, len(centroids), seed)],
+        [("ivf-v1", assignment, sim_id, dim, len(centroids), seed, quantize)],
         _IVF_SPEC_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
     return centroids
@@ -447,9 +498,17 @@ def append_to_ivf_index(
     dot_fn=None,
     norm_fn=None,
     sim_id: str | None = None,
+    quantize: bool | None = None,
 ) -> None:
     """Append new vectors to a persisted IVF layout, assigning them with
     the PINNED codebook and assignment mode from the index spec.
+
+    ``quantize`` defaults to FOLLOWING THE SPEC (a quantized layout gets
+    codes on every appended row automatically — an append that skipped
+    them would leave NULL-code rows that silently never rank in the
+    byte-reduced probe phase). Passing an explicit value that CONFLICTS
+    with the spec is refused — the quantization config is part of the
+    layout, exactly like the assignment mode.
 
     The incremental story for growing embedding corpora (the engine's
     stated ingest target) — the embedding twin of the text LSH index's
@@ -468,6 +527,18 @@ def append_to_ivf_index(
     split the same corpus across different cells depending on which call
     wrote it — exactly the corruption the spec exists to prevent.
     """
+    if quantize is not None:
+        layout_q = _spec_quantized(
+            read_ivf_spec(df.sparkSession, index_path)
+        )
+        if quantize != layout_q:
+            raise ValueError(
+                f"quantization mismatch: index at {index_path!r} was built "
+                f"with quantize={layout_q}, append presented "
+                f"quantize={quantize} — the code columns are part of the "
+                "layout; omit the argument to follow the spec, or rebuild "
+                "with build_ivf_index(quantize=...) to switch"
+            )
     tagged = assign_with_index_spec(
         df, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
     )
@@ -530,11 +601,17 @@ def assign_with_index_spec(
             assign_nearest_cells,
         )
 
-        return assign_nearest_cells(
+        tagged = assign_nearest_cells(
             df, centroids, id_col, vec_col, dot_fn, norm_fn, cell_col="cell"
         )
-    cell = _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
-    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    else:
+        cell = _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
+        tagged = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    if _spec_quantized(spec):
+        # a quantized layout's appends carry codes automatically — the
+        # spec IS the quantization config
+        tagged = _with_layout_codes(tagged, vec_col)
+    return tagged
 
 
 def query_ivf_index(
@@ -623,6 +700,142 @@ def query_ivf_index(
         score = cosine(F.col(vec_col), q)
     return (
         candidates.select(F.col(id_col), score.alias("cosine_sim"))
+        .filter(F.col("cosine_sim").isNotNull())
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def query_ivf_index_quantized(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_probes: int = 4,
+    rescore_factor: int = 8,
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+    rescore_mode: str = "pushdown",
+) -> DataFrame:
+    """Two-phase top-k over a QUANTIZED IVF layout — the composition of
+    both scale levers: the ``cell`` filter partition-prunes to the
+    ``num_probes`` nearest cells, and phase 1 ranks candidates from the
+    int8 codes (``quantize.approx_cosine_from_codes`` — the scan reads
+    ~1 byte/dim + two doubles instead of 8 bytes/dim). The top
+    ``k * rescore_factor`` survivors are rescored with exact float
+    cosine from the ``vec_col`` column and the top k returned — the
+    FAISS IVF-SQ8 probe shape, re-expressed as two pruned parquet scans.
+
+    APPROXIMATION CONTRACT is :func:`~cassandra_analytics_spark.
+    operators.quantize.quantized_topk`'s: phase-1 ranks differ from
+    exact only where cosine gaps are below quantization noise, and the
+    rescore window absorbs swaps within ``k * rescore_factor`` —
+    empirical, pinned oracle-exact at the gate SFs by the driver query.
+    Probe recall is :func:`query_ivf_index`'s envelope (probe-all is
+    exact). ``dot_fn``/``norm_fn``/``sim_id`` follow the mixed-math READ
+    contract (:func:`_validate_read_math`) and apply to the RESCORE
+    phase only. ``rescore_mode`` is ``quantized_topk``'s: ``"pushdown"``
+    collects the bounded survivor ids into a source-pruned ``isin``;
+    ``"join"`` keeps them distributed via a broadcast join.
+
+    Refuses a layout whose spec is missing or unquantized — silently
+    scoring NULL codes would return an empty result with no hint.
+    """
+    from cassandra_analytics_spark.operators.quantize import (
+        approx_cosine_from_codes,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if num_probes < 1:
+        raise ValueError(f"num_probes must be >= 1, got {num_probes}")
+    if rescore_factor < 1:
+        raise ValueError(
+            f"rescore_factor must be >= 1, got {rescore_factor}"
+        )
+    if rescore_mode not in ("pushdown", "join"):
+        raise ValueError(
+            f"rescore_mode must be 'pushdown' or 'join', got {rescore_mode!r}"
+        )
+    spec = read_ivf_spec(spark, index_path)
+    if not _spec_quantized(spec):
+        raise ValueError(
+            f"index at {index_path!r} is not a quantized layout (spec has "
+            "quantized=false or predates quantization) — rebuild with "
+            "build_ivf_index(quantize=True), or use query_ivf_index"
+        )
+    _validate_read_math(spec, dot_fn, norm_fn, sim_id, index_path)
+    centroids = [
+        (r.cid, list(r.centroid))
+        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+    ]
+    index = spark.read.parquet(index_path)
+    if not centroids:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, index.schema[id_col].dataType),
+                    StructField("cosine_sim", DoubleType()),
+                ]
+            ),
+        )
+    if len(query_vec) != len(centroids[0][1]):
+        raise ValueError(
+            f"query vector is {len(query_vec)}-d but the index centroids "
+            f"are {len(centroids[0][1])}-d"
+        )
+    cells = nearest_cells_for(query_vec, centroids, num_probes)
+    candidates = index.filter(F.col("cell").isin(cells))
+    approx = approx_cosine_from_codes(query_vec, _QCODE, _QMIN, _QSCALE)
+    # phase 1 projects ONLY (id, approx): the pruned scan reads codes +
+    # metadata, never the float column (the quantized_topk plan audit)
+    survivors = (
+        candidates.select(F.col(id_col), approx.alias("__approx"))
+        .filter(F.col("__approx").isNotNull())
+        .orderBy(F.col("__approx").desc(), F.col(id_col))
+        .limit(k * rescore_factor)
+    )
+    if rescore_mode == "join":
+        rescan = candidates.join(
+            F.broadcast(survivors.select(id_col)), id_col
+        )
+    else:
+        survivor_ids = [r[id_col] for r in survivors.collect()]
+        if not survivor_ids:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(id_col, index.schema[id_col].dataType),
+                        StructField("cosine_sim", DoubleType()),
+                    ]
+                ),
+            )
+        rescan = candidates.filter(F.col(id_col).isin(survivor_ids))
+    q = lit_vector([float(x) for x in query_vec])
+    if dot_fn is not None or norm_fn is not None:
+        from cassandra_analytics_spark.operators.similarity import (
+            dot as _dot,
+            norm as _norm,
+        )
+
+        dotf = dot_fn or _dot
+        normf = norm_fn or _norm
+        score = F.try_divide(
+            dotf(F.col(vec_col), q), normf(F.col(vec_col)) * normf(q)
+        )
+    else:
+        score = cosine(F.col(vec_col), q)
+    return (
+        rescan.select(F.col(id_col), score.alias("cosine_sim"))
         .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
@@ -788,11 +1001,25 @@ def ivf_knn_join(
     dot_fn=None,
     norm_fn=None,
     sim_id: str | None = None,
+    use_codes: bool = False,
+    rescore_factor: int = 8,
 ) -> DataFrame:
     """Index-accelerated k-NN JOIN: top-k corpus neighbors for EVERY row
     of a small query set, probing only the IVF cells each query is
     nearest to — the scale path `similarity.knn_join` (broadcast
     brute-force) lacks.
+
+    ``use_codes=True`` (requires a ``quantize=True`` layout) makes the
+    candidate-ranking phase read the int8 CODES instead of the float
+    column: one byte-reduced, partition-pruned scan ranks candidates for
+    ALL queries at once (``quantize.approx_cosine_codes_vs_query_col`` —
+    the query's element-sum and norm ride the broadcast routing table),
+    the per-query top ``k * rescore_factor`` survivors are rescored with
+    exact float cosine (distributed broadcast join — no driver hop), and
+    the per-query top k returned. The approximation contract is
+    ``quantized_topk``'s: the rescore window absorbs phase-1 swaps, and
+    the driver gate pins hash-exactness against the brute-force oracle
+    at probe-all.
 
     Contract mirrors ``knn_join``: the query set is SMALL (collected to
     the driver to plan the probe cells — same bounded collect as the
@@ -844,13 +1071,21 @@ def ivf_knn_join(
         raise ValueError(f"k must be >= 1, got {k}")
     if num_probes < 1:
         raise ValueError(f"num_probes must be >= 1, got {num_probes}")
+    if rescore_factor < 1:
+        raise ValueError(
+            f"rescore_factor must be >= 1, got {rescore_factor}"
+        )
     dotf = dot_fn or _dot
     normf = norm_fn or _norm
     spark = queries.sparkSession
-    _validate_read_math(
-        _read_ivf_spec_optional(spark, index_path),
-        dot_fn, norm_fn, sim_id, index_path,
-    )
+    spec = _read_ivf_spec_optional(spark, index_path)
+    _validate_read_math(spec, dot_fn, norm_fn, sim_id, index_path)
+    if use_codes and not _spec_quantized(spec):
+        raise ValueError(
+            f"use_codes=True needs a quantized layout, but the index at "
+            f"{index_path!r} has no code columns (spec quantized=false or "
+            "missing) — rebuild with build_ivf_index(quantize=True)"
+        )
     centroids = [
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()
@@ -908,7 +1143,9 @@ def ivf_knn_join(
     for r in qrows:
         vec = [float(x) for x in r[vec_col]]
         for cell in nearest_cells_for(vec, centroids, num_probes):
-            routing.append((r[query_id], cell, vec, float(r["__qn"])))
+            routing.append(
+                (r[query_id], cell, vec, float(r["__qn"]), sum(vec))
+            )
     route_df = spark.createDataFrame(
         routing,
         StructType(
@@ -917,32 +1154,83 @@ def ivf_knn_join(
                 StructField("cell", IntegerType()),
                 StructField("__qv", ArrayType(DoubleType())),
                 StructField("__qn", DoubleType()),
+                StructField("__qsum", DoubleType()),
             ]
         ),
     )
-    touched = sorted({c for _, c, _, _ in routing})
+    touched = sorted({c for _, c, _, _, _ in routing})
     candidates = index.filter(F.col("cell").isin(touched))
     cos = F.try_divide(
         dotf(F.col(vec_col), F.col("__qv")),
         normf(F.col(vec_col)) * F.col("__qn"),
     )
-    scored = (
-        candidates.join(F.broadcast(route_df), "cell")
-        .select(
-            F.col(query_id),
-            F.col(id_col),
-            cos.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim").isNotNull())
-        # a corpus row can sit in SEVERAL probed cells of one query only
-        # if the layout carries duplicate ids (replayed appends) — keep
-        # the max so duplicates never double-fill the top-k
-        .groupBy(query_id, id_col)
-        .agg(F.max("cosine_sim").alias("cosine_sim"))
-    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
     )
+    if use_codes:
+        from cassandra_analytics_spark.operators.quantize import (
+            approx_cosine_codes_vs_query_col,
+        )
+
+        # phase 1: rank every (query, candidate) pair FROM THE CODES —
+        # projecting only (qid, id, approx) keeps the float column out
+        # of the byte-reduced scan (the quantized_topk plan discipline).
+        # Ranking with __qn (the routing table's norm) is sound: any
+        # consistent positive query norm preserves per-query order.
+        approx = approx_cosine_codes_vs_query_col(
+            F.col("__qv"), F.col("__qsum"), F.col("__qn"),
+            _QCODE, _QMIN, _QSCALE,
+        )
+        aw = Window.partitionBy(query_id).orderBy(
+            F.col("__approx").desc(), F.col(id_col)
+        )
+        survivors = (
+            candidates.join(F.broadcast(route_df), "cell")
+            .select(F.col(query_id), F.col(id_col), approx.alias("__approx"))
+            .filter(F.col("__approx").isNotNull())
+            # duplicate layout ids (replayed appends) collapse before the
+            # rank so they can't double-fill the survivor window
+            .groupBy(query_id, id_col)
+            .agg(F.max("__approx").alias("__approx"))
+            .withColumn("__rn", F.row_number().over(aw))
+            .filter(F.col("__rn") <= k * rescore_factor)
+            .select(query_id, id_col)
+        )
+        # phase 2: exact rescore of the survivors only — the survivor
+        # frame (≤ n_queries · k · rescore_factor rows) rejoins its
+        # query vector and broadcasts against the float column; no
+        # driver hop (the kNN join is batch-shaped, so the distributed
+        # rescore is the only mode here)
+        surv_q = survivors.join(
+            route_df.select(query_id, "__qv", "__qn").dropDuplicates(
+                [query_id]
+            ),
+            query_id,
+        )
+        scored = (
+            candidates.select(F.col(id_col), F.col(vec_col))
+            .join(F.broadcast(surv_q), id_col)
+            .select(F.col(query_id), F.col(id_col), cos.alias("cosine_sim"))
+            .filter(F.col("cosine_sim").isNotNull())
+            .groupBy(query_id, id_col)
+            .agg(F.max("cosine_sim").alias("cosine_sim"))
+        )
+    else:
+        scored = (
+            candidates.join(F.broadcast(route_df), "cell")
+            .select(
+                F.col(query_id),
+                F.col(id_col),
+                cos.alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim").isNotNull())
+            # a corpus row can sit in SEVERAL probed cells of one query
+            # only if the layout carries duplicate ids (replayed
+            # appends) — keep the max so duplicates never double-fill
+            # the top-k
+            .groupBy(query_id, id_col)
+            .agg(F.max("cosine_sim").alias("cosine_sim"))
+        )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

@@ -34,20 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def quantize_embeddings(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    code_col: str = "qvec",
-    keep_vec: bool = False,
-) -> DataFrame:
-    """Affine int8 codes per vector: ``(id_col, code_col array<tinyint>,
-    <vec>_min double, <vec>_scale double)``.
-
-    ``scale`` is ``(max - min)/255``; constant vectors (max == min) pin
-    ``scale = 1`` so every code is −128 and dequantization returns the
-    constant exactly. ``keep_vec=True`` carries the original float
-    column through (for re-scoring pipelines)."""
+def quantization_exprs(vec_col: str):
+    """The (codes, min, scale) expressions of the affine-int8 scheme over
+    ``vec_col``, each wrapped in the NaN/Inf/NULL-element refusal guard —
+    for layouts that carry codes ALONGSIDE other columns (the quantized
+    IVF layout composes these with its cell assignment). NULL vectors
+    produce NULL codes/metadata."""
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bad = F.exists(
         dv,
@@ -71,6 +63,28 @@ def quantize_embeddings(
     codes = F.transform(
         dv, lambda x: (F.round((x - vmin) / scale) - 128).cast("tinyint")
     )
+    return (
+        F.when(guard, codes),
+        F.when(guard, vmin),
+        F.when(guard, scale),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "qvec",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Affine int8 codes per vector: ``(id_col, code_col array<tinyint>,
+    <vec>_min double, <vec>_scale double)``.
+
+    ``scale`` is ``(max - min)/255``; constant vectors (max == min) pin
+    ``scale = 1`` so every code is −128 and dequantization returns the
+    constant exactly. ``keep_vec=True`` carries the original float
+    column through (for re-scoring pipelines)."""
+    codes, vmin, scale = quantization_exprs(vec_col)
     cols = [F.col(id_col)]
     if keep_vec:
         cols.append(F.col(vec_col))
@@ -80,9 +94,9 @@ def quantize_embeddings(
     # carry NaN-poisoned metadata (round-10 ADVICE)
     cols.extend(
         [
-            F.when(guard, codes).alias(code_col),
-            F.when(guard, vmin).alias(f"{vec_col}_min"),
-            F.when(guard, scale).alias(f"{vec_col}_scale"),
+            codes.alias(code_col),
+            vmin.alias(f"{vec_col}_min"),
+            scale.alias(f"{vec_col}_scale"),
         ]
     )
     return df.select(*cols)

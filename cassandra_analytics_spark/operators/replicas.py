@@ -11,7 +11,7 @@ replica divergence — are reproducible over fixtures carrying a
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -19,19 +19,92 @@ from pyspark.sql import functions as F
 from cassandra_analytics_spark.functions.tokens import token_column
 from cassandra_analytics_spark.operators.merge import REPLICA_ID, compaction_merge
 
+_CLS = ("ONE", "TWO", "THREE", "QUORUM", "ALL",
+        "LOCAL_ONE", "LOCAL_QUORUM", "EACH_QUORUM")
 
-def block_for(consistency: str, rf: int) -> int:
-    """Replicas a read must block for (ConsistencyLevel.java:26-123).
+
+def _validate_rf_map(rf: Mapping[str, int]) -> dict[str, int]:
+    if not rf:
+        raise ValueError("block_for: the per-DC rf map is empty")
+    out = {}
+    for dc, r in rf.items():
+        if int(r) < 1:
+            raise ValueError(
+                f"block_for: rf must be >= 1 in every DC, got {dc!r}: {r}"
+            )
+        out[str(dc)] = int(r)
+    return out
+
+
+def block_for(
+    consistency: str,
+    rf: int | Mapping[str, int],
+    local_dc: str | None = None,
+) -> int:
+    """TOTAL replicas a read must block for (ConsistencyLevel.java:26-123).
+
+    ``rf`` is either a single int — SimpleStrategy / a one-DC cluster,
+    where the LOCAL_*/EACH_QUORUM levels collapse to their single-DC
+    forms (LOCAL_QUORUM == QUORUM, EACH_QUORUM == QUORUM, LOCAL_ONE ==
+    ONE; this module's historical behavior, now explicit) — or a per-DC
+    map ``{dc: rf}`` mirroring NetworkTopologyStrategy's
+    ``ReplicationFactor``, where the reference computes
+    (``ConsistencyLevel.java:26-123``):
+
+    - ``EACH_QUORUM``: the SUM of per-DC local quorums (quorum in
+      EVERY datacenter),
+    - ``LOCAL_QUORUM`` / ``LOCAL_ONE``: quorum of / one in the LOCAL
+      DC only (``local_dc`` required),
+    - ``QUORUM`` / ``ALL`` / ``ONE``/``TWO``/``THREE``: over the total
+      replica count across DCs.
 
     rf < 1 is refused here (it used to surface as an ANSI pmod-by-zero
     deep inside the selection job), and a consistency level whose
-    blockFor exceeds rf is an impossible config — Cassandra throws
-    UnavailableException for it at read time; silently selecting every
-    replica would quietly weaken the caller's requested guarantee
-    (round-10 probe)."""
+    blockFor exceeds the available replicas is an impossible config —
+    Cassandra throws UnavailableException for it at read time; silently
+    selecting every replica would quietly weaken the caller's requested
+    guarantee (round-10 probe)."""
+    cl = consistency.upper()
+    if cl not in _CLS:
+        raise ValueError(f"unsupported consistency level: {consistency}")
+    if isinstance(rf, Mapping):
+        rf_map = _validate_rf_map(rf)
+        if cl.startswith("LOCAL_"):
+            if local_dc is None:
+                raise ValueError(
+                    f"block_for: {cl} against a per-DC rf map needs "
+                    "local_dc= (the level is defined relative to the "
+                    "coordinator's datacenter)"
+                )
+            if local_dc not in rf_map:
+                raise ValueError(
+                    f"block_for: local_dc {local_dc!r} is not in the rf "
+                    f"map {sorted(rf_map)}"
+                )
+        total_rf = sum(rf_map.values())
+        if cl == "EACH_QUORUM":
+            n = sum(r // 2 + 1 for r in rf_map.values())
+        elif cl == "LOCAL_QUORUM":
+            n = rf_map[local_dc] // 2 + 1
+        elif cl == "LOCAL_ONE":
+            n = 1
+        elif cl == "QUORUM":
+            n = total_rf // 2 + 1
+        elif cl == "ALL":
+            n = total_rf
+        else:
+            n = {"ONE": 1, "TWO": 2, "THREE": 3}[cl]
+        if n > total_rf:
+            raise ValueError(
+                f"consistency {consistency} needs {n} replicas but the "
+                f"cluster has {total_rf} ({dict(sorted(rf_map.items()))}) — "
+                "an impossible configuration (Cassandra: "
+                "UnavailableException)"
+            )
+        return n
     if int(rf) < 1:
         raise ValueError(f"block_for: rf must be >= 1, got {rf}")
-    cl = consistency.upper()
+    rf = int(rf)
     if cl in ("ONE", "LOCAL_ONE"):
         n = 1
     elif cl == "TWO":
@@ -42,8 +115,6 @@ def block_for(consistency: str, rf: int) -> int:
         n = rf // 2 + 1
     elif cl == "ALL":
         n = rf
-    else:
-        raise ValueError(f"unsupported consistency level: {consistency}")
     if n > rf:
         raise ValueError(
             f"consistency {consistency} needs {n} replicas but rf={rf} — "
@@ -52,12 +123,54 @@ def block_for(consistency: str, rf: int) -> int:
     return n
 
 
+def block_for_per_dc(
+    consistency: str,
+    rf: Mapping[str, int],
+    local_dc: str | None = None,
+) -> dict[str, int]:
+    """Replicas to SELECT in each DC — the per-DC split of
+    :func:`block_for` that multi-DC selection filters on.
+
+    Per-DC levels are exact (EACH_QUORUM: a local quorum in every DC;
+    LOCAL_*: the local DC only). For the GLOBAL levels (ONE/TWO/THREE/
+    QUORUM/ALL) Cassandra picks any blockFor replicas snitch-sorted by
+    proximity; this module's deterministic stand-in fills the LOCAL DC
+    first (when given), then the remaining DCs in name order, each up to
+    its rf — the same total count, a reproducible choice of which
+    copies participate."""
+    cl = consistency.upper()
+    rf_map = _validate_rf_map(rf)
+    total = block_for(consistency, rf_map, local_dc)  # validates everything
+    if cl == "EACH_QUORUM":
+        return {dc: r // 2 + 1 for dc, r in rf_map.items()}
+    if cl == "LOCAL_QUORUM":
+        return {
+            dc: (rf_map[local_dc] // 2 + 1 if dc == local_dc else 0)
+            for dc in rf_map
+        }
+    if cl == "LOCAL_ONE":
+        return {dc: (1 if dc == local_dc else 0) for dc in rf_map}
+    # global levels: fill local-first, then name order
+    order = sorted(rf_map)
+    if local_dc is not None and local_dc in rf_map:
+        order = [local_dc] + [d for d in order if d != local_dc]
+    out = {dc: 0 for dc in rf_map}
+    remaining = total
+    for dc in order:
+        take = min(remaining, rf_map[dc])
+        out[dc] = take
+        remaining -= take
+    return out
+
+
 def select_replicas(
     df: DataFrame,
     partition_keys: Sequence[str],
     consistency: str = "LOCAL_QUORUM",
-    rf: int = 3,
+    rf: int | Mapping[str, int] = 3,
     replica_col: str = REPLICA_ID,
+    dc_col: str | None = None,
+    local_dc: str | None = None,
 ) -> DataFrame:
     """Keep the rows of the ``blockFor(CL, RF)`` replicas chosen per
     partition.
@@ -65,6 +178,17 @@ def select_replicas(
     Replica preference order rotates with the token (the ring walk:
     primary = token mod rf, then successors) so load spreads like the
     reference's ring-aware selection. Pure expression filter — no shuffle.
+
+    MULTI-DC (NetworkTopologyStrategy): pass ``rf`` as a per-DC map and
+    name the ``dc_col`` carrying each row's datacenter (FIXTURES.md §B:
+    replica ids are 1-based WITHIN their DC). Selection then runs a
+    per-DC ring walk with that DC's rf and keeps
+    :func:`block_for_per_dc`'s count in each DC — EACH_QUORUM keeps a
+    quorum in EVERY DC, LOCAL_* only touches ``local_dc``
+    (``ConsistencyLevel.java:26-123`` semantics). A row whose DC is not
+    in the map (or NULL) fails LOUDLY — it would otherwise silently
+    vanish from every read. A map without ``dc_col`` (or vice versa) is
+    refused: one names replica placement the other can't see.
 
     Domain contract (round-8 pass, documented rather than policed — a
     row-level check would cost an extra action on a pure filter): rows
@@ -74,13 +198,51 @@ def select_replicas(
     (FIXTURES.md §B), matching the reference where such ids cannot
     occur.
     """
-    n = block_for(consistency, rf)
+    if (dc_col is None) != (not isinstance(rf, Mapping)):
+        raise ValueError(
+            "select_replicas: a per-DC rf map and dc_col come together — "
+            f"got rf={rf!r} with dc_col={dc_col!r}; pass both (multi-DC) "
+            "or neither (single-DC int rf)"
+        )
     tok = token_column(*[F.col(k) for k in partition_keys])
-    primary = F.pmod(tok, F.lit(rf))  # 0-based primary replica for this key
-    # replica r (1-based) is selected iff its ring distance from the
-    # primary is < n
-    distance = F.pmod(F.col(replica_col) - 1 - primary, F.lit(rf))
-    return df.filter(distance < n)
+    if dc_col is None:
+        n = block_for(consistency, rf)
+        primary = F.pmod(tok, F.lit(rf))  # 0-based primary for this key
+        # replica r (1-based) is selected iff its ring distance from the
+        # primary is < n
+        distance = F.pmod(F.col(replica_col) - 1 - primary, F.lit(rf))
+        return df.filter(distance < n)
+    if dc_col not in df.columns:
+        raise ValueError(
+            f"select_replicas: dc_col {dc_col!r} is not a column of the "
+            f"input ({df.columns})"
+        )
+    per_dc = block_for_per_dc(consistency, rf, local_dc)
+    keep = None
+    for dc in sorted(per_dc):
+        rf_dc, n_dc = int(rf[dc]), per_dc[dc]
+        primary = F.pmod(tok, F.lit(rf_dc))
+        distance = F.pmod(F.col(replica_col) - 1 - primary, F.lit(rf_dc))
+        cond = distance < F.lit(n_dc)
+        keep = (
+            F.when(F.col(dc_col) == dc, cond)
+            if keep is None
+            else keep.when(F.col(dc_col) == dc, cond)
+        )
+    keep = keep.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "select_replicas: row in datacenter not covered by the "
+                    "rf map "
+                ),
+                F.lit(str(sorted(per_dc))),
+                F.lit(": "),
+                F.coalesce(F.col(dc_col).cast("string"), F.lit("<NULL>")),
+            )
+        ).cast("boolean")
+    )
+    return df.filter(keep)
 
 
 def select_replicas_repair_aware(
@@ -105,7 +267,17 @@ def select_replicas_repair_aware(
     Fixture encoding: ``repaired`` boolean per row (null = unrepaired).
     The repair primary is the ring-walk primary (distance 0). Pure
     expression filter — no shuffle, composes with the merge's exchange.
+
+    Single-DC only (int ``rf``): the reference's repair-primary election
+    is defined over one replica set per range; a per-DC split of it is
+    not modeled — pass a flat rf, or run per-DC inputs separately.
     """
+    if isinstance(rf, Mapping):
+        raise ValueError(
+            "select_replicas_repair_aware models a single replica set — "
+            "per-DC rf maps are not supported here; filter per DC first "
+            "or use select_replicas for multi-DC CL selection"
+        )
     n = block_for(consistency, rf)
     tok = token_column(*[F.col(k) for k in partition_keys])
     primary = F.pmod(tok, F.lit(rf))
@@ -121,19 +293,33 @@ def read_with_consistency(
     partition_keys: Sequence[str],
     clustering_keys: Sequence[str] = (),
     consistency: str = "LOCAL_QUORUM",
-    rf: int = 3,
+    rf: int | Mapping[str, int] = 3,
     now_micros: int | None = None,
     repaired_col: str | None = None,
+    dc_col: str | None = None,
+    local_dc: str | None = None,
 ) -> DataFrame:
     """The reference's multi-replica read: select CL-many replicas per
     partition (repair-primary-aware when ``repaired_col`` is given), then
     compaction-merge their possibly divergent rows.
+
+    ``dc_col`` + a per-DC ``rf`` map run the multi-DC selection
+    (:func:`select_replicas`); the DC column is consumed by selection
+    and dropped before the merge (replica divergence heals across DCs —
+    the LWW merge is placement-blind). ``repaired_col`` and ``dc_col``
+    are mutually exclusive (repair-primary election is single-replica-
+    set; see :func:`select_replicas_repair_aware`).
 
     A ``repaired_col`` that names a missing column raises — silently
     falling back to plain CL selection would read repaired data CL-many
     times, exactly the duplication the caller asked to avoid, with no
     signal that the typo changed semantics (round-8 hostile pass; same
     bug class as the C1 PRIMARY-KEY-typo parse check)."""
+    if repaired_col is not None and dc_col is not None:
+        raise ValueError(
+            "read_with_consistency: repaired_col and dc_col are mutually "
+            "exclusive (repair-primary election is single-replica-set)"
+        )
     if repaired_col is not None:
         if repaired_col not in df.columns:
             raise ValueError(
@@ -144,6 +330,11 @@ def read_with_consistency(
         selected = select_replicas_repair_aware(
             df, partition_keys, consistency, rf, repaired_col=repaired_col
         ).drop(repaired_col)
+    elif dc_col is not None:
+        selected = select_replicas(
+            df, partition_keys, consistency, rf,
+            dc_col=dc_col, local_dc=local_dc,
+        ).drop(dc_col)
     else:
         selected = select_replicas(df, partition_keys, consistency, rf)
     return compaction_merge(

@@ -312,6 +312,66 @@ def replica_read_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "replica_read_each_quorum",
+    oracle="""
+    SELECT o_orderkey, o_totalprice + 1.0 AS price
+    FROM orders
+    """,
+    doc="M3 multi-DC read at CL=EACH_QUORUM (round 11, "
+    "ConsistencyLevel.java:26-123 NetworkTopologyStrategy math): the "
+    "fixture fans each order into two datacenters — dc1 (rf=3) holds "
+    "only the STALE write (writetime 1000), dc2 (rf=2) only the newer "
+    "one (writetime 2000, price+1) — so a correct EACH_QUORUM read must "
+    "block for a quorum in EVERY DC (2+2 of 5 copies) and the LWW merge "
+    "heal must surface dc2's write for every key; any selection that "
+    "flattens to single-DC quorum math reads only stale dc1 copies and "
+    "hash-mismatches. The oracle computes the healed value directly.",
+)
+def replica_read_each_quorum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.replicas import (
+        read_with_consistency,
+    )
+
+    rf_map = {"dc1": 3, "dc2": 2}
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    copies = o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("replica_id"),
+                        F.lit(dc).alias("dc"),
+                        F.lit(2_000 if dc == "dc2" else 1_000)
+                        .cast("long")
+                        .alias("writetime"),
+                        (
+                            F.col("o_totalprice")
+                            + (1.0 if dc == "dc2" else 0.0)
+                        ).alias("price"),
+                    )
+                    for dc, rf in rf_map.items()
+                    for r in range(1, rf + 1)
+                ]
+            )
+        ).alias("__c"),
+    ).select(
+        "o_orderkey",
+        F.col("__c.replica_id").alias("replica_id"),
+        F.col("__c.dc").alias("dc"),
+        F.col("__c.writetime").alias("writetime"),
+        F.col("__c.price").alias("price"),
+    )
+    return read_with_consistency(
+        copies,
+        partition_keys=["o_orderkey"],
+        consistency="EACH_QUORUM",
+        rf=rf_map,
+        dc_col="dc",
+    )
+
+
+@query(
     "skew_salted_returnflag",
     oracle=f"""
     SELECT l_returnflag,

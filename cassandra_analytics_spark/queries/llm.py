@@ -1219,6 +1219,79 @@ def quantized_topk_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantized_topk_join_rescored",
+    oracle=_COSINE_ORACLE,
+    doc="quantized_topk with the DISTRIBUTED rescore (rescore_mode="
+    "'join', round 11): phase-1 survivors reach phase 2 as a broadcast "
+    "semi-join instead of a driver-collected isin list — the no-collect "
+    "path for large k*rescore_factor. Shares the brute-force oracle: "
+    "both modes must return the identical top-k (the mode changes the "
+    "physical survivor transport, never the result).",
+)
+def quantized_topk_join_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = quantize_embeddings(
+        e.filter(F.col("vec_id") != 0), keep_vec=True
+    )
+    return quantized_topk(
+        corpus, qvec, k=10, vec_col="embedding", rescore_factor=8,
+        dot_fn=_pdot, norm_fn=_psq_norm, rescore_mode="join",
+    )
+
+
+@query(
+    "ann_ivf_quantized_topk",
+    oracle=_COSINE_ORACLE,
+    doc="Quantized IVF probe (ann_index.query_ivf_index_quantized, round "
+    "11 — the composition of both scale levers): the corpus is "
+    "persisted partitioned by IVF cell WITH int8 codes per cell "
+    "(build_ivf_index(quantize=True)), so a probe partition-prunes to "
+    "its cells AND ranks candidates reading ~1 byte/dim; the top k*8 "
+    "survivors are rescored from the float column (portable decimal "
+    "cosine, matching the oracle bit-for-bit). Run at probe-all so the "
+    "result must hash-match the brute-force oracle — the FAISS IVF-SQ8 "
+    "shape, re-expressed as two pruned parquet scans.",
+)
+def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_index_quantized,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    n_cells = 16
+    path = tempfile.mkdtemp(prefix="cas_qivf_") + "/ivf"
+    try:
+        build_ivf_index(corpus, path, num_centroids=n_cells, quantize=True)
+        return (
+            query_ivf_index_quantized(
+                spark, path, qvec, k=10, num_probes=n_cells,
+                rescore_factor=8, dot_fn=_pdot, norm_fn=_psq_norm,
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "embedding_label_norms",
     oracle=f"""
     WITH sq AS (
@@ -2691,6 +2764,55 @@ def ann_ivf_knn_join_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_fn=_pdot, norm_fn=_psq_norm,
             )
             .orderBy("qid", "doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ann_ivf_quantized_knn_join",
+    oracle=_IVF_KNN_JOIN_ORACLE,
+    doc="The kNN JOIN over a QUANTIZED layout (ivf_knn_join("
+    "use_codes=True), round 11): one byte-reduced, partition-pruned "
+    "code scan ranks candidates for ALL queries at once (the query's "
+    "element-sum and norm ride the broadcast routing table); each "
+    "query's top k*8 survivors are rescored with exact float cosine "
+    "via a distributed broadcast join — no driver hop anywhere. Reuses "
+    "the plain kNN join's brute-force oracle at probe-all: the "
+    "quantized path must return the identical per-query top-5.",
+)
+def ann_ivf_quantized_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    if queries_df.isEmpty() or corpus.isEmpty():
+        return spark.createDataFrame(
+            [], "qid BIGINT, vec_id BIGINT, cosine_sim DOUBLE"
+        )
+    n_cells = 16
+    path = tempfile.mkdtemp(prefix="cas_qivf_knn_") + "/ivf"
+    try:
+        build_ivf_index(
+            corpus, path, num_centroids=n_cells, quantize=True
+        )
+        return (
+            ivf_knn_join(
+                queries_df, path, k=5, num_probes=n_cells,
+                dot_fn=_pdot, norm_fn=_psq_norm,
+                use_codes=True, rescore_factor=8,
+            )
+            .orderBy("qid", "vec_id")
             .localCheckpoint(eager=True)
         )
     finally:

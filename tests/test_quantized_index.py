@@ -1,0 +1,192 @@
+"""Quantized IVF layout (round 11): int8 codes stored per cell so probes
+are partition-pruned AND byte-reduced, rescoring survivors from the float
+column — build/append spec round-trip, probe exactness at probe-all,
+plan-level byte-cut assertions, quantized kNN join."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    ivf_knn_join,
+    query_ivf_index,
+    query_ivf_index_quantized,
+    read_ivf_spec,
+)
+from cassandra_analytics_spark.operators.similarity import brute_force_topk
+
+
+def _corpus(spark, n=240, dim=12, seed=3):
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        rows,
+    )
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_quantized_probe_all_equals_brute_force_both_modes(spark, tmp_path):
+    df, rows = _corpus(spark)
+    qvec = rows[0][1]
+    corpus = df.filter("vec_id <> 0")
+    path = str(tmp_path / "qivf")
+    build_ivf_index(corpus, path, num_centroids=8, quantize=True)
+    assert read_ivf_spec(spark, path)["quantized"] is True
+
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(corpus, qvec, k=10).collect()
+    ]
+    for mode in ("pushdown", "join"):
+        got = [
+            (r.vec_id, round(r.cosine_sim, 9))
+            for r in query_ivf_index_quantized(
+                spark, path, qvec, k=10, num_probes=8, rescore_mode=mode
+            ).collect()
+        ]
+        assert got == want, mode
+
+    # the float query path still works over the quantized layout (codes
+    # are additive columns, not a replacement)
+    plain = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in query_ivf_index(spark, path, qvec, k=10, num_probes=8)
+        .collect()
+    ]
+    assert plain == want
+
+
+def test_quantized_probe_reads_codes_not_floats_and_prunes(spark, tmp_path):
+    """The whole point of the layout: phase 1's scan must carry the code
+    columns but NOT the float column in its ReadSchema, and the cell
+    predicate must be a PartitionFilter on both scans."""
+    df, rows = _corpus(spark)
+    path = str(tmp_path / "qivf")
+    build_ivf_index(df, path, num_centroids=8, quantize=True)
+    out = query_ivf_index_quantized(
+        spark, path, rows[0][1], k=5, num_probes=2, rescore_mode="join"
+    )
+    plan = _formatted_plan(out)
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    code_only = [
+        ln for ln in scans if "qvec" in ln and "embedding" not in ln
+    ]
+    assert code_only, plan
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and all(
+        "cell" in ln for ln in part_lines if "[]" not in ln
+    ), plan
+
+
+def test_quantized_append_follows_spec_and_refuses_mismatch(spark, tmp_path):
+    df, rows = _corpus(spark, n=200)
+    first = df.filter("vec_id < 100")
+    rest = df.filter("vec_id >= 100")
+    qvec = rows[5][1]
+
+    qpath = str(tmp_path / "qivf")
+    cents = build_ivf_index(first, qpath, num_centroids=8, quantize=True)
+    append_to_ivf_index(rest, qpath)  # follows the spec -> codes ride
+    appended = spark.read.parquet(qpath).filter("vec_id >= 100")
+    assert appended.filter(F.col("qvec").isNull()).count() == 0
+    assert appended.filter(
+        F.col("qmin").isNull() | F.col("qscale").isNull()
+    ).count() == 0
+
+    # probe over the appended layout equals a from-scratch rebuild
+    repath = str(tmp_path / "qivf_rebuild")
+    build_ivf_index(
+        df, repath, centroids=cents, quantize=True
+    )
+    a = query_ivf_index_quantized(spark, qpath, qvec, k=10, num_probes=8)
+    b = query_ivf_index_quantized(spark, repath, qvec, k=10, num_probes=8)
+    assert [(r.vec_id, round(r.cosine_sim, 9)) for r in a.collect()] == [
+        (r.vec_id, round(r.cosine_sim, 9)) for r in b.collect()
+    ]
+
+    # explicit mismatch is refused both ways
+    with pytest.raises(ValueError, match="quantization mismatch"):
+        append_to_ivf_index(rest, qpath, quantize=False)
+    upath = str(tmp_path / "plain")
+    build_ivf_index(first, upath, num_centroids=8)
+    with pytest.raises(ValueError, match="quantization mismatch"):
+        append_to_ivf_index(rest, upath, quantize=True)
+    # matching explicit values pass
+    append_to_ivf_index(rest, qpath, quantize=True)
+    append_to_ivf_index(rest, upath, quantize=False)
+
+    # the quantized probe refuses an unquantized layout loudly
+    with pytest.raises(ValueError, match="not a quantized layout"):
+        query_ivf_index_quantized(spark, upath, qvec, k=3)
+
+
+def test_quantized_knn_join_matches_plain_join(spark, tmp_path):
+    df, rows = _corpus(spark, n=220, dim=10, seed=9)
+    queries = df.filter("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = df.filter("vec_id >= 4")
+    path = str(tmp_path / "qivf")
+    build_ivf_index(corpus, path, num_centroids=8, quantize=True)
+
+    plain = ivf_knn_join(queries, path, k=5, num_probes=8)
+    coded = ivf_knn_join(
+        queries, path, k=5, num_probes=8, use_codes=True, rescore_factor=8
+    )
+    key = lambda r: (r.qid, r.vec_id, round(r.cosine_sim, 9))  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, coded.collect())
+    )
+
+    # phase 1 of the coded path reads codes, not floats
+    plan = _formatted_plan(coded)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("qvec" in ln and "embedding" not in ln for ln in scans), plan
+
+    # use_codes over an unquantized layout is refused
+    upath = str(tmp_path / "plain")
+    build_ivf_index(corpus, upath, num_centroids=8)
+    with pytest.raises(ValueError, match="needs a quantized layout"):
+        ivf_knn_join(queries, upath, k=5, use_codes=True)
+    with pytest.raises(ValueError, match="rescore_factor"):
+        ivf_knn_join(queries, path, k=5, use_codes=True, rescore_factor=0)
+
+
+def test_quantized_empty_corpus_and_null_vectors(spark, tmp_path):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "qempty")
+    build_ivf_index(empty, path, num_centroids=4, quantize=True)
+    out = query_ivf_index_quantized(spark, path, [1.0, 0.0], k=3)
+    assert out.count() == 0 and out.columns == ["vec_id", "cosine_sim"]
+
+    # NULL vectors land in the layout with NULL codes and never rank
+    df, rows = _corpus(spark, n=60, dim=6, seed=4)
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    path2 = str(tmp_path / "qnull")
+    build_ivf_index(with_null, path2, num_centroids=4, quantize=True)
+    got = query_ivf_index_quantized(
+        spark, path2, rows[0][1], k=61, num_probes=4, rescore_factor=8
+    ).collect()
+    assert all(r.vec_id != 999 for r in got)

@@ -177,3 +177,152 @@ def test_block_for_validates_impossible_configs():
         block_for("THREE", 2)
     assert block_for("QUORUM", 3) == 2
     assert block_for("ALL", 1) == 1
+
+
+# ---------------------------------------------------------------------------
+# Multi-DC consistency (round 11): per-DC ReplicationFactor math mirroring
+# ConsistencyLevel.java:26-123 for NetworkTopologyStrategy — EACH_QUORUM is a
+# quorum in EVERY DC, LOCAL_* are defined against the local DC only.
+# ---------------------------------------------------------------------------
+
+MDC_SCHEMA = (
+    "pk string, ck int, val string, writetime long, ttl int, "
+    "tombstone string, replica_id int, dc string"
+)
+
+RF_MAP = {"dc1": 3, "dc2": 2}
+
+
+def _two_dc(spark, keys=120, dc2_newer=False):
+    """RF dc1=3, dc2=2; replica ids 1-based within each DC. When
+    ``dc2_newer``, every dc2 copy carries a newer write (wt 200 vs 100)."""
+    rows = []
+    for k in range(keys):
+        for dc, rf in RF_MAP.items():
+            for r in range(1, rf + 1):
+                newer = dc2_newer and dc == "dc2"
+                rows.append(
+                    (
+                        f"k{k}", 0,
+                        "fresh" if newer else "stale",
+                        200 if newer else 100,
+                        None, None, r, dc,
+                    )
+                )
+    return spark.createDataFrame(rows, MDC_SCHEMA)
+
+
+def test_block_for_multi_dc_math():
+    from cassandra_analytics_spark.operators.replicas import (
+        block_for,
+        block_for_per_dc,
+    )
+
+    assert block_for("EACH_QUORUM", RF_MAP) == 4  # 2 + 2
+    assert block_for("LOCAL_QUORUM", RF_MAP, local_dc="dc1") == 2
+    assert block_for("LOCAL_QUORUM", RF_MAP, local_dc="dc2") == 2
+    assert block_for("LOCAL_ONE", RF_MAP, local_dc="dc2") == 1
+    assert block_for("QUORUM", RF_MAP) == 3  # (5 // 2) + 1
+    assert block_for("ALL", RF_MAP) == 5
+    assert block_for("TWO", RF_MAP) == 2
+
+    assert block_for_per_dc("EACH_QUORUM", RF_MAP) == {"dc1": 2, "dc2": 2}
+    assert block_for_per_dc("LOCAL_QUORUM", RF_MAP, local_dc="dc2") == {
+        "dc1": 0, "dc2": 2,
+    }
+    assert block_for_per_dc("LOCAL_ONE", RF_MAP, local_dc="dc1") == {
+        "dc1": 1, "dc2": 0,
+    }
+    # global levels: local-first fill, then name order (deterministic
+    # stand-in for the snitch's proximity sort)
+    assert block_for_per_dc("QUORUM", RF_MAP, local_dc="dc2") == {
+        "dc1": 1, "dc2": 2,
+    }
+    assert block_for_per_dc("QUORUM", RF_MAP) == {"dc1": 3, "dc2": 0}
+    assert block_for_per_dc("ALL", RF_MAP) == dict(RF_MAP)
+
+    with pytest.raises(ValueError, match="needs local_dc"):
+        block_for("LOCAL_QUORUM", RF_MAP)
+    with pytest.raises(ValueError, match="not in the rf map"):
+        block_for("LOCAL_ONE", RF_MAP, local_dc="dc9")
+    with pytest.raises(ValueError, match="rf map is empty"):
+        block_for("ONE", {})
+    with pytest.raises(ValueError, match="rf must be >= 1 in every DC"):
+        block_for("ONE", {"dc1": 0})
+    with pytest.raises(ValueError, match="impossible configuration"):
+        block_for("THREE", {"dc1": 1, "dc2": 1})
+
+
+def test_multi_dc_selection_counts(spark):
+    df = _two_dc(spark)
+    cases = {
+        ("EACH_QUORUM", None): {"dc1": 2, "dc2": 2},
+        ("LOCAL_QUORUM", "dc1"): {"dc1": 2, "dc2": 0},
+        ("LOCAL_ONE", "dc2"): {"dc1": 0, "dc2": 1},
+        ("ALL", None): {"dc1": 3, "dc2": 2},
+    }
+    for (cl, local), want in cases.items():
+        sel = select_replicas(
+            df, ["pk"], cl, rf=RF_MAP, dc_col="dc", local_dc=local
+        )
+        got = {
+            r["dc"]: r["n"]
+            for r in sel.groupBy("dc").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        per_key = {dc: n // 120 for dc, n in got.items()}
+        assert per_key == {dc: n for dc, n in want.items() if n}, (cl, local)
+        # every key survives whenever anything is selected
+        assert sel.select("pk").distinct().count() == 120
+
+    # argument pairing is policed both ways
+    with pytest.raises(ValueError, match="come together"):
+        select_replicas(df, ["pk"], "ALL", rf=RF_MAP)
+    with pytest.raises(ValueError, match="come together"):
+        select_replicas(df, ["pk"], "ALL", rf=3, dc_col="dc")
+    with pytest.raises(ValueError, match="is not a column"):
+        select_replicas(df, ["pk"], "ALL", rf=RF_MAP, dc_col="dcx")
+
+
+def test_multi_dc_unknown_dc_is_loud(spark):
+    rows = [("a", 0, "x", 100, None, None, 1, "dc9")]
+    df = spark.createDataFrame(rows, MDC_SCHEMA)
+    with pytest.raises(Exception, match="not covered by the rf map"):
+        select_replicas(
+            df, ["pk"], "EACH_QUORUM", rf=RF_MAP, dc_col="dc"
+        ).collect()
+
+
+def test_each_quorum_heals_dc_local_divergence(spark):
+    """The driver query's shape: dc2 carries the newer write on every
+    copy; EACH_QUORUM must include a dc2 quorum for every key, so the
+    healed read surfaces the newest value everywhere."""
+    df = _two_dc(spark, dc2_newer=True)
+    out = read_with_consistency(
+        df, ["pk"], ["ck"], "EACH_QUORUM", rf=RF_MAP, dc_col="dc"
+    )
+    assert {r.val for r in out.collect()} == {"fresh"}
+    assert out.count() == 120
+
+
+def test_local_quorum_misses_remote_dc_writes(spark):
+    """LOCAL_QUORUM at dc1 never reads dc2 — the dc2-only write is
+    invisible, exactly Cassandra's cross-DC staleness under LOCAL_*."""
+    df = _two_dc(spark, dc2_newer=True)
+    out = read_with_consistency(
+        df, ["pk"], ["ck"], "LOCAL_QUORUM", rf=RF_MAP,
+        dc_col="dc", local_dc="dc1",
+    )
+    assert {r.val for r in out.collect()} == {"stale"}
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_with_consistency(
+            df.withColumn("repaired", df.ck == 0), ["pk"], ["ck"], "ALL",
+            rf=RF_MAP, dc_col="dc", repaired_col="repaired",
+        )
+    with pytest.raises(ValueError, match="single replica set"):
+        from cassandra_analytics_spark.operators.replicas import (
+            select_replicas_repair_aware,
+        )
+
+        select_replicas_repair_aware(df, ["pk"], "ALL", rf=RF_MAP)
