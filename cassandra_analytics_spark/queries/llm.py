@@ -2596,6 +2596,81 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "streaming_semantic_dedup_quantized",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="streaming_semantic_dedup with the QUANTIZED layout underneath "
+    "(round 11): the stream bootstraps build_ivf_index(quantize=True) "
+    "and every appended batch lands code-complete via the persisted "
+    "spec, so the growing corpus serves byte-reduced probes at any "
+    "point — while the published removal verdicts stay hash-exact "
+    "against the same brute-force DuckDB twin (pair scoring is "
+    "float-side; codes are additive storage, never a semantics "
+    "change). The code-completeness of every streamed batch is pinned "
+    "in tests/test_semantic_stream.py.",
+)
+def streaming_semantic_dedup_quantized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.similarity import removal_verdicts
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        collected_semantic_pairs,
+        run_semantic_dedup_stream,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
+    centroids = _semantic_centroids(e)
+    if not centroids:
+        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
+
+    tmp = tempfile.mkdtemp(prefix="cas_stream_semdedup_q_")
+    src = os.path.join(tmp, "incoming")
+    corpus.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus.filter(F.col("vec_id") >= 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        q = run_semantic_dedup_stream(
+            stream,
+            index_path=os.path.join(tmp, "ivf"),
+            pairs_out=os.path.join(tmp, "pairs"),
+            centroids=centroids,
+            threshold=0.9,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            dot_fn=_pdot,
+            norm_fn=_psq_norm,
+            sim_id=_PORTABLE_SIM_ID,
+            quantize=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = collected_semantic_pairs(
+            spark, os.path.join(tmp, "pairs")
+        ).dropDuplicates(["a", "b"])
+        return (
+            removal_verdicts(pairs)
+            .orderBy("removed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _IVF_KNN_JOIN_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,

@@ -87,9 +87,22 @@ def run_semantic_dedup_stream(
     sim_id: str | None = None,
     max_cell: int = 10_000,
     assignment: str = "expr",
+    quantize: bool = False,
 ) -> StreamingQuery:
     """Start the incremental semantic-dedup stream over an embedding
     stream.
+
+    ``quantize=True`` bootstraps the layout with
+    ``build_ivf_index(quantize=True)`` — every cell then carries int8
+    codes next to the floats, maintained INCREMENTALLY: appends derive
+    the quantization from the persisted spec (assign_with_index_spec),
+    so each batch's rows land code-complete and the layout serves
+    byte-reduced probes (``query_ivf_index_quantized``) at any point in
+    the stream's life. Pair scoring still uses the float column — the
+    published verdicts are identical with or without the flag (pinned
+    by test), and the replay-idempotence contract is unchanged (codes
+    are a pure function of the vector, so replayed rows re-quantize
+    byte-identically).
 
     ``centroids`` is the coarse codebook (a k-means fit, or any fixed
     external set — the SemDeDup posture: the codebook is chosen once for
@@ -135,7 +148,7 @@ def run_semantic_dedup_stream(
             centroids=centroids, threshold=threshold,
             id_col=id_col, vec_col=vec_col,
             dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
-            max_cell=max_cell, assignment=assignment,
+            max_cell=max_cell, assignment=assignment, quantize=quantize,
         )
 
     return (
@@ -160,6 +173,7 @@ def process_semantic_batch(
     sim_id: str | None = None,
     max_cell: int = 10_000,
     assignment: str = "expr",
+    quantize: bool = False,
     on_published=None,
 ) -> None:
     """One micro-batch of the semantic-dedup stream — the body of
@@ -199,7 +213,7 @@ def process_semantic_batch(
         build_ivf_index(
             batch, index_path, id_col=id_col, vec_col=vec_col,
             centroids=centroids, dot_fn=dot_fn, norm_fn=norm_fn,
-            sim_id=sim_id, assignment=assignment,
+            sim_id=sim_id, assignment=assignment, quantize=quantize,
         )
         pairs = semantic_pairs_from_cells(
             spark.read.parquet(index_path),
