@@ -43,88 +43,84 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 
 
 # The round driver verifies the FIRST ~50 registry entries per round
-# (CORRECTNESS_r0{4,...,9}.json are each exactly the first 50 in
-# registration order). To get every query a driver row across rounds,
-# each round front-loads the names that most need one. Round-10
-# priority (VERDICT r9 item 1): (1) the NEW string-id kNN join query,
-# never driver-proved; (2) the two r9-proved queries whose
-# implementation round 10 touched — ivf_knn_join (derived id schemas,
-# spec-validated read math, qid uniqueness) and the semantic stream
-# (process_semantic_batch extraction + store-agnostic pair collection);
-# (3) 47 of the 49 names whose newest driver evidence is r7 (the exact
-# set computed by CORRECTNESS set difference). 4 new + 2 touched + 44
-# stale fill the 50-row window; the five names past the window
-# (window_moving_avg, window_running_revenue,
-# window_topk_orders_per_customer, token_range_histogram,
-# agg_hll_sketch_union — the latter two rows-only BY DESIGN, so a
-# driver row re-checks least for them, and each has an oracle-exact
-# companion in-window) go first in r11. After this round at most three
-# oracle-gated queries' newest driver rows are older than r8.
+# (each CORRECTNESS_r{N}.json is exactly the first 50 in registration
+# order). To get every query a driver row across rounds, each round
+# front-loads the names that most need one. Round-11 priority (VERDICT
+# r10 items 1-5): (0) the six NEW queries — quantized IVF probe,
+# quantized kNN join, join-mode rescore, quantized streaming ingest,
+# multi-DC EACH_QUORUM — never driver-proved; (1) queries whose
+# IMPLEMENTATION this round touched: the quantize module was refactored
+# (shared scoring helpers, pruning-safe guards), ivf_knn_join's routing
+# table gained a column, build/append_to_ivf_index gained the spec
+# field, the Bloom path was re-plumbed through a shared body, the
+# semantic stream bootstrap gained the quantize flag, and replicas.py
+# was restructured for per-DC math; (2) the r7 cohort (oldest evidence,
+# VERDICT item 5); (3) 30 of the 44 r8-cohort names — the complex-
+# operator subset (all TPC-H, dedup, streaming, window, packing rows).
+# The 14 deferred r8 names (simple scalar/array/json function suites:
+# acctbal_width_buckets, array_agg_sorted, array_function_suite,
+# bool_aggs, conditional_agg_filter, events_json_extract,
+# events_json_struct, explode_embeddings, map_entry_extraction,
+# null_handling_funcs, scalar_date_funcs, scalar_math_funcs,
+# unpivot_segment_metrics, pivot_returnflag_status — each a pure
+# expression suite with an in-window relative and an untouched
+# implementation) go FIRST in round 12. After r11 no registered query's
+# newest driver row is older than r8.
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
-    "ann_ivf_knn_join_string_ids",   # string ids both sides, oracle-exact
-    "decontaminate_bloom",           # Bloom prefilter + exact confirm
-    "embedding_quantize_stats",      # int8 affine quantization, elementwise
-    "quantized_topk_rescored",       # code-scan phase 1 + exact rescore
+    "ann_ivf_quantized_topk",            # IVF-SQ8 probe, oracle-exact
+    "ann_ivf_quantized_knn_join",        # byte-reduced kNN join
+    "quantized_topk_join_rescored",      # distributed (no-collect) rescore
+    "streaming_semantic_dedup_quantized",  # quantized layout under stream
+    "replica_read_each_quorum",          # per-DC NTS consistency math
     # --- (1) implementation touched this round ---
-    "ann_ivf_knn_join_exact",        # derived schemas + read-math validation
-    "streaming_semantic_dedup",      # foreachBatch body extracted + FS glob
-    # (ann_ivf_topk also rides the touched query_ivf_index read path —
-    # it is already in the stale cohort below; dedup_ngram_jaccard /
-    # dedup_incremental_* queries don't pass skew_observation, so the
-    # ensure-helper refactor is a no-op for their plans and their
-    # r8/r9 rows stand)
+    "embedding_quantize_stats",      # quantization_exprs refactor + guards
+    "quantized_topk_rescored",       # helper extraction + rescore_mode
+    "ann_ivf_knn_join_exact",        # routing table gained __qsum
+    "ann_ivf_knn_join_string_ids",   # same path, string ids
+    "decontaminate_bloom",           # shared _bloom_overlap_with_handle body
+    "streaming_semantic_dedup",      # bootstrap gained quantize flag
+    "dedup_semantic_on_index",       # build_ivf_index spec field
+    "dedup_semantic_append_index",   # append/assign spec field
+    "replica_read_all",              # replicas.py per-DC restructure
+    "ann_lsh_append_topk",           # sibling of the touched index module
     # --- (2) stale: newest driver evidence r7 ---
-    "agg_approx_distinct",
-    "agg_approx_distinct_bounded",
-    "agg_approx_quantile",
-    "agg_approx_quantile_bounded",
-    "agg_cube_status",
-    "agg_distinct_suppliers",
-    "agg_hll_sketch_union_bounded",
-    "agg_rollup_orders_time",
-    "ann_ivf_topk",
-    "bundle_write_restore",
-    "cell_pivot_roundtrip",
-    "coordinated_write_roundtrip",
-    "corpus_budget_select",
-    "dedup_fingerprint_md5",
-    "dedup_simhash_confirmed",
-    "embedding_label_norms",
-    "embedding_near_dup",
-    "embedding_near_dup_confirmed",
-    "join_anti_no_orders",
-    "join_cross_region_status",
-    "join_full_outer_nation_counts",
-    "join_semi_open_orders",
-    "lang_id_heuristic",
-    "lmt_last_modified",
-    "pack_training_chunks",
-    "partition_size_orders",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "scalar_string_funcs",
-    "setop_except_customers",
-    "setop_intersect_customers",
-    "setop_union_segments",
-    "sql_grouping_sets",
-    "static_column_propagation",
-    "stratified_sample_langs",
-    "streaming_dedup_union",
-    "streaming_hourly_stats",
-    "streaming_incremental_dedup",
-    "text_bpe_tokens",
-    "text_quality_features",
-    "text_token_stats",
-    "training_data_pipeline",
-    "window_lag_order_gap",
+    "token_range_histogram",
+    "agg_hll_sketch_union",
     "window_moving_avg",
     "window_running_revenue",
     "window_topk_orders_per_customer",
-    # --- (3) roll to r11 (rows-only by design; companions in-window) ---
-    "token_range_histogram",
-    "agg_hll_sketch_union",
+    # --- (3) stale: newest driver evidence r8 (complex-operator subset) ---
+    "agg_median_percentiles",
+    "bulk_write_roundtrip",
+    "cosine_topk_embeddings",
+    "dedup_incremental_lsh",
+    "dedup_incremental_lsh_confirmed",
+    "dedup_incremental_pipeline",
+    "dedup_intradoc_segments",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "events_hourly_stats",
+    "pack_greedy_bins",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "stat_moments_lineitem",
+    "stratified_hash_sample_langs",
+    "streaming_interval_join",
+    "streaming_sessionize",
+    "window_percent_rank",
+    "window_range_frame_revenue",
+    "window_ranking_functions",
 ]
 
 
