@@ -205,6 +205,20 @@ class Engine:
 
         return query_ivf_index(self.spark, index_path, query_vec, **kwargs)
 
+    def query_ivf_index_quantized(
+        self, index_path: str, query_vec: list[float], **kwargs
+    ) -> DataFrame:
+        """Two-phase probe over a ``build_ivf_index(quantize=True)``
+        layout: partition-pruned, ranks from int8 codes (~1 byte/dim
+        scan), float-rescores top k·factor survivors."""
+        from cassandra_analytics_spark.operators.ann_index import (
+            query_ivf_index_quantized,
+        )
+
+        return query_ivf_index_quantized(
+            self.spark, index_path, query_vec, **kwargs
+        )
+
     @staticmethod
     def append_to_ivf_index(df: DataFrame, index_path: str, **kwargs) -> None:
         """Incremental extension of a persisted IVF layout — per-refresh

