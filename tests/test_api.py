@@ -234,3 +234,39 @@ def test_engine_facade_ann_and_streaming_surfaces(spark, tmp_path):
     assert eng.collected_semantic_pairs(str(tmp_path / "nope")).count() == 0
     assert eng.collected_dedup_pairs(str(tmp_path / "nope2")).count() == 0
     assert callable(Engine.run_semantic_dedup_stream)
+
+
+def test_engine_facade_round11_methods(spark, tmp_path):
+    """Round-11 surfaces ride the facade: quantized IVF build/probe
+    (quantize=True passes through **kwargs) and the quantized kNN join."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.api import Engine
+
+    eng = Engine(spark)
+    emb = spark.createDataFrame(
+        [(i, [1.0 + i * 0.1, 2.0 - i * 0.05, float(i)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = str(tmp_path / "qivf")
+    Engine.build_ivf_index(
+        emb.filter("vec_id < 6"), ivf, num_centroids=2, quantize=True
+    )
+    Engine.append_to_ivf_index(emb.filter("vec_id >= 6"), ivf)
+    layout = spark.read.parquet(ivf)
+    assert layout.count() == 8
+    assert layout.filter(F.col("qvec").isNull()).count() == 0
+
+    got = eng.query_ivf_index_quantized(
+        ivf, [1.0, 2.0, 0.0], k=3, num_probes=2, rescore_factor=4
+    )
+    want = eng.query_ivf_index(ivf, [1.0, 2.0, 0.0], k=3, num_probes=2)
+    assert [
+        (r.vec_id, round(r.cosine_sim, 9)) for r in got.collect()
+    ] == [(r.vec_id, round(r.cosine_sim, 9)) for r in want.collect()]
+
+    coded = Engine.ivf_knn_join(
+        emb.limit(2).select(F.col("vec_id").alias("qid"), "embedding"),
+        ivf, k=3, num_probes=2, use_codes=True,
+    )
+    assert coded.count() == 6
