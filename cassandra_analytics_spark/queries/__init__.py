@@ -73,6 +73,7 @@ _ROUND_PRIORITY: list[str] = [
     "quantized_topk_join_rescored",      # distributed (no-collect) rescore
     "streaming_semantic_dedup_quantized",  # quantized layout under stream
     "replica_read_each_quorum",          # per-DC NTS consistency math
+    "dedup_semantic_on_index_quantized",  # code-shuffled pair stage
     # --- (1) implementation touched this round ---
     "embedding_quantize_stats",      # quantization_exprs refactor + guards
     "quantized_topk_rescored",       # helper extraction + rescore_mode
@@ -120,7 +121,9 @@ _ROUND_PRIORITY: list[str] = [
     "streaming_sessionize",
     "window_percent_rank",
     "window_range_frame_revenue",
-    "window_ranking_functions",
+    # window_ranking_functions rolled past the 50-row window when
+    # dedup_semantic_on_index_quantized landed — it joins the deferred
+    # r8 cohort leading round 12
 ]
 
 

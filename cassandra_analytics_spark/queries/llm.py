@@ -2409,6 +2409,52 @@ def dedup_semantic_on_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_on_index_quantized",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="dedup_semantic_on_index with the CODE-ASSISTED pair stage "
+    "(semantic_dedup_on_index(use_codes=True), round 11): the quadratic "
+    "within-cell pair expansion shuffles int8 codes (~6x fewer bytes "
+    "than the float vectors — the exchange that dominates SemDeDup at "
+    "100 TB), prefilters pairs with a PROVEN-sound quantization-error "
+    "margin (|cos(x,y) − cos(x̂,ŷ)| <= 2r_a/|x̂| + 2r_b/|ŷ|, r = "
+    "s*sqrt(d)/2 — no true pair can be dropped), and exact-confirms "
+    "survivors from the float column with the portable decimal cosine. "
+    "Same oracle as dedup_semantic/_on_index: the three paths are "
+    "driver-proved EQUAL.",
+)
+def dedup_semantic_on_index_quantized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        semantic_dedup_on_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
+    centroids = _semantic_centroids(e)
+    if not centroids:
+        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
+
+    path = tempfile.mkdtemp(prefix="cas_semdedup_qidx_") + "/ivf"
+    try:
+        build_ivf_index(
+            corpus, path, centroids=centroids,
+            dot_fn=_pdot, norm_fn=_psq_norm, sim_id=_PORTABLE_SIM_ID,
+            quantize=True,
+        )
+        return semantic_dedup_on_index(
+            spark, path, threshold=0.9, max_cluster=10_000,
+            dot_fn=_pdot, norm_fn=_psq_norm, use_codes=True,
+        ).orderBy("removed").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "dedup_semantic_append_index",
     oracle=SEMANTIC_DEDUP_ORACLE,
     doc="The GROWING-corpus SemDeDup path, ORACLE-EXACT end to end: the "

@@ -198,31 +198,46 @@ def main() -> None:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
     # --- 4. Bloom decontamination at 500k docs --------------------------
-    print("[4] contamination_overlap_bloom at 500k docs")
+    # Two fixture shapes. HIGH-HIT: benchmark docs' key-shifted
+    # near-copies stay IN the corpus, so ~every doc shares shingles with
+    # the benchmark — the prefilter cannot prune (the operator's
+    # documented lose case). LOW-HIT: the benchmark is copy-0 docs and
+    # every key-shifted copy of them is EXCLUDED from the corpus — the
+    # realistic decontamination posture where most shingles miss.
     d = load_table(spark, scale_dir, "documents").select("doc_id", "text")
-    bench = d.filter(F.col("doc_id") % 997 == 0)
-    dcorpus = d.filter(F.col("doc_id") % 997 != 0)
-    nb = bench.count()
-    print(f"  benchmark docs: {nb}")
-    want_c, t_exact = _timed(
-        "exact broadcast path",
-        lambda: sorted(
-            (r.doc_id, r.n_overlap)
-            for r in contamination_overlap(
-                dcorpus, bench, shingle_n=3, min_overlap=3
-            ).collect()
+    base_mod = F.pmod(F.col("doc_id"), F.lit(5000))  # make_scale key offset
+    shapes = {
+        "high-hit": (
+            d.filter(F.col("doc_id") % 997 == 0),
+            d.filter(F.col("doc_id") % 997 != 0),
         ),
-    )
-    got_c, t_bloom = _timed(
-        "bloom path (num_bits=2^23)",
-        lambda: sorted(
-            (r.doc_id, r.n_overlap)
-            for r in contamination_overlap_bloom(
-                dcorpus, bench, shingle_n=3, min_overlap=3
-            ).collect()
+        "low-hit": (
+            d.filter((base_mod % 997 == 0) & (F.col("doc_id") < 5000)),
+            d.filter(base_mod % 997 != 0),
         ),
-    )
-    print(f"  flagged: {len(want_c)}  bit-identical: {got_c == want_c}")
+    }
+    for shape, (bench, dcorpus) in shapes.items():
+        print(f"[4] contamination_overlap_bloom at 500k docs ({shape})")
+        print(f"  benchmark docs: {bench.count()}")
+        want_c, t_exact = _timed(
+            "exact broadcast path",
+            lambda b=bench, c=dcorpus: sorted(
+                (r.doc_id, r.n_overlap)
+                for r in contamination_overlap(
+                    c, b, shingle_n=3, min_overlap=3
+                ).collect()
+            ),
+        )
+        got_c, t_bloom = _timed(
+            "bloom path (num_bits=2^23)",
+            lambda b=bench, c=dcorpus: sorted(
+                (r.doc_id, r.n_overlap)
+                for r in contamination_overlap_bloom(
+                    c, b, shingle_n=3, min_overlap=3
+                ).collect()
+            ),
+        )
+        print(f"  flagged: {len(want_c)}  bit-identical: {got_c == want_c}")
     spark.stop()
 
 

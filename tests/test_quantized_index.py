@@ -190,3 +190,120 @@ def test_quantized_empty_corpus_and_null_vectors(spark, tmp_path):
         spark, path2, rows[0][1], k=61, num_probes=4, rescore_factor=8
     ).collect()
     assert all(r.vec_id != 999 for r in got)
+
+
+def test_quantized_semdedup_pairs_equal_float_path(spark, tmp_path):
+    """The code-assisted pair stage (use_codes=True) must produce
+    verdicts IDENTICAL to the float pair stage — the margin prefilter is
+    proven-sound, the exact confirm rescoring from floats. Planted
+    near-dup corpus."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        semantic_dedup_on_index,
+    )
+
+    rng = random.Random(31)
+    dim = 16
+    rows = []
+    for i in range(120):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, base))
+        if i % 4 == 0:  # a near-dup copy
+            rows.append(
+                (1000 + i, [x * (1 + rng.uniform(-0.01, 0.01)) for x in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(c, [rng.gauss(0, 1) for _ in range(dim)]) for c in range(4)]
+    path = str(tmp_path / "qivf")
+    build_ivf_index(df, path, centroids=cents, quantize=True)
+
+    got = {
+        tuple(r)
+        for r in semantic_dedup_on_index(
+            spark, path, threshold=0.9, use_codes=True
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in semantic_dedup_on_index(
+            spark, path, threshold=0.9
+        ).collect()
+    }
+    assert got == want and want  # the planted dups must be found
+
+    upath = str(tmp_path / "plain")
+    build_ivf_index(df, upath, centroids=cents)
+    with pytest.raises(ValueError, match="needs a quantized layout"):
+        semantic_dedup_on_index(spark, upath, use_codes=True)
+
+
+def test_quantized_semdedup_margin_sound_at_threshold_boundary(spark, tmp_path):
+    """Adversarial margin check: pair cosines packed DENSELY around the
+    threshold (where quantization noise could flip a verdict if the
+    bound were optimistic) — the quantized stage must still match the
+    float stage pair-for-pair."""
+    import math
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        semantic_dedup_on_index,
+    )
+
+    rng = random.Random(7)
+    dim = 12
+    x = [rng.gauss(0, 1) for _ in range(dim)]
+    z = [rng.gauss(0, 1) for _ in range(dim)]
+    # orthogonalize z against x so mixing angles is controlled
+    xx = sum(a * a for a in x)
+    proj = sum(a * b for a, b in zip(x, z)) / xx
+    z = [b - proj * a for a, b in zip(x, z)]
+    rows = [(0, x)]
+    # vectors at angles spanning cos in [0.90, 1.0) — threshold 0.95
+    for i in range(1, 60):
+        c = 0.90 + 0.0017 * i
+        ang = math.acos(min(c, 1.0))
+        zn = math.sqrt(sum(b * b for b in z))
+        xn = math.sqrt(xx)
+        v = [
+            math.cos(ang) * a / xn + math.sin(ang) * b / zn
+            for a, b in zip(x, z)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # one cell: every pair is a candidate
+    path = str(tmp_path / "qivf")
+    build_ivf_index(df, path, centroids=[(0, [1.0] * dim)], quantize=True)
+
+    got = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in __import__(
+            "cassandra_analytics_spark.operators.ann_index",
+            fromlist=["_quantized_pairs_from_cells"],
+        )._quantized_pairs_from_cells(
+            spark.read.parquet(path), 0.95, "vec_id", "embedding",
+            10_000, None, None, None,
+        ).collect()
+    }
+    from cassandra_analytics_spark.operators.similarity import (
+        semantic_pairs_from_cells,
+    )
+
+    want = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in semantic_pairs_from_cells(
+            spark.read.parquet(path), 0.95, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got == want and len(want) > 100  # dense boundary pairs exist
+    # verdicts agree too
+    a = {
+        tuple(r)
+        for r in semantic_dedup_on_index(
+            spark, path, threshold=0.95, use_codes=True
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in semantic_dedup_on_index(
+            spark, path, threshold=0.95
+        ).collect()
+    }
+    assert a == b
