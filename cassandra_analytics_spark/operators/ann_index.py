@@ -952,8 +952,9 @@ def _quantized_pairs_from_cells(
 ) -> DataFrame:
     """Within-cell near-dup pairs over a QUANTIZED layout: the quadratic
     pair expansion carries the int8 CODES (+ five doubles) through the
-    cell exchange instead of the float vectors — ~6x fewer shuffled
-    bytes in the stage that dominates SemDeDup at corpus scale — then
+    cell exchange instead of the float vectors — a MEASURED 3.4x
+    shuffle-byte cut at 100x (PERF.md) in the stage that dominates
+    SemDeDup at corpus scale — then
     exact-confirms the surviving pairs from the float column, so the
     output is IDENTICAL to the float pair stage (pinned by test and by
     the shared driver oracle).
@@ -1103,8 +1104,8 @@ def semantic_dedup_on_index(
 
     ``use_codes=True`` (requires a ``quantize=True`` layout) routes the
     within-cell pair expansion through the int8 CODES — the quadratic
-    exchange shuffles ~6x fewer bytes — with a PROVEN-sound margin
-    prefilter and an exact float confirm, so the verdicts are identical
+    exchange shuffles 3.4x fewer bytes (measured at 100x, PERF.md) —
+    with a PROVEN-sound margin prefilter and an exact float confirm, so the verdicts are identical
     to the float stage (see :func:`_quantized_pairs_from_cells` for the
     bound)."""
     from cassandra_analytics_spark.operators.similarity import (

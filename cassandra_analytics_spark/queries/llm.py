@@ -2413,7 +2413,7 @@ def dedup_semantic_on_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=SEMANTIC_DEDUP_ORACLE,
     doc="dedup_semantic_on_index with the CODE-ASSISTED pair stage "
     "(semantic_dedup_on_index(use_codes=True), round 11): the quadratic "
-    "within-cell pair expansion shuffles int8 codes (~6x fewer bytes "
+    "within-cell pair expansion shuffles int8 codes (measured 3.4x fewer bytes "
     "than the float vectors — the exchange that dominates SemDeDup at "
     "100 TB), prefilters pairs with a PROVEN-sound quantization-error "
     "margin (|cos(x,y) − cos(x̂,ŷ)| <= 2r_a/|x̂| + 2r_b/|ŷ|, r = "
