@@ -48,23 +48,26 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # front-loads the names that most need one. Round-11 priority (VERDICT
 # r10 items 1-5): (0) the six NEW queries — quantized IVF probe,
 # quantized kNN join, join-mode rescore, quantized streaming ingest,
-# multi-DC EACH_QUORUM — never driver-proved; (1) queries whose
+# multi-DC EACH_QUORUM, code-shuffled SemDeDup pair stage — never
+# driver-proved; (1) queries whose
 # IMPLEMENTATION this round touched: the quantize module was refactored
 # (shared scoring helpers, pruning-safe guards), ivf_knn_join's routing
 # table gained a column, build/append_to_ivf_index gained the spec
 # field, the Bloom path was re-plumbed through a shared body, the
 # semantic stream bootstrap gained the quantize flag, and replicas.py
 # was restructured for per-DC math; (2) the r7 cohort (oldest evidence,
-# VERDICT item 5); (3) 30 of the 44 r8-cohort names — the complex-
+# VERDICT item 5); (3) 29 of the 44 r8-cohort names — the complex-
 # operator subset (all TPC-H, dedup, streaming, window, packing rows).
-# The 14 deferred r8 names (simple scalar/array/json function suites:
+# The 15 deferred r8 names (simple scalar/array/json function suites:
 # acctbal_width_buckets, array_agg_sorted, array_function_suite,
 # bool_aggs, conditional_agg_filter, events_json_extract,
 # events_json_struct, explode_embeddings, map_entry_extraction,
 # null_handling_funcs, scalar_date_funcs, scalar_math_funcs,
 # unpivot_segment_metrics, pivot_returnflag_status — each a pure
 # expression suite with an in-window relative and an untouched
-# implementation) go FIRST in round 12. After r11 no registered query's
+# implementation — plus window_ranking_functions, displaced when the
+# late dedup_semantic_on_index_quantized query joined the window) go
+# FIRST in round 12. After r11 no registered query's
 # newest driver row is older than r8.
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
@@ -79,7 +82,7 @@ _ROUND_PRIORITY: list[str] = [
     "quantized_topk_rescored",       # helper extraction + rescore_mode
     "ann_ivf_knn_join_exact",        # routing table gained __qsum
     "ann_ivf_knn_join_string_ids",   # same path, string ids
-    "decontaminate_bloom",           # shared _bloom_overlap_with_handle body
+    "decontaminate_bloom",           # membership rewritten as JVM joins
     "streaming_semantic_dedup",      # bootstrap gained quantize flag
     "dedup_semantic_on_index",       # build_ivf_index spec field
     "dedup_semantic_append_index",   # append/assign spec field
