@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 from cassandra_analytics_spark.functions.tokens import token_column
 from cassandra_analytics_spark.operators.merge import REPLICA_ID, compaction_merge
 
-_CLS = ("ONE", "TWO", "THREE", "QUORUM", "ALL",
-        "LOCAL_ONE", "LOCAL_QUORUM", "EACH_QUORUM")
+_CLS = ("ANY", "ONE", "TWO", "THREE", "QUORUM", "ALL", "SERIAL",
+        "LOCAL_ONE", "LOCAL_QUORUM", "LOCAL_SERIAL", "EACH_QUORUM")
 
 
 def _validate_rf_map(rf: Mapping[str, int]) -> dict[str, int]:
@@ -53,10 +53,15 @@ def block_for(
 
     - ``EACH_QUORUM``: the SUM of per-DC local quorums (quorum in
       EVERY datacenter),
-    - ``LOCAL_QUORUM`` / ``LOCAL_ONE``: quorum of / one in the LOCAL
-      DC only (``local_dc`` required),
-    - ``QUORUM`` / ``ALL`` / ``ONE``/``TWO``/``THREE``: over the total
-      replica count across DCs.
+    - ``LOCAL_QUORUM``/``LOCAL_SERIAL`` / ``LOCAL_ONE``: quorum of /
+      one in the LOCAL DC only — ``local_dc`` required unless the map
+      has exactly ONE datacenter (the reference's
+      ``getNetworkTopologyRf`` null-DC convenience),
+    - ``QUORUM``/``SERIAL`` / ``ALL`` / ``ANY``/``ONE``/``TWO``/
+      ``THREE``: over the total replica count across DCs (``ANY`` and
+      the SERIAL levels share their non-serial twins' blockFor, as in
+      the reference — the Paxos/hinted-handoff mechanics they add are
+      write-path concerns with no analog over shared storage).
 
     rf < 1 is refused here (it used to surface as an ANSI pmod-by-zero
     deep inside the selection job), and a consistency level whose
@@ -70,9 +75,13 @@ def block_for(
     if isinstance(rf, Mapping):
         rf_map = _validate_rf_map(rf)
         if cl.startswith("LOCAL_"):
+            if local_dc is None and len(rf_map) == 1:
+                # single-DC map + unspecified DC: the reference's
+                # getNetworkTopologyRf uses the only DC's rf
+                local_dc = next(iter(rf_map))
             if local_dc is None:
                 raise ValueError(
-                    f"block_for: {cl} against a per-DC rf map needs "
+                    f"block_for: {cl} against a multi-DC rf map needs "
                     "local_dc= (the level is defined relative to the "
                     "coordinator's datacenter)"
                 )
@@ -84,16 +93,16 @@ def block_for(
         total_rf = sum(rf_map.values())
         if cl == "EACH_QUORUM":
             n = sum(r // 2 + 1 for r in rf_map.values())
-        elif cl == "LOCAL_QUORUM":
+        elif cl in ("LOCAL_QUORUM", "LOCAL_SERIAL"):
             n = rf_map[local_dc] // 2 + 1
         elif cl == "LOCAL_ONE":
             n = 1
-        elif cl == "QUORUM":
+        elif cl in ("QUORUM", "SERIAL"):
             n = total_rf // 2 + 1
         elif cl == "ALL":
             n = total_rf
         else:
-            n = {"ONE": 1, "TWO": 2, "THREE": 3}[cl]
+            n = {"ANY": 1, "ONE": 1, "TWO": 2, "THREE": 3}[cl]
         if n > total_rf:
             raise ValueError(
                 f"consistency {consistency} needs {n} replicas but the "
@@ -105,13 +114,14 @@ def block_for(
     if int(rf) < 1:
         raise ValueError(f"block_for: rf must be >= 1, got {rf}")
     rf = int(rf)
-    if cl in ("ONE", "LOCAL_ONE"):
+    if cl in ("ANY", "ONE", "LOCAL_ONE"):
         n = 1
     elif cl == "TWO":
         n = 2
     elif cl == "THREE":
         n = 3
-    elif cl in ("QUORUM", "LOCAL_QUORUM", "EACH_QUORUM"):
+    elif cl in ("QUORUM", "SERIAL", "LOCAL_QUORUM", "LOCAL_SERIAL",
+                "EACH_QUORUM"):
         n = rf // 2 + 1
     elif cl == "ALL":
         n = rf
@@ -141,9 +151,11 @@ def block_for_per_dc(
     cl = consistency.upper()
     rf_map = _validate_rf_map(rf)
     total = block_for(consistency, rf_map, local_dc)  # validates everything
+    if cl.startswith("LOCAL_") and local_dc is None:
+        local_dc = next(iter(rf_map))  # single-DC map (block_for validated)
     if cl == "EACH_QUORUM":
         return {dc: r // 2 + 1 for dc, r in rf_map.items()}
-    if cl == "LOCAL_QUORUM":
+    if cl in ("LOCAL_QUORUM", "LOCAL_SERIAL"):
         return {
             dc: (rf_map[local_dc] // 2 + 1 if dc == local_dc else 0)
             for dc in rf_map

@@ -34,7 +34,7 @@ def test_block_for_math():
     assert block_for("LOCAL_QUORUM", 5) == 3
     assert block_for("ALL", 3) == 3
     with pytest.raises(ValueError):
-        block_for("ANY", 3)
+        block_for("EVENTUAL", 3)  # not a Cassandra consistency level
 
 
 def test_select_replicas_counts(spark):
@@ -326,3 +326,29 @@ def test_local_quorum_misses_remote_dc_writes(spark):
         )
 
         select_replicas_repair_aware(df, ["pk"], "ALL", rf=RF_MAP)
+
+
+def test_serial_any_and_single_dc_map_conveniences():
+    """Parity with the reference's full CL enum
+    (data/partitioner/ConsistencyLevel.java:26-123): ANY blocks like
+    ONE, SERIAL like QUORUM, LOCAL_SERIAL like LOCAL_QUORUM; a
+    SINGLE-DC rf map accepts LOCAL_* without local_dc (the
+    getNetworkTopologyRf null-DC convenience)."""
+    from cassandra_analytics_spark.operators.replicas import (
+        block_for,
+        block_for_per_dc,
+    )
+
+    assert block_for("ANY", 3) == 1
+    assert block_for("SERIAL", 3) == 2
+    assert block_for("LOCAL_SERIAL", 3) == 2
+    assert block_for("ANY", RF_MAP) == 1
+    assert block_for("SERIAL", RF_MAP) == 3
+    assert block_for("LOCAL_SERIAL", RF_MAP, local_dc="dc2") == 2
+    # single-DC map: local_dc optional for the LOCAL_* levels
+    assert block_for("LOCAL_QUORUM", {"dc1": 5}) == 3
+    assert block_for("LOCAL_ONE", {"dc1": 5}) == 1
+    assert block_for_per_dc("LOCAL_SERIAL", {"dc1": 5}) == {"dc1": 3}
+    # multi-DC still requires it
+    with pytest.raises(ValueError, match="needs local_dc"):
+        block_for("LOCAL_SERIAL", RF_MAP)
