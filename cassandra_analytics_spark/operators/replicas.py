@@ -175,6 +175,86 @@ def block_for_per_dc(
     return out
 
 
+_WRITE_CLS = ("ALL", "EACH_QUORUM", "QUORUM", "LOCAL_QUORUM",
+              "ONE", "TWO", "LOCAL_ONE")
+
+
+def write_consistency_satisfied(
+    succeeded_dcs: Sequence[str],
+    pending_dcs: Sequence[str],
+    consistency: str,
+    rf: int | Mapping[str, int],
+    local_dc: str | None = None,
+) -> bool:
+    """The bulk WRITE path's consistency check — a mirror of the
+    reference's ``bulkwriter/token/ConsistencyLevel.java:30-234``
+    ``canBeSatisfied``: with pending instances (JOINING/LEAVING/MOVING),
+    the minimum success count is INFLATED by the pending count so the
+    guarantee still holds after the topology change settles (Cassandra's
+    ``blockForWrite``). E.g. rf=3 with 2 pending: QUORUM needs
+    quorum(3)+2 = 4 successes, ONE needs 1+2 = 3.
+
+    ``succeeded_dcs``/``pending_dcs`` are the DATACENTER names of the
+    succeeded/pending replicas (the math uses only per-DC counts).
+    Per-DC levels (EACH_QUORUM, LOCAL_*) count within each datacenter
+    and — like the reference's ``ensureNetworkTopologyStrategy`` —
+    REFUSE a flat int rf: they only make sense for
+    NetworkTopologyStrategy keyspaces. The write enum is exactly the
+    reference's seven levels; THREE/ANY/SERIAL are read-side-only there
+    and refused here.
+
+    Returning True means the level is DEFINITIVELY satisfied; False
+    means no conclusion (more instances may still succeed) — the
+    reference's exact contract."""
+    cl = consistency.upper()
+    if cl not in _WRITE_CLS:
+        raise ValueError(
+            f"unsupported write consistency level: {consistency} (the "
+            f"reference's bulk-write enum is {list(_WRITE_CLS)})"
+        )
+    succeeded = [str(d) for d in succeeded_dcs]
+    pending = [str(d) for d in pending_dcs]
+    if cl in ("EACH_QUORUM", "LOCAL_QUORUM", "LOCAL_ONE"):
+        if not isinstance(rf, Mapping):
+            raise ValueError(
+                f"{cl} only makes sense for NetworkTopologyStrategy "
+                "keyspaces — pass rf as a per-DC map "
+                "(bulkwriter ConsistencyLevel.ensureNetworkTopologyStrategy)"
+            )
+        rf_map = _validate_rf_map(rf)
+        if cl == "EACH_QUORUM":
+            return all(
+                sum(1 for d in succeeded if d == dc)
+                >= r // 2 + 1 + sum(1 for d in pending if d == dc)
+                for dc, r in rf_map.items()
+            )
+        if local_dc is None:
+            raise ValueError(f"{cl}: local_dc cannot be None")
+        if local_dc not in rf_map:
+            raise ValueError(
+                f"local_dc {local_dc!r} is not in the rf map "
+                f"{sorted(rf_map)}"
+            )
+        succ_local = sum(1 for d in succeeded if d == local_dc)
+        pend_local = sum(1 for d in pending if d == local_dc)
+        need = rf_map[local_dc] // 2 + 1 if cl == "LOCAL_QUORUM" else 1
+        return succ_local >= need + pend_local
+    total_rf = (
+        sum(_validate_rf_map(rf).values())
+        if isinstance(rf, Mapping)
+        else int(rf)
+    )
+    if total_rf < 1:
+        raise ValueError(f"rf must be >= 1, got {rf}")
+    need = {
+        "ALL": total_rf,
+        "QUORUM": total_rf // 2 + 1,
+        "ONE": 1,
+        "TWO": 2,
+    }[cl]
+    return len(succeeded) >= need + len(pending)
+
+
 def select_replicas(
     df: DataFrame,
     partition_keys: Sequence[str],

@@ -352,3 +352,49 @@ def test_serial_any_and_single_dc_map_conveniences():
     # multi-DC still requires it
     with pytest.raises(ValueError, match="needs local_dc"):
         block_for("LOCAL_SERIAL", RF_MAP)
+
+
+def test_write_consistency_satisfied_mirrors_reference():
+    """bulkwriter/token/ConsistencyLevel.java canBeSatisfied parity:
+    pending instances INFLATE the needed success count (the javadoc's
+    own example: rf=3 with 2 pending -> QUORUM needs 4, ONE needs 3,
+    TWO needs 4); per-DC levels count within each DC and refuse flat
+    (SimpleStrategy) rf."""
+    from cassandra_analytics_spark.operators.replicas import (
+        write_consistency_satisfied as ok,
+    )
+
+    # the reference javadoc example (rf=3, 2 pending, global levels)
+    p2 = ["dc1", "dc1"]
+    five = ["dc1"] * 5
+    assert ok(five[:4], p2, "QUORUM", 3) and not ok(five[:3], p2, "QUORUM", 3)
+    assert ok(five[:3], p2, "ONE", 3) and not ok(five[:2], p2, "ONE", 3)
+    assert ok(five[:4], p2, "TWO", 3) and not ok(five[:3], p2, "TWO", 3)
+    assert ok(five[:5], p2, "ALL", 3) and not ok(five[:4], p2, "ALL", 3)
+
+    # EACH_QUORUM: quorum in EVERY dc, pending counted per-dc
+    succ = ["dc1", "dc1", "dc2", "dc2"]
+    assert ok(succ, [], "EACH_QUORUM", RF_MAP)
+    assert not ok(succ[:3], [], "EACH_QUORUM", RF_MAP)  # dc2 short
+    # a dc1 pending raises dc1's bar to 3
+    assert not ok(succ, ["dc1"], "EACH_QUORUM", RF_MAP)
+    assert ok(["dc1"] * 3 + ["dc2"] * 2, ["dc1"], "EACH_QUORUM", RF_MAP)
+
+    # LOCAL_* ignore remote successes/pendings entirely
+    assert ok(["dc1", "dc1"], ["dc2", "dc2"], "LOCAL_QUORUM", RF_MAP,
+              local_dc="dc1")
+    assert not ok(["dc1", "dc2", "dc2"], [], "LOCAL_QUORUM", RF_MAP,
+                  local_dc="dc1")
+    assert ok(["dc2"], ["dc1"], "LOCAL_ONE", RF_MAP, local_dc="dc2")
+    assert not ok(["dc2"], ["dc2"], "LOCAL_ONE", RF_MAP, local_dc="dc2")
+
+    # NTS-only levels refuse flat rf; read-only levels refused outright
+    with pytest.raises(ValueError, match="NetworkTopologyStrategy"):
+        ok(["dc1"], [], "LOCAL_QUORUM", 3, local_dc="dc1")
+    with pytest.raises(ValueError, match="NetworkTopologyStrategy"):
+        ok(["dc1"], [], "EACH_QUORUM", 3)
+    for bad in ("THREE", "ANY", "SERIAL"):
+        with pytest.raises(ValueError, match="unsupported write"):
+            ok(["dc1"], [], bad, 3)
+    with pytest.raises(ValueError, match="local_dc cannot be None"):
+        ok(["dc1"], [], "LOCAL_ONE", RF_MAP)
