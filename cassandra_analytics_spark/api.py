@@ -287,6 +287,38 @@ class Engine:
         return read_with_consistency(df, partition_keys, **kwargs)
 
     @staticmethod
+    def select_replicas(df: DataFrame, partition_keys: Sequence[str],
+                        **kwargs) -> DataFrame:
+        """CL-many replica selection per partition — single-DC (int rf)
+        or multi-DC (``rf`` map + ``dc_col``/``local_dc``)."""
+        from cassandra_analytics_spark.operators.replicas import (
+            select_replicas,
+        )
+
+        return select_replicas(df, partition_keys, **kwargs)
+
+    @staticmethod
+    def block_for(consistency: str, rf, local_dc: str | None = None) -> int:
+        """Total replicas a read blocks for (per-DC rf maps supported)."""
+        from cassandra_analytics_spark.operators.replicas import block_for
+
+        return block_for(consistency, rf, local_dc)
+
+    @staticmethod
+    def write_consistency_satisfied(succeeded_dcs, pending_dcs,
+                                    consistency: str, rf,
+                                    local_dc: str | None = None) -> bool:
+        """The bulk-write CL predicate with pending-instance inflation
+        (bulkwriter canBeSatisfied parity)."""
+        from cassandra_analytics_spark.operators.replicas import (
+            write_consistency_satisfied,
+        )
+
+        return write_consistency_satisfied(
+            succeeded_dcs, pending_dcs, consistency, rf, local_dc
+        )
+
+    @staticmethod
     def partition_sizes(df: DataFrame, partition_keys: Sequence[str],
                         **kwargs) -> DataFrame:
         from cassandra_analytics_spark.operators.partition_stats import (
