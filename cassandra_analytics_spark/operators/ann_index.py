@@ -1354,19 +1354,21 @@ def ivf_knn_join(
             .select(query_id, id_col)
         )
         # phase 2: exact rescore of the survivors only — the survivor
-        # frame (≤ n_queries · k · rescore_factor rows) rejoins its
-        # query vector and broadcasts against the float column; no
-        # driver hop (the kNN join is batch-shaped, so the distributed
-        # rescore is the only mode here)
+        # frame rejoins the routing table on the query id, fanning each
+        # survivor to that query's PROBED CELLS (≤ n_queries · k ·
+        # rescore_factor · num_probes rows, still broadcast-sized), and
+        # the rescore joins the corpus on (cell, id): a duplicate-id
+        # copy sitting in a cell this query did NOT probe can never win
+        # here, exactly matching the float path's cell-joined scoring
+        # (r11 ADVICE low 3). No driver hop (the kNN join is
+        # batch-shaped, so the distributed rescore is the only mode).
         surv_q = survivors.join(
-            route_df.select(query_id, "__qv", "__qn").dropDuplicates(
-                [query_id]
-            ),
+            route_df.select(query_id, "cell", "__qv", "__qn"),
             query_id,
         )
         scored = (
-            candidates.select(F.col(id_col), F.col(vec_col))
-            .join(F.broadcast(surv_q), id_col)
+            candidates.select(F.col("cell"), F.col(id_col), F.col(vec_col))
+            .join(F.broadcast(surv_q), ["cell", id_col])
             .select(F.col(query_id), F.col(id_col), cos.alias("cosine_sim"))
             .filter(F.col("cosine_sim").isNotNull())
             .groupBy(query_id, id_col)

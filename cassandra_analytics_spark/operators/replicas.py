@@ -23,16 +23,39 @@ _CLS = ("ANY", "ONE", "TWO", "THREE", "QUORUM", "ALL", "SERIAL",
         "LOCAL_ONE", "LOCAL_QUORUM", "LOCAL_SERIAL", "EACH_QUORUM")
 
 
+def _norm_dc(dc: object) -> str:
+    """Normalize a datacenter name for comparison. The reference counts
+    DC membership case-insensitively (``bulkwriter/token/
+    ConsistencyLevel.java`` ``countInDc`` uses ``equalsIgnoreCase``), so
+    instances reporting ``'DC1'`` against an rf map keyed ``'dc1'`` must
+    still count. ``str.lower()`` mirrors Java's per-char comparison for
+    the ASCII names DCs carry in practice."""
+    return str(dc).lower()
+
+
 def _validate_rf_map(rf: Mapping[str, int]) -> dict[str, int]:
+    """Validate and NORMALIZE a per-DC rf map: keys lowercased (the
+    reference's DC comparisons are equalsIgnoreCase throughout), values
+    coerced to int >= 1. Two keys that collide after normalization
+    (``{'DC1': 3, 'dc1': 2}``) are an ambiguous config and refused.
+    Every consumer must index THIS returned map, never the caller's raw
+    one — raw maps may carry non-string or differently-cased keys."""
     if not rf:
         raise ValueError("block_for: the per-DC rf map is empty")
-    out = {}
+    out: dict[str, int] = {}
     for dc, r in rf.items():
         if int(r) < 1:
             raise ValueError(
                 f"block_for: rf must be >= 1 in every DC, got {dc!r}: {r}"
             )
-        out[str(dc)] = int(r)
+        key = _norm_dc(dc)
+        if key in out:
+            raise ValueError(
+                f"block_for: rf map keys {sorted(rf)} collide on "
+                f"{key!r} after case-insensitive normalization "
+                "(DC names compare equalsIgnoreCase in the reference)"
+            )
+        out[key] = int(r)
     return out
 
 
@@ -74,6 +97,8 @@ def block_for(
         raise ValueError(f"unsupported consistency level: {consistency}")
     if isinstance(rf, Mapping):
         rf_map = _validate_rf_map(rf)
+        if local_dc is not None:
+            local_dc = _norm_dc(local_dc)
         if cl.startswith("LOCAL_"):
             if local_dc is None and len(rf_map) == 1:
                 # single-DC map + unspecified DC: the reference's
@@ -150,6 +175,8 @@ def block_for_per_dc(
     copies participate."""
     cl = consistency.upper()
     rf_map = _validate_rf_map(rf)
+    if local_dc is not None:
+        local_dc = _norm_dc(local_dc)
     total = block_for(consistency, rf_map, local_dc)  # validates everything
     if cl.startswith("LOCAL_") and local_dc is None:
         local_dc = next(iter(rf_map))  # single-DC map (block_for validated)
@@ -212,8 +239,11 @@ def write_consistency_satisfied(
             f"unsupported write consistency level: {consistency} (the "
             f"reference's bulk-write enum is {list(_WRITE_CLS)})"
         )
-    succeeded = [str(d) for d in succeeded_dcs]
-    pending = [str(d) for d in pending_dcs]
+    # DC names count case-insensitively (countInDc is equalsIgnoreCase)
+    succeeded = [_norm_dc(d) for d in succeeded_dcs]
+    pending = [_norm_dc(d) for d in pending_dcs]
+    if local_dc is not None:
+        local_dc = _norm_dc(local_dc)
     if cl in ("EACH_QUORUM", "LOCAL_QUORUM", "LOCAL_ONE"):
         if not isinstance(rf, Mapping):
             raise ValueError(
@@ -309,17 +339,22 @@ def select_replicas(
             f"select_replicas: dc_col {dc_col!r} is not a column of the "
             f"input ({df.columns})"
         )
-    per_dc = block_for_per_dc(consistency, rf, local_dc)
+    # Index the VALIDATED (normalized) map, never the caller's raw one:
+    # block_for_per_dc returns normalized keys, so rf[dc] on a raw map
+    # with non-string or differently-cased keys would KeyError / miss.
+    rf_map = _validate_rf_map(rf)
+    per_dc = block_for_per_dc(consistency, rf_map, local_dc)
+    dc_expr = F.lower(F.col(dc_col).cast("string"))  # equalsIgnoreCase
     keep = None
     for dc in sorted(per_dc):
-        rf_dc, n_dc = int(rf[dc]), per_dc[dc]
+        rf_dc, n_dc = rf_map[dc], per_dc[dc]
         primary = F.pmod(tok, F.lit(rf_dc))
         distance = F.pmod(F.col(replica_col) - 1 - primary, F.lit(rf_dc))
         cond = distance < F.lit(n_dc)
         keep = (
-            F.when(F.col(dc_col) == dc, cond)
+            F.when(dc_expr == dc, cond)
             if keep is None
-            else keep.when(F.col(dc_col) == dc, cond)
+            else keep.when(dc_expr == dc, cond)
         )
     keep = keep.otherwise(
         F.raise_error(

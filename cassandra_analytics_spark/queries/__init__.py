@@ -45,88 +45,100 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # The round driver verifies the FIRST ~50 registry entries per round
 # (each CORRECTNESS_r{N}.json is exactly the first 50 in registration
 # order). To get every query a driver row across rounds, each round
-# front-loads the names that most need one. Round-11 priority (VERDICT
-# r10 items 1-5): (0) the six NEW queries — quantized IVF probe,
-# quantized kNN join, join-mode rescore, quantized streaming ingest,
-# multi-DC EACH_QUORUM, code-shuffled SemDeDup pair stage — never
-# driver-proved; (1) queries whose
-# IMPLEMENTATION this round touched: the quantize module was refactored
-# (shared scoring helpers, pruning-safe guards), ivf_knn_join's routing
-# table gained a column, build/append_to_ivf_index gained the spec
-# field, the Bloom path was re-plumbed through a shared body, the
-# semantic stream bootstrap gained the quantize flag, and replicas.py
-# was restructured for per-DC math; (2) the r7 cohort (oldest evidence,
-# VERDICT item 5); (3) 29 of the 44 r8-cohort names — the complex-
-# operator subset (all TPC-H, dedup, streaming, window, packing rows).
-# The 15 deferred r8 names (simple scalar/array/json function suites:
-# acctbal_width_buckets, array_agg_sorted, array_function_suite,
-# bool_aggs, conditional_agg_filter, events_json_extract,
-# events_json_struct, explode_embeddings, map_entry_extraction,
-# null_handling_funcs, scalar_date_funcs, scalar_math_funcs,
-# unpivot_segment_metrics, pivot_returnflag_status — each a pure
-# expression suite with an in-window relative and an untouched
-# implementation — plus window_ranking_functions, displaced when the
-# late dedup_semantic_on_index_quantized query joined the window) go
-# FIRST in round 12. After r11 no registered query's
-# newest driver row is older than r8.
+# front-loads the names that most need one. Round-13 priority (VERDICT
+# r12 items 1-4; r12 was an idle round so this executes the carried-over
+# r11 list): (0) queries NEW this round — PQ/ADC top-k and the per-DC
+# vnode-ownership replica read — never driver-proved; (1) queries whose
+# IMPLEMENTATION this round touched: the streaming SemDeDup corpus-side
+# pair join moved to int8 codes (semantic_stream.py), ivf_knn_join's
+# use_codes phase 2 now rejoins on (cell, id) restricted to probed
+# cells (ann_index.py duplicate-id parity fix), replicas.py casefolds
+# DC names and indexes the validated rf map, and coordinated_bulk_write
+# gained an optional consistency gate (bulk_writer.py); (2) the 15
+# r8-stale names (five rounds stale after the idle r12 — VERDICT r12
+# item 1 says these MUST lead round 13); (3) 25 of the 44 r9-cohort
+# names — the complex-operator subset (TPC-H q1-q7, dedup, streaming,
+# text, multimodal, sampling). The 19 deferred r9 names (pure
+# expression/simple-SQL suites with in-window relatives and untouched
+# implementations) are appended AFTER the window as dropout backfill
+# and lead round 14. After r13 no registered query's newest driver row
+# is older than r9.
 _ROUND_PRIORITY: list[str] = [
     # --- (0) NEW this round: never driver-proved ---
-    "ann_ivf_quantized_topk",            # IVF-SQ8 probe, oracle-exact
-    "ann_ivf_quantized_knn_join",        # byte-reduced kNN join
-    "quantized_topk_join_rescored",      # distributed (no-collect) rescore
-    "streaming_semantic_dedup_quantized",  # quantized layout under stream
-    "replica_read_each_quorum",          # per-DC NTS consistency math
-    "dedup_semantic_on_index_quantized",  # code-shuffled pair stage
+    "ann_pq_topk",                   # product-quantization ADC top-k
+    "replica_read_vnode",            # true per-DC vnode token ownership
     # --- (1) implementation touched this round ---
-    "embedding_quantize_stats",      # quantization_exprs refactor + guards
-    "quantized_topk_rescored",       # helper extraction + rescore_mode
-    "ann_ivf_knn_join_exact",        # routing table gained __qsum
+    "streaming_semantic_dedup_quantized",  # corpus join now ships int8 codes
+    "streaming_semantic_dedup",            # shared stream body touched
+    "ann_ivf_quantized_knn_join",    # use_codes phase-2 (cell,id) rejoin
+    "ann_ivf_knn_join_exact",        # same entry point
     "ann_ivf_knn_join_string_ids",   # same path, string ids
-    "decontaminate_bloom",           # membership rewritten as JVM joins
-    "streaming_semantic_dedup",      # bootstrap gained quantize flag
-    "dedup_semantic_on_index",       # build_ivf_index spec field
-    "dedup_semantic_append_index",   # append/assign spec field
-    "replica_read_all",              # replicas.py per-DC restructure
-    "ann_lsh_append_topk",           # sibling of the touched index module
-    # --- (2) stale: newest driver evidence r7 ---
-    "token_range_histogram",
-    "agg_hll_sketch_union",
-    "window_moving_avg",
-    "window_running_revenue",
-    "window_topk_orders_per_customer",
-    # --- (3) stale: newest driver evidence r8 (complex-operator subset) ---
-    "agg_median_percentiles",
-    "bulk_write_roundtrip",
-    "cosine_topk_embeddings",
-    "dedup_incremental_lsh",
-    "dedup_incremental_lsh_confirmed",
-    "dedup_incremental_pipeline",
-    "dedup_intradoc_segments",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_hourly_stats",
-    "pack_greedy_bins",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "stat_moments_lineitem",
-    "stratified_hash_sample_langs",
-    "streaming_interval_join",
-    "streaming_sessionize",
-    "window_percent_rank",
-    "window_range_frame_revenue",
-    # window_ranking_functions rolled past the 50-row window when
-    # dedup_semantic_on_index_quantized landed — it joins the deferred
-    # r8 cohort leading round 12
+    "replica_read_all",              # replicas.py casefold fix
+    "replica_read_each_quorum",      # replicas.py validated-map fix
+    "coordinated_write_roundtrip",   # coordinated write gained CL gate
+    # --- (2) r8-stale cohort: five rounds without a driver row ---
+    "acctbal_width_buckets",
+    "array_agg_sorted",
+    "array_function_suite",
+    "bool_aggs",
+    "conditional_agg_filter",
+    "events_json_extract",
+    "events_json_struct",
+    "explode_embeddings",
+    "map_entry_extraction",
+    "null_handling_funcs",
+    "pivot_returnflag_status",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "unpivot_segment_metrics",
+    "window_ranking_functions",
+    # --- (3) r9 cohort: complex-operator subset ---
+    "decontaminate_benchmark",
+    "dedup_boilerplate_segments",
+    "dedup_cluster_assignment",
+    "dedup_exact_docs",
+    "dedup_minhash_confirmed",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_span_fraction",
+    "events_sessionize",
+    "hybrid_rrf_search",
+    "mixture_sample_langs",
+    "multimodal_blob_stats",
+    "multimodal_image_features",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "streaming_stateful_profile",
+    "text_bm25_search",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_tfidf_search",
+    # --- past the 50-row window: deferred r9 names as dropout
+    # backfill (lead round 14) ---
+    "asof_purchase_click",
+    "case_when_tiering",
+    "date_trunc_variants",
+    "distinct_part_attrs",
+    "having_big_customers",
+    "lww_latest_events",
+    "lww_partial_upsert",
+    "nested_map_clustering",
+    "nested_struct_explode",
+    "pk_in_list_pushdown",
+    "range_join_error_bursts",
+    "regexp_extract_groups",
+    "rollup_time_hierarchy",
+    "setop_except_all",
+    "setop_intersect_all",
+    "setop_union_by_name",
+    "skew_salted_returnflag",
+    "topk_global_orders",
+    "train_val_test_split",
 ]
 
 

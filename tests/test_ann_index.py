@@ -775,3 +775,49 @@ def test_legacy_warning_names_only_the_missing_argument(spark, tmp_path):
             spark, legacy, [0.1] * 8, k=3, num_planes=4, seed=7,
             probe_hamming=4,
         ).count()
+
+
+def test_knn_join_use_codes_duplicate_id_parity(spark, tmp_path):
+    """r11 ADVICE low 3: use_codes phase 2 must rescore only the copies
+    in cells THE QUERY probed, exactly like the float path's
+    cell-joined scoring. Layout: duplicate id 900 (a replayed append)
+    has copy A in cell 0 (cosine 0.6 to q1) and copy B in cell 1
+    (cosine ~0.69 to q1 — HIGHER, but q1 never probes cell 1 at
+    num_probes=1). The old id-only rejoin let copy B win for q1; the
+    (cell, id) rejoin pins q1's score to copy A's."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_knn_join,
+    )
+
+    def v(*pairs):
+        out = [0.0] * 8
+        for i, x in pairs:
+            out[i] = x
+        return out
+
+    pinned = [(0, v((0, 1.0))), (1, v((1, 1.0)))]
+    fillers0 = [(100 + i, v((0, 0.95), (2 + i, 0.3))) for i in range(3)]
+    fillers1 = [(200 + i, v((1, 0.95), (2 + i, 0.3))) for i in range(3)]
+    copy_a = (900, v((0, 0.6), (2, 0.8)))          # cell 0, cos(q1)=0.6
+    copy_b = (900, v((0, 0.69), (1, 0.72)))        # cell 1, cos(q1)~0.69
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(fillers0 + fillers1 + [copy_a], schema)
+    path = str(tmp_path / "dup_ivf")
+    build_ivf_index(corpus, path, num_centroids=2, centroids=pinned,
+                    quantize=True)
+    append_to_ivf_index(spark.createDataFrame([copy_b], schema), path)
+
+    queries = spark.createDataFrame(
+        [(1, v((0, 1.0))), (2, v((1, 1.0)))], "qid long, embedding array<double>"
+    )
+    kw = dict(k=5, num_probes=1)
+    flt = {(r.qid, r.vec_id, round(r.cosine_sim, 9))
+           for r in ivf_knn_join(queries, path, **kw).collect()}
+    cod = {(r.qid, r.vec_id, round(r.cosine_sim, 9))
+           for r in ivf_knn_join(queries, path, use_codes=True,
+                                 **kw).collect()}
+    assert cod == flt
+    q1_dup = [s for q, i, s in cod if q == 1 and i == 900]
+    assert q1_dup == [pytest.approx(0.6)]  # copy A's score, never B's

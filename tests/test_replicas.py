@@ -398,3 +398,62 @@ def test_write_consistency_satisfied_mirrors_reference():
             ok(["dc1"], [], bad, 3)
     with pytest.raises(ValueError, match="local_dc cannot be None"):
         ok(["dc1"], [], "LOCAL_ONE", RF_MAP)
+
+
+def test_dc_names_compare_case_insensitively():
+    """The reference's countInDc is equalsIgnoreCase
+    (bulkwriter/token/ConsistencyLevel.java): instances reporting 'DC1'
+    against an rf map keyed 'dc1' must still count (r11 ADVICE low 1 —
+    this used to return False where the reference returns True)."""
+    from cassandra_analytics_spark.operators.replicas import (
+        block_for_per_dc,
+        write_consistency_satisfied as ok,
+    )
+
+    cased_map = {"Dc1": 3, "DC2": 2}
+    assert ok(["DC1", "dc1", "Dc2", "dc2"], [], "EACH_QUORUM", cased_map)
+    # LOCAL_QUORUM: 2 cased-local successes < quorum(3)+1 pending = 3
+    assert not ok(["DC1", "DC1"], ["dc1"], "LOCAL_QUORUM", RF_MAP,
+                  local_dc="Dc1")
+    assert ok(["DC1"] * 3, ["dc1"], "LOCAL_QUORUM", RF_MAP, local_dc="Dc1")
+    # the read-side math casefolds too
+    assert block_for("LOCAL_QUORUM", cased_map, local_dc="dc1") == 2
+    assert block_for_per_dc("EACH_QUORUM", cased_map) == {"dc1": 2,
+                                                          "dc2": 2}
+    # keys that collide after normalization are an ambiguous config
+    with pytest.raises(ValueError, match="collide"):
+        block_for("QUORUM", {"DC1": 3, "dc1": 2})
+
+
+def test_multi_dc_selection_indexes_validated_map(spark):
+    """select_replicas must index the VALIDATED rf map, not the
+    caller's raw one (r11 ADVICE low 2 — non-string DC keys used to
+    pass validation then KeyError at rf[dc]); cased map keys and cased
+    dc-column values select identically to the lowercase baseline."""
+    from pyspark.sql import functions as F
+
+    df = _two_dc(spark)
+    base = select_replicas(df, ["pk"], "EACH_QUORUM", rf=RF_MAP,
+                           dc_col="dc")
+    cased = select_replicas(df, ["pk"], "EACH_QUORUM",
+                            rf={"DC1": 3, "Dc2": 2}, dc_col="dc")
+    assert base.exceptAll(cased).count() == 0
+    assert cased.exceptAll(base).count() == 0
+
+    class _Name:  # non-string key: str()s to a valid DC name
+        def __init__(self, s):
+            self.s = s
+
+        def __str__(self):
+            return self.s
+
+    nonstr = select_replicas(
+        df, ["pk"], "EACH_QUORUM",
+        rf={_Name("dc1"): 3, _Name("dc2"): 2}, dc_col="dc",
+    )
+    assert base.exceptAll(nonstr).count() == 0
+
+    # cased COLUMN values count too (equalsIgnoreCase on both sides)
+    upper = select_replicas(df.withColumn("dc", F.upper("dc")), ["pk"],
+                            "EACH_QUORUM", rf=RF_MAP, dc_col="dc")
+    assert upper.count() == base.count()
