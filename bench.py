@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cassandra_analytics_spark.queries import REGISTRY, _ensure_loaded
 from cassandra_analytics_spark.session import get_session
+from cassandra_analytics_spark.stage_metrics import delta, stage_totals
 
 HEADLINE = [
     # scan / filter / aggregate
@@ -82,17 +83,18 @@ def run_query(fn, spark, sf_dir: str) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _prior_recorded_total(sf: float) -> float | None:
-    """The newest prior round's driver-recorded total (BENCH_r*.json
-    ``parsed.value``) AT THE SAME SF, or None when no comparable record
-    exists. Feeds the weather guard below — never correctness. The SF
-    match matters: an ad-hoc 10x run (SPARK_GRAFT_SF_DIR=.scale10) is
-    legitimately slower than the sf0.1 record and must not trip the
-    guard into extra 50 s loops."""
+def _prior_recorded(sf: float) -> tuple[float | None, dict | None]:
+    """The newest prior round's driver-recorded (total seconds, byte
+    totals) (BENCH_r*.json ``parsed.value`` / ``parsed.bytes``) AT THE
+    SAME SF, or Nones when no comparable record exists. Feeds the
+    weather guard below — never correctness. The SF match matters: an
+    ad-hoc 10x run (SPARK_GRAFT_SF_DIR=.scale10) is legitimately slower
+    than the sf0.1 record and must not trip the guard into extra 50 s
+    loops."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = None
+    prior, prior_bytes = None, None
     for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(p) as f:
@@ -105,7 +107,9 @@ def _prior_recorded_total(sf: float) -> float | None:
             and parsed.get("sf") == sf
         ):
             prior = float(parsed["value"])  # keep the newest round's
-    return prior
+            pb = parsed.get("bytes")
+            prior_bytes = pb if isinstance(pb, dict) else None
+    return prior, prior_bytes
 
 
 def _parse_sf(sf_dir: str) -> float:
@@ -131,10 +135,15 @@ def main() -> None:
         "SPARK_GRAFT_SHUFFLE_PARTITIONS",
         cpus if str(cpus).isdigit() else "32",
     )
+    # UI on: the REST stage metrics feed the per-query BYTE record —
+    # bytes are deterministic for a deterministic plan, so they separate
+    # plan regressions from sandbox weather (r12 measured a 6% wall
+    # delta on byte-identical code; wall alone cannot adjudicate)
     spark = get_session(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(sp),
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     _ensure_loaded()
@@ -159,7 +168,8 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_runs):
+    query_bytes: dict[str, dict[str, int]] = {}
+    for rnd in range(n_runs):
         # cold caches each round: operators that persist() an intermediate
         # (tfidf per-doc core, shingle index) would otherwise serve rounds
         # 2+ from the CacheManager and min() would report a cache-hit
@@ -168,9 +178,24 @@ def main() -> None:
         spark.catalog.clearCache()
         for name in HEADLINE:
             fn = REGISTRY[name].fn
+            # byte attribution on ROUND 1 ONLY: the REST snapshots
+            # between queries cost ~ms each, and rounds 2+ feed the
+            # min-of-n wall numbers uninstrumented
+            before = stage_totals(spark) if rnd == 0 else None
             t0 = time.time()
             run_query(fn, spark, sf_dir)
             samples[name].append(round(time.time() - t0, 3))
+            if rnd == 0:
+                d = delta(before, stage_totals(spark))
+                if d is not None:
+                    query_bytes[name] = d
+
+    # total bytes across headline queries (round-1 attribution)
+    bytes_total = {
+        k: sum(d.get(k, 0) for d in query_bytes.values())
+        for k in ("input_bytes", "shuffle_write_bytes",
+                  "shuffle_read_bytes", "output_bytes")
+    } if query_bytes else None
 
     # Weather guard (VERDICT r7 item 5): the sandbox swings ~20% between
     # rounds (r7 recorded 20.6 s on code measuring 16.9-18.2 s locally).
@@ -178,7 +203,19 @@ def main() -> None:
     # total by >15%, the slowdown is likelier load than plan cost — run
     # extra rounds (min-of-5) so the recorded gate ratio tracks the plan,
     # not the weather. Only on bad-weather runs; ~one extra 40 s loop.
-    prior = _prior_recorded_total(sf)
+    # The BYTE record adjudicates (VERDICT r12 item 5): scan/shuffle
+    # bytes are deterministic per plan, so prior-vs-now byte deltas
+    # within noise (<2%) classify a wall slowdown as WEATHER; bigger
+    # moves mean the PLAN changed and extra wall rounds can't talk the
+    # number back down.
+    prior, prior_bytes = _prior_recorded(sf)
+    classification = None
+    if bytes_total and prior_bytes:
+        key = "shuffle_write_bytes"
+        pb, nb = prior_bytes.get(key), bytes_total.get(key)
+        if isinstance(pb, (int, float)) and pb > 0 and nb is not None:
+            moved = abs(nb - pb) / pb
+            classification = "plan" if moved > 0.02 else "weather"
     extra_runs = 0
     if prior is not None and n_runs < 5:
         while (
@@ -199,6 +236,11 @@ def main() -> None:
                     "metric": "weather_guard",
                     "extra_runs": extra_runs,
                     "prior_recorded_total": prior,
+                    # bytes adjudicate what wall-clock cannot: "weather"
+                    # = byte totals match the prior record (the plan did
+                    # not change), "plan" = bytes moved >2%
+                    "classification": classification,
+                    "prior_bytes": prior_bytes,
                 }
             )
         )
@@ -219,18 +261,25 @@ def main() -> None:
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "runs": n_runs + extra_runs,
-                "sf": sf,
-            }
+    # per-query byte detail on its OWN line (the final line is the
+    # driver contract and was once truncated when it grew — VERDICT r6)
+    if query_bytes:
+        print(
+            json.dumps(
+                {"metric": "query_bytes_detail", "queries": query_bytes}
+            )
         )
-    )
+    final = {
+        "metric": "total_query_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "runs": n_runs + extra_runs,
+        "sf": sf,
+    }
+    if bytes_total:
+        final["bytes"] = bytes_total
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

@@ -372,6 +372,181 @@ def select_replicas(
     return df.filter(keep)
 
 
+def _vnode_selection_sets(
+    entries: list[tuple[int, object]],
+    n: int,
+    label: str,
+) -> list[tuple[int, frozenset]]:
+    """Per ring segment, the first ``n`` DISTINCT instances walking
+    clockwise from the segment's owning vnode — the replica set Cassandra
+    derives for every token in that segment (``CassandraRing.java:
+    181-191``: the primary owns the first vnode token >= t, the rest are
+    the next distinct instances clockwise, skipping repeat vnodes of an
+    already-chosen instance). Returns [(segment_end_token, instances)]
+    in ring order; tokens above the last vnode wrap to segment 0."""
+    entries = sorted(entries)
+    tokens = [t for t, _ in entries]
+    if len(set(tokens)) != len(tokens):
+        raise ValueError(
+            f"select_replicas_vnode: duplicate vnode tokens in {label} — "
+            "each ring position is owned by exactly one instance"
+        )
+    distinct = {i for _, i in entries}
+    if len(distinct) < n:
+        raise ValueError(
+            f"select_replicas_vnode: {label} has {len(distinct)} distinct "
+            f"instances but the consistency level needs {n} — impossible "
+            "configuration (Cassandra: UnavailableException)"
+        )
+    out = []
+    k = len(entries)
+    for i in range(k):
+        sel: list = []
+        for step in range(k):
+            inst = entries[(i + step) % k][1]
+            if inst not in sel:
+                sel.append(inst)
+            if len(sel) == n:
+                break
+        out.append((entries[i][0], frozenset(sel)))
+    return out
+
+
+def _vnode_member_expr(
+    sets: list[tuple[int, frozenset]],
+    tok,
+    replica_col: str,
+):
+    """token-segment dispatch as ONE chained CASE expression: segment
+    for token t is the first vnode token >= t, wrapping past the last
+    vnode to segment 0. Constant-folded, codegen, no shuffle — a linear
+    scan in #vnodes per row; at production vnode counts (256/node) the
+    scale path is a broadcast range-join against the exploded ownership
+    table, same driver-side math."""
+    member = None
+    for end_tok, sel in sets:
+        cond = F.col(replica_col).isin(*sorted(sel))
+        member = (
+            F.when(tok <= F.lit(end_tok), cond)
+            if member is None
+            else member.when(tok <= F.lit(end_tok), cond)
+        )
+    wrap = F.col(replica_col).isin(*sorted(sets[0][1]))
+    return member.otherwise(wrap)
+
+
+def select_replicas_vnode(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    ring: Sequence[tuple],
+    consistency: str = "LOCAL_QUORUM",
+    rf: int | Mapping[str, int] = 3,
+    replica_col: str = REPLICA_ID,
+    dc_col: str | None = None,
+    local_dc: str | None = None,
+    token_expr=None,
+) -> DataFrame:
+    """Replica selection under TRUE per-DC vnode token ownership — the
+    exact ``CassandraRing.java:181-191`` semantics that
+    :func:`select_replicas`'s uniform ring-walk stands in for: which
+    instances hold a partition depends on WHERE its token falls between
+    the cluster's vnode positions, not on a modular rotation, so two
+    keys in adjacent ranges can live on entirely different instances.
+
+    ``ring`` carries the cluster's vnode table: ``(token, instance_id)``
+    entries (single-DC, int ``rf``) or ``(token, instance_id, dc)``
+    (multi-DC, per-DC rf map + ``dc_col`` naming each row's
+    datacenter, same pairing contract as :func:`select_replicas`). For
+    each row the owning replica set is the first rf distinct instances
+    clockwise from its token's segment IN THAT DC's ring; the CL keeps
+    :func:`block_for_per_dc`-many of them (walk order = Cassandra's
+    NTS replica order, so per-DC levels are exact).
+
+    ``token_expr`` overrides the Murmur3 token (the pluggable-
+    partitioner seam — fixtures and SQL oracles can use an expression
+    both engines compute identically). The ring is driver-side config
+    (like the IVF codebook): vnode counts are O(instances x
+    num_tokens), metadata-sized at any cluster scale.
+
+    Rows in a DC absent from the ring fail LOUDLY (they would otherwise
+    silently vanish from every read), mirroring select_replicas.
+    """
+    if (dc_col is None) != (not isinstance(rf, Mapping)):
+        raise ValueError(
+            "select_replicas_vnode: a per-DC rf map and dc_col come "
+            f"together — got rf={rf!r} with dc_col={dc_col!r}; pass both "
+            "(multi-DC) or neither (single-DC int rf)"
+        )
+    if not ring:
+        raise ValueError("select_replicas_vnode: the vnode ring is empty")
+    tok = (
+        token_expr
+        if token_expr is not None
+        else token_column(*[F.col(k) for k in partition_keys])
+    )
+    if dc_col is None:
+        if any(len(e) != 2 for e in ring):
+            raise ValueError(
+                "select_replicas_vnode: single-DC ring entries are "
+                "(token, instance_id) pairs"
+            )
+        n = block_for(consistency, rf)
+        sets = _vnode_selection_sets(
+            [(int(t), i) for t, i in ring], n, "the ring"
+        )
+        return df.filter(_vnode_member_expr(sets, tok, replica_col))
+    if dc_col not in df.columns:
+        raise ValueError(
+            f"select_replicas_vnode: dc_col {dc_col!r} is not a column "
+            f"of the input ({df.columns})"
+        )
+    if any(len(e) != 3 for e in ring):
+        raise ValueError(
+            "select_replicas_vnode: multi-DC ring entries are "
+            "(token, instance_id, dc) triples"
+        )
+    rf_map = _validate_rf_map(rf)
+    per_dc = block_for_per_dc(consistency, rf_map, local_dc)
+    by_dc: dict[str, list[tuple[int, object]]] = {}
+    for t, inst, dc in ring:
+        by_dc.setdefault(_norm_dc(dc), []).append((int(t), inst))
+    missing = sorted(set(rf_map) - set(by_dc))
+    if missing:
+        raise ValueError(
+            f"select_replicas_vnode: rf map names datacenters with no "
+            f"vnodes in the ring: {missing}"
+        )
+    dc_expr = F.lower(F.col(dc_col).cast("string"))  # equalsIgnoreCase
+    keep = None
+    for dc in sorted(per_dc):
+        n_dc = per_dc[dc]
+        if n_dc == 0:  # LOCAL_* remote DCs select nothing
+            cond = F.lit(False)
+        else:
+            sets = _vnode_selection_sets(by_dc[dc], n_dc, f"DC {dc!r}")
+            cond = _vnode_member_expr(sets, tok, replica_col)
+        keep = (
+            F.when(dc_expr == dc, cond)
+            if keep is None
+            else keep.when(dc_expr == dc, cond)
+        )
+    keep = keep.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "select_replicas_vnode: row in datacenter not covered "
+                    "by the rf map "
+                ),
+                F.lit(str(sorted(per_dc))),
+                F.lit(": "),
+                F.coalesce(F.col(dc_col).cast("string"), F.lit("<NULL>")),
+            )
+        ).cast("boolean")
+    )
+    return df.filter(keep)
+
+
+
 def select_replicas_repair_aware(
     df: DataFrame,
     partition_keys: Sequence[str],

@@ -371,6 +371,100 @@ def replica_read_each_quorum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-DC vnode token ownership (round 13, VERDICT r12 item 7 /
+# CassandraRing.java:181-191): which instances hold a partition depends
+# on WHERE its token falls between the cluster's vnode positions — two
+# keys in adjacent token ranges can live on entirely different
+# instances, which the uniform pmod ring-walk stand-in cannot express.
+# The ring below is deliberately NON-round-robin (instance order is
+# irregular per segment) so the stand-in and true ownership disagree on
+# most keys. The oracle's segment table was derived BY HAND from the
+# ring definition (first rf distinct instances clockwise per segment) —
+# independent of the operator's walk code.
+_VNODE_RING = [
+    # dc1: 4 instances, 8 vnodes, irregular order
+    (60, 2, "dc1"), (180, 1, "dc1"), (310, 4, "dc1"), (430, 2, "dc1"),
+    (550, 3, "dc1"), (675, 1, "dc1"), (800, 4, "dc1"), (930, 3, "dc1"),
+    # dc2: 3 instances, 6 vnodes
+    (100, 2, "dc2"), (260, 3, "dc2"), (420, 1, "dc2"),
+    (580, 3, "dc2"), (740, 2, "dc2"), (900, 1, "dc2"),
+]
+
+
+@query(
+    "replica_read_vnode",
+    oracle="""
+    WITH seg(dc, lo, hi, replica_id) AS (VALUES
+      ('dc1',   0,  60, 2), ('dc1',   0,  60, 1),
+      ('dc1',  61, 180, 1), ('dc1',  61, 180, 4),
+      ('dc1', 181, 310, 4), ('dc1', 181, 310, 2),
+      ('dc1', 311, 430, 2), ('dc1', 311, 430, 3),
+      ('dc1', 431, 550, 3), ('dc1', 431, 550, 1),
+      ('dc1', 551, 675, 1), ('dc1', 551, 675, 4),
+      ('dc1', 676, 800, 4), ('dc1', 676, 800, 3),
+      ('dc1', 801, 930, 3), ('dc1', 801, 930, 2),
+      ('dc1', 931, 999, 2), ('dc1', 931, 999, 1),
+      ('dc2',   0, 100, 2), ('dc2',   0, 100, 3),
+      ('dc2', 101, 260, 3), ('dc2', 101, 260, 1),
+      ('dc2', 261, 420, 1), ('dc2', 261, 420, 3),
+      ('dc2', 421, 580, 3), ('dc2', 421, 580, 2),
+      ('dc2', 581, 740, 2), ('dc2', 581, 740, 1),
+      ('dc2', 741, 900, 1), ('dc2', 741, 900, 2),
+      ('dc2', 901, 999, 2), ('dc2', 901, 999, 3)
+    ),
+    tok AS (SELECT o_orderkey, o_orderkey % 1000 AS t FROM orders)
+    SELECT tok.o_orderkey,
+           seg.dc,
+           CAST(seg.replica_id AS INTEGER) AS replica_id
+    FROM tok JOIN seg ON tok.t >= seg.lo AND tok.t <= seg.hi
+    """,
+    doc="M3/M4 per-DC vnode ownership (CassandraRing.java:181-191): the "
+    "fixture fans every order into a copy at EVERY instance (4 in dc1, "
+    "3 in dc2); select_replicas_vnode must keep exactly the rows of the "
+    "key's TRUE owners — the first rf distinct instances clockwise from "
+    "its token's segment in that DC's vnode ring — at EACH_QUORUM "
+    "(quorum(2)=2 per DC = the full owner set). The ring is irregular, "
+    "so the uniform pmod ring-walk stand-in picks different instances "
+    "and hash-mismatches. token = o_orderkey % 1000 (the pluggable-"
+    "partitioner seam) so the DuckDB oracle computes ownership "
+    "independently from a hand-derived segment table.",
+)
+def replica_read_vnode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.replicas import (
+        select_replicas_vnode,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    copies = o.select(
+        "o_orderkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dc).alias("dc"),
+                        F.lit(i).cast("int").alias("replica_id"),
+                    )
+                    for dc, n_inst in (("dc1", 4), ("dc2", 3))
+                    for i in range(1, n_inst + 1)
+                ]
+            )
+        ).alias("__c"),
+    ).select(
+        "o_orderkey",
+        F.col("__c.dc").alias("dc"),
+        F.col("__c.replica_id").alias("replica_id"),
+    )
+    return select_replicas_vnode(
+        copies,
+        ["o_orderkey"],
+        _VNODE_RING,
+        consistency="EACH_QUORUM",
+        rf={"dc1": 2, "dc2": 2},
+        dc_col="dc",
+        token_expr=F.pmod(F.col("o_orderkey"), F.lit(1000)),
+    )
+
+
 @query(
     "skew_salted_returnflag",
     oracle=f"""

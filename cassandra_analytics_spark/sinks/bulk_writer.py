@@ -36,7 +36,7 @@ import json
 import os
 import time
 import uuid
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 from dataclasses import dataclass
 from enum import Enum
 
@@ -438,6 +438,11 @@ def coordinated_bulk_write(
     max_records_per_file: int = 1_000_000,
     digest_algorithm: str = "md5",
     save_mode: str = "append",
+    consistency: str | None = None,
+    rf: int | Mapping[str, int] | None = None,
+    target_dcs: Sequence[str] | None = None,
+    pending_dcs: Sequence[str] = (),
+    local_dc: str | None = None,
 ) -> list[WriteResult]:
     """Write ONE DataFrame to several table paths in a single job with an
     all-or-nothing joint commit — the analog of the reference's
@@ -445,6 +450,27 @@ def coordinated_bulk_write(
     (``bulkwriter/coordinatedwrite/CassandraCoordinatedBulkWriterContext.java``,
     ``CoordinatedWriteConf.java`` per-cluster validation,
     ``CassandraClusterInfoGroup.java:53`` fan-out).
+
+    **Consistency gate** (``consistency=`` + ``rf=``, the analog of
+    ``bulkwriter/BulkWriteValidator.java`` over
+    ``bulkwriter/token/ConsistencyLevel.java:30-234``): each target
+    models one replica instance (``target_dcs`` names its datacenter —
+    required with a per-DC rf map, defaulted to one DC for flat rf).
+    Staging then happens in a scratch dir and is placed into each
+    target INDIVIDUALLY; a target whose placement fails (unwritable
+    path, digest mismatch) is an INSTANCE failure, tolerated exactly
+    as far as the CL allows: the commit proceeds over the succeeded
+    targets iff :func:`~cassandra_analytics_spark.operators.replicas.
+    write_consistency_satisfied` holds for their DCs (``pending_dcs``
+    inflate the bar, Cassandra's blockForWrite), else EVERY staging is
+    removed and the write fails loudly naming the failed targets —
+    refusing to commit below the requested guarantee rather than
+    silently publishing fewer copies. An impossible ask (CL
+    unsatisfiable even with every target succeeding) is refused before
+    any work, like the reference's job-start validation. The returned
+    list covers the COMMITTED targets only. Without ``consistency=``
+    the historical contract holds: any failure anywhere aborts all
+    targets.
 
     Phases, mirroring the reference's upload-everything-then-import:
 
@@ -471,6 +497,46 @@ def coordinated_bulk_write(
         raise BulkWriteError("coordinated write needs at least one target")
     if len(set(targets)) != len(targets):
         raise BulkWriteError(f"duplicate coordinated-write targets: {sorted(targets)}")
+    if consistency is None:
+        if rf is not None or target_dcs is not None or pending_dcs:
+            raise BulkWriteError(
+                "rf/target_dcs/pending_dcs are only meaningful with "
+                "consistency= (the write-CL gate)"
+            )
+    else:
+        from cassandra_analytics_spark.operators.replicas import (
+            write_consistency_satisfied,
+        )
+
+        if rf is None:
+            raise BulkWriteError(
+                "consistency= needs rf= (int for SimpleStrategy, a per-DC "
+                "map for NetworkTopologyStrategy)"
+            )
+        if target_dcs is None:
+            if isinstance(rf, Mapping):
+                raise BulkWriteError(
+                    "a per-DC rf map needs target_dcs naming each "
+                    "target's datacenter"
+                )
+            target_dcs = ["datacenter1"] * len(targets)
+        if len(target_dcs) != len(targets):
+            raise BulkWriteError(
+                f"target_dcs has {len(target_dcs)} entries for "
+                f"{len(targets)} targets — they are parallel sequences"
+            )
+        # an ask the full target set cannot satisfy is an impossible
+        # config, refused before any work (the reference validates CL
+        # against the topology at job start, not after uploading)
+        if not write_consistency_satisfied(
+            target_dcs, pending_dcs, consistency, rf, local_dc
+        ):
+            raise BulkWriteError(
+                f"consistency {consistency} (rf={rf}, "
+                f"pending={list(pending_dcs)}) is unsatisfiable even if "
+                f"every one of the {len(targets)} targets succeeds — "
+                "impossible configuration"
+            )
     for t in targets:
         for b in committed_batches(t):
             with open(os.path.join(b, "_manifest.json")) as f:
@@ -493,6 +559,12 @@ def coordinated_bulk_write(
     import shutil
 
     batch_id = _new_batch_id()
+    if consistency is not None:
+        return _coordinated_write_with_cl(
+            df, out, targets, list(target_dcs), list(pending_dcs),
+            consistency, rf, local_dc, batch_id, mode, partition_keys,
+            clustering_keys, max_records_per_file, digest_algorithm,
+        )
     stagings: list[tuple[str, str]] = []  # (target, staging_dir)
     try:
         first_staging, manifest = _stage_batch(
@@ -526,6 +598,127 @@ def coordinated_bulk_write(
         raise
 
     # Joint commit: every staging verified; publish all targets.
+    _joint_commit(stagings, batch_id)
+
+    return [
+        WriteResult(
+            batch_dir=os.path.join(t, batch_id),
+            num_files=len(manifest["files"]),
+            num_rows=manifest["num_rows"],
+            manifest_path=os.path.join(t, batch_id, "_manifest.json"),
+        )
+        for t, _ in stagings
+    ]
+
+
+def _coordinated_write_with_cl(
+    df: DataFrame,
+    out: DataFrame,
+    targets: list[str],
+    target_dcs: list[str],
+    pending_dcs: list[str],
+    consistency: str,
+    rf,
+    local_dc: str | None,
+    batch_id: str,
+    mode: WriteMode,
+    partition_keys: Sequence[str],
+    clustering_keys: Sequence[str],
+    max_records_per_file: int,
+    digest_algorithm: str,
+) -> list[WriteResult]:
+    """The CL-gated body of :func:`coordinated_bulk_write`: stage ONCE
+    into a scratch dir (the reference's RecordWriter output — its
+    failure fails the job, it is not an instance failure), place into
+    each target individually tolerating per-target placement failures,
+    then commit the succeeded set iff it satisfies the write CL
+    (``BulkWriteValidator.validateClOrFail``) — else remove every
+    staging and raise."""
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.replicas import (
+        write_consistency_satisfied,
+    )
+
+    scratch_root = tempfile.mkdtemp(prefix=f"coordinated-{batch_id}-")
+    stagings: list[tuple[str, str, str]] = []  # (target, staging, dc)
+    failures: list[tuple[str, str, Exception]] = []
+    try:
+        src_staging, manifest = _stage_batch(
+            out, scratch_root, batch_id, mode, partition_keys,
+            clustering_keys, max_records_per_file, digest_algorithm,
+        )
+        algo = manifest["digest_algorithm"]
+        for t, dc in zip(targets, target_dcs):
+            s = os.path.join(t, f"_staging-{batch_id}")
+            try:
+                os.makedirs(s)
+                _replicate_staged_files(
+                    df.sparkSession,
+                    [
+                        (
+                            os.path.join(src_staging, fname),
+                            os.path.join(s, fname),
+                            meta[algo],
+                        )
+                        for fname, meta in manifest["files"].items()
+                    ],
+                    algo,
+                )
+                shutil.copyfile(
+                    os.path.join(src_staging, "_manifest.json"),
+                    os.path.join(s, "_manifest.json"),
+                )
+            except (OSError, BulkWriteError) as e:
+                # an INSTANCE failure (unwritable target, digest
+                # mismatch) — tolerated here, adjudicated by the CL
+                # math below, exactly the reference's per-instance
+                # upload-failure handling
+                shutil.rmtree(s, ignore_errors=True)
+                failures.append((t, dc, e))
+            else:
+                stagings.append((t, s, dc))
+        succeeded = [dc for _, _, dc in stagings]
+        if not write_consistency_satisfied(
+            succeeded, pending_dcs, consistency, rf, local_dc
+        ):
+            raise BulkWriteError(
+                f"coordinated write cannot satisfy {consistency} "
+                f"(rf={rf}, pending={pending_dcs}): only "
+                f"{len(stagings)}/{len(targets)} targets staged — "
+                f"failed: "
+                f"{[(t, f'{type(e).__name__}: {e}') for t, _, e in failures]}"
+                " — refusing to commit below the requested guarantee "
+                "(BulkWriteValidator.validateClOrFail)"
+            )
+    except BaseException:
+        for _, s, _ in stagings:
+            shutil.rmtree(s, ignore_errors=True)
+        raise
+    finally:
+        shutil.rmtree(scratch_root, ignore_errors=True)
+
+    _joint_commit([(t, s) for t, s, _ in stagings], batch_id)
+    return [
+        WriteResult(
+            batch_dir=os.path.join(t, batch_id),
+            num_files=len(manifest["files"]),
+            num_rows=manifest["num_rows"],
+            manifest_path=os.path.join(t, batch_id, "_manifest.json"),
+        )
+        for t, _, _ in stagings
+    ]
+
+
+def _joint_commit(stagings: list[tuple[str, str]], batch_id: str) -> None:
+    """Publish every (target, staging) by atomic rename — all or
+    nothing: a rename failure mid-sequence renames the already-published
+    targets back so no partial publish survives; a rollback that itself
+    fails environmentally is REPORTED (the caller must know the
+    cross-target state), never assumed away."""
+    import shutil
+
     published: list[tuple[str, str]] = []  # (staging, final)
     try:
         for t, s in stagings:
@@ -533,10 +726,6 @@ def coordinated_bulk_write(
             os.rename(s, final)
             published.append((s, final))
     except BaseException as commit_err:
-        # roll back so no partial publish survives; a rename-back can
-        # itself fail environmentally, leaving that target published —
-        # record it so the caller knows the cross-target state instead
-        # of assuming the rollback succeeded
         rollback_failures: list[str] = []
         for s, final in published:
             try:
@@ -551,16 +740,6 @@ def coordinated_bulk_write(
                 f"these targets (partial publish!): {rollback_failures}"
             ) from commit_err
         raise
-
-    return [
-        WriteResult(
-            batch_dir=os.path.join(t, batch_id),
-            num_files=len(manifest["files"]),
-            num_rows=manifest["num_rows"],
-            manifest_path=os.path.join(t, batch_id, "_manifest.json"),
-        )
-        for t, _ in stagings
-    ]
 
 
 def committed_batches(table_path: str) -> list[str]:

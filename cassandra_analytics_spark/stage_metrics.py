@@ -1,0 +1,58 @@
+"""Aggregate stage byte-metrics from the Spark UI REST API.
+
+Wall-clock on a shared box is weather-dominated (PERF.md documents an
+18.8-28.2 s same-binary band at sf0.1; round 12 measured a 6% "win" on
+byte-identical code), but BYTES are deterministic for a deterministic
+plan: scan bytes move when pushdown/pruning regresses, shuffle bytes
+move when a join strategy or partitioning changes. bench.py and the
+measurement scripts record these alongside wall time so a plan
+regression is distinguishable from weather.
+
+Requires ``spark.ui.enabled=true`` (the repo session default is false —
+pass ``extra_conf={"spark.ui.enabled": "true"}``); returns None when
+the UI is off rather than guessing, so callers degrade loudly-visibly
+(a missing ``bytes`` map in BENCH output) instead of recording zeros.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+_FIELDS = {
+    "input_bytes": "inputBytes",
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "output_bytes": "outputBytes",
+}
+
+
+def stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative byte totals over every COMPLETED stage of this app so
+    far, or None when the UI/REST endpoint is disabled. Snapshot before
+    and after a workload and diff with :func:`delta` to attribute bytes
+    to it."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return None
+    out = {k: 0 for k in _FIELDS}
+    for s in stages:
+        for k, field in _FIELDS.items():
+            out[k] += int(s.get(field, 0) or 0)
+    return out
+
+
+def delta(before: dict[str, int] | None,
+          after: dict[str, int] | None) -> dict[str, int] | None:
+    """after - before, None-propagating (either snapshot missing →
+    None, never a fabricated zero)."""
+    if before is None or after is None:
+        return None
+    return {k: after.get(k, 0) - before.get(k, 0) for k in _FIELDS}

@@ -98,9 +98,13 @@ def run_semantic_dedup_stream(
     the quantization from the persisted spec (assign_with_index_spec),
     so each batch's rows land code-complete and the layout serves
     byte-reduced probes (``query_ivf_index_quantized``) at any point in
-    the stream's life. Pair scoring still uses the float column — the
-    published verdicts are identical with or without the flag (pinned
-    by test), and the replay-idempotence contract is unchanged (codes
+    the stream's life. The batch-vs-corpus pair join then reads the
+    int8 codes on the CORPUS side instead of the float vectors
+    (:func:`_cross_pairs_quantized` — proven margin prefilter + exact
+    float confirm, the batch twin's discipline), so the trigger's
+    dominant join ships ~1 byte/dim. The published verdicts are
+    identical with or without the flag (pinned by test and the driver
+    oracle), and the replay-idempotence contract is unchanged (codes
     are a pure function of the vector, so replayed rows re-quantize
     byte-identically).
 
@@ -251,13 +255,35 @@ def _publish_and_append(
     threshold, id_col, vec_col, dot_fn, norm_fn, dotf, normf,
     max_cell, on_published,
 ) -> None:
-    # within-batch pairs (shared expansion: same-id pairs dropped,
-    # over-cap cells skipped)
-    in_pairs = semantic_pairs_from_cells(
-        assigned, threshold, id_col, vec_col, cell_col="cell",
-        max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
-        norm_col="__nrm",
+    # On a QUANTIZED layout, BOTH pair stages carry the int8 codes
+    # instead of float vectors through their exchanges — the batch
+    # twin's measured 3.4x byte cut (_quantized_pairs_from_cells) —
+    # with verdicts identical via the proven margin prefilter + exact
+    # float confirm. The within-batch expansion is where the vector
+    # payload actually shuffles (the cell exchange + quadratic pair
+    # struct); the batch-vs-corpus join's batch side usually
+    # broadcasts, so its win is the codes-only corpus SCAN.
+    from cassandra_analytics_spark.operators.ann_index import (
+        _quantized_pairs_from_cells,
+        _read_ivf_spec_optional,
+        _spec_quantized,
     )
+
+    quantized = _spec_quantized(_read_ivf_spec_optional(spark, index_path))
+    # within-batch pairs (shared expansion: same-id pairs dropped,
+    # over-cap cells skipped); the assigned batch of a quantized layout
+    # carries its codes already (assign_with_index_spec)
+    if quantized:
+        in_pairs = _quantized_pairs_from_cells(
+            assigned, threshold, id_col, vec_col, max_cell,
+            dot_fn, norm_fn, None,
+        )
+    else:
+        in_pairs = semantic_pairs_from_cells(
+            assigned, threshold, id_col, vec_col, cell_col="cell",
+            max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
+            norm_col="__nrm",
+        )
 
     # batch-vs-corpus pairs: equi-join on the cell key against ONLY
     # the layout partitions the batch touches (the cell filter is a
@@ -266,6 +292,36 @@ def _publish_and_append(
     touched = [
         r.cell for r in assigned.select("cell").distinct().collect()
     ]
+    if quantized:
+        cross = _cross_pairs_quantized(
+            spark, assigned, index_path, touched, threshold,
+            id_col, vec_col, dotf, normf, max_cell,
+        )
+    else:
+        cross = _cross_pairs_float(
+            spark, assigned, index_path, touched, threshold,
+            id_col, vec_col, dotf, normf, max_cell,
+        )
+    pairs = in_pairs.unionByName(cross).dropDuplicates(["a", "b"])
+    pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    if on_published is not None:
+        on_published(batch_id)
+    # append AFTER the publish: a replay then recomputes the same
+    # pair set (the batch copy already in the layout only adds
+    # same-id pairs, dropped, and duplicate (a, b) rows, deduped)
+    assigned.drop("__nrm").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(index_path)
+
+
+def _cross_pairs_float(
+    spark, assigned, index_path, touched, threshold,
+    id_col, vec_col, dotf, normf, max_cell,
+):
+    """Batch-vs-corpus near-dup pairs over a FLOAT layout: the corpus
+    side of the cell join carries the float vectors directly."""
     corpus = spark.read.parquet(index_path).filter(
         F.col("cell").isin(touched)
     )
@@ -294,7 +350,7 @@ def _publish_and_append(
         dotf(F.col("__bvec"), F.col("__cvec")),
         F.col("__bnrm") * F.col("__cnrm"),
     )
-    cross = (
+    return (
         b.join(c, "cell")
         .filter(F.col("__bid_") != F.col("__cid_"))
         .withColumn("cosine_sim", cos)
@@ -306,18 +362,137 @@ def _publish_and_append(
             "cosine_sim",
         )
     )
-    pairs = in_pairs.unionByName(cross).dropDuplicates(["a", "b"])
-    pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).parquet(out_dir)
-    if on_published is not None:
-        on_published(batch_id)
-    # append AFTER the publish: a replay then recomputes the same
-    # pair set (the batch copy already in the layout only adds
-    # same-id pairs, dropped, and duplicate (a, b) rows, deduped)
-    assigned.drop("__nrm").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(index_path)
+
+
+def _cross_pairs_quantized(
+    spark, assigned, index_path, touched, threshold,
+    id_col, vec_col, dotf, normf, max_cell,
+):
+    """Batch-vs-corpus pairs over a QUANTIZED layout: the corpus side of
+    the batch x occupancy expansion carries the int8 CODES (+ four
+    doubles) instead of the float vectors — the streaming twin of
+    ``ann_index._quantized_pairs_from_cells``'s measured 3.4x byte cut,
+    applied to the join that dominates each trigger at corpus scale.
+
+    Exactness-preserving by the SAME proven bound, one-sided because
+    the batch side stays exact float: with per-element quantization
+    error <= s/2 the corpus reconstruction error is ||y - y_hat|| <= r =
+    s*sqrt(d)/2, so |cos(x, y) - cos(x, y_hat)| <= 2r/||y_hat|| — a
+    pair survives to confirmation iff its code-space cosine >=
+    threshold - that margin - 1e-9 (double-rounding headroom): no true
+    pair can be dropped, false survivors die in the exact confirm, and
+    the published verdicts are IDENTICAL to the float path (pinned by
+    the shared driver oracle and the boundary test). Custom
+    dot_fn/norm_fn enter ONLY the exact confirm, exactly the batch
+    twin's split — the bound is stated for true cosine.
+
+    The confirm joins the float column back by (cell, id), restricted
+    to the touched partitions: survivor-proportional, and duplicate-id
+    layout rows from replays (same id, same vector, possibly re-coded
+    byte-identically) can only produce equal-cosine duplicates that the
+    caller's dropDuplicates((a, b)) collapses — the module's replay
+    contract, unchanged."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        _QCODE,
+        _QMIN,
+        _QSCALE,
+    )
+    from cassandra_analytics_spark.operators.quantize import (
+        approx_cosine_codes_vs_query_col,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        norm as _std_norm,
+    )
+
+    corpus = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(touched)
+    )
+    occupancy = corpus.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    # phase 1 projects CODES only — the float column stays out of the
+    # expansion scan entirely (the quantized_topk plan discipline)
+    u = F.transform(
+        F.col(_QCODE), lambda cc: cc.cast("double") + F.lit(128.0)
+    )
+    su = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x)
+    suu = F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x)
+    d = F.size(F.col(_QCODE)).cast("double")
+    s, m = F.col(_QSCALE), F.col(_QMIN)
+    nrm = F.sqrt(s * s * suu + F.lit(2.0) * s * m * su + d * m * m)
+    r = s * F.sqrt(d) / F.lit(2.0)
+    c = (
+        corpus.filter(F.col(_QCODE).isNotNull())
+        .join(
+            occupancy.filter(F.col("__occ") <= F.lit(max_cell))
+            .select("cell"),
+            "cell",
+        )
+        .select(
+            F.col(id_col).alias("__cid_"),
+            "cell",
+            F.col(_QCODE),
+            F.col(_QMIN),
+            F.col(_QSCALE),
+            nrm.alias("__cnrm_rec"),
+            r.alias("__cr"),
+        )
+    )
+    # batch side: float vectors (batch-sized) + the element sum and the
+    # STANDARD float norm the approx/margin math is stated over
+    bsum = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__bid_"),
+        F.col(vec_col).alias("__bvec"),
+        F.col("__nrm").alias("__bnrm"),
+        bsum.alias("__bsum"),
+        _std_norm(F.col(vec_col)).alias("__bstd"),
+        "cell",
+    )
+    approx = approx_cosine_codes_vs_query_col(
+        F.col("__bvec"), F.col("__bsum"), F.col("__bstd"),
+        _QCODE, _QMIN, _QSCALE,
+    )
+    margin = F.try_divide(
+        F.lit(2.0) * F.col("__cr"), F.col("__cnrm_rec")
+    ) + F.lit(1e-9)
+    survivors = (
+        b.join(c, "cell")
+        .filter(F.col("__bid_") != F.col("__cid_"))
+        .withColumn("__approx", approx)
+        .filter(
+            F.col("__approx").isNotNull()
+            & (F.col("__approx") >= F.lit(threshold) - margin)
+        )
+        .select("__bid_", "__bvec", "__bnrm", "__cid_", "cell")
+    )
+    # exact confirm from the float column — survivor-proportional join
+    # on (cell, id), still partition-pruned to the touched cells
+    floats = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(touched)
+    ).select(
+        F.col(id_col).alias("__cid_"),
+        "cell",
+        F.col(vec_col).alias("__cvec"),
+    )
+    cos = F.try_divide(
+        dotf(F.col("__bvec"), F.col("__cvec")),
+        F.col("__bnrm") * normf(F.col("__cvec")),
+    )
+    return (
+        survivors.join(floats, ["cell", "__cid_"])
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.least("__bid_", "__cid_").alias("a"),
+            F.greatest("__bid_", "__cid_").alias("b"),
+            "cell",
+            "cosine_sim",
+        )
+    )
+
 
 
 def collected_semantic_pairs(

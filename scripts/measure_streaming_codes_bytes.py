@@ -1,0 +1,155 @@
+"""A/B the streaming SemDeDup batch-vs-corpus pair join: float layout
+vs quantized layout (corpus side ships int8 codes — round 13, the
+streaming twin of the batch path's measured 3.4x cut).
+
+Derives a 100x embedding corpus from sf0.1 (explode x100, key-shifted
+vec_ids — 200k x 64-d, ~99% exact-copy structure like the r8-r11
+soaks), stages the prior soak's arrival shape (~10% seed + three ~30%
+batches), and drives `process_semantic_batch` directly (it IS the
+foreachBatch body) over (a) a float layout and (b) a quantize=True
+layout. Records shuffle-write/read + scan bytes for the NON-bootstrap
+batches via the UI REST stage metrics, and proves both runs publish
+the IDENTICAL pair set and the exact-duplicate removal oracle.
+
+Usage: python scripts/measure_streaming_codes_bytes.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.session import get_session
+from cassandra_analytics_spark.stage_metrics import delta, stage_totals
+
+SRC = "/root/testdata/sf0.1/embeddings.parquet"
+COPIES = 100
+
+
+def main() -> int:
+    from cassandra_analytics_spark.operators.similarity import (
+        removal_verdicts,
+        sample_centroids,
+    )
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        collected_semantic_pairs,
+        process_semantic_batch,
+    )
+
+    spark = get_session(
+        app_name="measure-streaming-codes-bytes",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(SRC).select("vec_id", "embedding")
+    off = int(base.agg(F.max("vec_id")).collect()[0][0]) + 1
+    corpus = base.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__copy"),
+    ).select(
+        (F.col("vec_id") + F.col("__copy") * F.lit(off)).alias("vec_id"),
+        "embedding",
+    )
+    n = corpus.count()
+    cents = sample_centroids(corpus, 2000, "vec_id", "embedding", seed=42)
+    print(f"corpus {n} rows x {COPIES} copies; k={len(cents)}", flush=True)
+
+    work = tempfile.mkdtemp(prefix="semdedup-codes-ab-")
+    try:
+        # stage the four arrival files once, shared by both runs
+        bucket = F.abs(F.xxhash64(F.col("vec_id"))) % 10
+        batches = []
+        for i, (lo, hi) in enumerate([(0, 0), (1, 3), (4, 6), (7, 9)]):
+            p = os.path.join(work, f"arrival-{i}")
+            corpus.filter(bucket.between(lo, hi)).write.mode(
+                "overwrite"
+            ).parquet(p)
+            batches.append(p)
+
+        results = {}
+        for label, quantize in (("float", False), ("quantized", True)):
+            run_dir = os.path.join(work, label)
+            ivf = os.path.join(run_dir, "ivf")
+            pairs_out = os.path.join(run_dir, "pairs")
+            t_all = time.time()
+            pair_bytes = None
+            for i, p in enumerate(batches):
+                batch = spark.read.parquet(p)
+                before = stage_totals(spark) if i > 0 else None
+                t0 = time.time()
+                process_semantic_batch(
+                    batch, i, index_path=ivf, pairs_out=pairs_out,
+                    centroids=cents, threshold=0.95,
+                    assignment="vectorized", quantize=quantize,
+                )
+                dt = time.time() - t0
+                if i > 0:
+                    d = delta(before, stage_totals(spark))
+                    if d is not None:
+                        pair_bytes = {
+                            k: (pair_bytes or {}).get(k, 0) + v
+                            for k, v in d.items()
+                        }
+                print(f"  [{label}] batch {i}: {dt:.1f}s", flush=True)
+            wall = time.time() - t_all
+            pairs = collected_semantic_pairs(spark, pairs_out).dropDuplicates(
+                ["a", "b"]
+            )
+            removed = removal_verdicts(pairs).select("removed").distinct()
+            results[label] = {
+                "wall": wall,
+                "bytes": pair_bytes,
+                "pairs": pairs,
+                "n_removed": removed.count(),
+                "removed": removed,
+            }
+            print(f"[{label}] drained {wall:.1f}s removed="
+                  f"{results[label]['n_removed']}", flush=True)
+            if pair_bytes:
+                for k, v in sorted(pair_bytes.items()):
+                    print(f"  [{label}] non-bootstrap {k}: {v:,}", flush=True)
+
+        f, q = results["float"], results["quantized"]
+        same_pairs = (
+            f["pairs"].select("a", "b").exceptAll(
+                q["pairs"].select("a", "b")).count() == 0
+            and q["pairs"].select("a", "b").exceptAll(
+                f["pairs"].select("a", "b")).count() == 0
+        )
+        # independent oracle: exact-duplicate structure
+        groups = corpus.groupBy("embedding").agg(
+            F.min("vec_id").alias("keep"), F.count(F.lit(1)).alias("c")
+        ).filter("c > 1")
+        expected = (
+            corpus.join(groups, "embedding")
+            .filter(F.col("vec_id") != F.col("keep"))
+            .select(F.col("vec_id").alias("removed"))
+        )
+        n_expected = expected.count()
+        missing = expected.exceptAll(q["removed"]).count()
+        print(f"pair sets identical: {same_pairs}; removed "
+              f"{q['n_removed']}/{n_expected} expected, missing={missing}",
+              flush=True)
+        if f["bytes"] and q["bytes"]:
+            for k in f["bytes"]:
+                fb, qb = f["bytes"][k], q["bytes"][k]
+                ratio = (fb / qb) if qb else float("inf")
+                print(f"{k}: float={fb:,} quantized={qb:,} "
+                      f"({ratio:.2f}x cut)", flush=True)
+        ok = same_pairs and missing == 0 and q["n_removed"] == n_expected
+        print("PASS" if ok else "FAIL", flush=True)
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -247,6 +247,120 @@ def test_coordinated_write_rollback_failure_is_reported(
     assert committed_batches(b) == []
 
 
+def test_coordinated_write_cl_gate_tolerates_within_cl(spark, tmp_path):
+    """The write-CL gate (BulkWriteValidator.validateClOrFail analog):
+    per-target placement failures are tolerated exactly as far as the
+    requested consistency allows — QUORUM at rf=3 commits the two
+    surviving targets; ALL refuses and publishes NOTHING; two failures
+    break QUORUM too."""
+    src = _rows(spark, [{"id": i, "val": f"v{i}"} for i in range(50)])
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    bad = str(tmp_path / "blocker")
+    open(bad, "w").write("not a directory")
+    results = coordinated_bulk_write(
+        src, [a, b, bad], ["id"], write_timestamp_micros=1_000,
+        consistency="QUORUM", rf=3,
+    )
+    assert len(results) == 2  # the COMMITTED targets only
+    for t in (a, b):
+        assert len(committed_batches(t)) == 1
+        assert verify_digests(committed_batches(t)[0])
+        back = read_bulk_table(spark, t, ["id"])
+        assert back.count() == 50
+    assert os.path.isfile(bad)  # untouched
+
+    # the same single failure breaks ALL: refused, nothing published
+    a2, b2 = str(tmp_path / "a2"), str(tmp_path / "b2")
+    bad2 = str(tmp_path / "blocker2")
+    open(bad2, "w").write("x")
+    with pytest.raises(BulkWriteError, match="refusing to commit"):
+        coordinated_bulk_write(
+            src, [a2, b2, bad2], ["id"], write_timestamp_micros=1_000,
+            consistency="ALL", rf=3,
+        )
+    assert _no_trace(a2) and _no_trace(b2)
+
+    # two failures out of three break QUORUM as well
+    a3 = str(tmp_path / "a3")
+    bad3, bad4 = str(tmp_path / "b3"), str(tmp_path / "b4")
+    open(bad3, "w").write("x")
+    open(bad4, "w").write("x")
+    with pytest.raises(BulkWriteError, match="refusing to commit"):
+        coordinated_bulk_write(
+            src, [a3, bad3, bad4], ["id"], write_timestamp_micros=1_000,
+            consistency="QUORUM", rf=3,
+        )
+    assert _no_trace(a3)
+
+
+def test_coordinated_write_cl_gate_multi_dc_and_pending(spark, tmp_path):
+    """Per-DC CL math rides the gate: EACH_QUORUM tolerates one failure
+    per DC at rf=3, and a pending instance inflates that DC's bar
+    (Cassandra's blockForWrite) so the same failure then refuses."""
+    src = _rows(spark, [{"id": i, "val": f"v{i}"} for i in range(30)])
+    rf = {"dc1": 3, "dc2": 3}
+
+    a1, a2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    bad = str(tmp_path / "bad")
+    open(bad, "w").write("x")
+    targets = [a1, a2, b1, b2, bad]
+    dcs = ["dc1", "dc1", "dc2", "dc2", "dc2"]
+    results = coordinated_bulk_write(
+        src, targets, ["id"], write_timestamp_micros=1_000,
+        consistency="EACH_QUORUM", rf=rf, target_dcs=dcs,
+    )
+    assert len(results) == 4
+    for t in (a1, a2, b1, b2):
+        assert len(committed_batches(t)) == 1
+
+    # a dc2 pending instance raises dc2's bar from 2 to 3 — the same
+    # shape now refuses (only 2 dc2 targets can succeed)
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    bad2 = str(tmp_path / "bad2")
+    open(bad2, "w").write("x")
+    with pytest.raises(BulkWriteError, match="refusing to commit"):
+        coordinated_bulk_write(
+            src, [c1, c2, d1, d2, bad2], ["id"],
+            write_timestamp_micros=1_000,
+            consistency="EACH_QUORUM", rf=rf, target_dcs=dcs[:4] + ["dc2"],
+            pending_dcs=["dc2"],
+        )
+    for t in (c1, c2, d1, d2):
+        assert _no_trace(t)
+
+
+def test_coordinated_write_cl_gate_validation(spark, tmp_path):
+    """Gate parameter coherence: consistency needs rf; a per-DC map
+    needs target_dcs; gate args without consistency are refused; an ask
+    the full target set cannot satisfy is refused BEFORE any work."""
+    src = _rows(spark, [{"id": 1, "val": "x"}])
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    with pytest.raises(BulkWriteError, match="needs rf="):
+        coordinated_bulk_write(src, [a, b], ["id"], consistency="QUORUM")
+    with pytest.raises(BulkWriteError, match="needs target_dcs"):
+        coordinated_bulk_write(
+            src, [a, b], ["id"], consistency="QUORUM", rf={"dc1": 3}
+        )
+    with pytest.raises(BulkWriteError, match="parallel sequences"):
+        coordinated_bulk_write(
+            src, [a, b], ["id"], consistency="QUORUM",
+            rf={"dc1": 3}, target_dcs=["dc1"],
+        )
+    with pytest.raises(BulkWriteError, match="only meaningful with"):
+        coordinated_bulk_write(src, [a, b], ["id"], rf=3)
+    # ALL at rf=3 with only two targets can never be satisfied
+    with pytest.raises(BulkWriteError, match="impossible configuration"):
+        coordinated_bulk_write(
+            src, [a, b], ["id"], write_timestamp_micros=1_000,
+            consistency="ALL", rf=3,
+        )
+    assert _no_trace(a) and _no_trace(b)  # refused before any work
+
+
 def test_validation_enforces_table_clustering_keys_on_append(spark, tmp_path):
     """An APPEND write against a table whose DDL declares clustering keys
     must carry them even when the caller passes clustering_keys=() — the

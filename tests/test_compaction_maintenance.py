@@ -242,3 +242,69 @@ def test_compaction_to_empty_table_stays_readable(spark, tmp_path):
     compact_table(spark, path, ["k"], purge_tombstones=True)
     assert len(committed_batches(path)) == 1
     assert read_bulk_table(spark, path, ["k"]).count() == 0
+
+
+def test_compaction_preserves_quantized_code_consistency(spark, tmp_path):
+    """Quantized-layout x compaction interaction (VERDICT r12 item 9):
+    a bulk table carrying int8 code columns (qvec/embedding_min/
+    embedding_scale next to the float vector) compacts under whole-row
+    LWW with each winner row's codes INTACT and still consistent with
+    its own vector — dequantization stays within scale/2 per element
+    after the old batches retire. Per-CELL LWW over derived code
+    columns is the documented caller contract (COVERAGE.md): cells
+    reconcile independently, so mixed-write codes must be re-derived."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    def _vecs(seed, n=50):
+        import random
+
+        rng = random.Random(seed)
+        return spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    path = str(tmp_path / "tbl")
+    q1 = quantize_embeddings(_vecs(1), keep_vec=True)
+    bulk_write(q1, path, ["vec_id"], write_timestamp_micros=1_000)
+    # newer vectors for the even ids — codes re-derived WITH them
+    q2 = quantize_embeddings(
+        _vecs(2).filter(F.col("vec_id") % 2 == 0), keep_vec=True
+    )
+    bulk_write(q2, path, ["vec_id"], write_timestamp_micros=2_000)
+
+    a = {
+        r.vec_id: r
+        for r in read_bulk_table(spark, path, ["vec_id"]).collect()
+    }
+    compact_table(spark, path, ["vec_id"], num_partitions=2)
+    assert len(committed_batches(path)) == 1
+    after = read_bulk_table(spark, path, ["vec_id"])
+    b = {r.vec_id: r for r in after.collect()}
+    assert a.keys() == b.keys() and len(b) == 50
+    for k in a:
+        assert list(a[k].qvec) == list(b[k].qvec)
+        assert a[k].embedding == b[k].embedding
+
+    # every surviving row's codes reconstruct ITS OWN vector (winner
+    # row rode LWW whole — no cross-write vec/code mixing)
+    rec = dequantize_embeddings(
+        after, code_col="qvec", out_col="__rec"
+    ).select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "__rec", lambda x, y: F.abs(x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            / (F.col("embedding_scale") / 2)
+        ).alias("worst")
+    ).collect()[0]["worst"]
+    assert rec <= 1.0 + 1e-9  # within the scheme's per-element bound

@@ -457,3 +457,124 @@ def test_multi_dc_selection_indexes_validated_map(spark):
     upper = select_replicas(df.withColumn("dc", F.upper("dc")), ["pk"],
                             "EACH_QUORUM", rf=RF_MAP, dc_col="dc")
     assert upper.count() == base.count()
+
+
+def test_vnode_ownership_selection(spark):
+    """select_replicas_vnode (CassandraRing.java:181-191): ownership
+    follows the vnode ring's segments — the first rf distinct instances
+    clockwise from the token's segment — not a modular rotation. Checks
+    exact owner sets per segment, the wrap segment, case-insensitive
+    DCs, LOCAL_* remote-DC exclusion, and that the uniform ring-walk
+    stand-in genuinely disagrees over an irregular ring."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.operators.replicas import (
+        select_replicas_vnode,
+    )
+
+    ring = [
+        (60, 2, "dc1"), (180, 1, "dc1"), (310, 4, "dc1"), (430, 2, "dc1"),
+        (550, 3, "dc1"), (675, 1, "dc1"), (800, 4, "dc1"), (930, 3, "dc1"),
+        (100, 2, "dc2"), (260, 3, "dc2"), (420, 1, "dc2"),
+        (580, 3, "dc2"), (740, 2, "dc2"), (900, 1, "dc2"),
+    ]
+    rf = {"dc1": 2, "dc2": 2}
+    # every instance of every DC holds a copy of every key
+    keys = [0, 60, 61, 500, 931, 999]  # segment starts/ends + wrap
+    rows = [
+        (k, dc, i)
+        for k in keys
+        for dc, n in (("dc1", 4), ("dc2", 3))
+        for i in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "pk long, dc string, replica_id int")
+    tok = F.pmod(F.col("pk"), F.lit(1000))
+    sel = select_replicas_vnode(
+        df, ["pk"], ring, "EACH_QUORUM", rf=rf, dc_col="dc",
+        token_expr=tok,
+    )
+    got = {
+        (r.pk, r.dc): set()
+        for r in sel.select("pk", "dc").distinct().collect()
+    }
+    for r in sel.collect():
+        got[(r.pk, r.dc)].add(r.replica_id)
+    # hand-derived owner sets (same derivation as the driver oracle)
+    assert got[(0, "dc1")] == {2, 1} and got[(0, "dc2")] == {2, 3}
+    assert got[(60, "dc1")] == {2, 1}      # boundary: t <= 60 is seg 0
+    assert got[(61, "dc1")] == {1, 4}      # next segment
+    assert got[(500, "dc1")] == {3, 1} and got[(500, "dc2")] == {3, 2}
+    assert got[(931, "dc1")] == {2, 1}     # wrap segment = seg 0's set
+    assert got[(999, "dc2")] == {2, 3}
+
+    # the uniform pmod stand-in disagrees over this irregular ring: at
+    # quorum=rf it keeps EVERY copy (any id passes the mod-rf walk),
+    # while true ownership keeps only the owners' copies
+    stand_in = select_replicas(
+        df, ["pk"], "EACH_QUORUM", rf=rf, dc_col="dc"
+    )
+    assert stand_in.exceptAll(sel).count() > 0
+    assert sel.count() < stand_in.count()
+
+    # cased DC column values and ring/map keys still select identically
+    cased = select_replicas_vnode(
+        df.withColumn("dc", F.upper("dc")), ["pk"],
+        [(t, i, d.upper()) for t, i, d in ring],
+        "EACH_QUORUM", rf={"DC1": 2, "Dc2": 2}, dc_col="dc",
+        token_expr=tok,
+    )
+    assert cased.count() == sel.count()
+
+    # LOCAL_QUORUM touches only the local DC
+    local = select_replicas_vnode(
+        df, ["pk"], ring, "LOCAL_QUORUM", rf=rf, dc_col="dc",
+        local_dc="dc2", token_expr=tok,
+    )
+    assert local.filter(F.col("dc") == "dc1").count() == 0
+    assert local.filter(F.col("dc") == "dc2").count() == 2 * len(keys)
+
+
+def test_vnode_selection_validation(spark):
+    """Named errors: empty ring, malformed entries, duplicate vnode
+    tokens, too few distinct instances for the CL, rf-map/dc_col
+    pairing, DC missing from the ring, uncovered row DC is loud."""
+    from pyspark.sql import functions as F
+
+    from cassandra_analytics_spark.operators.replicas import (
+        select_replicas_vnode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "dc1", 1)], "pk long, dc string, replica_id int"
+    )
+    single = spark.createDataFrame([(1, 1)], "pk long, replica_id int")
+    with pytest.raises(ValueError, match="ring is empty"):
+        select_replicas_vnode(single, ["pk"], [], "QUORUM", rf=3)
+    with pytest.raises(ValueError, match="pairs"):
+        select_replicas_vnode(single, ["pk"], [(1, 1, "dc1")], "ONE", rf=1)
+    with pytest.raises(ValueError, match="triples"):
+        select_replicas_vnode(
+            df, ["pk"], [(1, 1)], "ONE", rf={"dc1": 1}, dc_col="dc"
+        )
+    with pytest.raises(ValueError, match="duplicate vnode tokens"):
+        select_replicas_vnode(
+            single, ["pk"], [(5, 1), (5, 2)], "ONE", rf=2
+        )
+    with pytest.raises(ValueError, match="impossible"):
+        select_replicas_vnode(
+            single, ["pk"], [(5, 1), (9, 1)], "QUORUM", rf=2
+        )
+    with pytest.raises(ValueError, match="come together"):
+        select_replicas_vnode(df, ["pk"], [(1, 1)], "ONE", rf=3, dc_col="dc")
+    with pytest.raises(ValueError, match="no vnodes in the ring"):
+        select_replicas_vnode(
+            df, ["pk"], [(1, 1, "dc1")], "EACH_QUORUM",
+            rf={"dc1": 1, "dc2": 1}, dc_col="dc",
+        )
+    with pytest.raises(Exception, match="not covered by the rf map"):
+        select_replicas_vnode(
+            spark.createDataFrame(
+                [(1, "dc9", 1)], "pk long, dc string, replica_id int"
+            ),
+            ["pk"], [(1, 1, "dc1")], "ONE", rf={"dc1": 1}, dc_col="dc",
+        ).collect()

@@ -395,3 +395,77 @@ def test_stream_quantized_layout_same_pairs_and_probeable(spark, tmp_path):
     assert [(r.vec_id, round(r.cosine_sim, 9)) for r in fast] == [
         (r.vec_id, round(r.cosine_sim, 9)) for r in coded
     ]
+
+
+def test_stream_quantized_margin_sound_at_threshold_boundary(spark, tmp_path):
+    """Adversarial margin check, streaming twin of the batch test
+    (test_quantized_index.py): pair cosines packed DENSELY around the
+    threshold, split across two micro-batches so the boundary pairs
+    cross the batch-vs-corpus CODES join (_cross_pairs_quantized) —
+    if the one-sided margin were optimistic, a true pair whose
+    code-space cosine dips just under the threshold would be silently
+    dropped before the exact confirm. Published pairs must equal the
+    one-shot float SemDeDup pair-for-pair and value-for-value."""
+    import math
+
+    rng = random.Random(7)
+    dim = 12
+    x = [rng.gauss(0, 1) for _ in range(dim)]
+    z = [rng.gauss(0, 1) for _ in range(dim)]
+    xx = sum(a * a for a in x)
+    proj = sum(a * b for a, b in zip(x, z)) / xx
+    z = [b - proj * a for a, b in zip(x, z)]
+    rows = [(0, x)]
+    for i in range(1, 60):  # cosines to x span [0.90, 1.0), threshold .95
+        c = 0.90 + 0.0017 * i
+        ang = math.acos(min(c, 1.0))
+        zn = math.sqrt(sum(b * b for b in z))
+        xn = math.sqrt(xx)
+        v = [
+            math.cos(ang) * a / xn + math.sin(ang) * b / zn
+            for a, b in zip(x, z)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "incoming")
+    # two batches: ids interleaved so ~3/4 of boundary pairs straddle
+    # the batch boundary and must survive the codes join
+    df.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    one_cell = [(0, [1.0] * dim)]
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_semantic_dedup_stream(
+        stream,
+        index_path=str(tmp_path / "ivf"),
+        pairs_out=str(tmp_path / "pairs"),
+        centroids=one_cell,
+        threshold=0.95,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quantize=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in collected_semantic_pairs(
+            spark, str(tmp_path / "pairs")
+        ).collect()
+    }
+    want = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in semantic_dedup_pairs(df, one_cell, threshold=0.95).collect()
+    }
+    assert got == want and len(want) > 100  # dense boundary pairs exist
