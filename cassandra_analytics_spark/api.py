@@ -298,6 +298,18 @@ class Engine:
         return select_replicas(df, partition_keys, **kwargs)
 
     @staticmethod
+    def select_replicas_vnode(df: DataFrame, partition_keys: Sequence[str],
+                              ring: Sequence[tuple], **kwargs) -> DataFrame:
+        """Replica selection under TRUE per-DC vnode token ownership
+        (CassandraRing.java:181-191) — ``ring`` is the cluster's vnode
+        table; single-DC pairs or multi-DC triples."""
+        from cassandra_analytics_spark.operators.replicas import (
+            select_replicas_vnode,
+        )
+
+        return select_replicas_vnode(df, partition_keys, ring, **kwargs)
+
+    @staticmethod
     def block_for(consistency: str, rf, local_dc: str | None = None) -> int:
         """Total replicas a read blocks for (per-DC rf maps supported)."""
         from cassandra_analytics_spark.operators.replicas import block_for
@@ -411,6 +423,31 @@ class Engine:
         )
 
         return dequantize_embeddings(df, **kwargs)
+
+    @staticmethod
+    def train_pq_codebook(df: DataFrame, **kwargs):
+        """Per-subspace k-means PQ codebook (trained on a bounded
+        sample, FAISS posture)."""
+        from cassandra_analytics_spark.operators.pq import train_pq_codebook
+
+        return train_pq_codebook(df, **kwargs)
+
+    @staticmethod
+    def pq_encode(df: DataFrame, codebook, **kwargs) -> DataFrame:
+        """m one-byte PQ codewords + stored reconstructed norm per
+        vector (Arrow-batched numpy encode)."""
+        from cassandra_analytics_spark.operators.pq import pq_encode
+
+        return pq_encode(df, codebook, **kwargs)
+
+    @staticmethod
+    def pq_adc_topk(qdf: DataFrame, codebook, query_vec: list[float],
+                    k: int = 10, **kwargs) -> DataFrame:
+        """Two-phase ADC cosine top-k over a PQ-encoded corpus
+        (m table lookups per row, exact-rescore window)."""
+        from cassandra_analytics_spark.operators.pq import pq_adc_topk
+
+        return pq_adc_topk(qdf, codebook, query_vec, k, **kwargs)
 
     @staticmethod
     def quantized_topk(qdf: DataFrame, query_vec: list[float], k: int = 10,

@@ -1,0 +1,298 @@
+"""Product quantization (PQ) for embedding columns — the storage lever
+PAST int8 scalar quantization.
+
+SQ8 (:mod:`.quantize`) stores 1 byte/dim (8x smaller than float64, 4x
+than float32). PQ stores ``m`` bytes per vector REGARDLESS of dimension
+(Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — the FAISS ``PQm`` scheme): the vector is split
+into ``m`` subvectors, each encoded as the id of its nearest centroid
+in a per-subspace codebook of ``ks`` (≤256) TRAINED centroids, and a
+query scores a code in ``m`` table lookups (ADC — asymmetric distance
+computation) without ever reconstructing the vector. At d=64 / m=8
+that is a 64x cut vs float64 (8x past SQ8) in scan bytes for the
+candidate-ranking phase.
+
+The codebook must be TRAINED (per-subspace k-means over a sample):
+round 9 measured sampled (untrained) codebooks weak for IVF routing,
+and PQ is strictly more codebook-sensitive — the recall oracle
+(``scripts/measure_pq_recall_clustered.py``) gates this the same way
+the planted-cluster sweep gated IVF. Training is driver-side numpy
+over a BOUNDED sample (the FAISS posture: train on a sample, encode
+distributed); encoding is one Arrow-batched numpy matmul per subspace
+(the sanctioned vectorized-UDF path — an expression argmin over ks
+centroids x m subspaces would embed m·ks struct entries in the plan,
+the same analyzer wall the IVF assignment hit at k≈128).
+
+Scoring math: with disjoint subspaces, ``x̂ = concat_i c_i[code_i]``,
+so ``x̂·q = Σ_i (c_i[code_i]·q_i)`` — exactly the per-subspace LUT sum —
+and ``‖x̂‖² = Σ_i ‖c_i[code_i]‖²``, which is computed ONCE at encode
+time and stored (``pq_norm``), so phase 1 reads m bytes + one double
+per row. Approximation is EMPIRICAL (no per-element bound like SQ8's
+scale/2): the two-phase contract is :func:`~cassandra_analytics_spark.
+operators.quantize.quantized_topk`'s — the rescore window absorbs
+phase-1 rank swaps, pinned hash-exact at the driver gate SFs, recall
+measured on planted clusters at scale.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PQCodebook:
+    """A trained product-quantization codebook: ``centroids[i][j]`` is
+    the j-th centroid (length ``dim // m``) of subspace i. ``ks`` ≤ 256
+    so codes fit a tinyint (stored as code − 128, the SQ8 convention)."""
+
+    dim: int
+    m: int
+    ks: int
+    centroids: tuple  # m x ks x (dim//m) nested tuples (hashable, serializable)
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.m
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 256,
+    sample_size: int = 20_000,
+    iterations: int = 20,
+    seed: int = 42,
+) -> PQCodebook:
+    """Per-subspace k-means over a bounded sample — driver-side numpy
+    (the FAISS train-on-sample posture; the sample collect is bounded
+    like the IVF centroid table). Deterministic under ``seed``. Empty
+    clusters are re-seeded from the farthest points so every codeword
+    is live. Vectors shorter/longer than the first row's length, NULLs
+    excluded; ``dim % m != 0`` and ``ks > 256`` are refused."""
+    import numpy as np
+
+    if m < 1:
+        raise ValueError(f"train_pq_codebook: m must be >= 1, got {m}")
+    if not 1 <= ks <= 256:
+        raise ValueError(
+            f"train_pq_codebook: ks must be in [1, 256] (codes are one "
+            f"byte), got {ks}"
+        )
+    rows = (
+        df.select(F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebook: no non-NULL vectors to train on")
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m != 0:
+        raise ValueError(
+            f"train_pq_codebook: dim {dim} is not divisible by m={m}"
+        )
+    k = min(ks, n)  # fewer sample points than codewords: shrink, stay live
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for i in range(m):
+        sub = x[:, i * dsub:(i + 1) * dsub]
+        cents = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(max(1, iterations)):
+            # assign: B x k squared distances via the expansion trick
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cents.T
+                + (cents * cents).sum(axis=1)
+            )
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = sub[mask].mean(axis=0)
+                else:
+                    # dead codeword: re-seed from the farthest point
+                    cents[j] = sub[d2.min(axis=1).argmax()]
+        books.append(tuple(tuple(float(v) for v in c) for c in cents))
+    return PQCodebook(dim=dim, m=m, ks=k, centroids=tuple(books))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pqcode",
+    norm_col: str = "pq_norm",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Encode every vector as ``m`` tinyint codes (code − 128) plus the
+    reconstructed norm ``‖x̂‖`` (one double, computed here once so
+    phase-1 scoring never touches floats). One Arrow-batched numpy
+    argmin per subspace (B x ks matmul, BLAS). NULL vectors produce
+    NULL codes/norm; a vector whose length differs from the codebook's
+    dim raises loudly inside the batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = [np.asarray(b, dtype=np.float64) for b in codebook.centroids]
+    dim, m, dsub = codebook.dim, codebook.m, codebook.dsub
+
+    @pandas_udf("struct<codes: array<tinyint>, nrm: double>")
+    def _enc(vecs):
+        import pandas as pd
+
+        out_codes, out_nrm = [], []
+        mask = vecs.notna()
+        if mask.any():
+            mat = np.asarray(
+                [list(v) for v in vecs[mask]], dtype=np.float64
+            )
+            if mat.ndim != 2 or mat.shape[1] != dim:
+                raise ValueError(
+                    f"pq_encode: codebook is {dim}-d but found vectors "
+                    f"of shape {mat.shape} — dimension mismatch"
+                )
+            codes = np.empty((mat.shape[0], m), dtype=np.int16)
+            nrm2 = np.zeros(mat.shape[0], dtype=np.float64)
+            for i in range(m):
+                sub = mat[:, i * dsub:(i + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * sub @ cb[i].T
+                    + (cb[i] * cb[i]).sum(axis=1)
+                )
+                a = d2.argmin(axis=1)
+                codes[:, i] = a - 128
+                nrm2 += (cb[i][a] * cb[i][a]).sum(axis=1)
+            nrm = np.sqrt(nrm2)
+        it = iter(range(int(mask.sum())))
+        enc_codes = (
+            [[int(c) for c in codes[j]] for j in range(codes.shape[0])]
+            if mask.any()
+            else []
+        )
+        for ok in mask:
+            if ok:
+                j = next(it)
+                out_codes.append(enc_codes[j])
+                out_nrm.append(float(nrm[j]))
+            else:
+                out_codes.append(None)
+                out_nrm.append(None)
+        return pd.DataFrame({"codes": out_codes, "nrm": out_nrm})
+
+    enc = _enc(F.col(vec_col))
+    cols = [F.col(id_col)]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    cols.extend(
+        [
+            enc.getField("codes").alias(code_col),
+            enc.getField("nrm").alias(norm_col),
+        ]
+    )
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    qdf: DataFrame,
+    codebook: PQCodebook,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pqcode",
+    norm_col: str = "pq_norm",
+    vec_col: str | None = None,
+    rescore_factor: int = 8,
+    dot_fn=None,
+    norm_fn=None,
+    rescore_mode: str = "pushdown",
+) -> DataFrame:
+    """Two-phase cosine top-k over a PQ-encoded corpus: phase 1 ranks by
+    ADC — the query's per-subspace dot products against every codeword
+    are precomputed driver-side into one m·ks literal table, and each
+    row's score is m indexed lookups summed (``transform`` with index +
+    ``element_at`` — pure codegen, the scan reads m bytes + one double
+    per row); phase 2 rescores the top ``k * rescore_factor`` survivors
+    with exact float cosine (same machinery and ``rescore_mode``
+    contract as ``quantized_topk`` — the two share phase 2).
+
+    APPROXIMATION CONTRACT: PQ reconstruction error has no closed
+    per-element bound (it is the subspace k-means residual), so
+    phase-1 exactness is EMPIRICAL like SQ8's but coarser at equal m —
+    the driver gate pins hash-exactness at the gate SFs and the
+    planted-cluster recall sweep measures it at scale
+    (PERF.md). NULL/unscorable rows never rank; a code vector whose
+    length differs from m raises loudly."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rescore_factor < 1:
+        raise ValueError(f"rescore_factor must be >= 1, got {rescore_factor}")
+    if rescore_mode not in ("pushdown", "join"):
+        raise ValueError(
+            f"rescore_mode must be 'pushdown' or 'join', got {rescore_mode!r}"
+        )
+    qv = [float(x) for x in query_vec]
+    if not qv or not all(math.isfinite(x) for x in qv):
+        raise ValueError(
+            "pq_adc_topk: query vector must be non-empty and finite"
+        )
+    if len(qv) != codebook.dim:
+        raise ValueError(
+            f"pq_adc_topk: codebook is {codebook.dim}-d but the query "
+            f"vector is {len(qv)}-d"
+        )
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    m, ks, dsub = codebook.m, codebook.ks, codebook.dsub
+    # the ADC lookup table: lut[i*ks + j] = q_i · centroids[i][j]
+    lut = [
+        sum(
+            qv[i * dsub + t] * codebook.centroids[i][j][t]
+            for t in range(dsub)
+        )
+        for i in range(m)
+        for j in range(ks)
+    ]
+    lut_lit = F.lit(lut)
+    dim_ok = F.size(F.col(code_col)) == F.lit(m)
+    guarded = F.when(
+        F.col(code_col).isNull() | dim_ok, F.col(code_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pq_adc_topk: codebook has m={m} subspaces but found "
+                    "a code vector of length "
+                ),
+                F.size(F.col(code_col)).cast("string"),
+            )
+        ).cast("array<tinyint>")
+    )
+    # element_at is 1-based; stored code = argmin − 128
+    contrib = F.transform(
+        guarded,
+        lambda c, i: F.element_at(
+            lut_lit, i * F.lit(ks) + c.cast("int") + F.lit(129)
+        ),
+    )
+    adc = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    approx = F.try_divide(adc, F.col(norm_col) * F.lit(qnorm))
+    scored = (
+        qdf.select(F.col(id_col), approx.alias("__approx"))
+        .filter(F.col("__approx").isNotNull())
+    )
+    from cassandra_analytics_spark.operators.quantize import (
+        _phase2_exact_topk,
+    )
+
+    return _phase2_exact_topk(
+        qdf, scored, qv, k, id_col, vec_col, rescore_factor,
+        rescore_mode, dot_fn, norm_fn,
+    )

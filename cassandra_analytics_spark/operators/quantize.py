@@ -271,7 +271,6 @@ def quantized_topk(
         raise ValueError(
             "quantized_topk: query vector must be non-empty and finite"
         )
-    qlit = lit_vector(qv)
     # a dimension mismatch raises loudly inside the expression (zip_with
     # would NULL-pad and silently return an EMPTY result); raise_error's
     # cast tracks the actual code-column type
@@ -288,6 +287,35 @@ def quantized_topk(
         qdf.select(F.col(id_col), approx.alias("__approx"))
         .filter(F.col("__approx").isNotNull())
     )
+    return _phase2_exact_topk(
+        qdf, scored, qv, k, id_col, vec_col, rescore_factor,
+        rescore_mode, dot_fn, norm_fn,
+    )
+
+
+def _phase2_exact_topk(
+    qdf: DataFrame,
+    scored: DataFrame,
+    qv: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str | None,
+    rescore_factor: int,
+    rescore_mode: str,
+    dot_fn,
+    norm_fn,
+) -> DataFrame:
+    """The shared phase 2 of two-phase top-k (SQ8 ``quantized_topk`` and
+    PQ ``pq_adc_topk``): take the top ``k * rescore_factor`` of
+    ``scored`` (columns ``id_col``, ``__approx``), rescore them with
+    exact float cosine against the float column, return the top k.
+    Without ``vec_col`` the approximate scores are final."""
+    from cassandra_analytics_spark.operators.similarity import (
+        cosine,
+        lit_vector,
+    )
+
+    qlit = lit_vector(qv)
     if vec_col is None:
         return (
             scored.select(F.col(id_col), F.col("__approx").alias("cosine_sim"))

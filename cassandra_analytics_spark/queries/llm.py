@@ -1219,6 +1219,47 @@ def quantized_topk_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_topk",
+    oracle=_COSINE_ORACLE,
+    doc="Product-quantization ADC similarity search (round 13, "
+    "operators/pq.py — Jegou et al. 2011 / FAISS PQm): the corpus is "
+    "encoded as m=16 one-byte codewords from per-subspace TRAINED "
+    "k-means codebooks (driver-side numpy over a bounded sample — "
+    "sampled/untrained codebooks measured weak in r9), phase 1 scores "
+    "every row as m lookups into the query's precomputed ADC table "
+    "(reads 16 bytes + one stored norm per row instead of 512 — the "
+    "storage lever past SQ8's 64), phase 2 rescores the top k*8 "
+    "survivors with exact float cosine. Shares the brute-force oracle: "
+    "the rescore window absorbs every phase-1 swap at the gate SFs — "
+    "the same empirical-exactness contract quantized_topk gates; "
+    "recall at scale is measured on planted clusters (PERF.md).",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_analytics_spark.operators.pq import (
+        pq_encode,
+        pq_adc_topk,
+        train_pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus_f = e.filter(F.col("vec_id") != 0)
+    codebook = train_pq_codebook(
+        corpus_f, m=16, ks=32, sample_size=5_000, iterations=10, seed=42
+    )
+    corpus = pq_encode(corpus_f, codebook, keep_vec=True)
+    # rescore with the portable decimal cosine so survivor scores match
+    # the oracle bit-for-bit (same contract as quantized_topk_rescored)
+    return pq_adc_topk(
+        corpus, codebook, qvec, k=10, vec_col="embedding",
+        rescore_factor=8, dot_fn=_pdot, norm_fn=_psq_norm,
+    )
+
+
+@query(
     "quantized_topk_join_rescored",
     oracle=_COSINE_ORACLE,
     doc="quantized_topk with the DISTRIBUTED rescore (rescore_mode="

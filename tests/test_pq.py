@@ -1,0 +1,170 @@
+"""Product quantization (operators/pq.py): trained per-subspace
+codebooks, Arrow-batched encoding, ADC two-phase top-k."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_analytics_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    train_pq_codebook,
+)
+
+
+def _corpus(spark, n=400, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_training_is_deterministic_and_shaped(spark):
+    _, df = _corpus(spark)
+    a = train_pq_codebook(df, m=4, ks=16, sample_size=400, seed=3)
+    b = train_pq_codebook(df, m=4, ks=16, sample_size=400, seed=3)
+    assert a == b  # same seed, same sample -> identical codebook
+    assert (a.dim, a.m, a.ks, a.dsub) == (16, 4, 16, 4)
+    assert len(a.centroids) == 4 and len(a.centroids[0]) == 16
+    assert len(a.centroids[0][0]) == 4
+    c = train_pq_codebook(df, m=4, ks=16, sample_size=400, seed=4)
+    assert c != a  # different seed moves the codebook
+
+    # fewer sample points than codewords: ks shrinks, stays live
+    tiny = train_pq_codebook(df.limit(5), m=4, ks=256, sample_size=5, seed=1)
+    assert tiny.ks == 5
+
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebook(df, m=5, ks=16)
+    with pytest.raises(ValueError, match="ks must be"):
+        train_pq_codebook(df, m=4, ks=300)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        train_pq_codebook(
+            spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>"),
+            m=4,
+        )
+
+
+def test_encode_codes_nulls_and_dim_guard(spark):
+    rows, df = _corpus(spark, n=100)
+    cb = train_pq_codebook(df, m=4, ks=16, seed=3)
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    enc = pq_encode(with_null, cb, keep_vec=True)
+    got = {r.vec_id: r for r in enc.collect()}
+    assert len(got) == 101
+    assert got[999].pqcode is None and got[999].pq_norm is None
+    sample = got[0]
+    assert len(sample.pqcode) == 4
+    assert all(-128 <= c <= 127 for c in sample.pqcode)
+    # stored norm equals the reconstructed concat-centroid norm
+    import math
+
+    rec = [
+        v
+        for i, c in enumerate(sample.pqcode)
+        for v in cb.centroids[i][c + 128]
+    ]
+    assert sample.pq_norm == pytest.approx(
+        math.sqrt(sum(v * v for v in rec))
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        pq_encode(ragged, cb).collect()
+
+
+def test_adc_topk_exact_under_rescore_and_modes(spark):
+    rows, df = _corpus(spark)
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    cb = train_pq_codebook(df, m=8, ks=32, seed=3)
+    enc = pq_encode(df, cb, keep_vec=True)
+    q = rows[0][1]
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(df, q, k=7).collect()
+    ]
+    for mode in ("pushdown", "join"):
+        got = [
+            (r.vec_id, round(r.cosine_sim, 9))
+            for r in pq_adc_topk(
+                enc, cb, q, k=7, vec_col="embedding",
+                rescore_factor=20, rescore_mode=mode,
+            ).collect()
+        ]
+        assert got == want, mode
+
+    # approx-only mode returns k rows ranked by ADC score
+    ap = pq_adc_topk(enc, cb, q, k=7).collect()
+    assert len(ap) == 7
+    assert [r.cosine_sim for r in ap] == sorted(
+        (r.cosine_sim for r in ap), reverse=True
+    )
+
+    # NULL-code rows never rank
+    with_null = enc.unionByName(
+        spark.createDataFrame(
+            [(999, None, None, None)],
+            "vec_id long, embedding array<double>, "
+            "pqcode array<tinyint>, pq_norm double",
+        )
+    )
+    assert not [
+        r
+        for r in pq_adc_topk(with_null, cb, q, k=400).collect()
+        if r.vec_id == 999
+    ]
+
+
+def test_adc_topk_validation(spark):
+    rows, df = _corpus(spark, n=50)
+    cb = train_pq_codebook(df, m=4, ks=16, seed=3)
+    enc = pq_encode(df, cb)
+    q = rows[0][1]
+    with pytest.raises(ValueError, match="k must be"):
+        pq_adc_topk(enc, cb, q, k=0)
+    with pytest.raises(ValueError, match="rescore_factor"):
+        pq_adc_topk(enc, cb, q, rescore_factor=0)
+    with pytest.raises(ValueError, match="rescore_mode"):
+        pq_adc_topk(enc, cb, q, rescore_mode="x")
+    with pytest.raises(ValueError, match="non-empty and finite"):
+        pq_adc_topk(enc, cb, [float("nan")] * 16)
+    with pytest.raises(ValueError, match="16-d but the query"):
+        pq_adc_topk(enc, cb, [0.0] * 8)
+    # a code row of the wrong m raises loudly inside the expression
+    bad = spark.createDataFrame(
+        [(1, [0] * 7, 1.0)],
+        "vec_id long, pqcode array<tinyint>, pq_norm double",
+    )
+    with pytest.raises(Exception, match="m=4 subspaces"):
+        pq_adc_topk(bad, cb, q, k=1).collect()
+
+
+def test_phase1_plan_reads_codes_not_floats(spark, tmp_path):
+    """The ADC phase-1 scan must NOT carry the float column — the whole
+    point is m bytes + one double per row (the quantized_topk plan
+    discipline, round-10 audit)."""
+    rows, df = _corpus(spark, n=200)
+    cb = train_pq_codebook(df, m=4, ks=16, seed=3)
+    path = str(tmp_path / "pq")
+    pq_encode(df, cb, keep_vec=True).write.parquet(path)
+    enc = spark.read.parquet(path)
+    q = rows[0][1]
+    plan = pq_adc_topk(enc, cb, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.split("\n") if "ReadSchema" in ln
+    ]
+    phase1 = [ln for ln in scans if "pqcode" in ln]
+    assert phase1 and all("embedding" not in ln for ln in phase1)
