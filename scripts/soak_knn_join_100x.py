@@ -57,7 +57,9 @@ def main() -> int:
     ).select(
         (F.col("vec_id") + F.col("__copy") * F.lit(off)).alias("vec_id"),
         "embedding",
-    )
+    ).repartition(32)  # the 1-file source would otherwise explode into
+    # ONE partition and single-thread every downstream scan
+    corpus = corpus.cache()
     n = corpus.count()
     # 1k queries: the corpus's own vectors (distinct embeddings so the
     # duplicate structure doesn't collapse the ranking), perturbation-free

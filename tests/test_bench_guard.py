@@ -34,10 +34,14 @@ def test_parse_sf_scaled_dirs_do_not_adopt_an_sf():
 
 def test_prior_recorded_total_is_sf_scoped():
     """A -1.0 (non-sf dir) lookup finds no prior record, so the guard
-    cannot escalate on scaled-corpus runs."""
-    from bench import _prior_recorded_total
+    cannot escalate on scaled-corpus runs. Round 13: the lookup also
+    returns the prior round's BYTE record (None until a bytes-carrying
+    BENCH lands) so the guard can classify plan-vs-weather."""
+    from bench import _prior_recorded
 
-    assert _prior_recorded_total(-1.0) is None
+    total, b = _prior_recorded(-1.0)
+    assert total is None and b is None
     # the repo carries sf0.1 records from prior rounds
-    prior = _prior_recorded_total(0.1)
+    prior, prior_bytes = _prior_recorded(0.1)
     assert prior is None or prior > 0
+    assert prior_bytes is None or isinstance(prior_bytes, dict)
