@@ -1170,7 +1170,10 @@ def ivf_knn_join(
     candidate-ranking phase read the int8 CODES instead of the float
     column: one byte-reduced, partition-pruned scan ranks candidates for
     ALL queries at once (``quantize.approx_cosine_codes_vs_query_col`` —
-    the query's element-sum and norm ride the broadcast routing table),
+    the query's vector/element-sum/norm ride a broadcast per-QUERY
+    payload table joined back by id — round 13 thinned the routing
+    pairs to (qid, cell) so broadcast bytes no longer scale with
+    probes x vector size),
     the per-query top ``k * rescore_factor`` survivors are rescored with
     exact float cosine (distributed broadcast join — no driver hop), and
     the per-query top k returned. The approximation contract is
@@ -1182,7 +1185,8 @@ def ivf_knn_join(
     the driver to plan the probe cells — same bounded collect as the
     centroid table). The corpus side reads only the UNION of all
     queries' probe cells (one partition-pruned scan regardless of query
-    count), the (query x cell) routing table broadcasts, and scoring +
+    count), the (qid, cell) routing pairs and the per-query payload
+    broadcast separately, and scoring +
     per-query top-k stay JVM-side (window over each query's candidates).
     With ``num_probes = num_centroids`` the result is EXACT per query
     (probe-all covers every cell — the same guarantee query_ivf_index
@@ -1296,26 +1300,41 @@ def ivf_knn_join(
             f"query vectors of length {sorted(bad)} against a {dim}-d "
             "index — dimension mismatch"
         )
-    routing = []
+    # THIN routing: the (qid, cell) pairs and the per-query payload
+    # (vector, norm, element sum) broadcast as SEPARATE tables joined
+    # back by qid — duplicating the query vector per probed cell made
+    # the broadcast n_queries x num_probes x ~(8d+24) bytes, which the
+    # round-13 soak measured at ~69 MB for 1k queries at probe-all over
+    # 128 cells (~690 MB at 10k — past the broadcast comfort zone);
+    # thinned, the pair table is ~16 B/row and the payload ~540 B/query.
+    routing: list[tuple] = []
+    payload: list[tuple] = []
     for r in qrows:
         vec = [float(x) for x in r[vec_col]]
+        payload.append((r[query_id], vec, float(r["__qn"]), sum(vec)))
         for cell in nearest_cells_for(vec, centroids, num_probes):
-            routing.append(
-                (r[query_id], cell, vec, float(r["__qn"]), sum(vec))
-            )
+            routing.append((r[query_id], cell))
     route_df = spark.createDataFrame(
         routing,
         StructType(
             [
                 StructField(query_id, qid_type),
                 StructField("cell", IntegerType()),
+            ]
+        ),
+    )
+    qpayload = spark.createDataFrame(
+        payload,
+        StructType(
+            [
+                StructField(query_id, qid_type),
                 StructField("__qv", ArrayType(DoubleType())),
                 StructField("__qn", DoubleType()),
                 StructField("__qsum", DoubleType()),
             ]
         ),
     )
-    touched = sorted({c for _, c, _, _, _ in routing})
+    touched = sorted({c for _, c in routing})
     candidates = index.filter(F.col("cell").isin(touched))
     cos = F.try_divide(
         dotf(F.col(vec_col), F.col("__qv")),
@@ -1343,6 +1362,7 @@ def ivf_knn_join(
         )
         survivors = (
             candidates.join(F.broadcast(route_df), "cell")
+            .join(F.broadcast(qpayload), query_id)
             .select(F.col(query_id), F.col(id_col), approx.alias("__approx"))
             .filter(F.col("__approx").isNotNull())
             # duplicate layout ids (replayed appends) collapse before the
@@ -1362,9 +1382,8 @@ def ivf_knn_join(
         # here, exactly matching the float path's cell-joined scoring
         # (r11 ADVICE low 3). No driver hop (the kNN join is
         # batch-shaped, so the distributed rescore is the only mode).
-        surv_q = survivors.join(
-            route_df.select(query_id, "cell", "__qv", "__qn"),
-            query_id,
+        surv_q = survivors.join(route_df, query_id).join(
+            qpayload.select(query_id, "__qv", "__qn"), query_id
         )
         scored = (
             candidates.select(F.col("cell"), F.col(id_col), F.col(vec_col))
@@ -1377,6 +1396,7 @@ def ivf_knn_join(
     else:
         scored = (
             candidates.join(F.broadcast(route_df), "cell")
+            .join(F.broadcast(qpayload), query_id)
             .select(
                 F.col(query_id),
                 F.col(id_col),
