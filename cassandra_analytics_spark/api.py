@@ -450,6 +450,23 @@ class Engine:
         return pq_adc_topk(qdf, codebook, query_vec, k, **kwargs)
 
     @staticmethod
+    def save_pq_index(df: DataFrame, index_path: str, **kwargs):
+        """Persist a PQ-encoded corpus + trained codebook + spec
+        (the LSH/IVF layout discipline applied to PQ)."""
+        from cassandra_analytics_spark.operators.pq import save_pq_index
+
+        return save_pq_index(df, index_path, **kwargs)
+
+    def query_pq_index(self, index_path: str, query_vec: list[float],
+                       k: int = 10, **kwargs) -> DataFrame:
+        """Top-k over a persisted PQ layout (ADC rank from m-byte
+        codes, exact rescore from the layout's float column)."""
+        from cassandra_analytics_spark.operators.pq import query_pq_index
+
+        return query_pq_index(self.spark, index_path, query_vec, k,
+                              **kwargs)
+
+    @staticmethod
     def quantized_topk(qdf: DataFrame, query_vec: list[float], k: int = 10,
                        **kwargs) -> DataFrame:
         """Two-phase cosine top-k over int8 codes (phase-1 scan reads

@@ -296,3 +296,144 @@ def pq_adc_topk(
         qdf, scored, qv, k, id_col, vec_col, rescore_factor,
         rescore_mode, dot_fn, norm_fn,
     )
+
+
+_PQ_SPEC_SCHEMA = "format string, dim int, m int, ks int, keep_vec boolean"
+
+
+def save_pq_index(
+    df: DataFrame,
+    index_path: str,
+    codebook: PQCodebook | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = True,
+    m: int = 16,
+    ks: int = 256,
+    sample_size: int = 20_000,
+    iterations: int = 15,
+    seed: int = 42,
+) -> PQCodebook:
+    """Materialize a PQ-encoded corpus as a PERSISTED layout — the PQ
+    twin of the LSH/IVF layouts' spec discipline: the encoded table at
+    ``index_path``, the codebook at ``{index_path}_codebook`` (one row
+    per (subspace, code) centroid — metadata-sized), and a spec at
+    ``{index_path}_spec`` pinning (dim, m, ks, keep_vec) so reads
+    refuse a layout whose geometry they cannot honor. ``codebook=None``
+    trains one here (:func:`train_pq_codebook`); passing one reuses an
+    external fit. ``keep_vec=False`` drops the float column — 
+    approximate-only reads at m bytes + one double per row (the
+    archival-tier shape); ``query_pq_index`` then refuses rescore
+    requests LOUDLY instead of silently returning approximate scores.
+
+    The spec is deleted before the layout overwrite (crash mid-rebuild
+    leaves a detectably spec-less layout, the LSH/IVF convention)."""
+    spark = df.sparkSession
+    if codebook is None:
+        codebook = train_pq_codebook(
+            df, vec_col=vec_col, m=m, ks=ks, sample_size=sample_size,
+            iterations=iterations, seed=seed,
+        )
+    from cassandra_analytics_spark.fs import delete_path
+
+    delete_path(spark, f"{index_path}_spec")
+    pq_encode(
+        df, codebook, id_col=id_col, vec_col=vec_col, keep_vec=keep_vec
+    ).write.mode("overwrite").parquet(index_path)
+    cb_rows = [
+        (i, j, list(codebook.centroids[i][j]))
+        for i in range(codebook.m)
+        for j in range(codebook.ks)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_codebook")
+    spark.createDataFrame(
+        [("pq-v1", codebook.dim, codebook.m, codebook.ks, keep_vec)],
+        _PQ_SPEC_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
+    return codebook
+
+
+def read_pq_spec(spark, index_path: str) -> dict:
+    """The persisted spec of a PQ layout; loud on missing/corrupt."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{index_path}_spec").collect()
+    except AnalysisException:
+        raise ValueError(
+            f"{index_path!r} has no persisted PQ spec "
+            f"({index_path}_spec) — not a save_pq_index layout (or a "
+            "rebuild crashed mid-write; rebuild with save_pq_index)"
+        ) from None
+    if len(rows) != 1 or rows[0]["format"] != "pq-v1":
+        raise ValueError(
+            f"corrupt PQ spec at {index_path}_spec: expected one "
+            f"'pq-v1' row, found {rows!r}"
+        )
+    return rows[0].asDict()
+
+
+def load_pq_codebook(spark, index_path: str) -> PQCodebook:
+    """Rehydrate the trained codebook of a persisted layout (bounded
+    collect — m x ks rows of metadata, the centroid-table convention)."""
+    spec = read_pq_spec(spark, index_path)
+    rows = spark.read.parquet(f"{index_path}_codebook").collect()
+    want = spec["m"] * spec["ks"]
+    if len(rows) != want:
+        raise ValueError(
+            f"corrupt PQ codebook at {index_path}_codebook: spec says "
+            f"m={spec['m']} x ks={spec['ks']} = {want} centroids, found "
+            f"{len(rows)}"
+        )
+    books: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        books.setdefault(r["sub"], {})[r["code"]] = tuple(
+            float(v) for v in r["centroid"]
+        )
+    cents = tuple(
+        tuple(books[i][j] for j in range(spec["ks"]))
+        for i in range(spec["m"])
+    )
+    return PQCodebook(
+        dim=spec["dim"], m=spec["m"], ks=spec["ks"], centroids=cents
+    )
+
+
+def query_pq_index(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rescore: bool = True,
+    rescore_factor: int = 8,
+    dot_fn=None,
+    norm_fn=None,
+    rescore_mode: str = "pushdown",
+) -> DataFrame:
+    """Top-k over a persisted PQ layout: rehydrate the pinned codebook,
+    ADC-rank from the m-byte codes, exact-rescore from the layout's
+    float column. ``rescore=True`` against a ``keep_vec=False`` layout
+    is REFUSED loudly (the floats are not there — silently returning
+    approximate scores would quietly weaken the caller's ask, the
+    round-10 CL-selection lesson); pass ``rescore=False`` for the
+    approximate-only read that layout is for."""
+    spec = read_pq_spec(spark, index_path)
+    codebook = load_pq_codebook(spark, index_path)
+    if rescore and not spec["keep_vec"]:
+        raise ValueError(
+            f"{index_path!r} was saved with keep_vec=False (codes-only "
+            "archival layout) — exact rescoring needs the float column; "
+            "pass rescore=False for approximate scores, or rebuild with "
+            "keep_vec=True"
+        )
+    qdf = spark.read.parquet(index_path)
+    return pq_adc_topk(
+        qdf, codebook, query_vec, k=k, id_col=id_col,
+        vec_col=vec_col if rescore else None,
+        rescore_factor=rescore_factor, dot_fn=dot_fn, norm_fn=norm_fn,
+        rescore_mode=rescore_mode,
+    )

@@ -1260,6 +1260,44 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_index_topk",
+    oracle=_COSINE_ORACLE,
+    doc="Top-k over a PERSISTED product-quantization layout (round 13, "
+    "pq.save_pq_index/query_pq_index): the encoded table, the trained "
+    "codebook, and a spec pinning (dim, m, ks, keep_vec) persist "
+    "together under the LSH/IVF spec discipline; the query rehydrates "
+    "the pinned codebook (bounded m*ks metadata collect), ADC-ranks "
+    "from the m-byte codes, and exact-rescores survivors from the "
+    "layout's float column. Shares the brute-force oracle (the rescore "
+    "window absorbs phase-1 swaps at the gate SFs). Registered past "
+    "the round-13 driver window — leads the round-14 rotation as a "
+    "never-driver-proved query.",
+)
+def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_spark.operators.pq import (
+        query_pq_index,
+        save_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    path = tempfile.mkdtemp(prefix="pq-index-q-") + "/pq"
+    save_pq_index(
+        e.filter(F.col("vec_id") != 0), path,
+        m=16, ks=32, sample_size=5_000, iterations=10, seed=42,
+    )
+    return query_pq_index(
+        spark, path, qvec, k=10, rescore_factor=8,
+        dot_fn=_pdot, norm_fn=_psq_norm,
+    )
+
+
+@query(
     "quantized_topk_join_rescored",
     oracle=_COSINE_ORACLE,
     doc="quantized_topk with the DISTRIBUTED rescore (rescore_mode="

@@ -168,3 +168,55 @@ def test_phase1_plan_reads_codes_not_floats(spark, tmp_path):
     ]
     phase1 = [ln for ln in scans if "pqcode" in ln]
     assert phase1 and all("embedding" not in ln for ln in phase1)
+
+
+def test_persisted_pq_layout_roundtrip_and_spec_discipline(spark, tmp_path):
+    """save/load/query over the persisted PQ layout (the LSH/IVF spec
+    discipline applied to PQ): roundtrip exactness under rescore, the
+    codebook rehydrates bit-identically, keep_vec=False refuses rescore
+    LOUDLY, and missing/corrupt specs are named errors."""
+    from cassandra_analytics_spark.operators.pq import (
+        load_pq_codebook,
+        query_pq_index,
+        read_pq_spec,
+        save_pq_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows, df = _corpus(spark, n=300)
+    path = str(tmp_path / "pq_idx")
+    cb = save_pq_index(df, path, m=8, ks=32, seed=3)
+    assert load_pq_codebook(spark, path) == cb
+    spec = read_pq_spec(spark, path)
+    assert (spec["dim"], spec["m"], spec["ks"], spec["keep_vec"]) == (
+        16, 8, 32, True,
+    )
+
+    q = rows[0][1]
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(df, q, k=7).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in query_pq_index(spark, path, q, k=7,
+                                rescore_factor=20).collect()
+    ]
+    assert got == want
+
+    # codes-only archival layout: approximate reads work, rescore refused
+    lean = str(tmp_path / "pq_lean")
+    save_pq_index(df, lean, codebook=cb, keep_vec=False)
+    approx = query_pq_index(spark, lean, q, k=7, rescore=False)
+    assert approx.count() == 7
+    with pytest.raises(ValueError, match="keep_vec=False"):
+        query_pq_index(spark, lean, q, k=7)
+
+    # spec discipline: a spec-less dir is a named error
+    import shutil
+
+    shutil.rmtree(lean + "_spec")
+    with pytest.raises(ValueError, match="no persisted PQ spec"):
+        query_pq_index(spark, lean, q, k=7, rescore=False)
