@@ -193,7 +193,7 @@ def main() -> None:
     # total bytes across headline queries (round-1 attribution)
     bytes_total = {
         k: sum(d.get(k, 0) for d in query_bytes.values())
-        for k in ("input_bytes", "shuffle_write_bytes",
+        for k in ("input_bytes", "input_records", "shuffle_write_bytes",
                   "shuffle_read_bytes", "output_bytes")
     } if query_bytes else None
 

@@ -19,8 +19,15 @@ from __future__ import annotations
 import json
 import urllib.request
 
+# input_bytes CAVEAT (measured, round 13): with the vectorized parquet
+# reader on a local filesystem, stage inputBytes under-reports (a
+# 10.8 MB / 600k-row lineitem scan reports ~18 KB) while inputRecords
+# is exact — so input_records is the reliable SCAN signal (a pushdown
+# or pruning regression shows as more records scanned), and the shuffle
+# byte counters are accurate (they come from the shuffle writers).
 _FIELDS = {
     "input_bytes": "inputBytes",
+    "input_records": "inputRecords",
     "shuffle_write_bytes": "shuffleWriteBytes",
     "shuffle_read_bytes": "shuffleReadBytes",
     "output_bytes": "outputBytes",
