@@ -413,6 +413,7 @@ def query_pq_index(
     dot_fn=None,
     norm_fn=None,
     rescore_mode: str = "pushdown",
+    codebook: PQCodebook | None = None,
 ) -> DataFrame:
     """Top-k over a persisted PQ layout: rehydrate the pinned codebook,
     ADC-rank from the m-byte codes, exact-rescore from the layout's
@@ -420,9 +421,24 @@ def query_pq_index(
     is REFUSED loudly (the floats are not there — silently returning
     approximate scores would quietly weaken the caller's ask, the
     round-10 CL-selection lesson); pass ``rescore=False`` for the
-    approximate-only read that layout is for."""
+    approximate-only read that layout is for.
+
+    ``codebook=`` preloads the codebook ONCE for a query batch (the
+    100x soak measured the per-call m·ks rehydration collect as real
+    per-query overhead); it must MATCH the layout's spec geometry —
+    a mismatched preload is refused, not silently mis-decoded."""
     spec = read_pq_spec(spark, index_path)
-    codebook = load_pq_codebook(spark, index_path)
+    if codebook is None:
+        codebook = load_pq_codebook(spark, index_path)
+    elif (codebook.dim, codebook.m, codebook.ks) != (
+        spec["dim"], spec["m"], spec["ks"]
+    ):
+        raise ValueError(
+            f"query_pq_index: preloaded codebook geometry "
+            f"(dim={codebook.dim}, m={codebook.m}, ks={codebook.ks}) does "
+            f"not match the layout spec (dim={spec['dim']}, m={spec['m']}, "
+            f"ks={spec['ks']}) at {index_path!r}"
+        )
     if rescore and not spec["keep_vec"]:
         raise ValueError(
             f"{index_path!r} was saved with keep_vec=False (codes-only "

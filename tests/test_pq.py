@@ -220,3 +220,29 @@ def test_persisted_pq_layout_roundtrip_and_spec_discipline(spark, tmp_path):
     shutil.rmtree(lean + "_spec")
     with pytest.raises(ValueError, match="no persisted PQ spec"):
         query_pq_index(spark, lean, q, k=7, rescore=False)
+
+
+def test_query_pq_index_preloaded_codebook(spark, tmp_path):
+    """codebook= preload skips the per-call rehydration (batch-query
+    amortization) but a geometry mismatch is refused, never silently
+    mis-decoded."""
+    from cassandra_analytics_spark.operators.pq import (
+        query_pq_index,
+        save_pq_index,
+        train_pq_codebook,
+    )
+
+    rows, df = _corpus(spark, n=150)
+    path = str(tmp_path / "pq_pre")
+    cb = save_pq_index(df, path, m=8, ks=16, seed=3)
+    q = rows[0][1]
+    a = {(r.vec_id, round(r.cosine_sim, 9))
+         for r in query_pq_index(spark, path, q, k=5,
+                                 rescore_factor=20).collect()}
+    b = {(r.vec_id, round(r.cosine_sim, 9))
+         for r in query_pq_index(spark, path, q, k=5, rescore_factor=20,
+                                 codebook=cb).collect()}
+    assert a == b
+    other = train_pq_codebook(df, m=4, ks=16, seed=3)
+    with pytest.raises(ValueError, match="does not match the layout"):
+        query_pq_index(spark, path, q, k=5, codebook=other)
