@@ -112,6 +112,22 @@ def _prior_recorded(sf: float) -> tuple[float | None, dict | None]:
     return prior, prior_bytes
 
 
+def _classify_bytes(bytes_total: dict | None,
+                    prior_bytes: dict | None) -> str | None:
+    """Adjudicate a wall-clock move from the byte record: shuffle-write
+    bytes are deterministic per plan (measured: <0.1% across same-binary
+    runs), so a move >2% vs the newest prior recorded bench means the
+    PLAN changed; within 2% means the plan did not — any wall delta is
+    weather. None when either record is missing (never guessed)."""
+    if not bytes_total or not prior_bytes:
+        return None
+    pb = prior_bytes.get("shuffle_write_bytes")
+    nb = bytes_total.get("shuffle_write_bytes")
+    if not isinstance(pb, (int, float)) or pb <= 0 or nb is None:
+        return None
+    return "plan" if abs(nb - pb) / pb > 0.02 else "weather"
+
+
 def _parse_sf(sf_dir: str) -> float:
     """Scale factor from the BASENAME only, and only when it is exactly
     sf<float> — a scaled-corpus dir whose name merely contains "sf0.1"
@@ -209,13 +225,25 @@ def main() -> None:
     # moves mean the PLAN changed and extra wall rounds can't talk the
     # number back down.
     prior, prior_bytes = _prior_recorded(sf)
-    classification = None
-    if bytes_total and prior_bytes:
-        key = "shuffle_write_bytes"
-        pb, nb = prior_bytes.get(key), bytes_total.get(key)
-        if isinstance(pb, (int, float)) and pb > 0 and nb is not None:
-            moved = abs(nb - pb) / pb
-            classification = "plan" if moved > 0.02 else "weather"
+    classification = _classify_bytes(bytes_total, prior_bytes)
+    if classification == "plan":
+        # surface a plan-fingerprint move even when the wall guard never
+        # trips — a byte shift with a FLAT wall is still a plan change
+        # (possibly an improvement) the round record should name
+        print(
+            json.dumps(
+                {
+                    "metric": "plan_fingerprint",
+                    "classification": classification,
+                    "shuffle_write_bytes": (bytes_total or {}).get(
+                        "shuffle_write_bytes"
+                    ),
+                    "prior_shuffle_write_bytes": (prior_bytes or {}).get(
+                        "shuffle_write_bytes"
+                    ),
+                }
+            )
+        )
     extra_runs = 0
     if prior is not None and n_runs < 5:
         while (

@@ -45,3 +45,19 @@ def test_prior_recorded_total_is_sf_scoped():
     prior, prior_bytes = _prior_recorded(0.1)
     assert prior is None or prior > 0
     assert prior_bytes is None or isinstance(prior_bytes, dict)
+
+
+def test_classify_bytes_plan_vs_weather():
+    """The byte adjudicator: shuffle-write within 2% of the prior
+    record = weather; bigger = plan; missing either side = None (never
+    a guessed verdict)."""
+    from bench import _classify_bytes
+
+    prior = {"shuffle_write_bytes": 1_000_000}
+    assert _classify_bytes({"shuffle_write_bytes": 1_010_000}, prior) == "weather"
+    assert _classify_bytes({"shuffle_write_bytes": 1_050_000}, prior) == "plan"
+    assert _classify_bytes({"shuffle_write_bytes": 900_000}, prior) == "plan"
+    assert _classify_bytes(None, prior) is None
+    assert _classify_bytes({"shuffle_write_bytes": 1}, None) is None
+    assert _classify_bytes({"shuffle_write_bytes": 1},
+                           {"shuffle_write_bytes": 0}) is None
