@@ -467,6 +467,22 @@ class Engine:
                               **kwargs)
 
     @staticmethod
+    def save_ivf_pq_index(df: DataFrame, index_path: str, **kwargs):
+        """Persist the FAISS IVF-PQ composition: cell-partitioned AND
+        PQ-encoded (partition-pruned, m-byte probes)."""
+        from cassandra_analytics_spark.operators.pq import save_ivf_pq_index
+
+        return save_ivf_pq_index(df, index_path, **kwargs)
+
+    def query_ivf_pq_index(self, index_path: str, query_vec: list[float],
+                           k: int = 10, **kwargs) -> DataFrame:
+        """Partition-pruned ADC top-k over an IVF-PQ layout."""
+        from cassandra_analytics_spark.operators.pq import query_ivf_pq_index
+
+        return query_ivf_pq_index(self.spark, index_path, query_vec, k,
+                                  **kwargs)
+
+    @staticmethod
     def quantized_topk(qdf: DataFrame, query_vec: list[float], k: int = 10,
                        **kwargs) -> DataFrame:
         """Two-phase cosine top-k over int8 codes (phase-1 scan reads

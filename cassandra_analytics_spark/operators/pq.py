@@ -453,3 +453,199 @@ def query_pq_index(
         rescore_factor=rescore_factor, dot_fn=dot_fn, norm_fn=norm_fn,
         rescore_mode=rescore_mode,
     )
+
+
+_IVF_PQ_SPEC_SCHEMA = (
+    "format string, dim int, m int, ks int, num_centroids int, "
+    "keep_vec boolean"
+)
+
+
+def save_ivf_pq_index(
+    df: DataFrame,
+    index_path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    num_centroids: int = 16,
+    codebook: PQCodebook | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = True,
+    m: int = 16,
+    ks: int = 256,
+    sample_size: int = 20_000,
+    iterations: int = 15,
+    seed: int = 42,
+) -> tuple[list[tuple[int, list[float]]], PQCodebook]:
+    """The FAISS IVF-PQ composition as a persisted layout: the corpus
+    is cell-partitioned by nearest coarse centroid (the IVF side — a
+    probe reads only its cells' directories, partition pruning) AND
+    PQ-encoded inside every cell (the PQ side — the pruned scan reads
+    m bytes + one double per row). Self-contained over the same layout
+    discipline as :func:`save_pq_index`: spec (``ivf-pq-v1``) + coarse
+    centroid table + codebook persist beside the data, spec deleted
+    first so a torn rebuild is detectable.
+
+    ``centroids=None`` samples ``num_centroids`` coarse centroids
+    (:func:`~cassandra_analytics_spark.operators.similarity.
+    sample_centroids` — the codebook-fit stand-in; pass a k-means fit
+    for production routing, the r9 recall lesson); ``codebook=None``
+    trains the PQ codebooks here. Cell assignment is the shared
+    linear-size argmax expression — fine to k≈128; beyond that pass
+    precomputed assignments through the plain IVF layout instead
+    (`build_ivf_index(assignment="vectorized")`), whose SQ8 codes are
+    the measured-at-scale alternative."""
+    from cassandra_analytics_spark.fs import delete_path
+    from cassandra_analytics_spark.operators.similarity import (
+        nearest_centroid_cell,
+        sample_centroids,
+    )
+
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = sample_centroids(
+            df, num_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    if not centroids:
+        raise ValueError(
+            "save_ivf_pq_index: no coarse centroids (empty corpus?) — "
+            "an IVF layout needs at least one cell"
+        )
+    centroids = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    if codebook is None:
+        codebook = train_pq_codebook(
+            df, vec_col=vec_col, m=m, ks=ks, sample_size=sample_size,
+            iterations=iterations, seed=seed,
+        )
+    delete_path(spark, f"{index_path}_spec")
+    encoded = pq_encode(
+        df, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    # cell from the FLOAT vector (same routing math as reads), then the
+    # float column dropped if the caller asked for a codes-only layout
+    tagged = encoded.withColumn(
+        "cell", nearest_centroid_cell(F.col(vec_col), centroids)
+    )
+    if not keep_vec:
+        tagged = tagged.drop(vec_col)
+    tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    spark.createDataFrame(
+        centroids, "cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_centroids")
+    cb_rows = [
+        (i, j, list(codebook.centroids[i][j]))
+        for i in range(codebook.m)
+        for j in range(codebook.ks)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_codebook")
+    spark.createDataFrame(
+        [("ivf-pq-v1", codebook.dim, codebook.m, codebook.ks,
+          len(centroids), keep_vec)],
+        _IVF_PQ_SPEC_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
+    return centroids, codebook
+
+
+def read_ivf_pq_spec(spark, index_path: str) -> dict:
+    """The persisted spec of an IVF-PQ layout; loud on missing/corrupt
+    (including a plain-PQ layout presented at an IVF-PQ read path)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{index_path}_spec").collect()
+    except AnalysisException:
+        raise ValueError(
+            f"{index_path!r} has no persisted spec ({index_path}_spec) — "
+            "not a save_ivf_pq_index layout (or a rebuild crashed "
+            "mid-write; rebuild)"
+        ) from None
+    if len(rows) != 1 or rows[0]["format"] != "ivf-pq-v1":
+        raise ValueError(
+            f"spec at {index_path}_spec is not an IVF-PQ layout "
+            f"(expected one 'ivf-pq-v1' row, found {rows!r}) — flat PQ "
+            "layouts read through query_pq_index"
+        )
+    return rows[0].asDict()
+
+
+def query_ivf_pq_index(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rescore: bool = True,
+    rescore_factor: int = 8,
+    dot_fn=None,
+    norm_fn=None,
+    rescore_mode: str = "pushdown",
+    codebook: PQCodebook | None = None,
+) -> DataFrame:
+    """Top-k over an IVF-PQ layout: route to the ``num_probes`` nearest
+    cells driver-side (centroid table is bounded metadata), scan ONLY
+    those cell directories (the cell filter is a partition-column
+    predicate), ADC-rank the pruned rows from their m-byte codes, and
+    exact-rescore survivors from the float column. With ``num_probes =
+    num_centroids`` the result is EXACT under the rescore window — the
+    same probe-all guarantee the SQ8 IVF paths pin. ``rescore=True``
+    against a ``keep_vec=False`` layout is refused loudly, and a
+    preloaded ``codebook=`` must match the spec geometry — both the
+    flat-PQ contracts."""
+    from cassandra_analytics_spark.operators.similarity import (
+        nearest_cells_for,
+    )
+
+    if num_probes < 1:
+        raise ValueError(f"num_probes must be >= 1, got {num_probes}")
+    spec = read_ivf_pq_spec(spark, index_path)
+    if rescore and not spec["keep_vec"]:
+        raise ValueError(
+            f"{index_path!r} was saved with keep_vec=False (codes-only "
+            "archival layout) — pass rescore=False, or rebuild with "
+            "keep_vec=True"
+        )
+    if codebook is None:
+        rows = spark.read.parquet(f"{index_path}_codebook").collect()
+        want = spec["m"] * spec["ks"]
+        if len(rows) != want:
+            raise ValueError(
+                f"corrupt PQ codebook at {index_path}_codebook: spec "
+                f"says {want} centroids, found {len(rows)}"
+            )
+        books: dict[int, dict[int, tuple]] = {}
+        for r in rows:
+            books.setdefault(r["sub"], {})[r["code"]] = tuple(
+                float(v) for v in r["centroid"]
+            )
+        codebook = PQCodebook(
+            dim=spec["dim"], m=spec["m"], ks=spec["ks"],
+            centroids=tuple(
+                tuple(books[i][j] for j in range(spec["ks"]))
+                for i in range(spec["m"])
+            ),
+        )
+    elif (codebook.dim, codebook.m, codebook.ks) != (
+        spec["dim"], spec["m"], spec["ks"]
+    ):
+        raise ValueError(
+            f"query_ivf_pq_index: preloaded codebook geometry "
+            f"(dim={codebook.dim}, m={codebook.m}, ks={codebook.ks}) "
+            f"does not match the layout spec at {index_path!r}"
+        )
+    centroids = [
+        (r.cid, list(r.centroid))
+        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+    ]
+    cells = nearest_cells_for(
+        [float(x) for x in query_vec], centroids, num_probes
+    )
+    qdf = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return pq_adc_topk(
+        qdf, codebook, query_vec, k=k, id_col=id_col,
+        vec_col=vec_col if rescore else None,
+        rescore_factor=rescore_factor, dot_fn=dot_fn, norm_fn=norm_fn,
+        rescore_mode=rescore_mode,
+    )

@@ -1298,6 +1298,44 @@ def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_pq_topk",
+    oracle=_COSINE_ORACLE,
+    doc="IVF-PQ similarity search (round 13, pq.save_ivf_pq_index / "
+    "query_ivf_pq_index — the FAISS IVF-PQ composition): the corpus is "
+    "cell-partitioned by nearest coarse centroid AND PQ-encoded inside "
+    "every cell, so a probe is partition-PRUNED to its cells "
+    "(plan-asserted PartitionFilters) and phase-1 ranks those rows "
+    "from m-byte ADC lookups; survivors rescore from the float column. "
+    "Probe-all (num_probes = num_centroids) + the rescore window = "
+    "exact, sharing the brute-force oracle. Registered past the "
+    "round-13 driver window — leads round 14 with the other "
+    "never-driver-proved PQ layout query.",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cassandra_analytics_spark.operators.pq import (
+        query_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    path = tempfile.mkdtemp(prefix="ivf-pq-q-") + "/ivfpq"
+    save_ivf_pq_index(
+        e.filter(F.col("vec_id") != 0), path, num_centroids=8,
+        m=16, ks=32, sample_size=5_000, iterations=10, seed=42,
+    )
+    return query_ivf_pq_index(
+        spark, path, qvec, k=10, num_probes=8, rescore_factor=8,
+        dot_fn=_pdot, norm_fn=_psq_norm,
+    )
+
+
+@query(
     "quantized_topk_join_rescored",
     oracle=_COSINE_ORACLE,
     doc="quantized_topk with the DISTRIBUTED rescore (rescore_mode="

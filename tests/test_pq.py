@@ -246,3 +246,77 @@ def test_query_pq_index_preloaded_codebook(spark, tmp_path):
     other = train_pq_codebook(df, m=4, ks=16, seed=3)
     with pytest.raises(ValueError, match="does not match the layout"):
         query_pq_index(spark, path, q, k=5, codebook=other)
+
+
+def test_ivf_pq_layout_probe_all_exact_and_pruning(spark, tmp_path):
+    """IVF-PQ composition: probe-all + rescore equals brute force;
+    partial probes return a subset; the probe scan is PARTITION-pruned
+    to the probed cells AND reads codes, not floats, in phase 1;
+    keep_vec=False refuses rescore; spec cross-reads are named errors."""
+    from cassandra_analytics_spark.operators.pq import (
+        query_ivf_pq_index,
+        query_pq_index,
+        save_ivf_pq_index,
+        save_pq_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows, df = _corpus(spark, n=300)
+    path = str(tmp_path / "ivfpq")
+    cents, cb = save_ivf_pq_index(
+        df, path, num_centroids=6, m=8, ks=32, seed=3
+    )
+    assert len(cents) == 6 and cb.m == 8
+
+    q = rows[0][1]
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(df, q, k=7).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in query_ivf_pq_index(
+            spark, path, q, k=7, num_probes=6, rescore_factor=20
+        ).collect()
+    ]
+    assert got == want  # probe-all + rescore window = exact
+
+    partial = {
+        r.vec_id
+        for r in query_ivf_pq_index(
+            spark, path, q, k=7, num_probes=2, rescore_factor=20
+        ).collect()
+    }
+    assert partial  # non-empty subset of some top list
+    # plan: phase 1 prunes PARTITIONS to the probed cells and reads
+    # codes, never the float column. The pushdown rescore collects
+    # survivors eagerly (its returned plan is phase-2 only), so audit
+    # the join-mode plan — one lazy tree holding BOTH scans.
+    plan = (
+        query_ivf_pq_index(spark, path, q, k=7, num_probes=2,
+                           rescore_mode="join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    phase1 = [ln for ln in scans if "pqcode" in ln and "embedding" not in ln]
+    assert phase1, scans  # the codes scan exists and carries no floats
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert any("cell" in ln and " IN " in ln for ln in pf), pf
+
+    # codes-only layout refuses rescore; flat-PQ spec refused here
+    lean = str(tmp_path / "ivfpq_lean")
+    save_ivf_pq_index(df, lean, num_centroids=4, codebook=cb,
+                      keep_vec=False, seed=3)
+    assert query_ivf_pq_index(
+        spark, lean, q, k=7, num_probes=4, rescore=False
+    ).count() == 7
+    with pytest.raises(ValueError, match="keep_vec=False"):
+        query_ivf_pq_index(spark, lean, q, k=7)
+    flat = str(tmp_path / "flatpq")
+    save_pq_index(df, flat, codebook=cb)
+    with pytest.raises(ValueError, match="not an IVF-PQ layout"):
+        query_ivf_pq_index(spark, flat, q, k=7)
+    with pytest.raises(ValueError, match="not a save_pq_index layout|pq-v1"):
+        query_pq_index(spark, lean, q, k=7, rescore=False)
