@@ -1159,6 +1159,7 @@ def ivf_knn_join(
     norm_fn=None,
     sim_id: str | None = None,
     use_codes: bool = False,
+    use_pq: bool = False,
     rescore_factor: int = 8,
 ) -> DataFrame:
     """Index-accelerated k-NN JOIN: top-k corpus neighbors for EVERY row
@@ -1180,6 +1181,19 @@ def ivf_knn_join(
     ``quantized_topk``'s: the rescore window absorbs phase-1 swaps, and
     the driver gate pins hash-exactness against the brute-force oracle
     at probe-all.
+
+    ``use_pq=True`` (requires a ``save_ivf_pq_index`` layout with
+    ``keep_vec=True`` — round 14, completing the {flat, IVF} x {float,
+    SQ8, PQ} x {single-query, kNN-join} composition matrix) ranks
+    candidates for ALL queries from their m-byte PQ codes: each
+    query's ADC lookup table (m·ks per-subspace dot products against
+    the FROZEN codebook) is computed driver-side and rides the
+    per-QUERY payload table — one LUT row per query, NOT per (query,
+    cell) routing pair, so broadcast bytes stay n_queries x m·ks·8 B
+    regardless of num_probes — and phase 1 scores a candidate as m
+    ``element_at`` lookups summed (pure codegen; the pruned scan reads
+    m bytes + one stored norm per row). Phase 2 is the SAME exact
+    (cell, id)-joined float rescore as ``use_codes``.
 
     Contract mirrors ``knn_join``: the query set is SMALL (collected to
     the driver to plan the probe cells — same bounded collect as the
@@ -1239,14 +1253,44 @@ def ivf_knn_join(
     dotf = dot_fn or _dot
     normf = norm_fn or _norm
     spark = queries.sparkSession
-    spec = _read_ivf_spec_optional(spark, index_path)
-    _validate_read_math(spec, dot_fn, norm_fn, sim_id, index_path)
-    if use_codes and not _spec_quantized(spec):
+    if use_codes and use_pq:
         raise ValueError(
-            f"use_codes=True needs a quantized layout, but the index at "
-            f"{index_path!r} has no code columns (spec quantized=false or "
-            "missing) — rebuild with build_ivf_index(quantize=True)"
+            "use_codes and use_pq are mutually exclusive — SQ8 codes live "
+            "in build_ivf_index(quantize=True) layouts, PQ codes in "
+            "save_ivf_pq_index layouts; an index carries one or the other"
         )
+    pq_codebook = None
+    if use_pq:
+        from cassandra_analytics_spark.operators.pq import (
+            _resolve_ivf_pq_codebook,
+            read_ivf_pq_spec,
+        )
+
+        if sim_id is not None:
+            raise ValueError(
+                "use_pq=True reads a save_ivf_pq_index layout, which pins "
+                "no custom-math sim_id — drop sim_id (dot_fn/norm_fn stay "
+                "a sanctioned read-time rescore choice)"
+            )
+        pq_spec = read_ivf_pq_spec(spark, index_path)
+        if not pq_spec["keep_vec"]:
+            raise ValueError(
+                f"{index_path!r} was saved with keep_vec=False (codes-only "
+                "archival layout) — the kNN join's exact phase 2 needs the "
+                "float column; rebuild with keep_vec=True"
+            )
+        pq_codebook = _resolve_ivf_pq_codebook(
+            spark, index_path, pq_spec, None, caller="ivf_knn_join"
+        )
+    else:
+        spec = _read_ivf_spec_optional(spark, index_path)
+        _validate_read_math(spec, dot_fn, norm_fn, sim_id, index_path)
+        if use_codes and not _spec_quantized(spec):
+            raise ValueError(
+                f"use_codes=True needs a quantized layout, but the index at "
+                f"{index_path!r} has no code columns (spec quantized=false "
+                "or missing) — rebuild with build_ivf_index(quantize=True)"
+            )
     centroids = [
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()
@@ -1307,11 +1351,34 @@ def ivf_knn_join(
     # round-13 soak measured at ~69 MB for 1k queries at probe-all over
     # 128 cells (~690 MB at 10k — past the broadcast comfort zone);
     # thinned, the pair table is ~16 B/row and the payload ~540 B/query.
+    if use_pq:
+        import numpy as _np
+
+        _cbm = [
+            _np.asarray(b, dtype=_np.float64)
+            for b in pq_codebook.centroids
+        ]
+        _dsub = pq_codebook.dsub
     routing: list[tuple] = []
     payload: list[tuple] = []
     for r in qrows:
         vec = [float(x) for x in r[vec_col]]
-        payload.append((r[query_id], vec, float(r["__qn"]), sum(vec)))
+        if use_pq:
+            # the query's ADC lookup table: lut[i*ks + j] = q_i ·
+            # codeword[i][j] — m·ks doubles per QUERY, riding the
+            # one-row-per-query payload table (NOT the (qid, cell)
+            # routing pairs: there it would duplicate per probed cell,
+            # the exact fat the thin-routing discipline removed)
+            lut = [
+                float(v)
+                for i in range(pq_codebook.m)
+                for v in _cbm[i] @ _np.asarray(
+                    vec[i * _dsub:(i + 1) * _dsub], dtype=_np.float64
+                )
+            ]
+            payload.append((r[query_id], vec, float(r["__qn"]), lut))
+        else:
+            payload.append((r[query_id], vec, float(r["__qn"]), sum(vec)))
         for cell in nearest_cells_for(vec, centroids, num_probes):
             routing.append((r[query_id], cell))
     route_df = spark.createDataFrame(
@@ -1323,6 +1390,11 @@ def ivf_knn_join(
             ]
         ),
     )
+    tail_field = (
+        StructField("__lut", ArrayType(DoubleType()))
+        if use_pq
+        else StructField("__qsum", DoubleType())
+    )
     qpayload = spark.createDataFrame(
         payload,
         StructType(
@@ -1330,7 +1402,7 @@ def ivf_knn_join(
                 StructField(query_id, qid_type),
                 StructField("__qv", ArrayType(DoubleType())),
                 StructField("__qn", DoubleType()),
-                StructField("__qsum", DoubleType()),
+                tail_field,
             ]
         ),
     )
@@ -1343,26 +1415,43 @@ def ivf_knn_join(
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
     )
-    if use_codes:
-        from cassandra_analytics_spark.operators.quantize import (
-            approx_cosine_codes_vs_query_col,
-        )
-
+    if use_codes or use_pq:
         # phase 1: rank every (query, candidate) pair FROM THE CODES —
         # projecting only (qid, id, approx) keeps the float column out
         # of the byte-reduced scan (the quantized_topk plan discipline).
-        # Ranking with __qn (the routing table's norm) is sound: any
+        # Ranking with __qn (the payload table's norm) is sound: any
         # consistent positive query norm preserves per-query order.
-        approx = approx_cosine_codes_vs_query_col(
-            F.col("__qv"), F.col("__qsum"), F.col("__qn"),
-            _QCODE, _QMIN, _QSCALE,
-        )
+        if use_codes:
+            from cassandra_analytics_spark.operators.quantize import (
+                approx_cosine_codes_vs_query_col,
+            )
+
+            approx = approx_cosine_codes_vs_query_col(
+                F.col("__qv"), F.col("__qsum"), F.col("__qn"),
+                _QCODE, _QMIN, _QSCALE,
+            )
+            phase1_payload = qpayload  # SQ8 reconstruction needs __qv
+        else:
+            # PQ ADC: m element_at lookups into this query's LUT column
+            # summed — pure codegen over m bytes + one stored norm per
+            # row (element_at is 1-based; stored code = argmin − 128)
+            _ks = pq_codebook.ks
+            contrib = F.transform(
+                F.col("pqcode"),
+                lambda c, i: F.element_at(
+                    F.col("__lut"), i * F.lit(_ks) + c.cast("int") + F.lit(129)
+                ),
+            )
+            adc = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+            approx = F.try_divide(adc, F.col("pq_norm") * F.col("__qn"))
+            # the float query vector stays OUT of the phase-1 join
+            phase1_payload = qpayload.select(query_id, "__lut", "__qn")
         aw = Window.partitionBy(query_id).orderBy(
             F.col("__approx").desc(), F.col(id_col)
         )
         survivors = (
             candidates.join(F.broadcast(route_df), "cell")
-            .join(F.broadcast(qpayload), query_id)
+            .join(F.broadcast(phase1_payload), query_id)
             .select(F.col(query_id), F.col(id_col), approx.alias("__approx"))
             .filter(F.col("__approx").isNotNull())
             # duplicate layout ids (replayed appends) collapse before the
@@ -1376,18 +1465,28 @@ def ivf_knn_join(
         # phase 2: exact rescore of the survivors only — the survivor
         # frame rejoins the routing table on the query id, fanning each
         # survivor to that query's PROBED CELLS (≤ n_queries · k ·
-        # rescore_factor · num_probes rows, still broadcast-sized), and
-        # the rescore joins the corpus on (cell, id): a duplicate-id
-        # copy sitting in a cell this query did NOT probe can never win
-        # here, exactly matching the float path's cell-joined scoring
-        # (r11 ADVICE low 3). No driver hop (the kNN join is
+        # rescore_factor · num_probes rows of THIN (qid, cell, id)
+        # triples), and the rescore joins the corpus on (cell, id): a
+        # duplicate-id copy sitting in a cell this query did NOT probe
+        # can never win here, exactly matching the float path's
+        # cell-joined scoring (r11 ADVICE low 3). The per-query payload
+        # (__qv, __qn) joins AFTER the corpus join, onto the
+        # survivor-PROPORTIONAL matches — attaching it to the fan
+        # before the join would re-duplicate the query vector per
+        # probed cell, the exact fat the thin-routing phase 1 removed
+        # (r13 ADVICE medium: at 1k queries, k=10, rf=8, probe-all
+        # over 128 cells that was ~10M fan rows x ~550 B ≈ 5+ GB
+        # broadcast; thinned, the fan is ~20 B/row and the payload
+        # stays one row per query). No driver hop (the kNN join is
         # batch-shaped, so the distributed rescore is the only mode).
-        surv_q = survivors.join(route_df, query_id).join(
-            qpayload.select(query_id, "__qv", "__qn"), query_id
-        )
+        surv_fan = survivors.join(route_df, query_id)
         scored = (
             candidates.select(F.col("cell"), F.col(id_col), F.col(vec_col))
-            .join(F.broadcast(surv_q), ["cell", id_col])
+            .join(F.broadcast(surv_fan), ["cell", id_col])
+            .join(
+                F.broadcast(qpayload.select(query_id, "__qv", "__qn")),
+                query_id,
+            )
             .select(F.col(query_id), F.col(id_col), cos.alias("cosine_sim"))
             .filter(F.col("cosine_sim").isNotNull())
             .groupBy(query_id, id_col)

@@ -70,10 +70,17 @@ def train_pq_codebook(
 ) -> PQCodebook:
     """Per-subspace k-means over a bounded sample — driver-side numpy
     (the FAISS train-on-sample posture; the sample collect is bounded
-    like the IVF centroid table). Deterministic under ``seed``. Empty
-    clusters are re-seeded from the farthest points so every codeword
-    is live. Vectors shorter/longer than the first row's length, NULLs
-    excluded; ``dim % m != 0`` and ``ks > 256`` are refused."""
+    like the IVF centroid table). The sample is RANDOM — the
+    ``sample_size`` rows with the smallest seeded xxhash64 of the
+    vector (a distributed top-N, TakeOrdered — no full count job, no
+    dependence on partition order), not the first N in scan order: on
+    a corpus sorted or partitioned by cluster a prefix sample trains
+    the codebook on a biased subset and recall degrades (FAISS trains
+    on a random sample; r13 ADVICE low). Deterministic under ``seed``
+    regardless of partitioning. Empty clusters are re-seeded from the
+    farthest points so every codeword is live. Vectors shorter/longer
+    than the first row's length, NULLs excluded; ``dim % m != 0`` and
+    ``ks > 256`` are refused."""
     import numpy as np
 
     if m < 1:
@@ -86,6 +93,7 @@ def train_pq_codebook(
     rows = (
         df.select(F.col(vec_col))
         .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
         .limit(sample_size)
         .collect()
     )
@@ -131,24 +139,40 @@ def pq_encode(
     code_col: str = "pqcode",
     norm_col: str = "pq_norm",
     keep_vec: bool = False,
+    with_residual: bool = False,
 ) -> DataFrame:
     """Encode every vector as ``m`` tinyint codes (code − 128) plus the
     reconstructed norm ``‖x̂‖`` (one double, computed here once so
     phase-1 scoring never touches floats). One Arrow-batched numpy
     argmin per subspace (B x ks matmul, BLAS). NULL vectors produce
     NULL codes/norm; a vector whose length differs from the codebook's
-    dim raises loudly inside the batch."""
+    dim raises loudly inside the batch.
+
+    ``with_residual=True`` additionally stores the TRUE norm ``‖x‖``
+    (``pq_tnorm``) and the MEASURED reconstruction residual
+    ``‖x − x̂‖`` (``pq_err``) — two doubles per row that turn PQ's
+    empirical approximation into a per-row PROVEN bound: for any query
+    ``q``, ``|q·x − q·x̂| ≤ ‖q‖·pq_err``, so ``cos(q, x) ≤
+    ADC/(‖q‖·pq_tnorm) + pq_err/pq_tnorm`` — an exactness-preserving
+    prefilter margin with NO closed-form codebook assumption (the SQ8
+    margin's PQ twin, used by the streaming SemDeDup PQ path)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     cb = [np.asarray(b, dtype=np.float64) for b in codebook.centroids]
     dim, m, dsub = codebook.dim, codebook.m, codebook.dsub
 
-    @pandas_udf("struct<codes: array<tinyint>, nrm: double>")
+    struct_type = (
+        "struct<codes: array<tinyint>, nrm: double, tnrm: double, "
+        "err: double>"
+        if with_residual
+        else "struct<codes: array<tinyint>, nrm: double>"
+    )
+
+    @pandas_udf(struct_type)
     def _enc(vecs):
         import pandas as pd
 
-        out_codes, out_nrm = [], []
         mask = vecs.notna()
         if mask.any():
             mat = np.asarray(
@@ -161,6 +185,7 @@ def pq_encode(
                 )
             codes = np.empty((mat.shape[0], m), dtype=np.int16)
             nrm2 = np.zeros(mat.shape[0], dtype=np.float64)
+            err2 = np.zeros(mat.shape[0], dtype=np.float64)
             for i in range(m):
                 sub = mat[:, i * dsub:(i + 1) * dsub]
                 d2 = (
@@ -171,22 +196,38 @@ def pq_encode(
                 a = d2.argmin(axis=1)
                 codes[:, i] = a - 128
                 nrm2 += (cb[i][a] * cb[i][a]).sum(axis=1)
+                if with_residual:
+                    # exact per-subspace residual ‖sub − c[a]‖² computed
+                    # directly (NOT the d2 expansion-trick value, whose
+                    # cancellation can go slightly negative)
+                    diff = sub - cb[i][a]
+                    err2 += (diff * diff).sum(axis=1)
             nrm = np.sqrt(nrm2)
+            if with_residual:
+                tnrm = np.sqrt((mat * mat).sum(axis=1))
+                err = np.sqrt(err2)
         it = iter(range(int(mask.sum())))
         enc_codes = (
             [[int(c) for c in codes[j]] for j in range(codes.shape[0])]
             if mask.any()
             else []
         )
+        out = {"codes": [], "nrm": []}
+        if with_residual:
+            out["tnrm"] = []
+            out["err"] = []
         for ok in mask:
             if ok:
                 j = next(it)
-                out_codes.append(enc_codes[j])
-                out_nrm.append(float(nrm[j]))
+                out["codes"].append(enc_codes[j])
+                out["nrm"].append(float(nrm[j]))
+                if with_residual:
+                    out["tnrm"].append(float(tnrm[j]))
+                    out["err"].append(float(err[j]))
             else:
-                out_codes.append(None)
-                out_nrm.append(None)
-        return pd.DataFrame({"codes": out_codes, "nrm": out_nrm})
+                for k in out:
+                    out[k].append(None)
+        return pd.DataFrame(out)
 
     enc = _enc(F.col(vec_col))
     cols = [F.col(id_col)]
@@ -198,6 +239,13 @@ def pq_encode(
             enc.getField("nrm").alias(norm_col),
         ]
     )
+    if with_residual:
+        cols.extend(
+            [
+                enc.getField("tnrm").alias("pq_tnorm"),
+                enc.getField("err").alias("pq_err"),
+            ]
+        )
     return df.select(*cols)
 
 
@@ -262,18 +310,42 @@ def pq_adc_topk(
     ]
     lut_lit = F.lit(lut)
     dim_ok = F.size(F.col(code_col)) == F.lit(m)
-    guarded = F.when(
-        F.col(code_col).isNull() | dim_ok, F.col(code_col)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
+    # range guard: a corpus encoded with a LARGER-ks codebook carries
+    # codes that index past this LUT — element_at would return NULL
+    # (non-ANSI) and those rows would silently vanish from the result
+    # instead of failing loudly (r13 ADVICE low; the persisted-layout
+    # paths check spec geometry, the direct API must self-check).
+    # Stored code = argmin − 128, so only the upper bound can drift.
+    rng_bad = F.exists(
+        F.col(code_col),
+        lambda c: c.cast("int") + F.lit(128) >= F.lit(ks),
+    )
+    guarded = (
+        F.when(F.col(code_col).isNull(), F.col(code_col))
+        .when(
+            ~dim_ok,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pq_adc_topk: codebook has m={m} subspaces but "
+                        "found a code vector of length "
+                    ),
+                    F.size(F.col(code_col)).cast("string"),
+                )
+            ).cast("array<tinyint>"),
+        )
+        .when(
+            rng_bad,
+            F.raise_error(
                 F.lit(
-                    f"pq_adc_topk: codebook has m={m} subspaces but found "
-                    "a code vector of length "
-                ),
-                F.size(F.col(code_col)).cast("string"),
-            )
-        ).cast("array<tinyint>")
+                    f"pq_adc_topk: codebook has ks={ks} codewords but "
+                    "found a code past that range — the corpus was "
+                    "encoded with a different (larger-ks) codebook; "
+                    "re-encode or pass the matching codebook"
+                )
+            ).cast("array<tinyint>"),
+        )
+        .otherwise(F.col(code_col))
     )
     # element_at is 1-based; stored code = argmin − 128
     contrib = F.transform(
@@ -455,9 +527,55 @@ def query_pq_index(
     )
 
 
+def append_to_pq_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: PQCodebook | None = None,
+) -> None:
+    """Append new vectors to a persisted PQ layout, encoding them with
+    the FROZEN codebook pinned in the spec — encode-only, NO retrain:
+    per-refresh cost is proportional to the BATCH, not the corpus, and
+    the existing files are never rewritten (parquet ``append`` only
+    adds files). The PQ twin of :func:`~cassandra_analytics_spark.
+    operators.ann_index.append_to_ivf_index`'s incremental-ingest
+    posture (reference analog: the bulk writer's append-only batch
+    model, ``bulkwriter/CassandraBulkSourceRelation.java:116-131``).
+
+    ``keep_vec`` FOLLOWS THE SPEC — an append that disagreed would
+    leave a layout half codes-only, half float-carrying, silently
+    breaking the rescore contract. ``codebook=`` preloads the trained
+    codebook ONCE for a batch of appends (skipping the per-call m·ks
+    rehydration collect); a preload whose (dim, m, ks) geometry
+    differs from the spec is REFUSED — codes from a different
+    codebook would silently mis-decode at read time. A batch vector
+    whose length differs from the spec's dim raises loudly inside the
+    encode batch (``pq_encode``'s guard)."""
+    spark = df.sparkSession
+    spec = read_pq_spec(spark, index_path)
+    if codebook is None:
+        codebook = load_pq_codebook(spark, index_path)
+    elif (codebook.dim, codebook.m, codebook.ks) != (
+        spec["dim"], spec["m"], spec["ks"]
+    ):
+        raise ValueError(
+            f"append_to_pq_index: preloaded codebook geometry "
+            f"(dim={codebook.dim}, m={codebook.m}, ks={codebook.ks}) does "
+            f"not match the layout spec (dim={spec['dim']}, m={spec['m']}, "
+            f"ks={spec['ks']}) at {index_path!r} — codes from a different "
+            "codebook would silently mis-decode"
+        )
+    pq_encode(
+        df, codebook, id_col=id_col, vec_col=vec_col,
+        keep_vec=spec["keep_vec"],
+    ).write.mode("append").parquet(index_path)
+
+
 _IVF_PQ_SPEC_SCHEMA = (
     "format string, dim int, m int, ks int, num_centroids int, "
-    "keep_vec boolean"
+    "keep_vec boolean, assignment string, sim_id string, "
+    "residuals boolean"
 )
 
 
@@ -475,6 +593,10 @@ def save_ivf_pq_index(
     sample_size: int = 20_000,
     iterations: int = 15,
     seed: int = 42,
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+    residuals: bool = False,
 ) -> tuple[list[tuple[int, list[float]]], PQCodebook]:
     """The FAISS IVF-PQ composition as a persisted layout: the corpus
     is cell-partitioned by nearest coarse centroid (the IVF side — a
@@ -493,14 +615,41 @@ def save_ivf_pq_index(
     linear-size argmax expression — fine to k≈128; beyond that pass
     precomputed assignments through the plain IVF layout instead
     (`build_ivf_index(assignment="vectorized")`), whose SQ8 codes are
-    the measured-at-scale alternative."""
+    the measured-at-scale alternative.
+
+    ``dot_fn``/``norm_fn`` switch CELL ASSIGNMENT to custom math
+    (norm-once ``assign_nearest_cells``, lowest-cid ties — e.g. the
+    portable decimal cosine of the oracle-exact SemDeDup queries);
+    ``sim_id`` is then REQUIRED and pinned in the spec so appends can
+    refuse mismatched math — exactly ``build_ivf_index``'s contract.
+
+    ``residuals=True`` stores ``pq_tnorm``/``pq_err`` next to the
+    codes (``pq_encode(with_residual=True)``), turning the layout's
+    approximation into a per-row PROVEN bound — required by the
+    streaming SemDeDup PQ path's exactness-preserving prefilter. The
+    flag is part of the spec; appends follow it automatically."""
     from cassandra_analytics_spark.fs import delete_path
     from cassandra_analytics_spark.operators.similarity import (
+        assign_nearest_cells,
         nearest_centroid_cell,
         sample_centroids,
     )
 
     spark = df.sparkSession
+    custom = dot_fn is not None or norm_fn is not None
+    if custom and sim_id is None:
+        raise ValueError(
+            "save_ivf_pq_index with custom dot_fn/norm_fn needs sim_id= — "
+            "a stable identifier for the similarity math; appends must "
+            "present the same identifier (the spec cannot serialize "
+            "Python functions)"
+        )
+    if sim_id is not None and not custom:
+        raise ValueError(
+            "sim_id is only meaningful with custom dot_fn/norm_fn — "
+            "the built-in mode is identified by the assignment name"
+        )
+    assignment = "custom" if custom else "expr"
     if centroids is None:
         centroids = sample_centroids(
             df, num_centroids, id_col=id_col, vec_col=vec_col, seed=seed
@@ -518,13 +667,20 @@ def save_ivf_pq_index(
         )
     delete_path(spark, f"{index_path}_spec")
     encoded = pq_encode(
-        df, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True
+        df, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True,
+        with_residual=residuals,
     )
     # cell from the FLOAT vector (same routing math as reads), then the
     # float column dropped if the caller asked for a codes-only layout
-    tagged = encoded.withColumn(
-        "cell", nearest_centroid_cell(F.col(vec_col), centroids)
-    )
+    if custom:
+        tagged = assign_nearest_cells(
+            encoded, centroids, id_col, vec_col, dot_fn, norm_fn,
+            cell_col="cell", passthrough=True,
+        )
+    else:
+        tagged = encoded.withColumn(
+            "cell", nearest_centroid_cell(F.col(vec_col), centroids)
+        )
     if not keep_vec:
         tagged = tagged.drop(vec_col)
     tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
@@ -541,7 +697,7 @@ def save_ivf_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_codebook")
     spark.createDataFrame(
         [("ivf-pq-v1", codebook.dim, codebook.m, codebook.ks,
-          len(centroids), keep_vec)],
+          len(centroids), keep_vec, assignment, sim_id, residuals)],
         _IVF_PQ_SPEC_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
     return centroids, codebook
@@ -560,13 +716,177 @@ def read_ivf_pq_spec(spark, index_path: str) -> dict:
             "not a save_ivf_pq_index layout (or a rebuild crashed "
             "mid-write; rebuild)"
         ) from None
-    if len(rows) != 1 or rows[0]["format"] != "ivf-pq-v1":
+    if len(rows) != 1 or rows[0].asDict().get("format") != "ivf-pq-v1":
         raise ValueError(
             f"spec at {index_path}_spec is not an IVF-PQ layout "
             f"(expected one 'ivf-pq-v1' row, found {rows!r}) — flat PQ "
             "layouts read through query_pq_index"
         )
-    return rows[0].asDict()
+    spec = rows[0].asDict()
+    # layouts written before round 14 lack the assignment/residual
+    # fields — normalize so every reader sees the full contract
+    spec.setdefault("assignment", "expr")
+    spec.setdefault("sim_id", None)
+    spec.setdefault("residuals", False)
+    return spec
+
+
+def _resolve_ivf_pq_codebook(
+    spark,
+    index_path: str,
+    spec: dict,
+    codebook: PQCodebook | None,
+    caller: str,
+) -> PQCodebook:
+    """Rehydrate an IVF-PQ layout's trained codebook (bounded m·ks
+    metadata collect), or validate a caller-preloaded one against the
+    spec geometry — shared by the query and append paths so both
+    refuse a mismatched preload identically."""
+    if codebook is not None:
+        if (codebook.dim, codebook.m, codebook.ks) != (
+            spec["dim"], spec["m"], spec["ks"]
+        ):
+            raise ValueError(
+                f"{caller}: preloaded codebook geometry "
+                f"(dim={codebook.dim}, m={codebook.m}, ks={codebook.ks}) "
+                f"does not match the layout spec (dim={spec['dim']}, "
+                f"m={spec['m']}, ks={spec['ks']}) at {index_path!r}"
+            )
+        return codebook
+    rows = spark.read.parquet(f"{index_path}_codebook").collect()
+    want = spec["m"] * spec["ks"]
+    if len(rows) != want:
+        raise ValueError(
+            f"corrupt PQ codebook at {index_path}_codebook: spec "
+            f"says {want} centroids, found {len(rows)}"
+        )
+    books: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        books.setdefault(r["sub"], {})[r["code"]] = tuple(
+            float(v) for v in r["centroid"]
+        )
+    return PQCodebook(
+        dim=spec["dim"], m=spec["m"], ks=spec["ks"],
+        centroids=tuple(
+            tuple(books[i][j] for j in range(spec["ks"]))
+            for i in range(spec["m"])
+        ),
+    )
+
+
+def assign_with_ivf_pq_spec(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+    codebook: PQCodebook | None = None,
+) -> DataFrame:
+    """Tag ``df`` with the cell each row would occupy in the IVF-PQ
+    layout at ``index_path`` AND its codes/norms under the FROZEN
+    codebook — the assignment half of :func:`append_to_ivf_pq_index`
+    (which writes the result), shared with the streaming SemDeDup PQ
+    path (which needs the assignment for the batch-vs-corpus join
+    before appending). Mirrors ``ann_index.assign_with_index_spec``'s
+    mode contract: a ``custom``-assignment layout REQUIRES the same
+    dot_fn/norm_fn/sim_id it was built with; an ``expr`` layout refuses
+    custom math (a silent mode mismatch would split the same corpus
+    across different cells depending on which call wrote it). The
+    residual columns follow the spec. The float vector column is
+    always present in the output (callers drop it per ``keep_vec``)."""
+    from cassandra_analytics_spark.operators.similarity import (
+        assign_nearest_cells,
+        nearest_centroid_cell,
+    )
+
+    spark = df.sparkSession
+    spec = read_ivf_pq_spec(spark, index_path)
+    codebook = _resolve_ivf_pq_codebook(
+        spark, index_path, spec, codebook, caller="assign_with_ivf_pq_spec"
+    )
+    centroids = sorted(
+        (int(r.cid), [float(x) for x in r.centroid])
+        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+    )
+    if not centroids:
+        raise ValueError(
+            f"assign_with_ivf_pq_spec: no coarse centroids at "
+            f"{index_path}_centroids — corrupt layout; rebuild with "
+            "save_ivf_pq_index"
+        )
+    mode = spec["assignment"]
+    custom = dot_fn is not None or norm_fn is not None
+    if mode == "custom":
+        if not custom or sim_id is None:
+            raise ValueError(
+                f"IVF-PQ layout at {index_path!r} was built with custom "
+                f"similarity math (sim_id={spec['sim_id']!r}) — the "
+                "append/assign must pass the same dot_fn/norm_fn and sim_id"
+            )
+        if sim_id != spec["sim_id"]:
+            raise ValueError(
+                f"sim_id mismatch: IVF-PQ layout at {index_path!r} was "
+                f"built with {spec['sim_id']!r}, presented {sim_id!r} — "
+                "different similarity math would assign the same vectors "
+                "to different cells"
+            )
+    elif custom or sim_id is not None:
+        raise ValueError(
+            f"IVF-PQ layout at {index_path!r} was built with the "
+            f"built-in 'expr' assignment — must not pass custom "
+            "dot_fn/norm_fn/sim_id (rebuild with save_ivf_pq_index("
+            "dot_fn=..., norm_fn=..., sim_id=...) to switch)"
+        )
+    encoded = pq_encode(
+        df, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True,
+        with_residual=spec["residuals"],
+    )
+    if mode == "custom":
+        return assign_nearest_cells(
+            encoded, centroids, id_col, vec_col, dot_fn, norm_fn,
+            cell_col="cell", passthrough=True,
+        )
+    return encoded.withColumn(
+        "cell", nearest_centroid_cell(F.col(vec_col), centroids)
+    )
+
+
+def append_to_ivf_pq_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dot_fn=None,
+    norm_fn=None,
+    sim_id: str | None = None,
+    codebook: PQCodebook | None = None,
+) -> None:
+    """Append new vectors to a persisted IVF-PQ layout: cell-assign
+    each batch row against the PINNED coarse centroid table (with the
+    spec's pinned assignment math) and PQ-encode it with the FROZEN
+    codebook from the spec — encode-only, no retrain, no
+    re-clustering. Per-refresh cost is proportional to the BATCH and
+    existing cell directories only gain files (parquet ``append``
+    under the same ``partitionBy`` layout) — the IVF-PQ member of the
+    engine's incremental-ingest family (:func:`append_to_pq_index`,
+    ``append_to_ivf_index``, ``append_to_ann_index``).
+
+    ``keep_vec`` and ``residuals`` follow the spec (a mixed layout
+    would silently break the rescore/prefilter contracts); a preloaded
+    ``codebook=`` must match the spec geometry exactly (shared refusal
+    with :func:`query_ivf_pq_index`); custom-math layouts demand their
+    pinned sim_id (see :func:`assign_with_ivf_pq_spec`)."""
+    spark = df.sparkSession
+    spec = read_ivf_pq_spec(spark, index_path)
+    tagged = assign_with_ivf_pq_spec(
+        df, index_path, id_col=id_col, vec_col=vec_col,
+        dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id, codebook=codebook,
+    )
+    if not spec["keep_vec"]:
+        tagged = tagged.drop(vec_col)
+    tagged.write.mode("append").partitionBy("cell").parquet(index_path)
 
 
 def query_ivf_pq_index(
@@ -607,34 +927,9 @@ def query_ivf_pq_index(
             "archival layout) — pass rescore=False, or rebuild with "
             "keep_vec=True"
         )
-    if codebook is None:
-        rows = spark.read.parquet(f"{index_path}_codebook").collect()
-        want = spec["m"] * spec["ks"]
-        if len(rows) != want:
-            raise ValueError(
-                f"corrupt PQ codebook at {index_path}_codebook: spec "
-                f"says {want} centroids, found {len(rows)}"
-            )
-        books: dict[int, dict[int, tuple]] = {}
-        for r in rows:
-            books.setdefault(r["sub"], {})[r["code"]] = tuple(
-                float(v) for v in r["centroid"]
-            )
-        codebook = PQCodebook(
-            dim=spec["dim"], m=spec["m"], ks=spec["ks"],
-            centroids=tuple(
-                tuple(books[i][j] for j in range(spec["ks"]))
-                for i in range(spec["m"])
-            ),
-        )
-    elif (codebook.dim, codebook.m, codebook.ks) != (
-        spec["dim"], spec["m"], spec["ks"]
-    ):
-        raise ValueError(
-            f"query_ivf_pq_index: preloaded codebook geometry "
-            f"(dim={codebook.dim}, m={codebook.m}, ks={codebook.ks}) "
-            f"does not match the layout spec at {index_path!r}"
-        )
+    codebook = _resolve_ivf_pq_codebook(
+        spark, index_path, spec, codebook, caller="query_ivf_pq_index"
+    )
     centroids = [
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()

@@ -439,6 +439,7 @@ def assign_nearest_cells(
     norm_fn=None,
     cell_col: str = "cell",
     keep_norm_as: str | None = None,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Tag every row with its nearest-centroid cell — the norm-once
     assignment shared by :func:`semantic_dedup_pairs` and the custom-math
@@ -458,7 +459,10 @@ def assign_nearest_cells(
     convention); non-finite sims pin to -2 (:func:`_finite_or`), so
     NULL vectors land deterministically in the lowest cell. Mixed
     dimensions raise (assignment is a verdict path, not a scoring
-    path). Output: ``(id_col, vec_col[, keep_norm_as], cell_col)``.
+    path). Output: ``(id_col, vec_col[, keep_norm_as], cell_col)``;
+    ``passthrough=True`` instead keeps EVERY input column (the IVF-PQ
+    builder tags an already-encoded frame whose code/norm columns must
+    survive the assignment).
     """
     validate_codebook(centroids)
     dotf = dot_fn or dot
@@ -473,8 +477,13 @@ def assign_nearest_cells(
         for r in cdf.select("cid", normf(F.col("v")).alias("n")).collect()
     }
     nrm_name = keep_norm_as or "__anc_nrm"
-    base = df.select(
-        F.col(id_col), F.col(vec_col), normf(F.col(vec_col)).alias(nrm_name)
+    base = (
+        df.withColumn(nrm_name, normf(F.col(vec_col)))
+        if passthrough
+        else df.select(
+            F.col(id_col), F.col(vec_col),
+            normf(F.col(vec_col)).alias(nrm_name),
+        )
     )
     cell = _argmax_cell(
         [

@@ -1336,6 +1336,101 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_append_topk",
+    oracle=_COSINE_ORACLE,
+    doc="The PQ persisted layout's build+append+read roundtrip, "
+    "ORACLE-EXACT (round 14, pq.append_to_pq_index): half the corpus "
+    "builds the layout (trains the codebook), the other half arrives "
+    "via append_to_pq_index — encoded with the FROZEN codebook pinned "
+    "in the spec, NO retrain — and ADC top-10 + exact rescore over "
+    "the extended layout must hash-match the brute-force DuckDB twin "
+    "over the FULL corpus. Proves the append path encodes appended "
+    "rows with the same codebook the reads decode with (a drifted "
+    "codebook would mis-rank phase 1 past what the rescore window "
+    "absorbs at these SFs only by luck — the geometry refusals are "
+    "pinned by test). Scale: per-refresh cost proportional to the "
+    "batch; the layout only gains files.",
+)
+def ann_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_pq_index,
+        query_pq_index,
+        save_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    first = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    second = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="cas_pq_app_") + "/pq"
+    try:
+        save_pq_index(
+            first, path, m=16, ks=32, sample_size=5_000, iterations=10,
+            seed=42,
+        )
+        append_to_pq_index(second, path)
+        return query_pq_index(
+            spark, path, qvec, k=10, rescore_factor=8,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ann_ivf_pq_append_topk",
+    oracle=_COSINE_ORACLE,
+    doc="The IVF-PQ layout's build+append+read roundtrip, ORACLE-EXACT "
+    "(round 14, pq.append_to_ivf_pq_index): half the corpus builds "
+    "the cell-partitioned PQ-encoded layout, the other half is "
+    "appended — cell-assigned against the PINNED coarse centroids and "
+    "encoded with the FROZEN codebook, so existing cell directories "
+    "only gain files — and a probe-all read of the extended layout "
+    "must hash-match the brute-force oracle over the full corpus. "
+    "Completes the incremental-ingest family across all four "
+    "persisted ANN layouts (LSH, IVF, flat-PQ, IVF-PQ).",
+)
+def ann_ivf_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        query_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    first = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    second = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="cas_ivfpq_app_") + "/ivfpq"
+    try:
+        save_ivf_pq_index(
+            first, path, num_centroids=8, m=16, ks=32,
+            sample_size=5_000, iterations=10, seed=42,
+        )
+        append_to_ivf_pq_index(second, path)
+        return query_ivf_pq_index(
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=8,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "quantized_topk_join_rescored",
     oracle=_COSINE_ORACLE,
     doc="quantized_topk with the DISTRIBUTED rescore (rescore_mode="
@@ -3049,6 +3144,57 @@ def ann_ivf_quantized_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 queries_df, path, k=5, num_probes=n_cells,
                 dot_fn=_pdot, norm_fn=_psq_norm,
                 use_codes=True, rescore_factor=8,
+            )
+            .orderBy("qid", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ann_ivf_pq_knn_join",
+    oracle=_IVF_KNN_JOIN_ORACLE,
+    doc="The kNN JOIN over an IVF-PQ layout (ivf_knn_join(use_pq=True), "
+    "round 14 — completing the {flat, IVF} x {float, SQ8, PQ} x "
+    "{single-query, kNN-join} composition matrix): each query's ADC "
+    "lookup table (m·ks per-subspace dots against the layout's FROZEN "
+    "codebook) rides the one-row-per-query broadcast payload, one "
+    "partition-pruned m-byte code scan ranks candidates for ALL "
+    "queries at once (pure-codegen element_at sums), and survivors "
+    "rescore with exact float cosine via the shared (cell, id)-joined "
+    "distributed phase 2 — no driver hop. Reuses the plain kNN join's "
+    "brute-force oracle at probe-all: the PQ path must return the "
+    "identical per-query top-5.",
+)
+def ann_ivf_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import ivf_knn_join
+    from cassandra_analytics_spark.operators.pq import save_ivf_pq_index
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    if queries_df.isEmpty() or corpus.isEmpty():
+        return spark.createDataFrame(
+            [], "qid BIGINT, vec_id BIGINT, cosine_sim DOUBLE"
+        )
+    n_cells = 8
+    path = tempfile.mkdtemp(prefix="cas_ivfpq_knn_") + "/ivfpq"
+    try:
+        save_ivf_pq_index(
+            corpus, path, num_centroids=n_cells, m=16, ks=32,
+            sample_size=5_000, iterations=10, seed=42,
+        )
+        return (
+            ivf_knn_join(
+                queries_df, path, k=5, num_probes=n_cells,
+                dot_fn=_pdot, norm_fn=_psq_norm,
+                use_pq=True, rescore_factor=8,
             )
             .orderBy("qid", "vec_id")
             .localCheckpoint(eager=True)

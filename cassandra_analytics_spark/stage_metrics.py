@@ -49,8 +49,20 @@ def stage_totals(spark) -> dict[str, int] | None:
             stages = json.load(resp)
     except Exception:
         return None
-    out = {k: 0 for k in _FIELDS}
+    # /stages lists one StageData per stage ATTEMPT — a retried stage
+    # (task/fetch failure) would double-count its bytes and trip the
+    # bench plan-vs-weather classifier on weather, not plan (r13
+    # ADVICE low). Keep only the LATEST attempt of each stageId.
+    latest: dict[int, dict] = {}
     for s in stages:
+        sid = int(s.get("stageId", -1))
+        prev = latest.get(sid)
+        if prev is None or int(s.get("attemptId", 0)) > int(
+            prev.get("attemptId", 0)
+        ):
+            latest[sid] = s
+    out = {k: 0 for k in _FIELDS}
+    for s in latest.values():
         for k, field in _FIELDS.items():
             out[k] += int(s.get(field, 0) or 0)
     return out

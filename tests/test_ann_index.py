@@ -821,3 +821,110 @@ def test_knn_join_use_codes_duplicate_id_parity(spark, tmp_path):
     assert cod == flt
     q1_dup = [s for q, i, s in cod if q == 1 and i == 900]
     assert q1_dup == [pytest.approx(0.6)]  # copy A's score, never B's
+
+
+def test_ivf_knn_join_use_pq_exact_plan_and_refusals(spark, tmp_path):
+    """use_pq=True (round 14 — the last cell of the {flat, IVF} x
+    {float, SQ8, PQ} x {single-query, kNN-join} matrix): at probe-all
+    the PQ-ranked + exact-rescored join equals brute force per query;
+    the phase-1 scan reads codes, never the float column; layout-type,
+    keep_vec, sim_id, and use_codes+use_pq misuses are named errors."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_knn_join,
+    )
+    from cassandra_analytics_spark.operators.pq import save_ivf_pq_index
+    from cassandra_analytics_spark.operators.similarity import knn_join
+
+    corpus = _tiny_corpus(spark, range(100, 160))
+    queries = _tiny_corpus(spark, range(3)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    path = str(tmp_path / "knn_ivfpq")
+    save_ivf_pq_index(corpus, path, num_centroids=8, m=4, ks=32, seed=3)
+
+    joined = ivf_knn_join(
+        queries, path, k=5, num_probes=8, use_pq=True, rescore_factor=12
+    )
+    got = {
+        (r.qid, r.vec_id, round(r.cosine_sim, 9)) for r in joined.collect()
+    }
+    want = {
+        (r.qid, r.vec_id, round(r.cosine_sim, 9))
+        for r in knn_join(queries, corpus, k=5, query_id="qid").collect()
+    }
+    assert got == want and len(want) == 15
+
+    # plan: a codes-only scan exists (phase 1 never reads the floats)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert any(
+        "pqcode" in ln and "embedding" not in ln for ln in scans
+    ), scans
+
+    # NULL query vectors produce no rows; schema matches the empty path
+    null_q = spark.createDataFrame(
+        [(99, None)], "qid long, embedding array<double>"
+    )
+    empty = ivf_knn_join(null_q, path, k=5, use_pq=True)
+    assert empty.count() == 0 and empty.schema == joined.schema
+
+    # refusals
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ivf_knn_join(queries, path, use_codes=True, use_pq=True)
+    with pytest.raises(ValueError, match="pins no custom-math sim_id"):
+        from cassandra_analytics_spark.operators.similarity import (
+            dot as _d, norm as _n,
+        )
+
+        ivf_knn_join(queries, path, use_pq=True, dot_fn=_d, norm_fn=_n,
+                     sim_id="x")
+    lean = str(tmp_path / "knn_ivfpq_lean")
+    save_ivf_pq_index(corpus, lean, num_centroids=4, m=4, ks=32,
+                      keep_vec=False, seed=3)
+    with pytest.raises(ValueError, match="keep_vec=False"):
+        ivf_knn_join(queries, lean, use_pq=True)
+    plain = str(tmp_path / "knn_plain_ivf")
+    build_ivf_index(corpus, plain, num_centroids=4)
+    with pytest.raises(ValueError, match="not an IVF-PQ layout|no persisted spec"):
+        ivf_knn_join(queries, plain, use_pq=True)
+
+
+def test_knn_join_use_pq_duplicate_id_parity(spark, tmp_path):
+    """The use_pq phase 2 shares use_codes' (cell, id) rejoin: a
+    duplicate-id copy in a cell the query did NOT probe can never win —
+    same fixture as the use_codes parity test (copy B scores higher for
+    q1 but lives in the unprobed cell)."""
+    from cassandra_analytics_spark.operators.ann_index import ivf_knn_join
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    def v(*pairs):
+        out = [0.0] * 8
+        for i, x in pairs:
+            out[i] = x
+        return out
+
+    pinned = [(0, v((0, 1.0))), (1, v((1, 1.0)))]
+    fillers0 = [(100 + i, v((0, 0.95), (2 + i, 0.3))) for i in range(3)]
+    fillers1 = [(200 + i, v((1, 0.95), (2 + i, 0.3))) for i in range(3)]
+    copy_a = (900, v((0, 0.6), (2, 0.8)))
+    copy_b = (900, v((0, 0.69), (1, 0.72)))
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(fillers0 + fillers1 + [copy_a], schema)
+    path = str(tmp_path / "dup_ivfpq")
+    save_ivf_pq_index(corpus, path, centroids=pinned, m=4, ks=8, seed=3)
+    append_to_ivf_pq_index(spark.createDataFrame([copy_b], schema), path)
+
+    queries = spark.createDataFrame(
+        [(1, v((0, 1.0))), (2, v((1, 1.0)))],
+        "qid long, embedding array<double>",
+    )
+    kw = dict(k=5, num_probes=1, rescore_factor=12)
+    got = {(r.qid, r.vec_id, round(r.cosine_sim, 9))
+           for r in ivf_knn_join(queries, path, use_pq=True,
+                                 **kw).collect()}
+    q1_dup = [s for q, i, s in got if q == 1 and i == 900]
+    assert q1_dup == [pytest.approx(0.6)]  # copy A's score, never B's

@@ -320,3 +320,182 @@ def test_ivf_pq_layout_probe_all_exact_and_pruning(spark, tmp_path):
         query_ivf_pq_index(spark, flat, q, k=7)
     with pytest.raises(ValueError, match="not a save_pq_index layout|pq-v1"):
         query_pq_index(spark, lean, q, k=7, rescore=False)
+
+
+def test_adc_topk_code_range_guard(spark):
+    """A corpus encoded with a LARGER-ks codebook must fail LOUDLY at
+    query time, not silently drop rows: element_at past the LUT is
+    non-ANSI NULL, so without the guard the mismatched rows would just
+    vanish from the ranking (r13 ADVICE low)."""
+    rows, df = _corpus(spark, n=120)
+    big = train_pq_codebook(df, m=4, ks=64, seed=3)
+    small = train_pq_codebook(df, m=4, ks=16, seed=3)
+    enc_big = pq_encode(df, big)
+    q = rows[0][1]
+    # sanity: at least one code in the big encoding is out of the
+    # small codebook's range (argmin >= 16 -> stored code >= -112)
+    assert enc_big.filter(
+        F.exists("pqcode", lambda c: c.cast("int") + F.lit(128) >= 16)
+    ).count() > 0
+    with pytest.raises(Exception, match="ks=16 codewords"):
+        pq_adc_topk(enc_big, small, q, k=5).collect()
+    # the matching codebook still reads the same corpus fine
+    assert pq_adc_topk(enc_big, big, q, k=5).count() == 5
+
+
+def test_training_sample_is_scan_order_independent(spark):
+    """The training sample is the seeded-hash top-N, not the first N in
+    partition order: a clustered/sorted corpus must train the same
+    codebook regardless of row order (r13 ADVICE low — FAISS trains on
+    a random sample)."""
+    rows, df = _corpus(spark, n=400)
+    shuffled = df.orderBy(F.col("vec_id").desc()).repartition(7)
+    a = train_pq_codebook(df, m=4, ks=16, sample_size=100, seed=3)
+    b = train_pq_codebook(shuffled, m=4, ks=16, sample_size=100, seed=3)
+    assert a == b
+
+
+def test_append_to_pq_index_roundtrip_and_refusals(spark, tmp_path):
+    """Build on half, append the other half with the FROZEN codebook,
+    read back exactly; geometry-mismatched preloads refused; keep_vec
+    follows the spec (a codes-only layout's appends stay codes-only)."""
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_pq_index,
+        query_pq_index,
+        save_pq_index,
+        train_pq_codebook,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows, df = _corpus(spark, n=300)
+    first = df.filter(F.col("vec_id") % 2 == 0)
+    second = df.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "pq_app")
+    cb = save_pq_index(first, path, m=8, ks=32, seed=3)
+    append_to_pq_index(second, path)
+
+    q = rows[0][1]
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(df, q, k=7).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in query_pq_index(spark, path, q, k=7,
+                                rescore_factor=40).collect()
+    ]
+    assert got == want
+    # appended rows carry codes from the FROZEN codebook: re-encoding
+    # the second half directly must agree byte-for-byte
+    from cassandra_analytics_spark.operators.pq import pq_encode as _enc
+
+    disk = {
+        r.vec_id: (tuple(r.pqcode), r.pq_norm)
+        for r in spark.read.parquet(path).filter(
+            F.col("vec_id") % 2 == 1).collect()
+    }
+    fresh = {
+        r.vec_id: (tuple(r.pqcode), r.pq_norm)
+        for r in _enc(second, cb, keep_vec=True).collect()
+    }
+    assert disk == fresh
+
+    # geometry-mismatched preload refused
+    other = train_pq_codebook(df, m=4, ks=16, seed=3)
+    with pytest.raises(ValueError, match="does not match the layout"):
+        append_to_pq_index(second, path, codebook=other)
+    # matching preload accepted (skips rehydration)
+    append_to_pq_index(second.limit(0), path, codebook=cb)
+
+    # codes-only layout: appends stay codes-only (keep_vec follows spec)
+    lean = str(tmp_path / "pq_app_lean")
+    save_pq_index(first, lean, codebook=cb, keep_vec=False)
+    append_to_pq_index(second, lean)
+    assert "embedding" not in spark.read.parquet(lean).columns
+    assert spark.read.parquet(lean).count() == 300
+
+    # spec-less dir refused
+    import shutil
+
+    shutil.rmtree(lean + "_spec")
+    with pytest.raises(ValueError, match="no persisted PQ spec"):
+        append_to_pq_index(second, lean)
+
+
+def test_append_to_ivf_pq_index_roundtrip_and_refusals(spark, tmp_path):
+    """IVF-PQ append: batch rows cell-assigned against the PINNED coarse
+    centroids and encoded with the FROZEN codebook; probe-all read of
+    the extended layout equals brute force; refusals mirror the query
+    path."""
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        query_ivf_pq_index,
+        save_ivf_pq_index,
+        save_pq_index,
+        train_pq_codebook,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows, df = _corpus(spark, n=300)
+    first = df.filter(F.col("vec_id") % 2 == 0)
+    second = df.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_app")
+    cents, cb = save_ivf_pq_index(
+        first, path, num_centroids=5, m=8, ks=32, seed=3
+    )
+    append_to_ivf_pq_index(second, path)
+
+    q = rows[0][1]
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(df, q, k=7).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in query_ivf_pq_index(
+            spark, path, q, k=7, num_probes=5, rescore_factor=40
+        ).collect()
+    ]
+    assert got == want
+
+    # appended rows landed in the SAME cells the build assignment
+    # would give them (pinned centroids, not re-sampled ones)
+    from cassandra_analytics_spark.operators.similarity import (
+        nearest_centroid_cell,
+    )
+
+    expect = {
+        r.vec_id: r.cell
+        for r in second.select(
+            "vec_id",
+            nearest_centroid_cell(F.col("embedding"), cents).alias("cell"),
+        ).collect()
+    }
+    disk = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(path).filter(
+            F.col("vec_id") % 2 == 1).select("vec_id", "cell").collect()
+    }
+    assert disk == expect
+
+    other = train_pq_codebook(df, m=4, ks=16, seed=3)
+    with pytest.raises(ValueError, match="does not match the layout"):
+        append_to_ivf_pq_index(second, path, codebook=other)
+
+    # keep_vec=False layout: appends drop the float column too
+    lean = str(tmp_path / "ivfpq_app_lean")
+    save_ivf_pq_index(first, lean, num_centroids=4, codebook=cb,
+                      keep_vec=False, seed=3)
+    append_to_ivf_pq_index(second, lean)
+    assert "embedding" not in spark.read.parquet(lean).columns
+    assert spark.read.parquet(lean).count() == 300
+
+    # a flat-PQ layout presented at the IVF-PQ append path is refused
+    flat = str(tmp_path / "flatpq_app")
+    save_pq_index(first, flat, codebook=cb)
+    with pytest.raises(ValueError, match="not an IVF-PQ layout"):
+        append_to_ivf_pq_index(second, flat)
