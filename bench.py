@@ -55,6 +55,9 @@ HEADLINE = [
     # temporal joins
     "asof_purchase_click",
     "range_join_error_bursts",
+    # (EXTENDED families — ANN index / PQ / n-gram dedup / streaming —
+    # are measured separately below so the headline total stays
+    # comparable with BASELINE.md and every prior BENCH_r*.json)
     # windows / top-k
     "window_topk_orders_per_customer",
     "window_running_revenue",
@@ -78,9 +81,45 @@ HEADLINE = [
 ]
 
 
+# One query per so-far-unbenched operator family (VERDICT r13 item 5):
+# measured ONCE with byte attribution and reported on their OWN stdout
+# line ("extended_query_detail"), NOT in the headline min-of-n total —
+# adding them to "value" would break comparability with BASELINE.md and
+# the prior-round records the weather guard adjudicates against.
+EXTENDED = [
+    "ann_ivf_quantized_topk",      # IVF + SQ8 persisted-layout probe
+    "ann_pq_topk",                 # product-quantization ADC top-k
+    "dedup_ngram_jaccard",         # n-gram Jaccard near-dup join
+    "streaming_semantic_dedup",    # foreachBatch incremental SemDeDup
+]
+
+
 def run_query(fn, spark, sf_dir: str) -> None:
     df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
+
+
+def measure_extended(spark, sf_dir: str) -> dict[str, dict]:
+    """One instrumented pass over the EXTENDED families: per-query wall
+    seconds + the REST byte fingerprint (scan records / shuffle bytes —
+    deterministic per plan, the regression signal the headline set
+    already carries). A query failure records an ``error`` row instead
+    of killing the bench."""
+    out: dict[str, dict] = {}
+    for name in EXTENDED:
+        before = stage_totals(spark)
+        t0 = time.time()
+        try:
+            run_query(REGISTRY[name].fn, spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
+        row: dict = {"sec": round(time.time() - t0, 3)}
+        d = delta(before, stage_totals(spark))
+        if d is not None:
+            row.update(d)
+        out[name] = row
+    return out
 
 
 def _prior_recorded(sf: float) -> tuple[float | None, dict | None]:
@@ -297,6 +336,16 @@ def main() -> None:
                 {"metric": "query_bytes_detail", "queries": query_bytes}
             )
         )
+    # extended families: measured AFTER the headline rounds (their
+    # noise never touches the guarded numbers), on their own line
+    print(
+        json.dumps(
+            {
+                "metric": "extended_query_detail",
+                "queries": measure_extended(spark, sf_dir),
+            }
+        )
+    )
     final = {
         "metric": "total_query_time",
         "value": round(sum(times.values()), 3),

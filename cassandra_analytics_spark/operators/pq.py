@@ -249,6 +249,53 @@ def pq_encode(
     return df.select(*cols)
 
 
+def pq_adc_lut_col(codebook: PQCodebook, vec_col):
+    """Per-ROW ADC lookup-table column: for each float vector ``v``,
+    ``lut[i*ks + j] = v_sub_i · centroids[i][j]`` (m·ks doubles) — the
+    distributed twin of the driver-side LUT ``pq_adc_topk`` builds for
+    ONE query, for callers whose "query side" is itself a DataFrame
+    (the streaming SemDeDup batch, each of whose rows scores the
+    corpus's codes). One Arrow-batched numpy matmul per subspace; NULL
+    vectors produce a NULL LUT; a wrong-dimension vector raises loudly
+    inside the batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = [np.asarray(b, dtype=np.float64) for b in codebook.centroids]
+    dim, m, dsub = codebook.dim, codebook.m, codebook.dsub
+
+    @pandas_udf("array<double>")
+    def _lut(vecs):
+        import pandas as pd
+
+        mask = vecs.notna()
+        if mask.any():
+            mat = np.asarray(
+                [list(v) for v in vecs[mask]], dtype=np.float64
+            )
+            if mat.ndim != 2 or mat.shape[1] != dim:
+                raise ValueError(
+                    f"pq_adc_lut_col: codebook is {dim}-d but found "
+                    f"vectors of shape {mat.shape} — dimension mismatch"
+                )
+            luts = np.concatenate(
+                [
+                    mat[:, i * dsub:(i + 1) * dsub] @ cb[i].T
+                    for i in range(m)
+                ],
+                axis=1,
+            )
+        it = iter(range(int(mask.sum())))
+        out = []
+        for ok in mask:
+            out.append(
+                [float(x) for x in luts[next(it)]] if ok else None
+            )
+        return pd.Series(out)
+
+    return _lut(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def pq_adc_topk(
     qdf: DataFrame,
     codebook: PQCodebook,

@@ -45,81 +45,40 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # The round driver verifies the FIRST ~50 registry entries per round
 # (each CORRECTNESS_r{N}.json is exactly the first 50 in registration
 # order). To get every query a driver row across rounds, each round
-# front-loads the names that most need one. Round-13 priority (VERDICT
-# r12 items 1-4; r12 was an idle round so this executes the carried-over
-# r11 list): (0) queries NEW this round — PQ/ADC top-k and the per-DC
-# vnode-ownership replica read — never driver-proved; (1) queries whose
-# IMPLEMENTATION this round touched: the streaming SemDeDup corpus-side
-# pair join moved to int8 codes (semantic_stream.py), ivf_knn_join's
-# use_codes phase 2 now rejoins on (cell, id) restricted to probed
-# cells (ann_index.py duplicate-id parity fix), replicas.py casefolds
-# DC names and indexes the validated rf map, and coordinated_bulk_write
-# gained an optional consistency gate (bulk_writer.py); (2) the 15
-# r8-stale names (five rounds stale after the idle r12 — VERDICT r12
-# item 1 says these MUST lead round 13); (3) 25 of the 44 r9-cohort
-# names — the complex-operator subset (TPC-H q1-q7, dedup, streaming,
-# text, multimodal, sampling). The 19 deferred r9 names (pure
-# expression/simple-SQL suites with in-window relatives and untouched
-# implementations) are appended AFTER the window as dropout backfill
-# and lead round 14. After r13 no registered query's newest driver row
-# is older than r9.
+# front-loads the names that most need one — a discipline now enforced
+# by tests/test_evidence_freshness.py (red when a name's newest driver
+# row is >4 rounds old and it is not in the upcoming window).
+# Round-14 priority (VERDICT r13 items 1-3, 6): (0) never
+# driver-proved — the two PQ-layout queries registered past the r13
+# window plus the four NEW r14 queries (PQ append roundtrips, the
+# IVF-PQ kNN join completing the composition matrix, and the streaming
+# PQ SemDeDup); (1) queries whose IMPLEMENTATION round 14 touched: the
+# PQ codebook now trains on a seeded-hash random sample and pq_adc_topk
+# gained the code-range guard (ann_pq_topk), ivf_knn_join's use_codes
+# phase 2 attaches the query payload AFTER the corpus join (r13 ADVICE
+# medium — ann_ivf_quantized_knn_join), and semantic_stream.py gained
+# the pq= scheme branch (both existing streaming SemDeDup names); (2)
+# the 19 r9-deferred names (5 rounds stale at r14 — MUST lead, the
+# r13 hand-off); (3) 21 of the 43 r10-cohort names — the
+# complex-operator subset (layout roundtrips, streaming, text,
+# embedding, packing). The 22 remaining r10 names (simple-SQL
+# agg/join/setop/window suites with untouched implementations) are
+# appended AFTER the window as dropout backfill and lead round 15.
+# After r14 no registered query's newest driver row is older than r10.
 _ROUND_PRIORITY: list[str] = [
-    # --- (0) NEW this round: never driver-proved ---
-    "ann_pq_topk",                   # product-quantization ADC top-k
-    "replica_read_vnode",            # true per-DC vnode token ownership
+    # --- (0) never driver-proved: r13 past-window + new r14 names ---
+    "ann_pq_index_topk",             # persisted flat-PQ layout read
+    "ann_ivf_pq_topk",               # persisted IVF-PQ layout probe
+    "ann_pq_append_topk",            # r14: flat-PQ append roundtrip
+    "ann_ivf_pq_append_topk",        # r14: IVF-PQ append roundtrip
+    "ann_ivf_pq_knn_join",           # r14: kNN join over IVF-PQ codes
+    "streaming_semantic_dedup_pq",   # r14: streaming SemDeDup on PQ
     # --- (1) implementation touched this round ---
-    "streaming_semantic_dedup_quantized",  # corpus join now ships int8 codes
-    "streaming_semantic_dedup",            # shared stream body touched
-    "ann_ivf_quantized_knn_join",    # use_codes phase-2 (cell,id) rejoin
-    "ann_ivf_knn_join_exact",        # same entry point
-    "ann_ivf_knn_join_string_ids",   # same path, string ids
-    "replica_read_all",              # replicas.py casefold fix
-    "replica_read_each_quorum",      # replicas.py validated-map fix
-    "coordinated_write_roundtrip",   # coordinated write gained CL gate
-    # --- (2) r8-stale cohort: five rounds without a driver row ---
-    "acctbal_width_buckets",
-    "array_agg_sorted",
-    "array_function_suite",
-    "bool_aggs",
-    "conditional_agg_filter",
-    "events_json_extract",
-    "events_json_struct",
-    "explode_embeddings",
-    "map_entry_extraction",
-    "null_handling_funcs",
-    "pivot_returnflag_status",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "unpivot_segment_metrics",
-    "window_ranking_functions",
-    # --- (3) r9 cohort: complex-operator subset ---
-    "decontaminate_benchmark",
-    "dedup_boilerplate_segments",
-    "dedup_cluster_assignment",
-    "dedup_exact_docs",
-    "dedup_minhash_confirmed",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_span_fraction",
-    "events_sessionize",
-    "hybrid_rrf_search",
-    "mixture_sample_langs",
-    "multimodal_blob_stats",
-    "multimodal_image_features",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "streaming_stateful_profile",
-    "text_bm25_search",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_tfidf_search",
-    # --- past the 50-row window: deferred r9 names as dropout
-    # backfill (lead round 14) ---
+    "ann_pq_topk",                   # random training sample + ks guard
+    "ann_ivf_quantized_knn_join",    # thin phase-2 payload join
+    "streaming_semantic_dedup",            # stream body gained pq= branch
+    "streaming_semantic_dedup_quantized",  # same body, SQ8 scheme
+    # --- (2) r9-deferred cohort: five rounds stale, must lead ---
     "asof_purchase_click",
     "case_when_tiering",
     "date_trunc_variants",
@@ -139,6 +98,52 @@ _ROUND_PRIORITY: list[str] = [
     "skew_salted_returnflag",
     "topk_global_orders",
     "train_val_test_split",
+    # --- (3) r10 cohort, complex-operator subset (21 of 43) ---
+    "ann_ivf_topk",
+    "bundle_write_restore",
+    "cell_pivot_roundtrip",
+    "corpus_budget_select",
+    "dedup_fingerprint_md5",
+    "dedup_simhash_confirmed",
+    "embedding_label_norms",
+    "embedding_near_dup",
+    "embedding_near_dup_confirmed",
+    "lang_id_heuristic",
+    "lmt_last_modified",
+    "pack_training_chunks",
+    "partition_size_orders",
+    "static_column_propagation",
+    "stratified_sample_langs",
+    "streaming_hourly_stats",
+    "streaming_incremental_dedup",
+    "text_bpe_tokens",
+    "text_quality_features",
+    "text_token_stats",
+    "training_data_pipeline",
+    # --- past the 50-row window: remaining r10 names as dropout
+    # backfill (lead round 15) ---
+    "agg_approx_distinct",
+    "agg_approx_distinct_bounded",
+    "agg_approx_quantile",
+    "agg_approx_quantile_bounded",
+    "agg_cube_status",
+    "agg_distinct_suppliers",
+    "agg_hll_sketch_union_bounded",
+    "agg_rollup_orders_time",
+    "join_anti_no_orders",
+    "join_cross_region_status",
+    "join_full_outer_nation_counts",
+    "join_semi_open_orders",
+    "scalar_string_funcs",
+    "setop_except_customers",
+    "setop_intersect_customers",
+    "setop_union_segments",
+    "sql_grouping_sets",
+    "streaming_dedup_union",
+    "window_lag_order_gap",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
 ]
 
 

@@ -2929,6 +2929,87 @@ def streaming_semantic_dedup_quantized(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "streaming_semantic_dedup_pq",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="streaming_semantic_dedup over an IVF-PQ layout (round 14, "
+    "semantic_stream pq=): the stream bootstraps save_ivf_pq_index("
+    "residuals=True) — m-byte codes plus the per-row MEASURED "
+    "reconstruction bound (pq_tnorm/pq_err) — and every appended batch "
+    "lands code-complete with the FROZEN bootstrap codebook. The "
+    "batch-vs-corpus pair stage ranks candidates from the codes (one "
+    "Arrow-batched ADC LUT per batch row; the corpus side ships m "
+    "bytes + 3 doubles per vector instead of the float column) behind "
+    "an exactness-preserving prefilter: survive iff ADC cosine >= "
+    "threshold - pq_err/pq_tnorm - 1e-9, which provably cannot drop a "
+    "true pair (|b.x - b.x_hat| <= ||b||*pq_err); false survivors die "
+    "in the exact float confirm. Published verdicts therefore stay "
+    "hash-exact against the same brute-force DuckDB twin as the float "
+    "and SQ8 streams — the PQ lever for high-dim embeddings where "
+    "SQ8's 1 byte/dim is still too fat.",
+)
+def streaming_semantic_dedup_pq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.similarity import removal_verdicts
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        collected_semantic_pairs,
+        run_semantic_dedup_stream,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _planted_corpus(e)
+    centroids = _semantic_centroids(e)
+    if not centroids:
+        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
+
+    tmp = tempfile.mkdtemp(prefix="cas_stream_semdedup_pq_")
+    src = os.path.join(tmp, "incoming")
+    corpus.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus.filter(F.col("vec_id") >= 1_000_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        q = run_semantic_dedup_stream(
+            stream,
+            index_path=os.path.join(tmp, "ivfpq"),
+            pairs_out=os.path.join(tmp, "pairs"),
+            centroids=centroids,
+            threshold=0.9,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            dot_fn=_pdot,
+            norm_fn=_psq_norm,
+            sim_id=_PORTABLE_SIM_ID,
+            pq=dict(m=16, ks=32, sample_size=5_000, iterations=10, seed=42),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = collected_semantic_pairs(
+            spark, os.path.join(tmp, "pairs")
+        ).dropDuplicates(["a", "b"])
+        return (
+            removal_verdicts(pairs)
+            .orderBy("removed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _IVF_KNN_JOIN_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,

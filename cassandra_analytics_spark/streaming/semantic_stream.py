@@ -88,9 +88,29 @@ def run_semantic_dedup_stream(
     max_cell: int = 10_000,
     assignment: str = "expr",
     quantize: bool = False,
+    pq: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental semantic-dedup stream over an embedding
     stream.
+
+    ``pq`` (round 14, mutually exclusive with ``quantize``) bootstraps
+    an IVF-PQ layout instead (``pq.save_ivf_pq_index`` with
+    ``residuals=True``; keys ``m``/``ks``/``sample_size``/
+    ``iterations``/``seed`` pass through, all optional): each cell
+    then carries m-byte PQ codes PLUS the per-row measured
+    reconstruction bound (``pq_tnorm``/``pq_err``), and the
+    batch-vs-corpus pair stage ranks candidates from the codes with an
+    exactness-preserving prefilter — a pair survives iff its ADC
+    cosine ≥ threshold − pq_err/pq_tnorm − 1e-9, which cannot drop a
+    true pair (``|q·x − q·x̂| ≤ ‖q‖·pq_err``), and false survivors die
+    in the exact float confirm. Published verdicts are IDENTICAL to
+    the float path (same contract as ``quantize=True``, proven by the
+    per-row bound instead of SQ8's closed form). Where SQ8 cuts the
+    corpus side to 1 byte/dim, PQ cuts it to m bytes + three doubles
+    per VECTOR — the lever for high-dim embeddings (512-d: ~536 B/row
+    → ~40 B/row at m=16). The PQ codebook trains on the BOOTSTRAP
+    batch (frozen thereafter — appends encode with the spec codebook),
+    so bootstrap with a batch representative of the corpus.
 
     ``quantize=True`` bootstraps the layout with
     ``build_ivf_index(quantize=True)`` — every cell then carries int8
@@ -143,6 +163,11 @@ def run_semantic_dedup_stream(
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     if not centroids:
         raise ValueError("run_semantic_dedup_stream needs a codebook")
+    if pq is not None and quantize:
+        raise ValueError(
+            "quantize=True (SQ8 codes) and pq= (product quantization) "
+            "are mutually exclusive — a layout carries one code scheme"
+        )
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="semdedup-stream-ckpt-")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -153,6 +178,7 @@ def run_semantic_dedup_stream(
             id_col=id_col, vec_col=vec_col,
             dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
             max_cell=max_cell, assignment=assignment, quantize=quantize,
+            pq=pq,
         )
 
     return (
@@ -178,6 +204,7 @@ def process_semantic_batch(
     max_cell: int = 10_000,
     assignment: str = "expr",
     quantize: bool = False,
+    pq: dict | None = None,
     on_published=None,
 ) -> None:
     """One micro-batch of the semantic-dedup stream — the body of
@@ -207,6 +234,11 @@ def process_semantic_batch(
         return
     out_dir = os.path.join(pairs_out, f"batch-{batch_id:010d}")
 
+    if pq is not None and quantize:
+        raise ValueError(
+            "quantize=True (SQ8 codes) and pq= (product quantization) "
+            "are mutually exclusive — a layout carries one code scheme"
+        )
     if not _spec_exists(spark, index_path):
         # bootstrap: the first batch IS the corpus — build the layout
         # (overwrite-idempotent on replay), report its internal pairs.
@@ -214,11 +246,30 @@ def process_semantic_batch(
         # write lands here again on replay (spec-less layout) and the
         # overwrite IS the recovery: the torn layout held only this
         # batch's rows (round-10 probe pins this)
-        build_ivf_index(
-            batch, index_path, id_col=id_col, vec_col=vec_col,
-            centroids=centroids, dot_fn=dot_fn, norm_fn=norm_fn,
-            sim_id=sim_id, assignment=assignment, quantize=quantize,
-        )
+        if pq is not None:
+            from cassandra_analytics_spark.operators.pq import (
+                save_ivf_pq_index,
+            )
+
+            # residuals ALWAYS on: the cross-pair prefilter's per-row
+            # proven bound is what keeps PQ verdicts float-identical
+            save_ivf_pq_index(
+                batch, index_path, centroids=centroids,
+                id_col=id_col, vec_col=vec_col, keep_vec=True,
+                dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
+                residuals=True,
+                **{
+                    k: pq[k]
+                    for k in ("m", "ks", "sample_size", "iterations", "seed")
+                    if k in pq
+                },
+            )
+        else:
+            build_ivf_index(
+                batch, index_path, id_col=id_col, vec_col=vec_col,
+                centroids=centroids, dot_fn=dot_fn, norm_fn=norm_fn,
+                sim_id=sim_id, assignment=assignment, quantize=quantize,
+            )
         pairs = semantic_pairs_from_cells(
             spark.read.parquet(index_path),
             threshold, id_col, vec_col, cell_col="cell",
@@ -229,9 +280,38 @@ def process_semantic_batch(
         ).parquet(out_dir)
         return
 
-    assigned = assign_with_index_spec(
-        batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
-    ).withColumn("__nrm", normf(F.col(vec_col)))
+    from cassandra_analytics_spark.operators.ann_index import (
+        _read_ivf_spec_optional,
+    )
+
+    layout_fmt = (_read_ivf_spec_optional(spark, index_path) or {}).get(
+        "format"
+    )
+    is_pq_layout = layout_fmt == "ivf-pq-v1"
+    if pq is not None and not is_pq_layout:
+        raise ValueError(
+            f"pq= was passed but the layout at {index_path!r} is not an "
+            "IVF-PQ layout — the code scheme is part of the layout; drop "
+            "pq= to follow the existing spec, or rebuild"
+        )
+    if is_pq_layout and quantize:
+        raise ValueError(
+            f"quantize=True was passed but the layout at {index_path!r} "
+            "is an IVF-PQ layout — drop quantize to follow the spec"
+        )
+    if is_pq_layout:
+        from cassandra_analytics_spark.operators.pq import (
+            assign_with_ivf_pq_spec,
+        )
+
+        assigned = assign_with_ivf_pq_spec(
+            batch, index_path, id_col=id_col, vec_col=vec_col,
+            dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
+        ).withColumn("__nrm", normf(F.col(vec_col)))
+    else:
+        assigned = assign_with_index_spec(
+            batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
+        ).withColumn("__nrm", normf(F.col(vec_col)))
     # the batch plan feeds FOUR actions (touched-cells collect, within-
     # batch pairs, batch-vs-corpus join, layout append) — unpersisted,
     # each re-reads the micro-batch source AND re-runs the assignment
@@ -269,10 +349,15 @@ def _publish_and_append(
         _spec_quantized,
     )
 
-    quantized = _spec_quantized(_read_ivf_spec_optional(spark, index_path))
+    raw_spec = _read_ivf_spec_optional(spark, index_path)
+    is_pq = (raw_spec or {}).get("format") == "ivf-pq-v1"
+    quantized = (not is_pq) and _spec_quantized(raw_spec)
     # within-batch pairs (shared expansion: same-id pairs dropped,
     # over-cap cells skipped); the assigned batch of a quantized layout
-    # carries its codes already (assign_with_index_spec)
+    # carries its codes already (assign_with_index_spec). On a PQ
+    # layout the within-batch expansion stays FLOAT — the batch x batch
+    # work is batch-bounded, and the PQ lever targets the
+    # corpus-proportional cross join below
     if quantized:
         in_pairs = _quantized_pairs_from_cells(
             assigned, threshold, id_col, vec_col, max_cell,
@@ -292,7 +377,12 @@ def _publish_and_append(
     touched = [
         r.cell for r in assigned.select("cell").distinct().collect()
     ]
-    if quantized:
+    if is_pq:
+        cross = _cross_pairs_pq(
+            spark, assigned, index_path, touched, threshold,
+            id_col, vec_col, dotf, normf, max_cell, raw_spec,
+        )
+    elif quantized:
         cross = _cross_pairs_quantized(
             spark, assigned, index_path, touched, threshold,
             id_col, vec_col, dotf, normf, max_cell,
@@ -493,6 +583,142 @@ def _cross_pairs_quantized(
         )
     )
 
+
+def _cross_pairs_pq(
+    spark, assigned, index_path, touched, threshold,
+    id_col, vec_col, dotf, normf, max_cell, spec,
+):
+    """Batch-vs-corpus pairs over an IVF-PQ layout: the corpus side of
+    the batch x occupancy expansion carries m-byte PQ CODES plus three
+    doubles (``pq_norm``/``pq_tnorm``/``pq_err``) instead of the float
+    vectors — the lever past SQ8 for high-dim embeddings (512-d float:
+    ~4 KB/row; SQ8: ~536 B; PQ m=16: ~40 B).
+
+    Exactness-preserving by a PER-ROW MEASURED bound (PQ has no
+    closed-form error like SQ8's scale/2, so the layout stores the
+    actual residual): for batch vector ``b`` and corpus vector ``x``
+    with reconstruction ``x̂`` and stored residual ``pq_err = ‖x−x̂‖``,
+
+        ``|b·x − b·x̂| ≤ ‖b‖·pq_err``  (Cauchy-Schwarz), so
+        ``cos(b, x) ≤ ADC/(‖b‖·‖x‖) + pq_err/‖x‖`` —
+
+    a pair survives to confirmation iff its ADC cosine (codes + stored
+    true norm, zero float-vector bytes on the corpus side) is ≥
+    threshold − pq_err/pq_tnorm − 1e-9 (double-rounding headroom): no
+    true pair can be dropped, false survivors die in the exact float
+    confirm, and the published verdicts are IDENTICAL to the float
+    path. Custom dot_fn/norm_fn enter ONLY the exact confirm (the
+    bound is stated for the standard float cosine; the 1e-9 headroom
+    covers portable-vs-standard ulp drift) — the SQ8 twin's split.
+
+    The batch side computes each row's ADC LUT (m·ks doubles) in one
+    Arrow-batched matmul (:func:`~cassandra_analytics_spark.operators.
+    pq.pq_adc_lut_col`) — batch-proportional, and the corpus scan
+    stays code-only (the quantized_topk plan discipline). The confirm
+    joins the float column back by (cell, id) restricted to the
+    touched partitions — survivor-proportional. Refuses a layout
+    saved without residuals (the bound's columns are not there)."""
+    from cassandra_analytics_spark.operators.pq import (
+        _resolve_ivf_pq_codebook,
+        pq_adc_lut_col,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        norm as _std_norm,
+    )
+
+    if not spec.get("residuals"):
+        raise ValueError(
+            f"IVF-PQ layout at {index_path!r} was saved without "
+            "residuals=True — the streaming prefilter's per-row bound "
+            "needs pq_tnorm/pq_err; rebuild with save_ivf_pq_index("
+            "residuals=True)"
+        )
+    codebook = _resolve_ivf_pq_codebook(
+        spark, index_path, spec, None, caller="_cross_pairs_pq"
+    )
+    ks = codebook.ks
+    corpus = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(touched)
+    )
+    occupancy = corpus.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    # phase 1 projects CODES + the three stored doubles only — the
+    # float column stays out of the expansion scan entirely
+    c = (
+        corpus.filter(F.col("pqcode").isNotNull())
+        .join(
+            occupancy.filter(F.col("__occ") <= F.lit(max_cell))
+            .select("cell"),
+            "cell",
+        )
+        .select(
+            F.col(id_col).alias("__cid_"),
+            "cell",
+            "pqcode",
+            "pq_tnorm",
+            F.try_divide(F.col("pq_err"), F.col("pq_tnorm")).alias(
+                "__cmargin"
+            ),
+        )
+    )
+    # batch side: float vector (for the confirm dot), the confirm norm
+    # (__nrm — custom math), the STANDARD float norm the bound is
+    # stated over, and the per-row ADC LUT
+    b = assigned.select(
+        F.col(id_col).alias("__bid_"),
+        F.col(vec_col).alias("__bvec"),
+        F.col("__nrm").alias("__bnrm"),
+        _std_norm(F.col(vec_col)).alias("__bstd"),
+        pq_adc_lut_col(codebook, vec_col).alias("__blut"),
+        "cell",
+    )
+    adc = F.aggregate(
+        F.transform(
+            F.col("pqcode"),
+            lambda cc, i: F.element_at(
+                F.col("__blut"), i * F.lit(ks) + cc.cast("int") + F.lit(129)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = F.try_divide(adc, F.col("__bstd") * F.col("pq_tnorm"))
+    margin = F.col("__cmargin") + F.lit(1e-9)
+    survivors = (
+        b.join(c, "cell")
+        .filter(F.col("__bid_") != F.col("__cid_"))
+        .withColumn("__approx", approx)
+        .filter(
+            F.col("__approx").isNotNull()
+            & (F.col("__approx") >= F.lit(threshold) - margin)
+        )
+        .select("__bid_", "__bvec", "__bnrm", "__cid_", "cell")
+    )
+    # exact confirm from the float column — survivor-proportional join
+    # on (cell, id), still partition-pruned to the touched cells
+    floats = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(touched)
+    ).select(
+        F.col(id_col).alias("__cid_"),
+        "cell",
+        F.col(vec_col).alias("__cvec"),
+    )
+    cos = F.try_divide(
+        dotf(F.col("__bvec"), F.col("__cvec")),
+        F.col("__bnrm") * normf(F.col("__cvec")),
+    )
+    return (
+        survivors.join(floats, ["cell", "__cid_"])
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.least("__bid_", "__cid_").alias("a"),
+            F.greatest("__bid_", "__cid_").alias("b"),
+            "cell",
+            "cosine_sim",
+        )
+    )
 
 
 def collected_semantic_pairs(

@@ -3,15 +3,28 @@ vs quantized layout (corpus side ships int8 codes — round 13, the
 streaming twin of the batch path's measured 3.4x cut).
 
 Derives a 100x embedding corpus from sf0.1 (explode x100, key-shifted
-vec_ids — 200k x 64-d, ~99% exact-copy structure like the r8-r11
-soaks), stages the prior soak's arrival shape (~10% seed + three ~30%
-batches), and drives `process_semantic_batch` directly (it IS the
-foreachBatch body) over (a) a float layout and (b) a quantize=True
-layout. Records shuffle-write/read + scan bytes for the NON-bootstrap
-batches via the UI REST stage metrics, and proves both runs publish
-the IDENTICAL pair set and the exact-duplicate removal oracle.
+vec_ids — 200k x 64-d), stages the prior soak's arrival shape (~10%
+seed + three ~30% batches), and drives `process_semantic_batch`
+directly (it IS the foreachBatch body) over (a) a float layout and
+(b) a quantize=True layout. Records shuffle-write/read + scan bytes
+for the NON-bootstrap batches via the UI REST stage metrics, and
+proves both runs publish the IDENTICAL pair set and the
+exact-duplicate removal oracle.
 
-Usage: python scripts/measure_streaming_codes_bytes.py
+Two corpus SHAPES (round 14, VERDICT r13 item 4 — the r13 number was
+measured only on the dup-saturated corpus, where the quantized path
+LOST because 99% of rows survive the margin prefilter and the exact
+confirm re-reads nearly the whole corpus):
+
+- ``saturated`` (default, the r8-r13 soak shape): every row is one of
+  ~99% exact copies — a worst case for two-phase filtering.
+- ``realistic``: ~2% of rows are exact copies; the other 98% get a
+  strong per-(row, copy, element) hash-keyed perturbation (cosine to
+  every other derived row ~0.75-0.87, far under the 0.95 threshold),
+  the production LLM-dedup shape where the prefilter kills ~98% of
+  candidate pairs and the confirm is survivor-proportional.
+
+Usage: python scripts/measure_streaming_codes_bytes.py [saturated|realistic]
 """
 
 from __future__ import annotations
@@ -49,18 +62,59 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    shape = sys.argv[1] if len(sys.argv) > 1 else "saturated"
+    if shape not in ("saturated", "realistic"):
+        raise SystemExit(f"unknown shape {shape!r}")
     base = spark.read.parquet(SRC).select("vec_id", "embedding")
     off = int(base.agg(F.max("vec_id")).collect()[0][0]) + 1
-    corpus = base.select(
+    exploded = base.select(
         "vec_id", "embedding",
         F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__copy"),
-    ).select(
+    )
+    if shape == "realistic":
+        # copy 0 stays the original; ~1/50 of the other copies stay
+        # EXACT (the planted ~2% dup fraction); the rest get a strong
+        # hash-keyed per-element perturbation (multiplier in [0, 2] —
+        # pairwise cosines land ~0.75-0.87, far under the threshold)
+        keep_exact = (F.col("__copy") == 0) | (
+            F.pmod(
+                F.xxhash64(F.col("vec_id"), F.col("__copy")), F.lit(50)
+            ) == 0
+        )
+        perturbed = F.transform(
+            "embedding",
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + (
+                    F.pmod(
+                        F.xxhash64(
+                            i, F.col("vec_id"), F.col("__copy"), F.lit(7)
+                        ),
+                        F.lit(1000),
+                    ).cast("double")
+                    / F.lit(500.0)
+                    - F.lit(1.0)
+                )
+            ),
+        )
+        exploded = exploded.select(
+            "vec_id", "__copy",
+            F.when(keep_exact, F.col("embedding"))
+            .otherwise(perturbed)
+            .alias("embedding"),
+        )
+    corpus = exploded.select(
         (F.col("vec_id") + F.col("__copy") * F.lit(off)).alias("vec_id"),
         "embedding",
     )
     n = corpus.count()
     cents = sample_centroids(corpus, 2000, "vec_id", "embedding", seed=42)
-    print(f"corpus {n} rows x {COPIES} copies; k={len(cents)}", flush=True)
+    print(
+        f"corpus {n} rows x {COPIES} copies, shape={shape}; "
+        f"k={len(cents)}",
+        flush=True,
+    )
 
     work = tempfile.mkdtemp(prefix="semdedup-codes-ab-")
     try:

@@ -61,3 +61,39 @@ def test_classify_bytes_plan_vs_weather():
     assert _classify_bytes({"shuffle_write_bytes": 1}, None) is None
     assert _classify_bytes({"shuffle_write_bytes": 1},
                            {"shuffle_write_bytes": 0}) is None
+
+
+def test_extended_families_registered_and_disjoint():
+    """The EXTENDED bench set (round 14): one query per so-far-unbenched
+    operator family — ANN-IVF-SQ8, PQ, n-gram dedup, streaming — all
+    registered, none double-counted into the guarded headline total
+    (adding them to `value` would break comparability with BASELINE.md
+    and every prior BENCH record)."""
+    from bench import EXTENDED, HEADLINE
+    from cassandra_analytics_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    assert set(EXTENDED) == {
+        "ann_ivf_quantized_topk", "ann_pq_topk", "dedup_ngram_jaccard",
+        "streaming_semantic_dedup",
+    }
+    assert not set(EXTENDED) & set(HEADLINE)
+    for name in EXTENDED:
+        assert name in REGISTRY, name
+
+
+def test_measure_extended_runs_and_fingerprints(spark, sf_dir):
+    """measure_extended executes every extended family end-to-end and
+    returns a wall row per query (byte keys ride along whenever the UI
+    REST endpoint is up — bench.py always enables it; the shared test
+    session keeps it off, so byte presence is asserted conditionally)."""
+    from bench import EXTENDED, measure_extended
+    from cassandra_analytics_spark.stage_metrics import stage_totals
+
+    detail = measure_extended(spark, sf_dir)
+    assert set(detail) == set(EXTENDED)
+    for name, row in detail.items():
+        assert "error" not in row, (name, row)
+        assert row["sec"] >= 0
+        if stage_totals(spark) is not None:  # UI on -> fingerprints too
+            assert "shuffle_write_bytes" in row, (name, row)

@@ -499,3 +499,59 @@ def test_append_to_ivf_pq_index_roundtrip_and_refusals(spark, tmp_path):
     save_pq_index(first, flat, codebook=cb)
     with pytest.raises(ValueError, match="not an IVF-PQ layout"):
         append_to_ivf_pq_index(second, flat)
+
+
+def test_ivf_pq_custom_math_spec_contract(spark, tmp_path):
+    """save_ivf_pq_index's custom-math assignment mirrors
+    build_ivf_index's contract: custom fns REQUIRE sim_id (pinned in
+    the spec); appends to a custom layout must re-present the same
+    sim_id + fns; an expr layout refuses custom math; assignments
+    match the build's (append = rebuild equivalence on cells)."""
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        read_ivf_pq_spec,
+        save_ivf_pq_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        dot as _d,
+        norm as _n,
+    )
+
+    rows, df = _corpus(spark, n=120)
+    first = df.filter(F.col("vec_id") % 2 == 0)
+    second = df.filter(F.col("vec_id") % 2 == 1)
+
+    with pytest.raises(ValueError, match="needs sim_id"):
+        save_ivf_pq_index(first, str(tmp_path / "x"), num_centroids=4,
+                          m=4, ks=16, dot_fn=_d, norm_fn=_n)
+    with pytest.raises(ValueError, match="only meaningful with custom"):
+        save_ivf_pq_index(first, str(tmp_path / "x"), num_centroids=4,
+                          m=4, ks=16, sim_id="std-v1")
+
+    cpath = str(tmp_path / "ivfpq_custom")
+    cents, cb = save_ivf_pq_index(
+        first, cpath, num_centroids=4, m=4, ks=16, seed=3,
+        dot_fn=_d, norm_fn=_n, sim_id="std-v1", residuals=True,
+    )
+    spec = read_ivf_pq_spec(spark, cpath)
+    assert (spec["assignment"], spec["sim_id"], spec["residuals"]) == (
+        "custom", "std-v1", True,
+    )
+    with pytest.raises(ValueError, match="custom similarity math"):
+        append_to_ivf_pq_index(second, cpath)
+    with pytest.raises(ValueError, match="sim_id mismatch"):
+        append_to_ivf_pq_index(second, cpath, dot_fn=_d, norm_fn=_n,
+                               sim_id="other")
+    append_to_ivf_pq_index(second, cpath, dot_fn=_d, norm_fn=_n,
+                           sim_id="std-v1")
+    grown = spark.read.parquet(cpath)
+    assert grown.count() == 120
+    # appended rows are residual-complete (residuals follow the spec)
+    assert grown.filter(F.col("pq_err").isNull()).count() == 0
+
+    # an expr layout refuses custom math on append
+    epath = str(tmp_path / "ivfpq_expr")
+    save_ivf_pq_index(first, epath, num_centroids=4, codebook=cb, seed=3)
+    with pytest.raises(ValueError, match="built-in 'expr' assignment"):
+        append_to_ivf_pq_index(second, epath, dot_fn=_d, norm_fn=_n,
+                               sim_id="std-v1")

@@ -469,3 +469,183 @@ def test_stream_quantized_margin_sound_at_threshold_boundary(spark, tmp_path):
         for r in semantic_dedup_pairs(df, one_cell, threshold=0.95).collect()
     }
     assert got == want and len(want) > 100  # dense boundary pairs exist
+
+
+def test_stream_pq_layout_same_pairs_probeable_and_refusals(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 6): pq= bootstraps an IVF-PQ layout
+    with residuals; the published verdicts stay byte-identical to the
+    float stream (exactness-preserving per-row-bound prefilter + exact
+    confirm), every streamed batch lands code-complete with the FROZEN
+    bootstrap codebook, and the grown layout serves probe-all PQ reads
+    equal to brute force. Scheme/layout mismatches are named errors."""
+    from cassandra_analytics_spark.operators.pq import (
+        query_ivf_pq_index,
+        read_ivf_pq_spec,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows = _corpus_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "incoming")
+    df.filter(F.col("vec_id") < 30).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("vec_id") >= 30).coalesce(1).write.mode("append").parquet(src)
+
+    _run_stream(spark, src, str(tmp_path), pq=dict(m=4, ks=16, seed=3))
+
+    got = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in collected_semantic_pairs(
+            spark, str(tmp_path / "pairs")
+        ).collect()
+    }
+    want = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in semantic_dedup_pairs(df, CENTROIDS, threshold=0.98).collect()
+    }
+    assert got == want and len(want) > 50
+
+    ivf = str(tmp_path / "ivf")
+    spec = read_ivf_pq_spec(spark, ivf)
+    assert spec["residuals"] is True and spec["m"] == 4 and spec["ks"] == 16
+    layout = spark.read.parquet(ivf)
+    # every row from every batch is code- AND residual-complete
+    assert layout.count() == 60
+    assert layout.filter(F.col("pqcode").isNull()).count() == 0
+    assert layout.filter(F.col("pq_err").isNull()).count() == 0
+
+    # the grown layout serves probe-all PQ reads equal to brute force
+    qvec = rows[0][1]
+    want_k = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(
+            df.filter(F.col("vec_id") != 0), qvec, k=5
+        ).collect()
+    ]
+    got_k = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in query_ivf_pq_index(
+            # k=6: the layout contains the query row itself (id 0) —
+            # drop it and keep the 5 true neighbors
+            spark, ivf, qvec, k=6, num_probes=2, rescore_factor=20
+        ).collect()
+        if r.vec_id != 0
+    ][:5]
+    assert got_k == want_k
+
+    # scheme mismatches are named errors
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _run_stream(
+            spark, src, str(tmp_path / "x1"), quantize=True,
+            pq=dict(m=4),
+        )
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        process_semantic_batch,
+    )
+
+    with pytest.raises(ValueError, match="is an IVF-PQ layout"):
+        process_semantic_batch(
+            df, 99, index_path=ivf, pairs_out=str(tmp_path / "p99"),
+            centroids=CENTROIDS, threshold=0.98, quantize=True,
+        )
+    # pq= against an existing NON-PQ layout is refused
+    plain_tmp = str(tmp_path / "plain")
+    os.makedirs(plain_tmp)
+    src2 = str(tmp_path / "incoming2")
+    df.filter(F.col("vec_id") < 30).coalesce(1).write.mode("append").parquet(src2)
+    _run_stream(spark, src2, plain_tmp)
+    with pytest.raises(ValueError, match="not an IVF-PQ layout"):
+        process_semantic_batch(
+            df, 99, index_path=os.path.join(plain_tmp, "ivf"),
+            pairs_out=str(tmp_path / "p98"),
+            centroids=CENTROIDS, threshold=0.98, pq=dict(m=4),
+        )
+    # a residual-less IVF-PQ layout is refused by the cross-pair stage
+    from cassandra_analytics_spark.operators.pq import save_ivf_pq_index
+
+    lean = str(tmp_path / "lean_ivfpq")
+    save_ivf_pq_index(
+        df.filter(F.col("vec_id") < 30), lean, centroids=CENTROIDS,
+        m=4, ks=16, seed=3,
+    )
+    with pytest.raises(ValueError, match="without[\\s\\S]*residuals=True"):
+        process_semantic_batch(
+            df.filter(F.col("vec_id") >= 30), 1, index_path=lean,
+            pairs_out=str(tmp_path / "p97"),
+            centroids=CENTROIDS, threshold=0.98,
+        )
+
+
+def test_stream_pq_margin_sound_at_threshold_boundary(spark, tmp_path):
+    """Adversarial margin check for the PQ prefilter: pair cosines
+    packed DENSELY around the threshold, split across two micro-batches
+    so the boundary pairs cross the batch-vs-corpus CODES join
+    (_cross_pairs_pq) — if the per-row measured bound (pq_err/pq_tnorm)
+    were optimistic, a true pair whose ADC cosine dips just under the
+    threshold would be silently dropped before the exact confirm. A
+    COARSE codebook (ks=8 over random non-clustered vectors) makes the
+    ADC approximation genuinely bad, so survival rides entirely on the
+    bound. Published pairs must equal the one-shot float SemDeDup
+    pair-for-pair and value-for-value."""
+    import math
+
+    rng = random.Random(7)
+    dim = 12
+    x = [rng.gauss(0, 1) for _ in range(dim)]
+    z = [rng.gauss(0, 1) for _ in range(dim)]
+    xx = sum(a * a for a in x)
+    proj = sum(a * b for a, b in zip(x, z)) / xx
+    z = [b - proj * a for a, b in zip(x, z)]
+    rows = [(0, x)]
+    for i in range(1, 60):  # cosines to x span [0.90, 1.0), threshold .95
+        c = 0.90 + 0.0017 * i
+        ang = math.acos(min(c, 1.0))
+        zn = math.sqrt(sum(b * b for b in z))
+        xn = math.sqrt(xx)
+        v = [
+            math.cos(ang) * a / xn + math.sin(ang) * b / zn
+            for a, b in zip(x, z)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "incoming")
+    df.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    one_cell = [(0, [1.0] * dim)]
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_semantic_dedup_stream(
+        stream,
+        index_path=str(tmp_path / "ivf"),
+        pairs_out=str(tmp_path / "pairs"),
+        centroids=one_cell,
+        threshold=0.95,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pq=dict(m=4, ks=8, seed=11),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in collected_semantic_pairs(
+            spark, str(tmp_path / "pairs")
+        ).collect()
+    }
+    want = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in semantic_dedup_pairs(df, one_cell, threshold=0.95).collect()
+    }
+    assert got == want and len(want) > 100  # dense boundary pairs exist
