@@ -1376,8 +1376,13 @@ def ann_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             seed=42,
         )
         append_to_pq_index(second, path)
+        # rescore_factor=24 (not the usual 8): the codebook trains on
+        # the BUILD HALF only, so phase-1 ranking is coarser than the
+        # full-corpus-trained ann_pq_topk — the wider window keeps the
+        # roundtrip hash-exact at BOTH gate SFs (sf0.001 measured two
+        # boundary-rank swaps at k*8)
         return query_pq_index(
-            spark, path, qvec, k=10, rescore_factor=8,
+            spark, path, qvec, k=10, rescore_factor=24,
             dot_fn=_pdot, norm_fn=_psq_norm,
         ).localCheckpoint(eager=True)
     finally:
@@ -1422,8 +1427,10 @@ def ann_ivf_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sample_size=5_000, iterations=10, seed=42,
         )
         append_to_ivf_pq_index(second, path)
+        # rescore_factor=24: same half-trained-codebook window widening
+        # as ann_pq_append_topk
         return query_ivf_pq_index(
-            spark, path, qvec, k=10, num_probes=8, rescore_factor=8,
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
             dot_fn=_pdot, norm_fn=_psq_norm,
         ).localCheckpoint(eager=True)
     finally:

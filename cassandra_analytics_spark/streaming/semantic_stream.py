@@ -128,6 +128,17 @@ def run_semantic_dedup_stream(
     are a pure function of the vector, so replayed rows re-quantize
     byte-identically).
 
+    WHEN TO QUANTIZE (measured, PERF.md r13/r14): the codes pay off
+    when the duplicate fraction is realistic — at ~2% dups the r14
+    A/B measured a 3.31x shuffle-byte cut on the non-bootstrap
+    triggers (the prefilter kills ~98% of candidate pairs, so the
+    exact confirm re-reads a sliver). On a dup-SATURATED corpus
+    (~99% copies, the soak stress shape) nearly every pair survives
+    to the confirm, which re-reads the float column for everything:
+    scan bytes go UP ~2.7x and wall +24% for a 1.91x shuffle cut —
+    leave ``quantize=False`` there. Verdicts are identical either
+    way; the flag only moves bytes.
+
     ``centroids`` is the coarse codebook (a k-means fit, or any fixed
     external set — the SemDeDup posture: the codebook is chosen once for
     the corpus, k ∝ expected N). The first non-empty batch builds the

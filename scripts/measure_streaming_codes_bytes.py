@@ -198,7 +198,18 @@ def main() -> int:
                 ratio = (fb / qb) if qb else float("inf")
                 print(f"{k}: float={fb:,} quantized={qb:,} "
                       f"({ratio:.2f}x cut)", flush=True)
-        ok = same_pairs and missing == 0 and q["n_removed"] == n_expected
+        # saturated: EVERY pair is an exact copy, so the removal set
+        # must equal the oracle exactly. realistic: the exact-copy
+        # structure is a LOWER bound — the strong perturbation keeps
+        # most derived pairs far under the threshold, but a few can
+        # legitimately land above it (measured ~110 of ~4.2k at this
+        # seed), and both A/B runs must agree on them (same_pairs);
+        # what can never happen is a MISSED exact copy (missing == 0).
+        ok = same_pairs and missing == 0 and (
+            q["n_removed"] == n_expected
+            if shape == "saturated"
+            else q["n_removed"] >= n_expected
+        )
         print("PASS" if ok else "FAIL", flush=True)
         return 0 if ok else 1
     finally:

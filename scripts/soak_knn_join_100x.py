@@ -1,15 +1,23 @@
 """100x soak of the index-accelerated kNN JOIN at a REAL query-set size
 (VERDICT r12 item 8: the r11 soak used 8 queries; this runs 1,000) —
 pins the routing-table broadcast and the per-query top-k window at
-scale, float and use_codes paths, with exactness at probe-all checked
-against the brute-force join for every query.
+scale, float / use_codes / (round 14) use_pq paths, with exactness at
+probe-all checked against the brute-force join for every query.
 
-The routing table is the scaling hazard this soak watches: it carries
-(qid, cell, query_vec, norm, sum) per PROBED cell, so its size is
-n_queries x num_probes x ~(8d + 24) bytes — at 1k queries, 64-d,
-probe-all over 128 cells that is ~70 MB broadcast. The soak records it
-so the window where probe-all stops being broadcastable is measured,
-not guessed.
+Round-13 history: the routing table used to carry (qid, cell,
+query_vec, norm, sum) per PROBED cell (~70 MB at this shape; ~690 MB
+at 10k queries), r13 thinned phase 1 to (qid, cell) pairs + a
+one-row-per-query payload, and r13 ADVICE flagged that the use_codes
+phase-2 rescore reintroduced the fat worse (survivor-fan x full query
+vector ≈ 5+ GB broadcast at this shape). Round 14 fixed that (the fan
+is thin (qid, cell, id); the payload joins AFTER the corpus join) and
+added use_pq — this soak measures both.
+
+A PRODUCTION-PROBE section (num_probes=8 of 128) records each path's
+byte fingerprint at the realistic operating point, where the scan cut
+(1 byte/dim for SQ8, m bytes/vector for PQ) actually shows — at
+probe-all the scored set is |corpus| x |queries| and the top-k window
+exchange dominates every path identically (the r13 lesson).
 
 Usage: python scripts/soak_knn_join_100x.py
 """
@@ -73,25 +81,42 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="knn-soak-")
     try:
+        from cassandra_analytics_spark.operators.pq import save_ivf_pq_index
+
         path = os.path.join(work, "ivf")
         t0 = time.time()
         build_ivf_index(
             corpus, path, num_centroids=NUM_CENTROIDS,
             assignment="vectorized", quantize=True,
         )
-        print(f"index built in {time.time() - t0:.1f}s", flush=True)
+        print(f"SQ8 index built in {time.time() - t0:.1f}s", flush=True)
+        # the IVF-PQ layout shares the SQ8 layout's coarse centroids so
+        # the three paths route identically (cells are comparable)
+        cents = [
+            (r.cid, list(r.centroid))
+            for r in spark.read.parquet(f"{path}_centroids").collect()
+        ]
+        pq_path = os.path.join(work, "ivfpq")
+        t0 = time.time()
+        save_ivf_pq_index(
+            corpus, pq_path, centroids=cents, m=16, ks=256,
+            sample_size=20_000, iterations=15, seed=42,
+        )
+        print(f"IVF-PQ index built in {time.time() - t0:.1f}s", flush=True)
 
+        arms = (
+            ("float", path, {}),
+            ("use_codes", path, {"use_codes": True}),
+            ("use_pq", pq_path, {"use_pq": True}),
+        )
         runs = {}
-        for label, kw in (
-            ("float", {}),
-            ("use_codes", {"use_codes": True}),
-        ):
+        for label, p, kw in arms:
             before = stage_totals(spark)
             t0 = time.time()
             got = {
                 (r.qid, r.vec_id, round(r.cosine_sim, 9))
                 for r in ivf_knn_join(
-                    queries, path, k=K, num_probes=NUM_CENTROIDS, **kw
+                    queries, p, k=K, num_probes=NUM_CENTROIDS, **kw
                 ).collect()
             }
             wall = time.time() - t0
@@ -102,6 +127,35 @@ def main() -> int:
             if d:
                 for key in ("input_bytes", "shuffle_write_bytes"):
                     print(f"  [{label}] {key}: {d[key]:,}", flush=True)
+
+        # production-probe section: num_probes=8 of 128 — the byte
+        # fingerprint at the realistic operating point; the float
+        # partial-probe result is the reference the reduced-byte paths
+        # are compared against (rescore windows can differ in edge
+        # cases at partial probes, so overlap is REPORTED, not gated)
+        partial = {}
+        for label, p, kw in arms:
+            before = stage_totals(spark)
+            t0 = time.time()
+            got = {
+                (r.qid, r.vec_id)
+                for r in ivf_knn_join(
+                    queries, p, k=K, num_probes=8, **kw
+                ).collect()
+            }
+            wall = time.time() - t0
+            d = delta(before, stage_totals(spark))
+            partial[label] = got
+            print(f"[{label}] probes=8/128 kNN join: {wall:.1f}s", flush=True)
+            if d:
+                for key in ("input_bytes", "input_records",
+                            "shuffle_write_bytes"):
+                    print(f"  [{label}] probes=8 {key}: {d[key]:,}",
+                          flush=True)
+        for label in ("use_codes", "use_pq"):
+            inter = len(partial[label] & partial["float"])
+            print(f"[{label}] probes=8 overlap vs float: "
+                  f"{inter}/{len(partial['float'])}", flush=True)
 
         t0 = time.time()
         want = {
