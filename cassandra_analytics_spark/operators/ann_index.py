@@ -1266,13 +1266,13 @@ def ivf_knn_join(
             read_ivf_pq_spec,
         )
 
-        if sim_id is not None:
-            raise ValueError(
-                "use_pq=True reads a save_ivf_pq_index layout, which pins "
-                "no custom-math sim_id — drop sim_id (dot_fn/norm_fn stay "
-                "a sanctioned read-time rescore choice)"
-            )
         pq_spec = read_ivf_pq_spec(spark, index_path)
+        # the spec is normalized with assignment/sim_id keys, so the
+        # pinned mixed-math READ contract applies verbatim: read-time
+        # rescore math is a free choice, a presented sim_id is
+        # validated, a custom-assignment layout read without naming
+        # its sim_id warns
+        _validate_read_math(pq_spec, dot_fn, norm_fn, sim_id, index_path)
         if not pq_spec["keep_vec"]:
             raise ValueError(
                 f"{index_path!r} was saved with keep_vec=False (codes-only "

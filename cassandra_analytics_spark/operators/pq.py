@@ -948,6 +948,7 @@ def query_ivf_pq_index(
     rescore_factor: int = 8,
     dot_fn=None,
     norm_fn=None,
+    sim_id: str | None = None,
     rescore_mode: str = "pushdown",
     codebook: PQCodebook | None = None,
 ) -> DataFrame:
@@ -960,7 +961,16 @@ def query_ivf_pq_index(
     same probe-all guarantee the SQ8 IVF paths pin. ``rescore=True``
     against a ``keep_vec=False`` layout is refused loudly, and a
     preloaded ``codebook=`` must match the spec geometry — both the
-    flat-PQ contracts."""
+    flat-PQ contracts.
+
+    ``dot_fn``/``norm_fn``/``sim_id`` follow the pinned mixed-math READ
+    contract (``ann_index._validate_read_math``): read-time rescore
+    math is a sanctioned free choice, but reading a custom-assignment
+    layout without naming its sim_id warns (last-ulp score drift), and
+    a presented sim_id is validated against the spec."""
+    from cassandra_analytics_spark.operators.ann_index import (
+        _validate_read_math,
+    )
     from cassandra_analytics_spark.operators.similarity import (
         nearest_cells_for,
     )
@@ -968,6 +978,7 @@ def query_ivf_pq_index(
     if num_probes < 1:
         raise ValueError(f"num_probes must be >= 1, got {num_probes}")
     spec = read_ivf_pq_spec(spark, index_path)
+    _validate_read_math(spec, dot_fn, norm_fn, sim_id, index_path)
     if rescore and not spec["keep_vec"]:
         raise ValueError(
             f"{index_path!r} was saved with keep_vec=False (codes-only "

@@ -872,7 +872,9 @@ def test_ivf_knn_join_use_pq_exact_plan_and_refusals(spark, tmp_path):
     # refusals
     with pytest.raises(ValueError, match="mutually exclusive"):
         ivf_knn_join(queries, path, use_codes=True, use_pq=True)
-    with pytest.raises(ValueError, match="pins no custom-math sim_id"):
+    # the pinned mixed-math read contract applies to IVF-PQ layouts
+    # too: sim_id against a built-in-assignment layout is refused
+    with pytest.raises(ValueError, match="only meaningful against"):
         from cassandra_analytics_spark.operators.similarity import (
             dot as _d, norm as _n,
         )

@@ -555,3 +555,23 @@ def test_ivf_pq_custom_math_spec_contract(spark, tmp_path):
     with pytest.raises(ValueError, match="built-in 'expr' assignment"):
         append_to_ivf_pq_index(second, epath, dot_fn=_d, norm_fn=_n,
                                sim_id="std-v1")
+
+    # READ contract parity with the IVF paths (_validate_read_math):
+    # reading the custom layout without naming its sim_id warns,
+    # naming it correctly is silent, mismatches are refused
+    import warnings as w
+
+    from cassandra_analytics_spark.operators.pq import query_ivf_pq_index
+
+    q = rows[0][1]
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        query_ivf_pq_index(spark, cpath, q, k=3, num_probes=4).count()
+    assert any("unverified scoring math" in str(x.message) for x in caught)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        query_ivf_pq_index(spark, cpath, q, k=3, num_probes=4,
+                           dot_fn=_d, norm_fn=_n, sim_id="std-v1").count()
+    with pytest.raises(ValueError, match="sim_id mismatch"):
+        query_ivf_pq_index(spark, cpath, q, k=3, num_probes=4,
+                           dot_fn=_d, norm_fn=_n, sim_id="other")
