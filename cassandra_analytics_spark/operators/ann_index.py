@@ -1193,7 +1193,11 @@ def ivf_knn_join(
     regardless of num_probes — and phase 1 scores a candidate as m
     ``element_at`` lookups summed (pure codegen; the pruned scan reads
     m bytes + one stored norm per row). Phase 2 is the SAME exact
-    (cell, id)-joined float rescore as ``use_codes``.
+    (cell, id)-joined float rescore as ``use_codes``. Ceiling: the LUT
+    is m·ks doubles PER QUERY (32 KB at m=16/ks=256), so at ~10k
+    queries the payload broadcast crosses the comfort zone (~320 MB) —
+    batch the query set there, the same guidance as the probe-all
+    routing-table ceiling (PERF.md r13 soak).
 
     Contract mirrors ``knn_join``: the query set is SMALL (collected to
     the driver to plan the probe cells — same bounded collect as the
