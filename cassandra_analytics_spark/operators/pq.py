@@ -640,6 +640,7 @@ def save_ivf_pq_index(
     sample_size: int = 20_000,
     iterations: int = 15,
     seed: int = 42,
+    assignment: str = "expr",
     dot_fn=None,
     norm_fn=None,
     sim_id: str | None = None,
@@ -658,11 +659,16 @@ def save_ivf_pq_index(
     (:func:`~cassandra_analytics_spark.operators.similarity.
     sample_centroids` — the codebook-fit stand-in; pass a k-means fit
     for production routing, the r9 recall lesson); ``codebook=None``
-    trains the PQ codebooks here. Cell assignment is the shared
-    linear-size argmax expression — fine to k≈128; beyond that pass
-    precomputed assignments through the plain IVF layout instead
-    (`build_ivf_index(assignment="vectorized")`), whose SQ8 codes are
-    the measured-at-scale alternative.
+    trains the PQ codebooks here. ``assignment`` mirrors
+    ``build_ivf_index``'s modes: ``"expr"`` (default) is the shared
+    linear-size argmax expression — fine to k≈128, ties to the
+    HIGHEST cid; ``"vectorized"`` (round 14) computes the argmax as
+    one Arrow-batched numpy matmul per batch — REQUIRED at the k ∝ N
+    codebook sizes corpus-scale SemDeDup needs (the expression form
+    measured 1.5 MiB task binaries at k=256, PERF.md round 8), ties
+    to the LOWEST cid. The mode is pinned in the spec; appends follow
+    it via the shared ``_ivf_cell_for_mode`` so build and append can
+    never pick different argmax forms for one layout.
 
     ``dot_fn``/``norm_fn`` switch CELL ASSIGNMENT to custom math
     (norm-once ``assign_nearest_cells``, lowest-cid ties — e.g. the
@@ -678,25 +684,35 @@ def save_ivf_pq_index(
     from cassandra_analytics_spark.fs import delete_path
     from cassandra_analytics_spark.operators.similarity import (
         assign_nearest_cells,
-        nearest_centroid_cell,
         sample_centroids,
     )
 
     spark = df.sparkSession
-    custom = dot_fn is not None or norm_fn is not None
-    if custom and sim_id is None:
+    if assignment not in ("expr", "vectorized"):
         raise ValueError(
-            "save_ivf_pq_index with custom dot_fn/norm_fn needs sim_id= — "
-            "a stable identifier for the similarity math; appends must "
-            "present the same identifier (the spec cannot serialize "
-            "Python functions)"
+            f"assignment must be 'expr' or 'vectorized', got {assignment!r}"
         )
-    if sim_id is not None and not custom:
+    custom = dot_fn is not None or norm_fn is not None
+    if custom:
+        if assignment == "vectorized":
+            raise ValueError(
+                "custom dot_fn/norm_fn have no vectorized path — drop "
+                "assignment='vectorized' (the custom expression path is "
+                "used) or drop the custom math"
+            )
+        if sim_id is None:
+            raise ValueError(
+                "save_ivf_pq_index with custom dot_fn/norm_fn needs "
+                "sim_id= — a stable identifier for the similarity math; "
+                "appends must present the same identifier (the spec "
+                "cannot serialize Python functions)"
+            )
+        assignment = "custom"
+    elif sim_id is not None:
         raise ValueError(
             "sim_id is only meaningful with custom dot_fn/norm_fn — "
-            "the built-in mode is identified by the assignment name"
+            "the built-in modes are identified by the assignment name"
         )
-    assignment = "custom" if custom else "expr"
     if centroids is None:
         centroids = sample_centroids(
             df, num_centroids, id_col=id_col, vec_col=vec_col, seed=seed
@@ -725,8 +741,13 @@ def save_ivf_pq_index(
             cell_col="cell", passthrough=True,
         )
     else:
+        from cassandra_analytics_spark.operators.ann_index import (
+            _ivf_cell_for_mode,
+        )
+
         tagged = encoded.withColumn(
-            "cell", nearest_centroid_cell(F.col(vec_col), centroids)
+            "cell", _ivf_cell_for_mode(vec_col, centroids, assignment,
+                                       None, None),
         )
     if not keep_vec:
         tagged = tagged.drop(vec_col)
@@ -845,7 +866,6 @@ def assign_with_ivf_pq_spec(
     always present in the output (callers drop it per ``keep_vec``)."""
     from cassandra_analytics_spark.operators.similarity import (
         assign_nearest_cells,
-        nearest_centroid_cell,
     )
 
     spark = df.sparkSession
@@ -882,7 +902,7 @@ def assign_with_ivf_pq_spec(
     elif custom or sim_id is not None:
         raise ValueError(
             f"IVF-PQ layout at {index_path!r} was built with the "
-            f"built-in 'expr' assignment — must not pass custom "
+            f"built-in {mode!r} assignment — must not pass custom "
             "dot_fn/norm_fn/sim_id (rebuild with save_ivf_pq_index("
             "dot_fn=..., norm_fn=..., sim_id=...) to switch)"
         )
@@ -895,8 +915,14 @@ def assign_with_ivf_pq_spec(
             encoded, centroids, id_col, vec_col, dot_fn, norm_fn,
             cell_col="cell", passthrough=True,
         )
+    from cassandra_analytics_spark.operators.ann_index import (
+        _ivf_cell_for_mode,
+    )
+
+    # the SPEC's pinned mode (expr or vectorized) through the shared
+    # expression builder — build and append can never disagree
     return encoded.withColumn(
-        "cell", nearest_centroid_cell(F.col(vec_col), centroids)
+        "cell", _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
     )
 
 

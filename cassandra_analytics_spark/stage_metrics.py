@@ -34,6 +34,27 @@ _FIELDS = {
 }
 
 
+def _aggregate_stages(stages: list[dict]) -> dict[str, int]:
+    """Sum the byte fields over one StageData list. /stages lists one
+    entry per stage ATTEMPT — a retried stage (task/fetch failure)
+    would double-count its bytes and trip the bench plan-vs-weather
+    classifier on weather, not plan (r13 ADVICE low) — so only the
+    LATEST attempt of each stageId counts."""
+    latest: dict[int, dict] = {}
+    for s in stages:
+        sid = int(s.get("stageId", -1))
+        prev = latest.get(sid)
+        if prev is None or int(s.get("attemptId", 0)) > int(
+            prev.get("attemptId", 0)
+        ):
+            latest[sid] = s
+    out = {k: 0 for k in _FIELDS}
+    for s in latest.values():
+        for k, field in _FIELDS.items():
+            out[k] += int(s.get(field, 0) or 0)
+    return out
+
+
 def stage_totals(spark) -> dict[str, int] | None:
     """Cumulative byte totals over every COMPLETED stage of this app so
     far, or None when the UI/REST endpoint is disabled. Snapshot before
@@ -49,23 +70,7 @@ def stage_totals(spark) -> dict[str, int] | None:
             stages = json.load(resp)
     except Exception:
         return None
-    # /stages lists one StageData per stage ATTEMPT — a retried stage
-    # (task/fetch failure) would double-count its bytes and trip the
-    # bench plan-vs-weather classifier on weather, not plan (r13
-    # ADVICE low). Keep only the LATEST attempt of each stageId.
-    latest: dict[int, dict] = {}
-    for s in stages:
-        sid = int(s.get("stageId", -1))
-        prev = latest.get(sid)
-        if prev is None or int(s.get("attemptId", 0)) > int(
-            prev.get("attemptId", 0)
-        ):
-            latest[sid] = s
-    out = {k: 0 for k in _FIELDS}
-    for s in latest.values():
-        for k, field in _FIELDS.items():
-            out[k] += int(s.get(field, 0) or 0)
-    return out
+    return _aggregate_stages(stages)
 
 
 def delta(before: dict[str, int] | None,

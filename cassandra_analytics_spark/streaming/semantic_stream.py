@@ -263,12 +263,18 @@ def process_semantic_batch(
             )
 
             # residuals ALWAYS on: the cross-pair prefilter's per-row
-            # proven bound is what keeps PQ verdicts float-identical
+            # proven bound is what keeps PQ verdicts float-identical.
+            # ``assignment`` passes through like the SQ8 bootstrap —
+            # "vectorized" is required at k ∝ N codebook sizes (it is
+            # ignored under custom math, which save refuses to combine
+            # with the vectorized path, same as build_ivf_index)
             save_ivf_pq_index(
                 batch, index_path, centroids=centroids,
                 id_col=id_col, vec_col=vec_col, keep_vec=True,
                 dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
                 residuals=True,
+                **({} if dot_fn is not None or norm_fn is not None
+                   else {"assignment": assignment}),
                 **{
                     k: pq[k]
                     for k in ("m", "ks", "sample_size", "iterations", "seed")

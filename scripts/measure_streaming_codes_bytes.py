@@ -5,10 +5,11 @@ streaming twin of the batch path's measured 3.4x cut).
 Derives a 100x embedding corpus from sf0.1 (explode x100, key-shifted
 vec_ids — 200k x 64-d), stages the prior soak's arrival shape (~10%
 seed + three ~30% batches), and drives `process_semantic_batch`
-directly (it IS the foreachBatch body) over (a) a float layout and
-(b) a quantize=True layout. Records shuffle-write/read + scan bytes
-for the NON-bootstrap batches via the UI REST stage metrics, and
-proves both runs publish the IDENTICAL pair set and the
+directly (it IS the foreachBatch body) over (a) a float layout,
+(b) a quantize=True (SQ8) layout, and (c — round 14) a pq= IVF-PQ
+layout with stored residual bounds. Records shuffle-write/read + scan
+bytes for the NON-bootstrap batches via the UI REST stage metrics,
+and proves every arm publishes the IDENTICAL pair set and the
 exact-duplicate removal oracle.
 
 Two corpus SHAPES (round 14, VERDICT r13 item 4 — the r13 number was
@@ -129,7 +130,15 @@ def main() -> int:
             batches.append(p)
 
         results = {}
-        for label, quantize in (("float", False), ("quantized", True)):
+        arms = (
+            ("float", {}),
+            ("quantized", {"quantize": True}),
+            # m=16/ks=256 over 64-d: the corpus pair side ships 16 B
+            # codes + 3 doubles vs SQ8's 64 B + 2 doubles vs 512 B float
+            ("pq", {"pq": dict(m=16, ks=256, sample_size=20_000,
+                               iterations=15, seed=42)}),
+        )
+        for label, arm_kw in arms:
             run_dir = os.path.join(work, label)
             ivf = os.path.join(run_dir, "ivf")
             pairs_out = os.path.join(run_dir, "pairs")
@@ -142,7 +151,7 @@ def main() -> int:
                 process_semantic_batch(
                     batch, i, index_path=ivf, pairs_out=pairs_out,
                     centroids=cents, threshold=0.95,
-                    assignment="vectorized", quantize=quantize,
+                    assignment="vectorized", **arm_kw,
                 )
                 dt = time.time() - t0
                 if i > 0:
@@ -171,13 +180,7 @@ def main() -> int:
                 for k, v in sorted(pair_bytes.items()):
                     print(f"  [{label}] non-bootstrap {k}: {v:,}", flush=True)
 
-        f, q = results["float"], results["quantized"]
-        same_pairs = (
-            f["pairs"].select("a", "b").exceptAll(
-                q["pairs"].select("a", "b")).count() == 0
-            and q["pairs"].select("a", "b").exceptAll(
-                f["pairs"].select("a", "b")).count() == 0
-        )
+        f = results["float"]
         # independent oracle: exact-duplicate structure
         groups = corpus.groupBy("embedding").agg(
             F.min("vec_id").alias("keep"), F.count(F.lit(1)).alias("c")
@@ -188,28 +191,38 @@ def main() -> int:
             .select(F.col("vec_id").alias("removed"))
         )
         n_expected = expected.count()
-        missing = expected.exceptAll(q["removed"]).count()
-        print(f"pair sets identical: {same_pairs}; removed "
-              f"{q['n_removed']}/{n_expected} expected, missing={missing}",
-              flush=True)
-        if f["bytes"] and q["bytes"]:
-            for k in f["bytes"]:
-                fb, qb = f["bytes"][k], q["bytes"][k]
-                ratio = (fb / qb) if qb else float("inf")
-                print(f"{k}: float={fb:,} quantized={qb:,} "
-                      f"({ratio:.2f}x cut)", flush=True)
-        # saturated: EVERY pair is an exact copy, so the removal set
-        # must equal the oracle exactly. realistic: the exact-copy
-        # structure is a LOWER bound — the strong perturbation keeps
-        # most derived pairs far under the threshold, but a few can
-        # legitimately land above it (measured ~110 of ~4.2k at this
-        # seed), and both A/B runs must agree on them (same_pairs);
-        # what can never happen is a MISSED exact copy (missing == 0).
-        ok = same_pairs and missing == 0 and (
-            q["n_removed"] == n_expected
-            if shape == "saturated"
-            else q["n_removed"] >= n_expected
-        )
+        ok = True
+        for label in ("quantized", "pq"):
+            q = results[label]
+            same_pairs = (
+                f["pairs"].select("a", "b").exceptAll(
+                    q["pairs"].select("a", "b")).count() == 0
+                and q["pairs"].select("a", "b").exceptAll(
+                    f["pairs"].select("a", "b")).count() == 0
+            )
+            missing = expected.exceptAll(q["removed"]).count()
+            print(f"[{label}] pair sets identical to float: {same_pairs}; "
+                  f"removed {q['n_removed']}/{n_expected} expected, "
+                  f"missing={missing}", flush=True)
+            if f["bytes"] and q["bytes"]:
+                for k in f["bytes"]:
+                    fb, qb = f["bytes"][k], q["bytes"][k]
+                    ratio = (fb / qb) if qb else float("inf")
+                    print(f"[{label}] {k}: float={fb:,} {label}={qb:,} "
+                          f"({ratio:.2f}x cut)", flush=True)
+            # saturated: EVERY pair is an exact copy, so the removal
+            # set must equal the oracle exactly. realistic: the
+            # exact-copy structure is a LOWER bound — the strong
+            # perturbation keeps most derived pairs far under the
+            # threshold, but a few can legitimately land above it
+            # (measured ~110 of ~4.2k at this seed), and every arm must
+            # agree on them pair-for-pair (same_pairs); what can never
+            # happen is a MISSED exact copy (missing == 0).
+            ok = ok and same_pairs and missing == 0 and (
+                q["n_removed"] == n_expected
+                if shape == "saturated"
+                else q["n_removed"] >= n_expected
+            )
         print("PASS" if ok else "FAIL", flush=True)
         return 0 if ok else 1
     finally:

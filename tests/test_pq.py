@@ -575,3 +575,74 @@ def test_ivf_pq_custom_math_spec_contract(spark, tmp_path):
     with pytest.raises(ValueError, match="sim_id mismatch"):
         query_ivf_pq_index(spark, cpath, q, k=3, num_probes=4,
                            dot_fn=_d, norm_fn=_n, sim_id="other")
+
+
+def test_ivf_pq_vectorized_assignment_mode(spark, tmp_path):
+    """assignment='vectorized' (round 14 — required at the k ∝ N
+    codebook sizes corpus-scale SemDeDup needs): the mode is pinned in
+    the spec, appends follow it through the shared _ivf_cell_for_mode,
+    probe-all reads stay exact, and custom math refuses the vectorized
+    path exactly like build_ivf_index."""
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        query_ivf_pq_index,
+        read_ivf_pq_spec,
+        save_ivf_pq_index,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        dot as _d,
+        norm as _n,
+    )
+
+    rows, df = _corpus(spark, n=240)
+    first = df.filter(F.col("vec_id") % 2 == 0)
+    second = df.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_vec")
+    cents, cb = save_ivf_pq_index(
+        first, path, num_centroids=5, m=8, ks=32, seed=3,
+        assignment="vectorized",
+    )
+    assert read_ivf_pq_spec(spark, path)["assignment"] == "vectorized"
+    append_to_ivf_pq_index(second, path)
+
+    # appended rows landed in the cells the VECTORIZED assigner gives
+    # (lowest-cid ties) — build/append parity through the shared mode
+    from cassandra_analytics_spark.operators.similarity import (
+        vectorized_cell_udf,
+    )
+
+    expect = {
+        r.vec_id: r.cell
+        for r in second.select(
+            "vec_id",
+            vectorized_cell_udf(cents)(F.col("embedding")).alias("cell"),
+        ).collect()
+    }
+    disk = {
+        r.vec_id: r.cell
+        for r in spark.read.parquet(path).filter(
+            F.col("vec_id") % 2 == 1).select("vec_id", "cell").collect()
+    }
+    assert disk == expect
+
+    q = rows[0][1]
+    want = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in brute_force_topk(df, q, k=6).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in query_ivf_pq_index(
+            spark, path, q, k=6, num_probes=5, rescore_factor=40
+        ).collect()
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError, match="no vectorized path"):
+        save_ivf_pq_index(
+            first, str(tmp_path / "x"), num_centroids=4, m=8, ks=32,
+            assignment="vectorized", dot_fn=_d, norm_fn=_n, sim_id="s",
+        )
+    with pytest.raises(ValueError, match="assignment must be"):
+        save_ivf_pq_index(first, str(tmp_path / "x"), assignment="bogus")

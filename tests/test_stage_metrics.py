@@ -29,3 +29,34 @@ def test_stage_totals_none_when_ui_disabled(spark):
     )
     if spark.sparkContext.uiWebUrl is None:
         assert stage_totals(spark) is None
+
+
+def test_aggregate_stages_dedupes_attempts():
+    """r13 ADVICE low: /stages lists one StageData per ATTEMPT — a
+    retried stage must count once (latest attempt), or a run with a
+    task/fetch-failure retry double-counts bytes and the bench's 2%
+    plan-vs-weather classifier misfires on weather."""
+    from cassandra_analytics_spark.stage_metrics import _aggregate_stages
+
+    stages = [
+        {"stageId": 1, "attemptId": 0, "shuffleWriteBytes": 100,
+         "inputBytes": 10, "inputRecords": 5, "shuffleReadBytes": 100,
+         "outputBytes": 0},
+        # retry of stage 1: only THIS attempt's bytes may count
+        {"stageId": 1, "attemptId": 1, "shuffleWriteBytes": 120,
+         "inputBytes": 12, "inputRecords": 6, "shuffleReadBytes": 120,
+         "outputBytes": 0},
+        {"stageId": 2, "attemptId": 0, "shuffleWriteBytes": 7,
+         "inputBytes": 1, "inputRecords": 1, "shuffleReadBytes": 7,
+         "outputBytes": 3},
+    ]
+    got = _aggregate_stages(stages)
+    assert got["shuffle_write_bytes"] == 127  # 120 + 7, NOT 227
+    assert got["input_bytes"] == 13
+    assert got["output_bytes"] == 3
+    # attempt order must not matter
+    assert _aggregate_stages(list(reversed(stages))) == got
+    # missing fields tolerated (None/absent -> 0)
+    assert _aggregate_stages([{"stageId": 9, "attemptId": 0}])[
+        "input_bytes"
+    ] == 0
