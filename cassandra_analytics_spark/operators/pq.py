@@ -249,51 +249,50 @@ def pq_encode(
     return df.select(*cols)
 
 
-def pq_adc_lut_col(codebook: PQCodebook, vec_col):
-    """Per-ROW ADC lookup-table column: for each float vector ``v``,
-    ``lut[i*ks + j] = v_sub_i · centroids[i][j]`` (m·ks doubles) — the
-    distributed twin of the driver-side LUT ``pq_adc_topk`` builds for
-    ONE query, for callers whose "query side" is itself a DataFrame
-    (the streaming SemDeDup batch, each of whose rows scores the
-    corpus's codes). One Arrow-batched numpy matmul per subspace; NULL
-    vectors produce a NULL LUT; a wrong-dimension vector raises loudly
-    inside the batch."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
+def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
+    """The ADC dot ``v · x̂`` as a PURE-CODEGEN expression over a float
+    vector column and a corpus code column — for callers whose "query
+    side" is itself a DataFrame (the streaming SemDeDup batch, each of
+    whose rows scores corpus codes): ``Σ_i v_sub_i · c_i[code_i]``,
+    computed per pair against ONE flattened m·ks·dsub codebook literal
+    (131 KB at m=16/ks=256/d=64 — plan-sized, shared by every row).
 
-    cb = [np.asarray(b, dtype=np.float64) for b in codebook.centroids]
-    dim, m, dsub = codebook.dim, codebook.m, codebook.dsub
-
-    @pandas_udf("array<double>")
-    def _lut(vecs):
-        import pandas as pd
-
-        mask = vecs.notna()
-        if mask.any():
-            mat = np.asarray(
-                [list(v) for v in vecs[mask]], dtype=np.float64
-            )
-            if mat.ndim != 2 or mat.shape[1] != dim:
-                raise ValueError(
-                    f"pq_adc_lut_col: codebook is {dim}-d but found "
-                    f"vectors of shape {mat.shape} — dimension mismatch"
-                )
-            luts = np.concatenate(
-                [
-                    mat[:, i * dsub:(i + 1) * dsub] @ cb[i].T
-                    for i in range(m)
-                ],
-                axis=1,
-            )
-        it = iter(range(int(mask.sum())))
-        out = []
-        for ok in mask:
-            out.append(
-                [float(x) for x in luts[next(it)]] if ok else None
-            )
-        return pd.Series(out)
-
-    return _lut(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    Why not a per-row LUT column: a LUT is m·ks doubles PER ROW (32 KB
+    at m=16/ks=256), and Catalyst sizes the frame from pre-UDF stats —
+    at the 100x trigger shape it auto-broadcast a ~2 GB materialized
+    LUT frame and died in the BroadcastExchange build (round-14
+    measured failure). Per-row LUTs only pay when the query set is
+    driver-collected and rides a one-row-per-query payload (the
+    ``ivf_knn_join(use_pq=True)`` shape); DataFrame-vs-DataFrame
+    scoring uses this expression instead — m·dsub = dim multiplies per
+    pair, the same arithmetic as a float dot, with the corpus side
+    still shipping only m bytes + stored norms."""
+    ks, dsub = codebook.ks, codebook.dsub
+    flat = [
+        float(x)
+        for book in codebook.centroids
+        for cent in book
+        for x in cent
+    ]
+    flat_lit = F.lit(flat)
+    vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    ccol = F.col(code_col) if isinstance(code_col, str) else code_col
+    contrib = F.transform(
+        ccol,
+        lambda c, i: F.aggregate(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at(vcol, i * F.lit(dsub) + t)
+            * F.element_at(
+                flat_lit,
+                (i * F.lit(ks) + c.cast("int") + F.lit(128))
+                * F.lit(dsub)
+                + t,
+            ),
+        ),
+    )
+    return F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def pq_adc_topk(

@@ -628,16 +628,20 @@ def _cross_pairs_pq(
     bound is stated for the standard float cosine; the 1e-9 headroom
     covers portable-vs-standard ulp drift) — the SQ8 twin's split.
 
-    The batch side computes each row's ADC LUT (m·ks doubles) in one
-    Arrow-batched matmul (:func:`~cassandra_analytics_spark.operators.
-    pq.pq_adc_lut_col`) — batch-proportional, and the corpus scan
-    stays code-only (the quantized_topk plan discipline). The confirm
-    joins the float column back by (cell, id) restricted to the
-    touched partitions — survivor-proportional. Refuses a layout
-    saved without residuals (the bound's columns are not there)."""
+    The ADC dot is a pure-codegen expression against ONE flattened
+    codebook literal (:func:`~cassandra_analytics_spark.operators.pq.
+    pq_adc_dot_expr`) — NOT a per-row LUT column: a materialized LUT
+    is m·ks doubles per batch row, and Catalyst's pre-UDF size
+    estimate auto-broadcast a ~2 GB LUT frame at the 100x trigger
+    shape and died in the exchange build (round-14 measured failure;
+    the helper's docstring pins the decision). The corpus scan stays
+    code-only (the quantized_topk plan discipline). The confirm joins
+    the float column back by (cell, id) restricted to the touched
+    partitions — survivor-proportional. Refuses a layout saved
+    without residuals (the bound's columns are not there)."""
     from cassandra_analytics_spark.operators.pq import (
         _resolve_ivf_pq_codebook,
-        pq_adc_lut_col,
+        pq_adc_dot_expr,
     )
     from cassandra_analytics_spark.operators.similarity import (
         norm as _std_norm,
@@ -653,7 +657,6 @@ def _cross_pairs_pq(
     codebook = _resolve_ivf_pq_codebook(
         spark, index_path, spec, None, caller="_cross_pairs_pq"
     )
-    ks = codebook.ks
     corpus = spark.read.parquet(index_path).filter(
         F.col("cell").isin(touched)
     )
@@ -679,27 +682,17 @@ def _cross_pairs_pq(
             ),
         )
     )
-    # batch side: float vector (for the confirm dot), the confirm norm
-    # (__nrm — custom math), the STANDARD float norm the bound is
-    # stated over, and the per-row ADC LUT
+    # batch side: float vector (the confirm dot AND the per-pair ADC
+    # expression read it), the confirm norm (__nrm — custom math), and
+    # the STANDARD float norm the bound is stated over
     b = assigned.select(
         F.col(id_col).alias("__bid_"),
         F.col(vec_col).alias("__bvec"),
         F.col("__nrm").alias("__bnrm"),
         _std_norm(F.col(vec_col)).alias("__bstd"),
-        pq_adc_lut_col(codebook, vec_col).alias("__blut"),
         "cell",
     )
-    adc = F.aggregate(
-        F.transform(
-            F.col("pqcode"),
-            lambda cc, i: F.element_at(
-                F.col("__blut"), i * F.lit(ks) + cc.cast("int") + F.lit(129)
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = pq_adc_dot_expr(codebook, F.col("__bvec"), F.col("pqcode"))
     approx = F.try_divide(adc, F.col("__bstd") * F.col("pq_tnorm"))
     margin = F.col("__cmargin") + F.lit(1e-9)
     survivors = (
