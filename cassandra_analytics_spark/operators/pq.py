@@ -295,6 +295,164 @@ def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
     return F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def pq_pairs_from_cells(
+    assigned: DataFrame,
+    codebook: PQCodebook,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 10_000,
+    dot_fn=None,
+    norm_fn=None,
+    skew_observation=None,
+) -> DataFrame:
+    """Within-cell near-dup pairs over a PQ-encoded, RESIDUAL-carrying
+    frame (``pq_encode(with_residual=True)`` columns + ``cell``): the
+    quadratic pair expansion carries m-byte CODES + three doubles
+    through the cell exchange instead of the float vectors — the PQ
+    twin of ``ann_index._quantized_pairs_from_cells`` (SQ8), the
+    exchange that dominates SemDeDup at corpus scale.
+
+    The prefilter is exactness-preserving by the PER-ROW MEASURED
+    bound (PQ's answer to SQ8's closed form): writing x = x̂ + e_x
+    with stored ``pq_err = ‖e‖`` and ``pq_tnorm = ‖x‖``,
+
+        x·y = x̂·ŷ + x̂·e_y + e_x·ŷ + e_x·e_y, so
+        |x·y − x̂·ŷ| ≤ ‖x̂‖·r_y + ‖ŷ‖·r_x + r_x·r_y   (Cauchy-Schwarz)
+
+    and a pair survives iff ``x̂·ŷ/(‖x‖‖y‖) ≥ threshold − (‖x̂‖r_y +
+    ‖ŷ‖r_x + r_x r_y)/(‖x‖‖y‖) − 1e-9``: no true pair can be dropped,
+    false survivors die in the exact float confirm (joined back by id
+    from the same frame), so the output is IDENTICAL to the float pair
+    stage. ``x̂·ŷ`` is the symmetric (code-vs-code) ADC — m·dsub = dim
+    multiplies per pair against the flat codebook literal, pure
+    codegen, the same arithmetic as a float dot over ~1/12 the
+    shuffled payload. Custom ``dot_fn``/``norm_fn`` enter ONLY the
+    exact confirm (the bound is stated for standard float math; the
+    1e-9 headroom covers ulp drift). Requires unique ids (the confirm
+    joins by id); NULL-code/NULL-vector rows never pair."""
+    from cassandra_analytics_spark.operators.dedup import (
+        _bucket_candidate_pairs,
+    )
+    from cassandra_analytics_spark.operators.similarity import (
+        dot as _dot,
+        norm as _norm,
+    )
+
+    dotf = dot_fn or _dot
+    normf = norm_fn or _norm
+    m_, ks, dsub = codebook.m, codebook.ks, codebook.dsub
+    flat_lit = F.lit(
+        [
+            float(x)
+            for book in codebook.centroids
+            for cent in book
+            for x in cent
+        ]
+    )
+    tagged = assigned.filter(
+        F.col(vec_col).isNotNull() & F.col("pqcode").isNotNull()
+    ).select(
+        id_col,
+        F.struct(
+            F.col("pqcode").alias("q"),
+            F.col("pq_norm").alias("nh"),
+            F.col("pq_tnorm").alias("tn"),
+            F.col("pq_err").alias("r"),
+            F.col("cell").alias("c"),
+        ).alias("__p"),
+        F.col("cell").alias("__cell"),
+    )
+    pairs = _bucket_candidate_pairs(
+        tagged, ["__cell"], id_col, "__p", max_cluster,
+        skew_observation=skew_observation,
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    len_guard = F.when(
+        (F.size(pa["q"]) == F.lit(m_)) & (F.size(pb["q"]) == F.lit(m_)),
+        F.lit(True),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pq_pairs_from_cells: codebook has m={m_} subspaces but "
+                "found a code vector of another length — the frame was "
+                "encoded with a different codebook"
+            )
+        ).cast("boolean")
+    )
+    # symmetric ADC: x̂·ŷ = Σ_i c_i[a_i]·c_i[b_i] against the flat
+    # codebook literal (codes are stored as argmin − 128)
+    dot_rec = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_ - 1)),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(1), F.lit(dsub)),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.element_at(
+                    flat_lit,
+                    (
+                        i * F.lit(ks)
+                        + F.element_at(pa["q"], i + 1).cast("int")
+                        + F.lit(128)
+                    )
+                    * F.lit(dsub)
+                    + t,
+                )
+                * F.element_at(
+                    flat_lit,
+                    (
+                        i * F.lit(ks)
+                        + F.element_at(pb["q"], i + 1).cast("int")
+                        + F.lit(128)
+                    )
+                    * F.lit(dsub)
+                    + t,
+                ),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = F.when(
+        len_guard, F.try_divide(dot_rec, pa["tn"] * pb["tn"])
+    )
+    margin = F.try_divide(
+        pa["nh"] * pb["r"] + pb["nh"] * pa["r"] + pa["r"] * pb["r"],
+        pa["tn"] * pb["tn"],
+    ) + F.lit(1e-9)
+    survivors = (
+        pairs.select(
+            "a",
+            "b",
+            pa["c"].alias("cell"),
+            approx.alias("__approx"),
+            margin.alias("__margin"),
+        )
+        .filter(
+            F.col("__approx").isNotNull()
+            & (F.col("__approx") >= F.lit(threshold) - F.col("__margin"))
+        )
+        .select("a", "b", "cell")
+    )
+    va = assigned.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
+    )
+    vb = assigned.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb")
+    )
+    exact = F.try_divide(
+        dotf(F.col("__va"), F.col("__vb")),
+        normf(F.col("__va")) * normf(F.col("__vb")),
+    )
+    return (
+        survivors.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", "cell", exact.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def pq_adc_topk(
     qdf: DataFrame,
     codebook: PQCodebook,

@@ -370,12 +370,35 @@ def _publish_and_append(
     is_pq = (raw_spec or {}).get("format") == "ivf-pq-v1"
     quantized = (not is_pq) and _spec_quantized(raw_spec)
     # within-batch pairs (shared expansion: same-id pairs dropped,
-    # over-cap cells skipped); the assigned batch of a quantized layout
-    # carries its codes already (assign_with_index_spec). On a PQ
-    # layout the within-batch expansion stays FLOAT — the batch x batch
-    # work is batch-bounded, and the PQ lever targets the
-    # corpus-proportional cross join below
-    if quantized:
+    # over-cap cells skipped); the assigned batch of a coded layout
+    # carries its codes already (assign_with_index_spec /
+    # assign_with_ivf_pq_spec), so BOTH code schemes route the
+    # quadratic pair-struct exchange through their codes — the r13
+    # lesson, re-measured for PQ in r14: with the in-batch expansion
+    # left on floats the PQ arm's shuffle came out 0.76x (WORSE than
+    # float), because this exchange dominates the trigger
+    pq_codebook = None
+    if is_pq:
+        from cassandra_analytics_spark.operators.pq import (
+            _resolve_ivf_pq_codebook,
+            pq_pairs_from_cells,
+        )
+
+        if not raw_spec.get("residuals"):
+            raise ValueError(
+                f"IVF-PQ layout at {index_path!r} was saved without "
+                "residuals=True — the streaming prefilters' per-row "
+                "bound needs pq_tnorm/pq_err; rebuild with "
+                "save_ivf_pq_index(residuals=True)"
+            )
+        pq_codebook = _resolve_ivf_pq_codebook(
+            spark, index_path, raw_spec, None, caller="_publish_and_append"
+        )
+        in_pairs = pq_pairs_from_cells(
+            assigned, pq_codebook, threshold, id_col, vec_col,
+            max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
+        )
+    elif quantized:
         in_pairs = _quantized_pairs_from_cells(
             assigned, threshold, id_col, vec_col, max_cell,
             dot_fn, norm_fn, None,
@@ -398,6 +421,7 @@ def _publish_and_append(
         cross = _cross_pairs_pq(
             spark, assigned, index_path, touched, threshold,
             id_col, vec_col, dotf, normf, max_cell, raw_spec,
+            pq_codebook,
         )
     elif quantized:
         cross = _cross_pairs_quantized(
@@ -603,7 +627,7 @@ def _cross_pairs_quantized(
 
 def _cross_pairs_pq(
     spark, assigned, index_path, touched, threshold,
-    id_col, vec_col, dotf, normf, max_cell, spec,
+    id_col, vec_col, dotf, normf, max_cell, spec, codebook=None,
 ):
     """Batch-vs-corpus pairs over an IVF-PQ layout: the corpus side of
     the batch x occupancy expansion carries m-byte PQ CODES plus three
@@ -655,7 +679,7 @@ def _cross_pairs_pq(
             "residuals=True)"
         )
     codebook = _resolve_ivf_pq_codebook(
-        spark, index_path, spec, None, caller="_cross_pairs_pq"
+        spark, index_path, spec, codebook, caller="_cross_pairs_pq"
     )
     corpus = spark.read.parquet(index_path).filter(
         F.col("cell").isin(touched)
