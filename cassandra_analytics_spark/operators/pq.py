@@ -67,20 +67,28 @@ def train_pq_codebook(
     sample_size: int = 20_000,
     iterations: int = 20,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> PQCodebook:
     """Per-subspace k-means over a bounded sample — driver-side numpy
     (the FAISS train-on-sample posture; the sample collect is bounded
     like the IVF centroid table). The sample is RANDOM — the
-    ``sample_size`` rows with the smallest seeded xxhash64 of the
-    vector (a distributed top-N, TakeOrdered — no full count job, no
-    dependence on partition order), not the first N in scan order: on
-    a corpus sorted or partitioned by cluster a prefix sample trains
-    the codebook on a biased subset and recall degrades (FAISS trains
-    on a random sample; r13 ADVICE low). Deterministic under ``seed``
-    regardless of partitioning. Empty clusters are re-seeded from the
-    farthest points so every codeword is live. Vectors shorter/longer
-    than the first row's length, NULLs excluded; ``dim % m != 0`` and
-    ``ks > 256`` are refused."""
+    ``sample_size`` rows with the smallest seeded xxhash64 (a
+    distributed top-N, TakeOrdered — no full count job, no dependence
+    on partition order), not the first N in scan order: on a corpus
+    sorted or partitioned by cluster a prefix sample trains the
+    codebook on a biased subset and recall degrades (FAISS trains on a
+    random sample; r13 ADVICE low). ``id_col`` SALTS the hash with the
+    row-unique id so identical vectors spread across the hash order —
+    hashing the vector alone maps every duplicate of one document to
+    ONE hash value, and on a duplicate-heavy corpus a single
+    low-hashing duplicate group can fill the whole sample with copies
+    of one vector (r14 ADVICE low); the layout builders pass their id
+    column, direct callers without stable ids keep the vector-only
+    hash (still scan-order independent). Deterministic under ``seed``
+    regardless of partitioning either way. Empty clusters are
+    re-seeded from the farthest points so every codeword is live.
+    Vectors shorter/longer than the first row's length, NULLs
+    excluded; ``dim % m != 0`` and ``ks > 256`` are refused."""
     import numpy as np
 
     if m < 1:
@@ -90,11 +98,17 @@ def train_pq_codebook(
             f"train_pq_codebook: ks must be in [1, 256] (codes are one "
             f"byte), got {ks}"
         )
+    hash_cols = [F.col(vec_col)]
+    if id_col is not None:
+        hash_cols.append(F.col(id_col))
     rows = (
-        df.select(F.col(vec_col))
+        df.select(F.col(vec_col), *(
+            [F.col(id_col)] if id_col is not None else []
+        ))
         .filter(F.col(vec_col).isNotNull())
-        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .orderBy(F.xxhash64(*hash_cols, F.lit(seed)))
         .limit(sample_size)
+        .select(F.col(vec_col))
         .collect()
     )
     if not rows:
@@ -249,6 +263,39 @@ def pq_encode(
     return df.select(*cols)
 
 
+def _guard_code_range(ccol, ks: int, caller: str):
+    """Wrap a PQ code column so any code indexing past a ``ks``-codeword
+    codebook raises LOUDLY instead of silently scoring as NULL: codes
+    are stored as argmin − 128, so a frame encoded with a LARGER-ks
+    codebook (same m) carries values whose ``code + 128 >= ks`` —
+    ``element_at`` against this codebook's flat literal would return
+    NULL under non-ANSI mode and the row (or pair) would silently
+    vanish from the result. Shared by every direct-API PQ scorer
+    (``pq_adc_topk``, ``pq_adc_dot_expr``, ``pq_pairs_from_cells``) so
+    they self-check identically (r14 ADVICE low); the persisted-layout
+    paths additionally check spec geometry before ever building the
+    expression. NULL code vectors pass through (the callers' NULL
+    contract)."""
+    rng_bad = F.exists(
+        ccol, lambda c: c.cast("int") + F.lit(128) >= F.lit(ks)
+    )
+    return (
+        F.when(ccol.isNull(), ccol)
+        .when(
+            rng_bad,
+            F.raise_error(
+                F.lit(
+                    f"{caller}: codebook has ks={ks} codewords but "
+                    "found a code past that range — the frame was "
+                    "encoded with a different (larger-ks) codebook; "
+                    "re-encode or pass the matching codebook"
+                )
+            ).cast("array<tinyint>"),
+        )
+        .otherwise(ccol)
+    )
+
+
 def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
     """The ADC dot ``v · x̂`` as a PURE-CODEGEN expression over a float
     vector column and a corpus code column — for callers whose "query
@@ -277,6 +324,9 @@ def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
     flat_lit = F.lit(flat)
     vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     ccol = F.col(code_col) if isinstance(code_col, str) else code_col
+    # loud on codes from a larger-ks codebook (shared guard) — without
+    # it element_at returns NULL and the pair silently drops
+    ccol = _guard_code_range(ccol, ks, "pq_adc_dot_expr")
     contrib = F.transform(
         ccol,
         lambda c, i: F.aggregate(
@@ -381,7 +431,12 @@ def pq_pairs_from_cells(
         ).cast("boolean")
     )
     # symmetric ADC: x̂·ŷ = Σ_i c_i[a_i]·c_i[b_i] against the flat
-    # codebook literal (codes are stored as argmin − 128)
+    # codebook literal (codes are stored as argmin − 128); both sides
+    # go through the shared range guard — an out-of-range code from a
+    # larger-ks codebook raises instead of NULLing the pair out of the
+    # prefilter (which would silently break the exactness bound)
+    qa = _guard_code_range(pa["q"], ks, "pq_pairs_from_cells")
+    qb = _guard_code_range(pb["q"], ks, "pq_pairs_from_cells")
     dot_rec = F.aggregate(
         F.transform(
             F.sequence(F.lit(0), F.lit(m_ - 1)),
@@ -393,7 +448,7 @@ def pq_pairs_from_cells(
                     flat_lit,
                     (
                         i * F.lit(ks)
-                        + F.element_at(pa["q"], i + 1).cast("int")
+                        + F.element_at(qa, i + 1).cast("int")
                         + F.lit(128)
                     )
                     * F.lit(dsub)
@@ -403,7 +458,7 @@ def pq_pairs_from_cells(
                     flat_lit,
                     (
                         i * F.lit(ks)
-                        + F.element_at(pb["q"], i + 1).cast("int")
+                        + F.element_at(qb, i + 1).cast("int")
                         + F.lit(128)
                     )
                     * F.lit(dsub)
@@ -514,16 +569,9 @@ def pq_adc_topk(
     ]
     lut_lit = F.lit(lut)
     dim_ok = F.size(F.col(code_col)) == F.lit(m)
-    # range guard: a corpus encoded with a LARGER-ks codebook carries
-    # codes that index past this LUT — element_at would return NULL
-    # (non-ANSI) and those rows would silently vanish from the result
-    # instead of failing loudly (r13 ADVICE low; the persisted-layout
-    # paths check spec geometry, the direct API must self-check).
-    # Stored code = argmin − 128, so only the upper bound can drift.
-    rng_bad = F.exists(
-        F.col(code_col),
-        lambda c: c.cast("int") + F.lit(128) >= F.lit(ks),
-    )
+    # dim guard here, then the SHARED code-range guard (r13/r14 ADVICE
+    # lows): a larger-ks encode would index past this LUT and NULL the
+    # row out silently under non-ANSI element_at.
     guarded = (
         F.when(F.col(code_col).isNull(), F.col(code_col))
         .when(
@@ -538,18 +586,7 @@ def pq_adc_topk(
                 )
             ).cast("array<tinyint>"),
         )
-        .when(
-            rng_bad,
-            F.raise_error(
-                F.lit(
-                    f"pq_adc_topk: codebook has ks={ks} codewords but "
-                    "found a code past that range — the corpus was "
-                    "encoded with a different (larger-ks) codebook; "
-                    "re-encode or pass the matching codebook"
-                )
-            ).cast("array<tinyint>"),
-        )
-        .otherwise(F.col(code_col))
+        .otherwise(_guard_code_range(F.col(code_col), ks, "pq_adc_topk"))
     )
     # element_at is 1-based; stored code = argmin − 128
     contrib = F.transform(
@@ -608,7 +645,7 @@ def save_pq_index(
     if codebook is None:
         codebook = train_pq_codebook(
             df, vec_col=vec_col, m=m, ks=ks, sample_size=sample_size,
-            iterations=iterations, seed=seed,
+            iterations=iterations, seed=seed, id_col=id_col,
         )
     from cassandra_analytics_spark.fs import delete_path
 
@@ -883,7 +920,7 @@ def save_ivf_pq_index(
     if codebook is None:
         codebook = train_pq_codebook(
             df, vec_col=vec_col, m=m, ks=ks, sample_size=sample_size,
-            iterations=iterations, seed=seed,
+            iterations=iterations, seed=seed, id_col=id_col,
         )
     delete_path(spark, f"{index_path}_spec")
     encoded = pq_encode(

@@ -3278,11 +3278,15 @@ def ann_ivf_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, path, num_centroids=n_cells, m=16, ks=32,
             sample_size=5_000, iterations=10, seed=42,
         )
+        # rescore_factor=24: the id-salted training sample (r14 ADVICE
+        # low) moves the codebook vs r14, and the k*8 window no longer
+        # absorbed every phase-1 swap at sf0.01 — same widening as
+        # ann_pq_append_topk's half-trained-codebook window
         return (
             ivf_knn_join(
                 queries_df, path, k=5, num_probes=n_cells,
                 dot_fn=_pdot, norm_fn=_psq_norm,
-                use_pq=True, rescore_factor=8,
+                use_pq=True, rescore_factor=24,
             )
             .orderBy("qid", "vec_id")
             .localCheckpoint(eager=True)

@@ -12,6 +12,19 @@ Requires ``spark.ui.enabled=true`` (the repo session default is false —
 pass ``extra_conf={"spark.ui.enabled": "true"}``); returns None when
 the UI is off rather than guessing, so callers degrade loudly-visibly
 (a missing ``bytes`` map in BENCH output) instead of recording zeros.
+
+Snapshots carry a per-stageId breakdown (``__stages__``) so
+:func:`delta` can diff PER STAGE instead of diffing cumulative totals:
+the UI EVICTS old stages past ``spark.ui.retainedStages`` (default
+1000), so late in a long app the "after" cumulative snapshot can lose
+more history than the interval added and a cumulative diff goes
+NEGATIVE (BENCH_r14 recorded input_records: -60354 for
+dedup_ngram_jaccard at stage ~2244 — VERDICT r14). Per-stage diffing
+only ever counts stages present in the AFTER snapshot: a stage new
+since the before-snapshot contributes its full bytes, a stage present
+in both contributes its (non-negative) growth, and an EVICTED stage —
+which by definition completed before the interval — contributes
+nothing, which is exactly its share of the interval.
 """
 
 from __future__ import annotations
@@ -33,33 +46,43 @@ _FIELDS = {
     "output_bytes": "outputBytes",
 }
 
+_STAGES_KEY = "__stages__"
 
-def _aggregate_stages(stages: list[dict]) -> dict[str, int]:
-    """Sum the byte fields over one StageData list. /stages lists one
-    entry per stage ATTEMPT — a retried stage (task/fetch failure)
-    would double-count its bytes and trip the bench plan-vs-weather
-    classifier on weather, not plan (r13 ADVICE low) — so only the
-    LATEST attempt of each stageId counts."""
-    latest: dict[int, dict] = {}
+
+def _stage_field_maps(stages: list[dict]) -> dict[int, dict[str, int]]:
+    """Per-stageId field maps over one StageData list. /stages lists one
+    entry per stage ATTEMPT; summing attempts would double-count a
+    retried stage's bytes and trip the bench plan-vs-weather classifier
+    on weather (r13 ADVICE low). Aggregation is the per-field MAX
+    across attempts (r14 ADVICE low): a re-attempt reruns only the
+    MISSING partitions, so the latest attempt alone can UNDERCOUNT the
+    stage — the max across attempts is the closest observable to the
+    stage's full plan bytes (exact when any attempt ran all tasks,
+    never less than the best single attempt otherwise)."""
+    per: dict[int, dict[str, int]] = {}
     for s in stages:
         sid = int(s.get("stageId", -1))
-        prev = latest.get(sid)
-        if prev is None or int(s.get("attemptId", 0)) > int(
-            prev.get("attemptId", 0)
-        ):
-            latest[sid] = s
-    out = {k: 0 for k in _FIELDS}
-    for s in latest.values():
+        cur = per.setdefault(sid, {k: 0 for k in _FIELDS})
         for k, field in _FIELDS.items():
-            out[k] += int(s.get(field, 0) or 0)
+            cur[k] = max(cur[k], int(s.get(field, 0) or 0))
+    return per
+
+
+def _aggregate_stages(stages: list[dict]) -> dict[str, int]:
+    """Sum the per-stage field maps over one StageData list (attempt
+    handling per :func:`_stage_field_maps`)."""
+    out = {k: 0 for k in _FIELDS}
+    for fields in _stage_field_maps(stages).values():
+        for k in _FIELDS:
+            out[k] += fields[k]
     return out
 
 
-def stage_totals(spark) -> dict[str, int] | None:
-    """Cumulative byte totals over every COMPLETED stage of this app so
-    far, or None when the UI/REST endpoint is disabled. Snapshot before
-    and after a workload and diff with :func:`delta` to attribute bytes
-    to it."""
+def stage_totals(spark) -> dict | None:
+    """Byte totals over every COMPLETED stage of this app so far, plus
+    the per-stageId breakdown under ``__stages__`` — or None when the
+    UI/REST endpoint is disabled. Snapshot before and after a workload
+    and diff with :func:`delta` to attribute bytes to it."""
     ui = spark.sparkContext.uiWebUrl
     if not ui:
         return None
@@ -70,13 +93,38 @@ def stage_totals(spark) -> dict[str, int] | None:
             stages = json.load(resp)
     except Exception:
         return None
-    return _aggregate_stages(stages)
+    per = _stage_field_maps(stages)
+    out: dict = {k: 0 for k in _FIELDS}
+    for fields in per.values():
+        for k in _FIELDS:
+            out[k] += fields[k]
+    out[_STAGES_KEY] = per
+    return out
 
 
-def delta(before: dict[str, int] | None,
-          after: dict[str, int] | None) -> dict[str, int] | None:
-    """after - before, None-propagating (either snapshot missing →
-    None, never a fabricated zero)."""
+def delta(before: dict | None, after: dict | None) -> dict[str, int] | None:
+    """Byte attribution for the interval between two snapshots,
+    None-propagating (either snapshot missing → None, never a
+    fabricated zero).
+
+    When both snapshots carry the per-stage breakdown, the diff is PER
+    STAGEID: stages only in ``after`` count in full, stages in both
+    count their (clamped non-negative) growth, and stages evicted from
+    the UI between snapshots count zero — so the result can never go
+    negative when the UI drops history (the BENCH_r14 negative-delta
+    artifact). Plain field-dict snapshots (no breakdown) fall back to
+    the cumulative field-wise diff."""
     if before is None or after is None:
         return None
+    bs = before.get(_STAGES_KEY)
+    as_ = after.get(_STAGES_KEY)
+    if bs is not None and as_ is not None:
+        out = {k: 0 for k in _FIELDS}
+        for sid, fields in as_.items():
+            prev = bs.get(sid)
+            for k in _FIELDS:
+                grown = fields.get(k, 0) - (prev.get(k, 0) if prev else 0)
+                if grown > 0:
+                    out[k] += grown
+        return out
     return {k: after.get(k, 0) - before.get(k, 0) for k in _FIELDS}

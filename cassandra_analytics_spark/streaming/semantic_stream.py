@@ -73,6 +73,32 @@ def _spec_exists(spark, index_path: str) -> bool:
         return False
 
 
+_PQ_OPTION_KEYS = frozenset({"m", "ks", "sample_size", "iterations", "seed"})
+
+
+def _validate_pq_options(pq: dict | None) -> None:
+    """Refuse unknown ``pq=`` keys LOUDLY: the bootstrap filters the
+    dict to the known keys before passing it to ``save_ivf_pq_index``,
+    so a misspelled key (e.g. ``samplesize``) would otherwise be
+    silently ignored and the codebook would train with defaults — a
+    silent misconfiguration baked into a frozen-forever bootstrap
+    codebook (r14 ADVICE low)."""
+    if pq is None:
+        return
+    if not isinstance(pq, dict):
+        raise ValueError(
+            f"pq= must be a dict of PQ training options, got {type(pq).__name__}"
+        )
+    unknown = sorted(set(pq) - _PQ_OPTION_KEYS)
+    if unknown:
+        raise ValueError(
+            f"unknown pq= option(s) {unknown} — allowed keys: "
+            f"{sorted(_PQ_OPTION_KEYS)} (the bootstrap codebook is "
+            "frozen forever; a silently-ignored option would train it "
+            "with defaults)"
+        )
+
+
 def run_semantic_dedup_stream(
     stream: DataFrame,
     index_path: str,
@@ -179,6 +205,7 @@ def run_semantic_dedup_stream(
             "quantize=True (SQ8 codes) and pq= (product quantization) "
             "are mutually exclusive — a layout carries one code scheme"
         )
+    _validate_pq_options(pq)
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="semdedup-stream-ckpt-")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -250,6 +277,7 @@ def process_semantic_batch(
             "quantize=True (SQ8 codes) and pq= (product quantization) "
             "are mutually exclusive — a layout carries one code scheme"
         )
+    _validate_pq_options(pq)
     if not _spec_exists(spark, index_path):
         # bootstrap: the first batch IS the corpus — build the layout
         # (overwrite-idempotent on replay), report its internal pairs.

@@ -646,3 +646,72 @@ def test_ivf_pq_vectorized_assignment_mode(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="assignment must be"):
         save_ivf_pq_index(first, str(tmp_path / "x"), assignment="bogus")
+
+
+def test_adc_dot_expr_and_pairs_share_code_range_guard(spark):
+    """r14 ADVICE low: pq_adc_dot_expr / pq_pairs_from_cells must fail
+    LOUDLY on codes from a larger-ks codebook, exactly like pq_adc_topk
+    — without the guard element_at NULLs the pair out of the prefilter
+    and the approx filter silently drops it."""
+    from cassandra_analytics_spark.operators.pq import (
+        pq_adc_dot_expr,
+        pq_pairs_from_cells,
+    )
+
+    rows, df = _corpus(spark, n=120)
+    big = train_pq_codebook(df, m=4, ks=64, seed=3)
+    small = train_pq_codebook(df, m=4, ks=16, seed=3)
+    enc_big = pq_encode(df, big, keep_vec=True)
+    assert enc_big.filter(
+        F.exists("pqcode", lambda c: c.cast("int") + F.lit(128) >= 16)
+    ).count() > 0
+    # pq_adc_dot_expr against the mismatched (smaller) codebook: loud
+    with pytest.raises(Exception, match="ks=16 codewords"):
+        enc_big.select(
+            pq_adc_dot_expr(small, "embedding", "pqcode").alias("d")
+        ).collect()
+    # the matching codebook still scores the same frame fine
+    got = enc_big.select(
+        pq_adc_dot_expr(big, "embedding", "pqcode").alias("d")
+    )
+    assert got.filter(F.col("d").isNotNull()).count() == 120
+
+    # pq_pairs_from_cells: same loud refusal through the pair expansion
+    enc_res = pq_encode(df, big, keep_vec=True, with_residual=True)
+    assigned = enc_res.withColumn("cell", F.lit(0))
+    with pytest.raises(Exception, match="ks=16 codewords"):
+        pq_pairs_from_cells(assigned, small, 0.5).collect()
+    # and the matching codebook produces a well-formed pair set
+    ok = pq_pairs_from_cells(assigned, big, 0.99)
+    assert set(ok.columns) == {"a", "b", "cell", "cosine_sim"}
+    ok.collect()  # must not raise
+
+
+def test_training_sample_id_salt_spreads_duplicates(spark):
+    """r14 ADVICE low: hashing the vector alone maps every duplicate of
+    one document to ONE hash value, so a low-hashing duplicate group
+    can fill the whole training sample with copies of one vector. With
+    id_col= the hash is salted per-row: a duplicate-heavy corpus must
+    contribute more than a couple of distinct vectors to the sample."""
+    import random as _random
+
+    rng = _random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    # 40 distinct vectors x 50 copies each = 2000 rows, heavily duplicated
+    rows = [(i, base[i % 40]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    salted = train_pq_codebook(
+        df, m=4, ks=16, sample_size=200, seed=3, id_col="vec_id"
+    )
+    # determinism under the salt: same inputs, same codebook — and
+    # scan-order independence still holds (ids are stable row keys)
+    again = train_pq_codebook(
+        df.orderBy(F.col("vec_id").desc()).repartition(5),
+        m=4, ks=16, sample_size=200, seed=3, id_col="vec_id",
+    )
+    assert salted == again
+    # the salted sample saw enough distinct vectors to train 16 live,
+    # distinct codewords per subspace (an unsalted all-one-vector
+    # sample would collapse every centroid onto one point)
+    for book in salted.centroids:
+        assert len(set(book)) == 16

@@ -649,3 +649,24 @@ def test_stream_pq_margin_sound_at_threshold_boundary(spark, tmp_path):
         for r in semantic_dedup_pairs(df, one_cell, threshold=0.95).collect()
     }
     assert got == want and len(want) > 100  # dense boundary pairs exist
+
+
+def test_pq_options_unknown_keys_refused():
+    """r14 ADVICE low: the bootstrap filters pq= to the known keys, so a
+    misspelled key (samplesize) would silently train the frozen-forever
+    bootstrap codebook with defaults — must refuse loudly instead."""
+    import pytest
+
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        _validate_pq_options,
+    )
+
+    _validate_pq_options(None)  # no PQ: nothing to validate
+    _validate_pq_options({})    # all-defaults is legal
+    _validate_pq_options(
+        {"m": 8, "ks": 64, "sample_size": 100, "iterations": 5, "seed": 1}
+    )
+    with pytest.raises(ValueError, match="samplesize"):
+        _validate_pq_options({"m": 8, "samplesize": 100})
+    with pytest.raises(ValueError, match="must be a dict"):
+        _validate_pq_options([("m", 8)])

@@ -60,3 +60,57 @@ def test_aggregate_stages_dedupes_attempts():
     assert _aggregate_stages([{"stageId": 9, "attemptId": 0}])[
         "input_bytes"
     ] == 0
+
+
+def test_delta_per_stage_never_negative_under_eviction():
+    """VERDICT r14: the UI evicts old stages past spark.ui.retainedStages,
+    so a CUMULATIVE diff late in a long app can lose more history than
+    the interval added and go negative (BENCH_r14 recorded
+    input_records: -60354). The per-stage diff must attribute only the
+    stages present in the AFTER snapshot."""
+    from cassandra_analytics_spark.stage_metrics import _STAGES_KEY, delta
+
+    def snap(stages):
+        out = {"input_bytes": 0, "input_records": 0,
+               "shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+               "output_bytes": 0, _STAGES_KEY: stages}
+        for f in stages.values():
+            for k in out:
+                if k != _STAGES_KEY:
+                    out[k] += f.get(k, 0)
+        return out
+
+    row = lambda recs: {"input_bytes": 0, "input_records": recs,
+                        "shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+                        "output_bytes": 0}
+    # before: stages 1..3 complete (300 records of history)
+    before = snap({1: row(100), 2: row(100), 3: row(100)})
+    # after: the UI evicted stages 1-2, the interval added stage 4 (40)
+    after = snap({3: row(100), 4: row(40)})
+    d = delta(before, after)
+    assert d is not None
+    assert d["input_records"] == 40  # NOT 140 - 300 = -160
+    assert all(v >= 0 for v in d.values())
+    # a stage present in both snapshots counts only its growth
+    grown = snap({3: row(130), 4: row(40)})
+    assert delta(before, grown)["input_records"] == 70
+
+
+def test_aggregate_stages_takes_max_across_attempts():
+    """r14 ADVICE low: a stage re-attempt reruns only the MISSING
+    partitions, so the latest attempt alone can UNDERCOUNT — the
+    per-field max across attempts is the closest observable to the
+    stage's full plan bytes."""
+    from cassandra_analytics_spark.stage_metrics import _aggregate_stages
+
+    stages = [
+        # attempt 0 ran all tasks (full bytes), attempt 1 only reran a
+        # missing subset — the stage must count 100, not 30
+        {"stageId": 5, "attemptId": 0, "shuffleWriteBytes": 100,
+         "inputRecords": 50},
+        {"stageId": 5, "attemptId": 1, "shuffleWriteBytes": 30,
+         "inputRecords": 10},
+    ]
+    got = _aggregate_stages(stages)
+    assert got["shuffle_write_bytes"] == 100
+    assert got["input_records"] == 50
