@@ -35,3 +35,30 @@ def glob_exists(spark: SparkSession, pattern: str) -> bool:
     fs, path = _fs_and_path(spark, pattern)
     statuses = fs.globStatus(path)
     return statuses is not None and len(statuses) > 0
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename ``src`` to ``dst`` via the store's own rename (atomic on
+    HDFS/local, copy-free). Returns False when the store refuses (e.g.
+    destination exists) — callers decide whether that is fatal."""
+    fs, s = _fs_and_path(spark, src)
+    _, d = _fs_and_path(spark, dst)
+    return bool(fs.rename(s, d))
+
+
+def list_files(spark: SparkSession, path_str: str,
+               suffix: str | None = None) -> list[str]:
+    """Recursively list the FILES under ``path_str`` (empty when the
+    path is absent), optionally filtered by suffix — the store-agnostic
+    twin of a recursive glob, for file-count assertions (compaction)
+    and manifest checks."""
+    fs, path = _fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if suffix is None or p.endswith(suffix):
+            out.append(p)
+    return out

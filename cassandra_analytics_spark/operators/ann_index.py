@@ -1518,3 +1518,149 @@ def ivf_knn_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+_ANN_FORMAT_PARTITION_COL = {
+    "ann-lsh-v1": "sig",
+    "ivf-v1": "cell",
+    "pq-v1": None,
+    "ivf-pq-v1": "cell",
+}
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    files_per_partition: int = 1,
+) -> dict:
+    """Spec-preserving compaction of a persisted ANN layout (any of the
+    four formats: sign-LSH, IVF, flat-PQ, IVF-PQ): rewrite the DATA
+    files coalesced — ``files_per_partition`` output files per cell/sig
+    directory (or per layout for the unpartitioned flat-PQ) — without
+    touching the spec, codebook, or centroid sidecars, so every code,
+    norm, and residual rides through byte-identical and reads resolve
+    exactly as before.
+
+    WHY: every ``append_to_*_index`` lands one file set per batch
+    (parquet ``append`` only adds files), so daily ingest accrues
+    unbounded small files on the hottest read path — the classic
+    small-files problem; footer/open overhead starts to dominate the
+    partition-pruned probes the layouts exist to keep fast. This is the
+    ANN-layout member of the engine's maintenance-compaction family
+    (the bulk table's :func:`~cassandra_analytics_spark.sinks.
+    bulk_writer.compact_table`; reference analog: Cassandra's major
+    compaction — read amplification drops from O(#batches) to 1).
+
+    MID-REWRITE REFUSAL (the save_* delete-spec-first discipline): the
+    spec is STASHED aside (rename to ``{index_path}_spec__compacting``)
+    before the data rewrite and renamed back after the swap, so a
+    concurrent or post-crash read finds a spec-less layout and refuses
+    LOUDLY instead of reading a half-rewritten one; a crash leaves the
+    stashed spec next to the layout for explicit operator recovery
+    (restore the stash or rebuild). The rename preserves the spec
+    bytes exactly — no collect/rewrite drift.
+
+    The rewrite keeps the layout's partitioning (IVF/IVF-PQ cells, LSH
+    sigs) by shuffling on the partition column — one exchange over the
+    corpus, each cell landing whole in ``files_per_partition`` files —
+    and the data-dir swap is two renames (write to a sibling temp dir,
+    swap), never a copy. Duplicate ids from replayed appends are
+    PRESERVED (reads already resolve them; dropping rows is a merge
+    decision, not a compaction's).
+
+    Returns ``{"format", "files_before", "files_after"}`` (parquet data
+    files only)."""
+    from pyspark.errors import AnalysisException
+
+    from cassandra_analytics_spark.fs import (
+        delete_path,
+        glob_exists,
+        list_files,
+        rename_path,
+    )
+
+    if files_per_partition < 1:
+        raise ValueError(
+            f"files_per_partition must be >= 1, got {files_per_partition}"
+        )
+    spec_path = f"{index_path}_spec"
+    try:
+        rows = spark.read.parquet(spec_path).collect()
+    except AnalysisException:
+        raise ValueError(
+            f"{index_path!r} has no persisted spec ({spec_path}) — not a "
+            "persisted ANN layout (or a rebuild/compaction crashed "
+            "mid-write; rebuild, or restore the _spec__compacting stash)"
+        ) from None
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt spec at {spec_path}: expected exactly one row, "
+            f"found {len(rows)}"
+        )
+    fmt = rows[0].asDict().get("format")
+    if fmt not in _ANN_FORMAT_PARTITION_COL:
+        raise ValueError(
+            f"spec at {spec_path} has unknown layout format {fmt!r} — "
+            f"compactable formats: {sorted(_ANN_FORMAT_PARTITION_COL)}"
+        )
+    pcol = _ANN_FORMAT_PARTITION_COL[fmt]
+    # empty-corpus builds write UNpartitioned (the partition column is a
+    # data column) — detect from the directory shape, not the format
+    partitioned = pcol is not None and glob_exists(
+        spark, f"{index_path}/{pcol}=*"
+    )
+
+    files_before = len(list_files(spark, index_path, suffix=".parquet"))
+    df = spark.read.parquet(index_path)
+
+    # stash the spec FIRST: from here until the final rename-back, every
+    # read/append path refuses the layout (missing spec)
+    stash = f"{spec_path}__compacting"
+    delete_path(spark, stash)
+    if not rename_path(spark, spec_path, stash):
+        raise ValueError(
+            f"compact_ann_index: could not stash the spec {spec_path!r} "
+            f"aside — store refused the rename"
+        )
+    tmp = f"{index_path}__compacting_data"
+    try:
+        delete_path(spark, tmp)
+        if partitioned:
+            # hash-shuffle on the partition column so each cell lands
+            # whole in files_per_partition output files; the salt term
+            # only exists when >1 file per cell was asked for
+            if files_per_partition == 1:
+                shuffled = df.repartition(F.col(pcol))
+            else:
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(files_per_partition),
+                )
+                shuffled = df.repartition(F.col(pcol), salt)
+            shuffled.write.mode("overwrite").partitionBy(pcol).parquet(tmp)
+        else:
+            df.repartition(files_per_partition).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        # swap: delete the old data dir, move the compacted one in.
+        # A crash between the two leaves a data-less, spec-stashed
+        # layout — loud on every read, recoverable from tmp + stash.
+        delete_path(spark, index_path)
+        if not rename_path(spark, tmp, index_path):
+            raise ValueError(
+                f"compact_ann_index: could not move the compacted data "
+                f"into place at {index_path!r} — recover from {tmp!r} "
+                f"and {stash!r}"
+            )
+    finally:
+        # restore the spec even when the rewrite failed BEFORE touching
+        # the data dir (the common failure window) — the layout is then
+        # exactly as it was; failures after the swap restore the spec
+        # over the compacted (complete) data, which is also consistent
+        rename_path(spark, stash, spec_path)
+    files_after = len(list_files(spark, index_path, suffix=".parquet"))
+    return {
+        "format": fmt,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -45,83 +45,26 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # The round driver verifies the FIRST ~50 registry entries per round
 # (each CORRECTNESS_r{N}.json is exactly the first 50 in registration
 # order). To get every query a driver row across rounds, each round
-# front-loads the names that most need one — a discipline now enforced
-# by tests/test_evidence_freshness.py (red when a name's newest driver
+# front-loads the names that most need one — a discipline enforced by
+# tests/test_evidence_freshness.py (red when a name's newest driver
 # row is >4 rounds old and it is not in the upcoming window).
-# Round-14 priority (VERDICT r13 items 1-3, 6): (0) never
-# driver-proved — the two PQ-layout queries registered past the r13
-# window plus the four NEW r14 queries (PQ append roundtrips, the
-# IVF-PQ kNN join completing the composition matrix, and the streaming
-# PQ SemDeDup); (1) queries whose IMPLEMENTATION round 14 touched: the
-# PQ codebook now trains on a seeded-hash random sample and pq_adc_topk
-# gained the code-range guard (ann_pq_topk), ivf_knn_join's use_codes
-# phase 2 attaches the query payload AFTER the corpus join (r13 ADVICE
-# medium — ann_ivf_quantized_knn_join), and semantic_stream.py gained
-# the pq= scheme branch (both existing streaming SemDeDup names); (2)
-# the 19 r9-deferred names (5 rounds stale at r14 — MUST lead, the
-# r13 hand-off); (3) 21 of the 43 r10-cohort names — the
-# complex-operator subset (layout roundtrips, streaming, text,
-# embedding, packing). The 22 remaining r10 names (simple-SQL
-# agg/join/setop/window suites with untouched implementations) are
-# appended AFTER the window as dropout backfill and lead round 15.
-# After r14 no registered query's newest driver row is older than r10.
+# Round-15 priority (VERDICT r14 item 1): (0) the two NEW round-15
+# layout-compaction queries (never driver-proved names must lead the
+# window); (1) the 22 names whose newest driver row is r10 — the
+# oldest cohort in the repo, the r14 hand-off ("lead round 15"), one
+# round from the staleness boundary; (2) 26 of the 43 r12-cohort
+# names — the complex-operator subset (persisted-layout roundtrips,
+# incremental dedup, quantized top-k, streaming, sketches), scheduled
+# now to amortize the cohort before it hits the boundary at r17
+# (VERDICT r14: "schedule ~28 of them now"). The remaining 17 r12
+# names (TPC-H q8-q22 + the window suite, all simple-SQL with
+# untouched implementations) lead round 16. After r15 no registered
+# query's newest driver row is older than r12.
 _ROUND_PRIORITY: list[str] = [
-    # --- (0) never driver-proved: r13 past-window + new r14 names ---
-    "ann_pq_index_topk",             # persisted flat-PQ layout read
-    "ann_ivf_pq_topk",               # persisted IVF-PQ layout probe
-    "ann_pq_append_topk",            # r14: flat-PQ append roundtrip
-    "ann_ivf_pq_append_topk",        # r14: IVF-PQ append roundtrip
-    "ann_ivf_pq_knn_join",           # r14: kNN join over IVF-PQ codes
-    "streaming_semantic_dedup_pq",   # r14: streaming SemDeDup on PQ
-    # --- (1) implementation touched this round ---
-    "ann_pq_topk",                   # random training sample + ks guard
-    "ann_ivf_quantized_knn_join",    # thin phase-2 payload join
-    "streaming_semantic_dedup",            # stream body gained pq= branch
-    "streaming_semantic_dedup_quantized",  # same body, SQ8 scheme
-    # --- (2) r9-deferred cohort: five rounds stale, must lead ---
-    "asof_purchase_click",
-    "case_when_tiering",
-    "date_trunc_variants",
-    "distinct_part_attrs",
-    "having_big_customers",
-    "lww_latest_events",
-    "lww_partial_upsert",
-    "nested_map_clustering",
-    "nested_struct_explode",
-    "pk_in_list_pushdown",
-    "range_join_error_bursts",
-    "regexp_extract_groups",
-    "rollup_time_hierarchy",
-    "setop_except_all",
-    "setop_intersect_all",
-    "setop_union_by_name",
-    "skew_salted_returnflag",
-    "topk_global_orders",
-    "train_val_test_split",
-    # --- (3) r10 cohort, complex-operator subset (21 of 43) ---
-    "ann_ivf_topk",
-    "bundle_write_restore",
-    "cell_pivot_roundtrip",
-    "corpus_budget_select",
-    "dedup_fingerprint_md5",
-    "dedup_simhash_confirmed",
-    "embedding_label_norms",
-    "embedding_near_dup",
-    "embedding_near_dup_confirmed",
-    "lang_id_heuristic",
-    "lmt_last_modified",
-    "pack_training_chunks",
-    "partition_size_orders",
-    "static_column_propagation",
-    "stratified_sample_langs",
-    "streaming_hourly_stats",
-    "streaming_incremental_dedup",
-    "text_bpe_tokens",
-    "text_quality_features",
-    "text_token_stats",
-    "training_data_pipeline",
-    # --- past the 50-row window: remaining r10 names as dropout
-    # backfill (lead round 15) ---
+    # --- (0) never driver-proved: new r15 compaction queries ---
+    "ann_pq_compact_topk",           # r15: flat-PQ compaction roundtrip
+    "ann_ivf_pq_compact_topk",       # r15: IVF-PQ cell-kept compaction
+    # --- (1) r10 cohort: oldest driver rows in the repo (22) ---
     "agg_approx_distinct",
     "agg_approx_distinct_bounded",
     "agg_approx_quantile",
@@ -134,6 +77,9 @@ _ROUND_PRIORITY: list[str] = [
     "join_cross_region_status",
     "join_full_outer_nation_counts",
     "join_semi_open_orders",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
     "scalar_string_funcs",
     "setop_except_customers",
     "setop_intersect_customers",
@@ -141,9 +87,52 @@ _ROUND_PRIORITY: list[str] = [
     "sql_grouping_sets",
     "streaming_dedup_union",
     "window_lag_order_gap",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
+    # --- (2) r12 cohort, complex-operator subset (26 of 43) ---
+    "agg_hll_sketch_union",
+    "agg_median_percentiles",
+    "ann_ivf_quantized_topk",
+    "ann_lsh_append_topk",
+    "bulk_write_roundtrip",
+    "cosine_topk_embeddings",
+    "decontaminate_bloom",
+    "dedup_incremental_lsh",
+    "dedup_incremental_lsh_confirmed",
+    "dedup_incremental_pipeline",
+    "dedup_intradoc_segments",
+    "dedup_minhash_lsh",
+    "dedup_semantic_append_index",
+    "dedup_semantic_on_index",
+    "dedup_semantic_on_index_quantized",
+    "dedup_simhash",
+    "embedding_quantize_stats",
+    "events_hourly_stats",
+    "pack_greedy_bins",
+    "quantized_topk_join_rescored",
+    "quantized_topk_rescored",
+    "stat_moments_lineitem",
+    "stratified_hash_sample_langs",
+    "streaming_interval_join",
+    "streaming_sessionize",
+    "token_range_histogram",
+    # --- past the 50-row window: the remaining 17 r12 names as
+    # dropout backfill (lead round 16) ---
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "window_moving_avg",
+    "window_percent_rank",
+    "window_range_frame_revenue",
+    "window_running_revenue",
+    "window_topk_orders_per_customer",
 ]
 
 

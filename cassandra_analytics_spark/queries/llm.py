@@ -1438,6 +1438,117 @@ def ann_ivf_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_compact_topk",
+    oracle=_COSINE_ORACLE,
+    doc="Flat-PQ layout build + append + COMPACT + read, ORACLE-EXACT "
+    "(round 15, ann_index.compact_ann_index): appends land one file "
+    "set per batch forever (the small-files problem on the hottest "
+    "read path at daily-ingest scale), so compaction rewrites the "
+    "data files coalesced WITHOUT touching the spec or codebook — "
+    "the layout's codes, norms, and frozen-codebook contract ride "
+    "through byte-identical, and the compacted read must hash-match "
+    "the same brute-force oracle as the append roundtrip. The "
+    "maintenance posture of sinks.bulk_writer.compact_table applied "
+    "to the ANN layout family (reference analog: Cassandra major "
+    "compaction, read amplification O(#batches) -> 1).",
+)
+def ann_pq_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        compact_ann_index,
+    )
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_pq_index,
+        query_pq_index,
+        save_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    first = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    second = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="cas_pq_cmp_") + "/pq"
+    try:
+        save_pq_index(
+            first, path, m=16, ks=32, sample_size=5_000, iterations=10,
+            seed=42,
+        )
+        append_to_pq_index(second, path)
+        stats = compact_ann_index(spark, path)
+        if stats["files_after"] >= stats["files_before"]:
+            raise AssertionError(
+                f"compaction did not shrink the file count: {stats}"
+            )
+        # rescore_factor=24: build-half codebook, same window widening
+        # as ann_pq_append_topk
+        return query_pq_index(
+            spark, path, qvec, k=10, rescore_factor=24,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ann_ivf_pq_compact_topk",
+    oracle=_COSINE_ORACLE,
+    doc="IVF-PQ layout build + append + COMPACT + probe-all read, "
+    "ORACLE-EXACT (round 15): the compaction rewrite KEEPS the cell "
+    "partitioning — one shuffle on the cell key, each cell landing "
+    "whole in one file — so partition pruning still serves probes "
+    "afterwards, and the spec/codebook/centroid sidecars are never "
+    "rewritten (the frozen-codebook append contract survives the "
+    "compaction: the query must hash-match the brute-force oracle "
+    "over the full corpus exactly like ann_ivf_pq_append_topk).",
+)
+def ann_ivf_pq_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        compact_ann_index,
+    )
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        query_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    first = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    second = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="cas_ivfpq_cmp_") + "/ivfpq"
+    try:
+        save_ivf_pq_index(
+            first, path, num_centroids=8, m=16, ks=32,
+            sample_size=5_000, iterations=10, seed=42,
+        )
+        append_to_ivf_pq_index(second, path)
+        stats = compact_ann_index(spark, path)
+        if stats["files_after"] >= stats["files_before"]:
+            raise AssertionError(
+                f"compaction did not shrink the file count: {stats}"
+            )
+        return query_ivf_pq_index(
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "quantized_topk_join_rescored",
     oracle=_COSINE_ORACLE,
     doc="quantized_topk with the DISTRIBUTED rescore (rescore_mode="
