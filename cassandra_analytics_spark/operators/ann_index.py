@@ -1161,6 +1161,7 @@ def ivf_knn_join(
     use_codes: bool = False,
     use_pq: bool = False,
     rescore_factor: int = 8,
+    query_batch_size: int | None = None,
 ) -> DataFrame:
     """Index-accelerated k-NN JOIN: top-k corpus neighbors for EVERY row
     of a small query set, probing only the IVF cells each query is
@@ -1196,8 +1197,17 @@ def ivf_knn_join(
     (cell, id)-joined float rescore as ``use_codes``. Ceiling: the LUT
     is m·ks doubles PER QUERY (32 KB at m=16/ks=256), so at ~10k
     queries the payload broadcast crosses the comfort zone (~320 MB) —
-    batch the query set there, the same guidance as the probe-all
-    routing-table ceiling (PERF.md r13 soak).
+    ``query_batch_size`` (round 15) turns that guidance into code: the
+    collected query set is CHUNKED, the full pipeline runs per chunk
+    (each chunk prunes to ITS probe cells and broadcasts only ITS
+    payload rows), and the per-chunk results union — exactly
+    composable because every window/top-k is per-query. Defaults to
+    an automatic ceiling that keeps a PQ chunk's LUT payload under
+    ~64 MB (``(64 MB) / (m·ks·8 B)`` ≈ 2k queries at m=16/ks=256);
+    the float/SQ8 payload is ~8·dim B per query, so those modes
+    default to 100k (effectively unbatched below that). Pass an
+    explicit int to override; each extra chunk costs one more pruned
+    corpus scan, the documented trade.
 
     Contract mirrors ``knn_join``: the query set is SMALL (collected to
     the driver to plan the probe cells — same bounded collect as the
@@ -1253,6 +1263,10 @@ def ivf_knn_join(
     if rescore_factor < 1:
         raise ValueError(
             f"rescore_factor must be >= 1, got {rescore_factor}"
+        )
+    if query_batch_size is not None and query_batch_size < 1:
+        raise ValueError(
+            f"query_batch_size must be >= 1, got {query_batch_size}"
         )
     dotf = dot_fn or _dot
     normf = norm_fn or _norm
@@ -1363,161 +1377,188 @@ def ivf_knn_join(
             for b in pq_codebook.centroids
         ]
         _dsub = pq_codebook.dsub
-    routing: list[tuple] = []
-    payload: list[tuple] = []
-    for r in qrows:
-        vec = [float(x) for x in r[vec_col]]
-        if use_pq:
-            # the query's ADC lookup table: lut[i*ks + j] = q_i ·
-            # codeword[i][j] — m·ks doubles per QUERY, riding the
-            # one-row-per-query payload table (NOT the (qid, cell)
-            # routing pairs: there it would duplicate per probed cell,
-            # the exact fat the thin-routing discipline removed)
-            lut = [
-                float(v)
-                for i in range(pq_codebook.m)
-                for v in _cbm[i] @ _np.asarray(
-                    vec[i * _dsub:(i + 1) * _dsub], dtype=_np.float64
+    def _chunk_topk(chunk_rows: list) -> DataFrame:
+        # one full probe/rank/rescore pipeline over ONE chunk of the
+        # collected query set: partition pruning, routing pairs, and
+        # the payload broadcast all scale with the CHUNK, so the
+        # per-query LUT ceiling bounds chunk memory, never total
+        # query count. Per-query windows make chunks exactly
+        # composable; each chunk costs one pruned corpus scan.
+        routing: list[tuple] = []
+        payload: list[tuple] = []
+        for r in chunk_rows:
+            vec = [float(x) for x in r[vec_col]]
+            if use_pq:
+                # the query's ADC lookup table: lut[i*ks + j] = q_i ·
+                # codeword[i][j] — m·ks doubles per QUERY, riding the
+                # one-row-per-query payload table (NOT the (qid, cell)
+                # routing pairs: there it would duplicate per probed cell,
+                # the exact fat the thin-routing discipline removed)
+                lut = [
+                    float(v)
+                    for i in range(pq_codebook.m)
+                    for v in _cbm[i] @ _np.asarray(
+                        vec[i * _dsub:(i + 1) * _dsub], dtype=_np.float64
+                    )
+                ]
+                payload.append((r[query_id], vec, float(r["__qn"]), lut))
+            else:
+                payload.append((r[query_id], vec, float(r["__qn"]), sum(vec)))
+            for cell in nearest_cells_for(vec, centroids, num_probes):
+                routing.append((r[query_id], cell))
+        route_df = spark.createDataFrame(
+            routing,
+            StructType(
+                [
+                    StructField(query_id, qid_type),
+                    StructField("cell", IntegerType()),
+                ]
+            ),
+        )
+        tail_field = (
+            StructField("__lut", ArrayType(DoubleType()))
+            if use_pq
+            else StructField("__qsum", DoubleType())
+        )
+        qpayload = spark.createDataFrame(
+            payload,
+            StructType(
+                [
+                    StructField(query_id, qid_type),
+                    StructField("__qv", ArrayType(DoubleType())),
+                    StructField("__qn", DoubleType()),
+                    tail_field,
+                ]
+            ),
+        )
+        touched = sorted({c for _, c in routing})
+        candidates = index.filter(F.col("cell").isin(touched))
+        cos = F.try_divide(
+            dotf(F.col(vec_col), F.col("__qv")),
+            normf(F.col(vec_col)) * F.col("__qn"),
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.col("cosine_sim").desc(), F.col(id_col)
+        )
+        if use_codes or use_pq:
+            # phase 1: rank every (query, candidate) pair FROM THE CODES —
+            # projecting only (qid, id, approx) keeps the float column out
+            # of the byte-reduced scan (the quantized_topk plan discipline).
+            # Ranking with __qn (the payload table's norm) is sound: any
+            # consistent positive query norm preserves per-query order.
+            if use_codes:
+                from cassandra_analytics_spark.operators.quantize import (
+                    approx_cosine_codes_vs_query_col,
                 )
-            ]
-            payload.append((r[query_id], vec, float(r["__qn"]), lut))
-        else:
-            payload.append((r[query_id], vec, float(r["__qn"]), sum(vec)))
-        for cell in nearest_cells_for(vec, centroids, num_probes):
-            routing.append((r[query_id], cell))
-    route_df = spark.createDataFrame(
-        routing,
-        StructType(
-            [
-                StructField(query_id, qid_type),
-                StructField("cell", IntegerType()),
-            ]
-        ),
-    )
-    tail_field = (
-        StructField("__lut", ArrayType(DoubleType()))
-        if use_pq
-        else StructField("__qsum", DoubleType())
-    )
-    qpayload = spark.createDataFrame(
-        payload,
-        StructType(
-            [
-                StructField(query_id, qid_type),
-                StructField("__qv", ArrayType(DoubleType())),
-                StructField("__qn", DoubleType()),
-                tail_field,
-            ]
-        ),
-    )
-    touched = sorted({c for _, c in routing})
-    candidates = index.filter(F.col("cell").isin(touched))
-    cos = F.try_divide(
-        dotf(F.col(vec_col), F.col("__qv")),
-        normf(F.col(vec_col)) * F.col("__qn"),
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col)
-    )
-    if use_codes or use_pq:
-        # phase 1: rank every (query, candidate) pair FROM THE CODES —
-        # projecting only (qid, id, approx) keeps the float column out
-        # of the byte-reduced scan (the quantized_topk plan discipline).
-        # Ranking with __qn (the payload table's norm) is sound: any
-        # consistent positive query norm preserves per-query order.
-        if use_codes:
-            from cassandra_analytics_spark.operators.quantize import (
-                approx_cosine_codes_vs_query_col,
-            )
 
-            approx = approx_cosine_codes_vs_query_col(
-                F.col("__qv"), F.col("__qsum"), F.col("__qn"),
-                _QCODE, _QMIN, _QSCALE,
+                approx = approx_cosine_codes_vs_query_col(
+                    F.col("__qv"), F.col("__qsum"), F.col("__qn"),
+                    _QCODE, _QMIN, _QSCALE,
+                )
+                phase1_payload = qpayload  # SQ8 reconstruction needs __qv
+            else:
+                # PQ ADC: m element_at lookups into this query's LUT column
+                # summed — pure codegen over m bytes + one stored norm per
+                # row (element_at is 1-based; stored code = argmin − 128)
+                _ks = pq_codebook.ks
+                contrib = F.transform(
+                    F.col("pqcode"),
+                    lambda c, i: F.element_at(
+                        F.col("__lut"), i * F.lit(_ks) + c.cast("int") + F.lit(129)
+                    ),
+                )
+                adc = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+                approx = F.try_divide(adc, F.col("pq_norm") * F.col("__qn"))
+                # the float query vector stays OUT of the phase-1 join
+                phase1_payload = qpayload.select(query_id, "__lut", "__qn")
+            aw = Window.partitionBy(query_id).orderBy(
+                F.col("__approx").desc(), F.col(id_col)
             )
-            phase1_payload = qpayload  # SQ8 reconstruction needs __qv
+            survivors = (
+                candidates.join(F.broadcast(route_df), "cell")
+                .join(F.broadcast(phase1_payload), query_id)
+                .select(F.col(query_id), F.col(id_col), approx.alias("__approx"))
+                .filter(F.col("__approx").isNotNull())
+                # duplicate layout ids (replayed appends) collapse before the
+                # rank so they can't double-fill the survivor window
+                .groupBy(query_id, id_col)
+                .agg(F.max("__approx").alias("__approx"))
+                .withColumn("__rn", F.row_number().over(aw))
+                .filter(F.col("__rn") <= k * rescore_factor)
+                .select(query_id, id_col)
+            )
+            # phase 2: exact rescore of the survivors only — the survivor
+            # frame rejoins the routing table on the query id, fanning each
+            # survivor to that query's PROBED CELLS (≤ n_queries · k ·
+            # rescore_factor · num_probes rows of THIN (qid, cell, id)
+            # triples), and the rescore joins the corpus on (cell, id): a
+            # duplicate-id copy sitting in a cell this query did NOT probe
+            # can never win here, exactly matching the float path's
+            # cell-joined scoring (r11 ADVICE low 3). The per-query payload
+            # (__qv, __qn) joins AFTER the corpus join, onto the
+            # survivor-PROPORTIONAL matches — attaching it to the fan
+            # before the join would re-duplicate the query vector per
+            # probed cell, the exact fat the thin-routing phase 1 removed
+            # (r13 ADVICE medium: at 1k queries, k=10, rf=8, probe-all
+            # over 128 cells that was ~10M fan rows x ~550 B ≈ 5+ GB
+            # broadcast; thinned, the fan is ~20 B/row and the payload
+            # stays one row per query). No driver hop (the kNN join is
+            # batch-shaped, so the distributed rescore is the only mode).
+            surv_fan = survivors.join(route_df, query_id)
+            scored = (
+                candidates.select(F.col("cell"), F.col(id_col), F.col(vec_col))
+                .join(F.broadcast(surv_fan), ["cell", id_col])
+                .join(
+                    F.broadcast(qpayload.select(query_id, "__qv", "__qn")),
+                    query_id,
+                )
+                .select(F.col(query_id), F.col(id_col), cos.alias("cosine_sim"))
+                .filter(F.col("cosine_sim").isNotNull())
+                .groupBy(query_id, id_col)
+                .agg(F.max("cosine_sim").alias("cosine_sim"))
+            )
         else:
-            # PQ ADC: m element_at lookups into this query's LUT column
-            # summed — pure codegen over m bytes + one stored norm per
-            # row (element_at is 1-based; stored code = argmin − 128)
-            _ks = pq_codebook.ks
-            contrib = F.transform(
-                F.col("pqcode"),
-                lambda c, i: F.element_at(
-                    F.col("__lut"), i * F.lit(_ks) + c.cast("int") + F.lit(129)
-                ),
+            scored = (
+                candidates.join(F.broadcast(route_df), "cell")
+                .join(F.broadcast(qpayload), query_id)
+                .select(
+                    F.col(query_id),
+                    F.col(id_col),
+                    cos.alias("cosine_sim"),
+                )
+                .filter(F.col("cosine_sim").isNotNull())
+                # a corpus row can sit in SEVERAL probed cells of one query
+                # only if the layout carries duplicate ids (replayed
+                # appends) — keep the max so duplicates never double-fill
+                # the top-k
+                .groupBy(query_id, id_col)
+                .agg(F.max("cosine_sim").alias("cosine_sim"))
             )
-            adc = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
-            approx = F.try_divide(adc, F.col("pq_norm") * F.col("__qn"))
-            # the float query vector stays OUT of the phase-1 join
-            phase1_payload = qpayload.select(query_id, "__lut", "__qn")
-        aw = Window.partitionBy(query_id).orderBy(
-            F.col("__approx").desc(), F.col(id_col)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
         )
-        survivors = (
-            candidates.join(F.broadcast(route_df), "cell")
-            .join(F.broadcast(phase1_payload), query_id)
-            .select(F.col(query_id), F.col(id_col), approx.alias("__approx"))
-            .filter(F.col("__approx").isNotNull())
-            # duplicate layout ids (replayed appends) collapse before the
-            # rank so they can't double-fill the survivor window
-            .groupBy(query_id, id_col)
-            .agg(F.max("__approx").alias("__approx"))
-            .withColumn("__rn", F.row_number().over(aw))
-            .filter(F.col("__rn") <= k * rescore_factor)
-            .select(query_id, id_col)
-        )
-        # phase 2: exact rescore of the survivors only — the survivor
-        # frame rejoins the routing table on the query id, fanning each
-        # survivor to that query's PROBED CELLS (≤ n_queries · k ·
-        # rescore_factor · num_probes rows of THIN (qid, cell, id)
-        # triples), and the rescore joins the corpus on (cell, id): a
-        # duplicate-id copy sitting in a cell this query did NOT probe
-        # can never win here, exactly matching the float path's
-        # cell-joined scoring (r11 ADVICE low 3). The per-query payload
-        # (__qv, __qn) joins AFTER the corpus join, onto the
-        # survivor-PROPORTIONAL matches — attaching it to the fan
-        # before the join would re-duplicate the query vector per
-        # probed cell, the exact fat the thin-routing phase 1 removed
-        # (r13 ADVICE medium: at 1k queries, k=10, rf=8, probe-all
-        # over 128 cells that was ~10M fan rows x ~550 B ≈ 5+ GB
-        # broadcast; thinned, the fan is ~20 B/row and the payload
-        # stays one row per query). No driver hop (the kNN join is
-        # batch-shaped, so the distributed rescore is the only mode).
-        surv_fan = survivors.join(route_df, query_id)
-        scored = (
-            candidates.select(F.col("cell"), F.col(id_col), F.col(vec_col))
-            .join(F.broadcast(surv_fan), ["cell", id_col])
-            .join(
-                F.broadcast(qpayload.select(query_id, "__qv", "__qn")),
-                query_id,
+
+    if query_batch_size is None:
+        if use_pq:
+            # automatic ceiling: keep the chunk's LUT payload broadcast
+            # under ~64 MB (m*ks doubles per query) — ~2k queries at
+            # m=16/ks=256, the documented comfort zone (PERF.md r13/r14)
+            query_batch_size = max(
+                1, (64 << 20) // (pq_codebook.m * pq_codebook.ks * 8)
             )
-            .select(F.col(query_id), F.col(id_col), cos.alias("cosine_sim"))
-            .filter(F.col("cosine_sim").isNotNull())
-            .groupBy(query_id, id_col)
-            .agg(F.max("cosine_sim").alias("cosine_sim"))
-        )
-    else:
-        scored = (
-            candidates.join(F.broadcast(route_df), "cell")
-            .join(F.broadcast(qpayload), query_id)
-            .select(
-                F.col(query_id),
-                F.col(id_col),
-                cos.alias("cosine_sim"),
-            )
-            .filter(F.col("cosine_sim").isNotNull())
-            # a corpus row can sit in SEVERAL probed cells of one query
-            # only if the layout carries duplicate ids (replayed
-            # appends) — keep the max so duplicates never double-fill
-            # the top-k
-            .groupBy(query_id, id_col)
-            .agg(F.max("cosine_sim").alias("cosine_sim"))
-        )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+        else:
+            # float/SQ8 payloads are ~8*dim B per query — the routing
+            # table, not the payload, is the first ceiling there
+            query_batch_size = 100_000
+    if len(qrows) <= query_batch_size:
+        return _chunk_topk(qrows)
+    out = None
+    for i in range(0, len(qrows), query_batch_size):
+        part = _chunk_topk(qrows[i:i + query_batch_size])
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 _ANN_FORMAT_PARTITION_COL = {

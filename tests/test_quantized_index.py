@@ -307,3 +307,52 @@ def test_quantized_semdedup_margin_sound_at_threshold_boundary(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def test_knn_join_query_batching_identical_to_unbatched(spark, tmp_path):
+    """VERDICT r14 item 6: the documented ~10k-query LUT ceiling is now
+    code — query_batch_size chunks the collected query set and unions
+    per-chunk results. With a tiny ceiling override, every mode must
+    return results IDENTICAL to the unbatched path (per-query windows
+    make chunks exactly composable)."""
+    from cassandra_analytics_spark.operators.pq import save_ivf_pq_index
+
+    df, rows = _corpus(spark, n=240, dim=12, seed=5)
+    queries = df.filter("vec_id < 7").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = df.filter("vec_id >= 7")
+    key = lambda r: (r.qid, r.vec_id, round(r.cosine_sim, 9))  # noqa: E731
+
+    # SQ8 layout: float mode and use_codes mode, batched vs not
+    path = str(tmp_path / "qivf")
+    build_ivf_index(corpus, path, num_centroids=8, quantize=True)
+    for kw in ({}, {"use_codes": True, "rescore_factor": 8}):
+        whole = ivf_knn_join(queries, path, k=5, num_probes=8, **kw)
+        batched = ivf_knn_join(
+            queries, path, k=5, num_probes=8, query_batch_size=3, **kw
+        )
+        assert sorted(map(key, batched.collect())) == sorted(
+            map(key, whole.collect())
+        ), f"batched != unbatched for {kw}"
+
+    # IVF-PQ layout: use_pq mode, batched vs not
+    pq_path = str(tmp_path / "ivfpq")
+    save_ivf_pq_index(
+        corpus, pq_path, num_centroids=8, m=4, ks=16,
+        sample_size=200, iterations=5, seed=42,
+    )
+    whole = ivf_knn_join(
+        queries, pq_path, k=5, num_probes=8, use_pq=True,
+        rescore_factor=24,
+    )
+    batched = ivf_knn_join(
+        queries, pq_path, k=5, num_probes=8, use_pq=True,
+        rescore_factor=24, query_batch_size=2,
+    )
+    assert sorted(map(key, batched.collect())) == sorted(
+        map(key, whole.collect())
+    )
+
+    with pytest.raises(ValueError, match="query_batch_size"):
+        ivf_knn_join(queries, path, k=5, query_batch_size=0)
