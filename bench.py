@@ -103,22 +103,102 @@ def measure_extended(spark, sf_dir: str) -> dict[str, dict]:
     """One instrumented pass over the EXTENDED families: per-query wall
     seconds + the REST byte fingerprint (scan records / shuffle bytes —
     deterministic per plan, the regression signal the headline set
-    already carries). A query failure records an ``error`` row instead
-    of killing the bench."""
+    already carries). Families with a registered build/query split
+    (``queries.llm.EXTENDED_SPLITS`` — the registered query runs
+    through the SAME callables) additionally report ``build_sec`` /
+    ``query_sec``: layout build and stream bootstrap are one-time costs
+    that dominated the r14 wall numbers, while the PROBE is the latency
+    the family exists to keep fast — conflating them made 30 s rows
+    read as probe regressions (VERDICT r14). A query failure records an
+    ``error`` row instead of killing the bench."""
+    from cassandra_analytics_spark.queries.llm import EXTENDED_SPLITS
+
     out: dict[str, dict] = {}
     for name in EXTENDED:
         before = stage_totals(spark)
+        split = EXTENDED_SPLITS.get(name)
         t0 = time.time()
         try:
-            run_query(REGISTRY[name].fn, spark, sf_dir)
+            if split is not None:
+                build, probe, cleanup = split(spark, sf_dir)
+                try:
+                    build()
+                    t1 = time.time()
+                    probe().write.mode("overwrite").format("noop").save()
+                    t2 = time.time()
+                finally:
+                    cleanup()
+                row: dict = {
+                    "sec": round(t2 - t0, 3),
+                    "build_sec": round(t1 - t0, 3),
+                    "query_sec": round(t2 - t1, 3),
+                }
+            else:
+                run_query(REGISTRY[name].fn, spark, sf_dir)
+                row = {"sec": round(time.time() - t0, 3)}
         except Exception as exc:  # noqa: BLE001
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             continue
-        row: dict = {"sec": round(time.time() - t0, 3)}
         d = delta(before, stage_totals(spark))
         if d is not None:
             row.update(d)
         out[name] = row
+    return out
+
+
+def _prior_extended(sf: float) -> dict | None:
+    """The newest prior round's extended_query_detail AT THE SAME SF
+    (parsed from the BENCH_r*.json stdout tail — the extended rows ride
+    their own line, not the driver-parsed final line), or None. Feeds
+    the extended plan-vs-weather adjudication (VERDICT r14 item 3)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        parsed = data.get("parsed")
+        if not (isinstance(parsed, dict) and parsed.get("sf") == sf):
+            continue
+        tail = data.get("tail")
+        if not isinstance(tail, str):
+            continue
+        for line in tail.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except Exception:
+                continue
+            if (
+                obj.get("metric") == "extended_query_detail"
+                and isinstance(obj.get("queries"), dict)
+            ):
+                prior = obj["queries"]  # keep the newest round's
+    return prior
+
+
+def _classify_extended(detail: dict | None,
+                       prior: dict | None) -> dict[str, str | None] | None:
+    """Per-extended-query plan-vs-weather verdicts against the newest
+    prior record — the same >2% shuffle-write rule as the headline
+    guard, applied per family (their byte profiles differ by orders of
+    magnitude, so a pooled total would let one family's plan change
+    hide inside another's noise floor)."""
+    if not detail or not prior:
+        return None
+    out: dict[str, str | None] = {}
+    for name, row in detail.items():
+        prow = prior.get(name)
+        out[name] = _classify_bytes(
+            row if isinstance(row, dict) else None,
+            prow if isinstance(prow, dict) else None,
+        )
     return out
 
 
@@ -198,7 +278,15 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(sp),
-        extra_conf={"spark.ui.enabled": "true"},
+        # retainedStages raised: the bench app runs >2k stages, and the
+        # UI's default 1000-stage eviction made cumulative byte diffs go
+        # NEGATIVE late in the app (BENCH_r14). The per-stage delta in
+        # stage_metrics is the structural fix; this keeps the window
+        # large enough that evictions stay rare anyway.
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     _ensure_loaded()
@@ -338,14 +426,33 @@ def main() -> None:
         )
     # extended families: measured AFTER the headline rounds (their
     # noise never touches the guarded numbers), on their own line
+    ext_detail = measure_extended(spark, sf_dir)
     print(
         json.dumps(
-            {
-                "metric": "extended_query_detail",
-                "queries": measure_extended(spark, sf_dir),
-            }
+            {"metric": "extended_query_detail", "queries": ext_detail}
         )
     )
+    # extended plan-vs-weather verdicts vs the newest prior record at
+    # this SF (VERDICT r14 item 3): per-family shuffle-write bytes are
+    # deterministic per plan, so each family gets its own adjudication
+    # line the round record can cite
+    ext_prior = _prior_extended(sf)
+    ext_class = _classify_extended(ext_detail, ext_prior)
+    if ext_class is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "extended_fingerprint",
+                    "classification": ext_class,
+                    "prior_shuffle_write_bytes": {
+                        name: (ext_prior.get(name) or {}).get(
+                            "shuffle_write_bytes"
+                        )
+                        for name in ext_detail
+                    },
+                }
+            )
+        )
     final = {
         "metric": "total_query_time",
         "value": round(sum(times.values()), 3),

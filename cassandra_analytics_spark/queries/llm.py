@@ -1235,28 +1235,63 @@ def quantized_topk_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall at scale is measured on planted clusters (PERF.md).",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build, probe, cleanup = _ann_pq_topk_split(spark, sf_dir)
+    try:
+        build()
+        return probe()
+    finally:
+        cleanup()
+
+
+def _ann_pq_topk_split(spark: SparkSession, sf_dir: str):
+    """(build, probe, cleanup) for the bench's build/query wall split:
+    build = the codebook TRAINING (the driver-side k-means over the
+    seeded sample — a real Spark TakeOrdered job plus numpy); probe =
+    encode + ADC rank + exact rescore (encoding is lazy, so its cost
+    rides the probe scan — exactly where it sits in production, where
+    a corpus is encoded once but this query encodes inline)."""
     from cassandra_analytics_spark.operators.pq import (
-        pq_encode,
         pq_adc_topk,
+        pq_encode,
         train_pq_codebook,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
-    if not qrows:
-        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
-    qvec = [float(x) for x in qrows[0]["embedding"]]
     corpus_f = e.filter(F.col("vec_id") != 0)
-    codebook = train_pq_codebook(
-        corpus_f, m=16, ks=32, sample_size=5_000, iterations=10, seed=42
-    )
-    corpus = pq_encode(corpus_f, codebook, keep_vec=True)
-    # rescore with the portable decimal cosine so survivor scores match
-    # the oracle bit-for-bit (same contract as quantized_topk_rescored)
-    return pq_adc_topk(
-        corpus, codebook, qvec, k=10, vec_col="embedding",
-        rescore_factor=8, dot_fn=_pdot, norm_fn=_psq_norm,
-    )
+    state: dict = {}
+
+    def build() -> None:
+        if not qrows:
+            return
+        # vector-only sample hash (no id salt): the fixture corpus has
+        # no duplicates, and keeping the r14 codebook keeps this bench-
+        # fingerprinted query's plan/bytes comparable across rounds
+        state["codebook"] = train_pq_codebook(
+            corpus_f, m=16, ks=32, sample_size=5_000, iterations=10,
+            seed=42,
+        )
+
+    def probe() -> DataFrame:
+        if not qrows:
+            return spark.createDataFrame(
+                [], "vec_id BIGINT, cosine_sim DOUBLE"
+            )
+        qvec = [float(x) for x in qrows[0]["embedding"]]
+        codebook = state["codebook"]
+        corpus = pq_encode(corpus_f, codebook, keep_vec=True)
+        # rescore with the portable decimal cosine so survivor scores
+        # match the oracle bit-for-bit (same contract as
+        # quantized_topk_rescored)
+        return pq_adc_topk(
+            corpus, codebook, qvec, k=10, vec_col="embedding",
+            rescore_factor=8, dot_fn=_pdot, norm_fn=_psq_norm,
+        )
+
+    def cleanup() -> None:
+        state.clear()
+
+    return build, probe, cleanup
 
 
 @query(
@@ -1291,8 +1326,11 @@ def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != 0), path,
         m=16, ks=32, sample_size=5_000, iterations=10, seed=42,
     )
+    # rescore_factor=24: the id-salted training sample (r14 ADVICE low)
+    # moved the layout codebook, and the k*8 window left two boundary
+    # swaps unabsorbed at sf0.001 — same widening as the append twin
     return query_pq_index(
-        spark, path, qvec, k=10, rescore_factor=8,
+        spark, path, qvec, k=10, rescore_factor=24,
         dot_fn=_pdot, norm_fn=_psq_norm,
     )
 
@@ -1329,8 +1367,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != 0), path, num_centroids=8,
         m=16, ks=32, sample_size=5_000, iterations=10, seed=42,
     )
+    # rescore_factor=24: same salted-codebook window widening as
+    # ann_pq_index_topk / the append twins
     return query_ivf_pq_index(
-        spark, path, qvec, k=10, num_probes=8, rescore_factor=8,
+        spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
         dot_fn=_pdot, norm_fn=_psq_norm,
     )
 
@@ -1592,6 +1632,21 @@ def quantized_topk_join_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape, re-expressed as two pruned parquet scans.",
 )
 def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build, probe, cleanup = _ann_ivf_quantized_topk_split(spark, sf_dir)
+    try:
+        build()
+        return probe()
+    finally:
+        cleanup()
+
+
+def _ann_ivf_quantized_topk_split(spark: SparkSession, sf_dir: str):
+    """The registered query as (build, probe, cleanup) callables, so
+    the bench can time LAYOUT BUILD separately from the PROBE the
+    family exists to keep fast (VERDICT r14: the extended wall numbers
+    conflated the two — 30.6 s read as probe latency when it was
+    build). The registered query runs through the SAME callables, so
+    the split can never drift from what the driver gates."""
     import shutil
     import tempfile
 
@@ -1602,14 +1657,22 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
-    if not qrows:
-        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
-    qvec = [float(x) for x in qrows[0]["embedding"]]
-    corpus = e.filter(F.col("vec_id") != 0)
     n_cells = 16
-    path = tempfile.mkdtemp(prefix="cas_qivf_") + "/ivf"
-    try:
+    tmp = tempfile.mkdtemp(prefix="cas_qivf_")
+    path = tmp + "/ivf"
+
+    def build() -> None:
+        if not qrows:
+            return
+        corpus = e.filter(F.col("vec_id") != 0)
         build_ivf_index(corpus, path, num_centroids=n_cells, quantize=True)
+
+    def probe() -> DataFrame:
+        if not qrows:
+            return spark.createDataFrame(
+                [], "vec_id BIGINT, cosine_sim DOUBLE"
+            )
+        qvec = [float(x) for x in qrows[0]["embedding"]]
         return (
             query_ivf_index_quantized(
                 spark, path, qvec, k=10, num_probes=n_cells,
@@ -1617,8 +1680,11 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+
+    def cleanup() -> None:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return build, probe, cleanup
 
 
 @query(
@@ -2914,6 +2980,24 @@ def ann_lsh_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never the corpus.",
 )
 def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build, probe, cleanup = _streaming_semantic_dedup_split(spark, sf_dir)
+    try:
+        build()
+        return probe()
+    finally:
+        cleanup()
+
+
+def _streaming_semantic_dedup_split(spark: SparkSession, sf_dir: str):
+    """(build, probe, cleanup) for the bench's build/query wall split:
+    build = source prep + stream start + the BOOTSTRAP trigger (batch 0
+    builds the IVF layout — one-time cost); probe = the INCREMENTAL
+    trigger (batch 1 assigns with the pinned spec, pairs against only
+    the touched partitions, appends) + the verdict aggregation — the
+    steady-state per-trigger cost the operator exists to keep bounded.
+    Still one REAL Structured Streaming query throughout: the file
+    source picks up the second file when it lands, exactly the original
+    two-files-up-front run split at the trigger boundary."""
     import os
     import shutil
     import tempfile
@@ -2927,24 +3011,22 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _planted_corpus(e)
     centroids = _semantic_centroids(e)
-    if not centroids:
-        return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
-
     tmp = tempfile.mkdtemp(prefix="cas_stream_semdedup_")
     src = os.path.join(tmp, "incoming")
-    corpus.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    corpus.filter(F.col("vec_id") >= 1_000_000).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    try:
+    state: dict = {}
+
+    def build() -> None:
+        if not centroids:
+            return
+        corpus.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
         q = run_semantic_dedup_stream(
             stream,
             index_path=os.path.join(tmp, "ivf"),
@@ -2956,8 +3038,24 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm_fn=_psq_norm,
             sim_id=_PORTABLE_SIM_ID,
         )
+        state["q"] = q
         try:
-            q.processAllAvailable()
+            q.processAllAvailable()  # bootstrap trigger only
+        except Exception:
+            q.stop()
+            raise
+
+    def probe() -> DataFrame:
+        if not centroids:
+            return spark.createDataFrame(
+                [], "removed BIGINT, cell INT, kept_rep BIGINT"
+            )
+        q = state["q"]
+        try:
+            corpus.filter(F.col("vec_id") >= 1_000_000).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()  # the incremental trigger
         finally:
             q.stop()
         pairs = collected_semantic_pairs(
@@ -2968,8 +3066,17 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("removed")
             .localCheckpoint(eager=True)
         )
-    finally:
+
+    def cleanup() -> None:
+        q = state.pop("q", None)
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
         shutil.rmtree(tmp, ignore_errors=True)
+
+    return build, probe, cleanup
 
 
 @query(
@@ -3404,3 +3511,18 @@ def ann_ivf_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# Build/query wall-split runners for bench.py's EXTENDED families
+# (VERDICT r14: the extended wall numbers conflated layout build with
+# the probe the family exists to keep fast). Each maps a registered
+# query name to its (spark, sf_dir) -> (build, probe, cleanup) split;
+# the registered query fn runs through the SAME callables, so the
+# bench's split measurement can never drift from the driver-gated
+# plan. dedup_ngram_jaccard is deliberately absent: it is a one-pass
+# operator with nothing to amortize.
+EXTENDED_SPLITS = {
+    "ann_ivf_quantized_topk": _ann_ivf_quantized_topk_split,
+    "ann_pq_topk": _ann_pq_topk_split,
+    "streaming_semantic_dedup": _streaming_semantic_dedup_split,
+}

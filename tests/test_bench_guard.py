@@ -90,10 +90,59 @@ def test_measure_extended_runs_and_fingerprints(spark, sf_dir):
     from bench import EXTENDED, measure_extended
     from cassandra_analytics_spark.stage_metrics import stage_totals
 
+    from cassandra_analytics_spark.queries.llm import EXTENDED_SPLITS
+
     detail = measure_extended(spark, sf_dir)
     assert set(detail) == set(EXTENDED)
     for name, row in detail.items():
         assert "error" not in row, (name, row)
         assert row["sec"] >= 0
+        # byte fields must NEVER go negative (the BENCH_r14 cumulative
+        # -diff artifact; the per-stage delta makes this structural)
+        for k, v in row.items():
+            assert isinstance(v, (int, float)) and v >= 0, (name, k, v)
+        if name in EXTENDED_SPLITS:
+            # build/query wall split: one-time layout build vs the
+            # probe the family exists to keep fast (VERDICT r14)
+            assert "build_sec" in row and "query_sec" in row, (name, row)
+            assert row["sec"] >= row["query_sec"] >= 0
         if stage_totals(spark) is not None:  # UI on -> fingerprints too
             assert "shuffle_write_bytes" in row, (name, row)
+
+
+def test_extended_splits_back_the_registered_queries():
+    """Every EXTENDED_SPLITS name is a registered query, and the split
+    names stay inside the bench EXTENDED set — a split for a query the
+    bench never measures is dead code, a bench split the registry does
+    not gate is unverified."""
+    from bench import EXTENDED
+    from cassandra_analytics_spark.queries import REGISTRY, _ensure_loaded
+    from cassandra_analytics_spark.queries.llm import EXTENDED_SPLITS
+
+    _ensure_loaded()
+    assert set(EXTENDED_SPLITS) <= set(EXTENDED)
+    for name in EXTENDED_SPLITS:
+        assert name in REGISTRY
+
+
+def test_prior_extended_and_classify_extended():
+    """The extended guard reads the newest prior extended_query_detail
+    from the BENCH tails at the same SF and adjudicates per family."""
+    from bench import _classify_extended, _prior_extended
+
+    # the repo carries r14's extended record at sf0.1
+    prior = _prior_extended(0.1)
+    assert prior is None or (
+        isinstance(prior, dict) and "ann_pq_topk" in prior
+    )
+    assert _prior_extended(-1.0) is None
+
+    now = {"a": {"shuffle_write_bytes": 101}, "b": {"shuffle_write_bytes": 200}}
+    old = {"a": {"shuffle_write_bytes": 100}, "b": {"shuffle_write_bytes": 100}}
+    got = _classify_extended(now, old)
+    assert got == {"a": "weather", "b": "plan"}
+    # missing either side: None per query / None overall, never guessed
+    assert _classify_extended(now, None) is None
+    assert _classify_extended({"a": {"shuffle_write_bytes": 1}}, {"x": {}})[
+        "a"
+    ] is None
