@@ -296,6 +296,123 @@ def _guard_code_range(ccol, ks: int, caller: str):
     )
 
 
+# The per-PAIR ADC scorers below have two implementations. The
+# expression form (nested transform/aggregate over the flat codebook
+# literal) is the default at low dim — zero Python in the plan. But
+# Spark's higher-order functions are NOT whole-stage-codegen'd: every
+# per-element lambda evaluates through the expression INTERPRETER, so
+# the per-pair cost is m·dsub = dim interpreted closures, each several
+# node evaluations — fine at 64-d (the r14 measurements), but the
+# round-15 512-d A/B measured the PQ streaming arm at 181 s/trigger vs
+# SQ8's 14 s on the SAME pair counts: at PQ's own design point (high
+# dim) the scorer was interpreter-bound, inverting the operator's
+# value. Above ``_PQ_EXPR_MAX_DIM`` the scorers therefore switch to an
+# Arrow-batched numpy kernel (the sanctioned vectorized-UDF path, same
+# argument as pq_encode): per batch, m fancy-indexed gathers of
+# (B, dsub) centroid rows — the codebook rides the UDF closure (~1 MB
+# at m=16/ks=256/512-d), NOT the plan. Guards (m-length, code range)
+# move inside the kernel and raise the same loud messages. The scores
+# feed only the margin PREFILTER (1e-9 headroom absorbs numpy-vs-
+# expression ulp drift); the exact confirm is unchanged, so published
+# verdicts are identical either way.
+_PQ_EXPR_MAX_DIM = 128
+
+
+def _pq_codebook_matrix(codebook: PQCodebook):
+    import numpy as np
+
+    return np.asarray(codebook.centroids, dtype=np.float64)  # m x ks x dsub
+
+
+def _check_codes_batch(arr, m: int, ks: int, caller: str):
+    """Shared kernel-side guards: m-length and code-range, with the
+    same messages as the expression path (tests match on them)."""
+    if arr.ndim != 2 or arr.shape[1] != m:
+        raise ValueError(
+            f"{caller}: codebook has m={m} subspaces but found a code "
+            f"vector of another length — the frame was encoded with a "
+            "different codebook"
+        )
+    if (arr < 0).any() or (arr >= ks).any():
+        raise ValueError(
+            f"{caller}: codebook has ks={ks} codewords but found a code "
+            "past that range — the frame was encoded with a different "
+            "(larger-ks) codebook; re-encode or pass the matching codebook"
+        )
+
+
+def _pq_sym_adc_udf(codebook: PQCodebook):
+    """Arrow-batched symmetric ADC ``x̂·ŷ`` over two code columns:
+    ``Σ_i c_i[a_i]·c_i[b_i]`` as m per-subspace gathers per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = _pq_codebook_matrix(codebook)
+    m, ks = codebook.m, codebook.ks
+
+    @pandas_udf("double")
+    def _score(ca, cbc):
+        import pandas as pd
+
+        out = np.full(len(ca), np.nan)
+        mask = (ca.notna() & cbc.notna()).to_numpy()
+        if mask.any():
+            a = np.asarray(
+                [list(v) for v in ca[mask]], dtype=np.int64
+            ) + 128
+            b = np.asarray(
+                [list(v) for v in cbc[mask]], dtype=np.int64
+            ) + 128
+            _check_codes_batch(a, m, ks, "pq_pairs_from_cells")
+            _check_codes_batch(b, m, ks, "pq_pairs_from_cells")
+            acc = np.zeros(a.shape[0], dtype=np.float64)
+            for i in range(m):
+                acc += (cb[i][a[:, i]] * cb[i][b[:, i]]).sum(axis=1)
+            out[mask] = acc
+        res = pd.Series(out)
+        return res.where(pd.notna(res), None)
+
+    return _score
+
+
+def _pq_asym_adc_udf(codebook: PQCodebook):
+    """Arrow-batched asymmetric ADC ``v·x̂`` over a float vector column
+    and a code column: ``Σ_i v_sub_i · c_i[code_i]``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = _pq_codebook_matrix(codebook)
+    dim, m, ks, dsub = codebook.dim, codebook.m, codebook.ks, codebook.dsub
+
+    @pandas_udf("double")
+    def _score(vecs, codes):
+        import pandas as pd
+
+        out = np.full(len(vecs), np.nan)
+        mask = (vecs.notna() & codes.notna()).to_numpy()
+        if mask.any():
+            v = np.asarray([list(x) for x in vecs[mask]], dtype=np.float64)
+            c = np.asarray(
+                [list(x) for x in codes[mask]], dtype=np.int64
+            ) + 128
+            if v.ndim != 2 or v.shape[1] != dim:
+                raise ValueError(
+                    f"pq_adc_dot_expr: codebook is {dim}-d but found "
+                    f"vectors of shape {v.shape} — dimension mismatch"
+                )
+            _check_codes_batch(c, m, ks, "pq_adc_dot_expr")
+            acc = np.zeros(v.shape[0], dtype=np.float64)
+            for i in range(m):
+                acc += (
+                    v[:, i * dsub:(i + 1) * dsub] * cb[i][c[:, i]]
+                ).sum(axis=1)
+            out[mask] = acc
+        res = pd.Series(out)
+        return res.where(pd.notna(res), None)
+
+    return _score
+
+
 def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
     """The ADC dot ``v · x̂`` as a PURE-CODEGEN expression over a float
     vector column and a corpus code column — for callers whose "query
@@ -315,6 +432,14 @@ def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
     pair, the same arithmetic as a float dot, with the corpus side
     still shipping only m bytes + stored norms."""
     ks, dsub = codebook.ks, codebook.dsub
+    vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    ccol = F.col(code_col) if isinstance(code_col, str) else code_col
+    if codebook.dim > _PQ_EXPR_MAX_DIM:
+        # high dim: the HOF expression is interpreter-bound (m·dsub
+        # interpreted lambdas per pair — the 512-d A/B measured
+        # 13x-slower triggers); the Arrow kernel carries the same
+        # guards and feeds the same 1e-9-headroom prefilter
+        return _pq_asym_adc_udf(codebook)(vcol, ccol)
     flat = [
         float(x)
         for book in codebook.centroids
@@ -322,8 +447,6 @@ def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
         for x in cent
     ]
     flat_lit = F.lit(flat)
-    vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    ccol = F.col(code_col) if isinstance(code_col, str) else code_col
     # loud on codes from a larger-ks codebook (shared guard) — without
     # it element_at returns NULL and the pair silently drops
     ccol = _guard_code_range(ccol, ks, "pq_adc_dot_expr")
@@ -343,6 +466,72 @@ def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
         ),
     )
     return F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _expr_sym_adc(qa_raw, qb_raw, m: int, ks: int, dsub: int, flat_lit):
+    """The low-dim expression form of the symmetric ADC
+    ``x̂·ŷ = Σ_i c_i[a_i]·c_i[b_i]`` against the flat codebook literal
+    (codes stored as argmin − 128), with the shared range guard on both
+    sides — an out-of-range code raises instead of NULLing the pair
+    out of the prefilter. High dim uses :func:`_pq_sym_adc_udf` (see
+    ``_PQ_EXPR_MAX_DIM``)."""
+    qa = _guard_code_range(qa_raw, ks, "pq_pairs_from_cells")
+    qb = _guard_code_range(qb_raw, ks, "pq_pairs_from_cells")
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(1), F.lit(dsub)),
+                F.lit(0.0),
+                lambda acc, t: acc
+                + F.element_at(
+                    flat_lit,
+                    (
+                        i * F.lit(ks)
+                        + F.element_at(qa, i + 1).cast("int")
+                        + F.lit(128)
+                    )
+                    * F.lit(dsub)
+                    + t,
+                )
+                * F.element_at(
+                    flat_lit,
+                    (
+                        i * F.lit(ks)
+                        + F.element_at(qb, i + 1).cast("int")
+                        + F.lit(128)
+                    )
+                    * F.lit(dsub)
+                    + t,
+                ),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_sym_adc_col(codebook: PQCodebook, code_a, code_b):
+    """The symmetric (code-vs-code) ADC ``x̂·ŷ`` as a Column, with the
+    dim-based implementation dispatch: the flat-literal expression at
+    low dim, the Arrow numpy kernel above ``_PQ_EXPR_MAX_DIM`` (the
+    512-d finding — see the module comment). Shared by the within-batch
+    pair stage (:func:`pq_pairs_from_cells`) and the streaming
+    batch-vs-corpus stage so the two can never diverge on scorer or
+    guards."""
+    if codebook.dim > _PQ_EXPR_MAX_DIM:
+        return _pq_sym_adc_udf(codebook)(code_a, code_b)
+    flat_lit = F.lit(
+        [
+            float(x)
+            for book in codebook.centroids
+            for cent in book
+            for x in cent
+        ]
+    )
+    return _expr_sym_adc(
+        code_a, code_b, codebook.m, codebook.ks, codebook.dsub, flat_lit
+    )
 
 
 def pq_pairs_from_cells(
@@ -391,15 +580,7 @@ def pq_pairs_from_cells(
 
     dotf = dot_fn or _dot
     normf = norm_fn or _norm
-    m_, ks, dsub = codebook.m, codebook.ks, codebook.dsub
-    flat_lit = F.lit(
-        [
-            float(x)
-            for book in codebook.centroids
-            for cent in book
-            for x in cent
-        ]
-    )
+    m_ = codebook.m
     tagged = assigned.filter(
         F.col(vec_col).isNotNull() & F.col("pqcode").isNotNull()
     ).select(
@@ -434,41 +615,11 @@ def pq_pairs_from_cells(
     # codebook literal (codes are stored as argmin − 128); both sides
     # go through the shared range guard — an out-of-range code from a
     # larger-ks codebook raises instead of NULLing the pair out of the
-    # prefilter (which would silently break the exactness bound)
-    qa = _guard_code_range(pa["q"], ks, "pq_pairs_from_cells")
-    qb = _guard_code_range(pb["q"], ks, "pq_pairs_from_cells")
-    dot_rec = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m_ - 1)),
-            lambda i: F.aggregate(
-                F.sequence(F.lit(1), F.lit(dsub)),
-                F.lit(0.0),
-                lambda acc, t: acc
-                + F.element_at(
-                    flat_lit,
-                    (
-                        i * F.lit(ks)
-                        + F.element_at(qa, i + 1).cast("int")
-                        + F.lit(128)
-                    )
-                    * F.lit(dsub)
-                    + t,
-                )
-                * F.element_at(
-                    flat_lit,
-                    (
-                        i * F.lit(ks)
-                        + F.element_at(qb, i + 1).cast("int")
-                        + F.lit(128)
-                    )
-                    * F.lit(dsub)
-                    + t,
-                ),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # prefilter (which would silently break the exactness bound).
+    # High dim routes through the Arrow kernel instead (guards inside;
+    # see _PQ_EXPR_MAX_DIM — the HOF expression is interpreter-bound
+    # at m·dsub lambdas per pair, the 512-d A/B finding)
+    dot_rec = pq_sym_adc_col(codebook, pa["q"], pb["q"])
     approx = F.when(
         len_guard, F.try_divide(dot_rec, pa["tn"] * pb["tn"])
     )

@@ -706,38 +706,44 @@ def _cross_pairs_pq(
 
     Exactness-preserving by a PER-ROW MEASURED bound (PQ has no
     closed-form error like SQ8's scale/2, so the layout stores the
-    actual residual): for batch vector ``b`` and corpus vector ``x``
-    with reconstruction ``x̂`` and stored residual ``pq_err = ‖x−x̂‖``,
+    actual residual). The prefilter is SYMMETRIC code-vs-code ADC —
+    both sides ride their m-byte codes + three stored doubles, the
+    batch side encoded with the frozen codebook by
+    ``assign_with_ivf_pq_spec`` — under the two-sided bound
+    (:func:`~cassandra_analytics_spark.operators.pq.
+    pq_pairs_from_cells`'s derivation): writing b = b̂ + e_b,
+    x = x̂ + e_x with stored residual norms r,
 
-        ``|b·x − b·x̂| ≤ ‖b‖·pq_err``  (Cauchy-Schwarz), so
-        ``cos(b, x) ≤ ADC/(‖b‖·‖x‖) + pq_err/‖x‖`` —
+        ``|b·x − b̂·x̂| ≤ ‖b̂‖·r_x + ‖x̂‖·r_b + r_b·r_x``
+        (Cauchy-Schwarz) —
 
-    a pair survives to confirmation iff its ADC cosine (codes + stored
-    true norm, zero float-vector bytes on the corpus side) is ≥
-    threshold − pq_err/pq_tnorm − 1e-9 (double-rounding headroom): no
-    true pair can be dropped, false survivors die in the exact float
-    confirm, and the published verdicts are IDENTICAL to the float
-    path. Custom dot_fn/norm_fn enter ONLY the exact confirm (the
-    bound is stated for the standard float cosine; the 1e-9 headroom
-    covers portable-vs-standard ulp drift) — the SQ8 twin's split.
+    a pair survives to confirmation iff its SDC cosine is ≥ threshold
+    − that margin − 1e-9 (double-rounding headroom): no true pair can
+    be dropped, false survivors die in the exact float confirm, and
+    the published verdicts are IDENTICAL to the float path. Custom
+    dot_fn/norm_fn enter ONLY the exact confirm (the bound is stated
+    for standard float math) — the SQ8 twin's split.
 
-    The ADC dot is a pure-codegen expression against ONE flattened
-    codebook literal (:func:`~cassandra_analytics_spark.operators.pq.
-    pq_adc_dot_expr`) — NOT a per-row LUT column: a materialized LUT
-    is m·ks doubles per batch row, and Catalyst's pre-UDF size
-    estimate auto-broadcast a ~2 GB LUT frame at the 100x trigger
-    shape and died in the exchange build (round-14 measured failure;
-    the helper's docstring pins the decision). The corpus scan stays
-    code-only (the quantized_topk plan discipline). The confirm joins
-    the float column back by (cell, id) restricted to the touched
-    partitions — survivor-proportional. Refuses a layout saved
-    without residuals (the bound's columns are not there)."""
+    WHY symmetric (round 15): the round-14 asymmetric form
+    (``pq_adc_dot_expr`` of batch float vs corpus codes) carried the
+    batch's FLOAT vector through the pair expansion — ~4 KB/pair at
+    512-d, PQ's own design point, where the 512-d A/B measured the
+    arm wall-losing (the expression scorer was interpreter-bound AND
+    the Arrow fallback shipped the vector per pair). Code-vs-code
+    keeps the expansion at m bytes + three doubles per side and
+    shares the within-batch stage's scorer + guards
+    (``pq_sym_adc_col`` — expression at low dim, Arrow numpy kernel
+    above ``_PQ_EXPR_MAX_DIM``). The per-row LUT-column alternative
+    stays rejected (a materialized m·ks-double LUT per batch row
+    auto-broadcast ~2 GB at the 100x trigger shape and died in the
+    exchange build — round-14 measured failure). The corpus scan
+    stays code-only (the quantized_topk plan discipline); the confirm
+    joins the float columns back by (cell, id) / batch id —
+    survivor-proportional. Refuses a layout saved without residuals
+    (the bound's columns are not there)."""
     from cassandra_analytics_spark.operators.pq import (
         _resolve_ivf_pq_codebook,
-        pq_adc_dot_expr,
-    )
-    from cassandra_analytics_spark.operators.similarity import (
-        norm as _std_norm,
+        pq_sym_adc_col,
     )
 
     if not spec.get("residuals"):
@@ -768,38 +774,53 @@ def _cross_pairs_pq(
         .select(
             F.col(id_col).alias("__cid_"),
             "cell",
-            "pqcode",
-            "pq_tnorm",
-            F.try_divide(F.col("pq_err"), F.col("pq_tnorm")).alias(
-                "__cmargin"
-            ),
+            F.col("pqcode").alias("__cq"),
+            F.col("pq_norm").alias("__cnh"),
+            F.col("pq_tnorm").alias("__ctn"),
+            F.col("pq_err").alias("__cr"),
         )
     )
-    # batch side: float vector (the confirm dot AND the per-pair ADC
-    # expression read it), the confirm norm (__nrm — custom math), and
-    # the STANDARD float norm the bound is stated over
-    b = assigned.select(
+    # batch side: CODES + stored norms only (the batch is encoded with
+    # the frozen codebook by assign_with_ivf_pq_spec, residuals per the
+    # spec) — the prefilter is SYMMETRIC code-vs-code ADC, so the 4 KB
+    # float vector never rides the pair expansion NOR the Arrow
+    # transfer to the high-dim kernel (round 15: the asymmetric form
+    # shipped the batch vector per PAIR — ~800 MB of Arrow traffic per
+    # 512-d trigger — and the measured A/B had PQ wall-losing at its
+    # own design point; symmetric SDC is the within-batch stage's
+    # discipline applied to the cross stage)
+    b = assigned.filter(F.col("pqcode").isNotNull()).select(
         F.col(id_col).alias("__bid_"),
-        F.col(vec_col).alias("__bvec"),
-        F.col("__nrm").alias("__bnrm"),
-        _std_norm(F.col(vec_col)).alias("__bstd"),
+        F.col("pqcode").alias("__bq"),
+        F.col("pq_norm").alias("__bnh"),
+        F.col("pq_tnorm").alias("__btn"),
+        F.col("pq_err").alias("__br"),
         "cell",
     )
-    adc = pq_adc_dot_expr(codebook, F.col("__bvec"), F.col("pqcode"))
-    approx = F.try_divide(adc, F.col("__bstd") * F.col("pq_tnorm"))
-    margin = F.col("__cmargin") + F.lit(1e-9)
+    # two-sided measured bound (the pq_pairs_from_cells derivation):
+    # |b·x − b̂·x̂| ≤ ‖b̂‖·r_x + ‖x̂‖·r_b + r_b·r_x  (Cauchy-Schwarz)
+    adc = pq_sym_adc_col(codebook, F.col("__bq"), F.col("__cq"))
+    approx = F.try_divide(adc, F.col("__btn") * F.col("__ctn"))
+    margin = F.try_divide(
+        F.col("__bnh") * F.col("__cr")
+        + F.col("__cnh") * F.col("__br")
+        + F.col("__br") * F.col("__cr"),
+        F.col("__btn") * F.col("__ctn"),
+    ) + F.lit(1e-9)
     survivors = (
         b.join(c, "cell")
         .filter(F.col("__bid_") != F.col("__cid_"))
         .withColumn("__approx", approx)
+        .withColumn("__margin", margin)
         .filter(
             F.col("__approx").isNotNull()
-            & (F.col("__approx") >= F.lit(threshold) - margin)
+            & (F.col("__approx") >= F.lit(threshold) - F.col("__margin"))
         )
-        .select("__bid_", "__bvec", "__bnrm", "__cid_", "cell")
+        .select("__bid_", "__cid_", "cell")
     )
-    # exact confirm from the float column — survivor-proportional join
-    # on (cell, id), still partition-pruned to the touched cells
+    # exact confirm from the float columns — survivor-proportional:
+    # corpus floats join back on (cell, id) (partition-pruned to the
+    # touched cells), batch floats on the batch id
     floats = spark.read.parquet(index_path).filter(
         F.col("cell").isin(touched)
     ).select(
@@ -807,12 +828,18 @@ def _cross_pairs_pq(
         "cell",
         F.col(vec_col).alias("__cvec"),
     )
+    bfloats = assigned.select(
+        F.col(id_col).alias("__bid_"),
+        F.col(vec_col).alias("__bvec"),
+        F.col("__nrm").alias("__bnrm"),
+    )
     cos = F.try_divide(
         dotf(F.col("__bvec"), F.col("__cvec")),
         F.col("__bnrm") * normf(F.col("__cvec")),
     )
     return (
         survivors.join(floats, ["cell", "__cid_"])
+        .join(bfloats, "__bid_")
         .withColumn("cosine_sim", cos)
         .filter(F.col("cosine_sim") >= threshold)
         .select(

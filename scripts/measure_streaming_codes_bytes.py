@@ -25,7 +25,19 @@ confirm re-reads nearly the whole corpus):
   the production LLM-dedup shape where the prefilter kills ~98% of
   candidate pairs and the confirm is survivor-proportional.
 
-Usage: python scripts/measure_streaming_codes_bytes.py [saturated|realistic]
+``dim`` (round 15, VERDICT r14 item 4): PQ's design point is HIGH
+dimension (its pair struct is m bytes + 3 doubles per vector
+REGARDLESS of d, while SQ8's grows 1 B/dim and float 8 B/dim), but the
+r13/r14 A/Bs only measured 64-d — where SQ8 won (64 B vs 40 B is no
+contest once the struct overhead lands). A dim that is a multiple of
+64 derives the corpus by TILING: each tile is the base 64-d vector
+under a fixed per-(tile, element) multiplier — a pure function of the
+vector, so exact copies stay exact, perturbed copies stay far apart,
+and the planted dup structure is dimension-invariant; the copies
+count drops to keep wall bounded (override with argv[3]).
+
+Usage: python scripts/measure_streaming_codes_bytes.py \
+           [saturated|realistic] [dim=64] [copies]
 """
 
 from __future__ import annotations
@@ -66,11 +78,19 @@ def main() -> int:
     shape = sys.argv[1] if len(sys.argv) > 1 else "saturated"
     if shape not in ("saturated", "realistic"):
         raise SystemExit(f"unknown shape {shape!r}")
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    if dim % 64 != 0 or dim < 64:
+        raise SystemExit(f"dim must be a positive multiple of 64, got {dim}")
+    copies = (
+        int(sys.argv[3])
+        if len(sys.argv) > 3
+        else (50 if dim > 64 else COPIES)
+    )
     base = spark.read.parquet(SRC).select("vec_id", "embedding")
     off = int(base.agg(F.max("vec_id")).collect()[0][0]) + 1
     exploded = base.select(
         "vec_id", "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__copy"),
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__copy"),
     )
     if shape == "realistic":
         # copy 0 stays the original; ~1/50 of the other copies stay
@@ -105,14 +125,42 @@ def main() -> int:
             .otherwise(perturbed)
             .alias("embedding"),
         )
+    tiles = dim // 64
+    if tiles > 1:
+        # the 512-d (etc.) corpus: tile the 64-d vector, each tile under
+        # a fixed per-(tile, element) multiplier in [1, 2) — a PURE
+        # function of the vector, so exact copies stay exact, the
+        # realistic shape's perturbed copies stay far apart, and the
+        # planted dup structure carries to any dim unchanged
+        tiled = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(tiles - 1)),
+                lambda t: F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    * (
+                        F.lit(1.0)
+                        + F.pmod(
+                            F.xxhash64(t, i, F.lit(13)), F.lit(100)
+                        ).cast("double")
+                        / F.lit(100.0)
+                    ),
+                ),
+            )
+        )
+        exploded = exploded.select(
+            "vec_id", "__copy", tiled.alias("embedding")
+        )
     corpus = exploded.select(
         (F.col("vec_id") + F.col("__copy") * F.lit(off)).alias("vec_id"),
         "embedding",
     )
     n = corpus.count()
-    cents = sample_centroids(corpus, 2000, "vec_id", "embedding", seed=42)
+    # k ∝ N (the SemDeDup posture); n=200k -> k=2000, the r13/r14 value
+    k_cells = max(64, n // 100)
+    cents = sample_centroids(corpus, k_cells, "vec_id", "embedding", seed=42)
     print(
-        f"corpus {n} rows x {COPIES} copies, shape={shape}; "
+        f"corpus {n} rows x {copies} copies, dim={dim}, shape={shape}; "
         f"k={len(cents)}",
         flush=True,
     )

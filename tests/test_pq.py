@@ -715,3 +715,70 @@ def test_training_sample_id_salt_spreads_duplicates(spark):
     # sample would collapse every centroid onto one point)
     for book in salted.centroids:
         assert len(set(book)) == 16
+
+
+def test_high_dim_arrow_adc_matches_expression_path(spark, monkeypatch):
+    """Above _PQ_EXPR_MAX_DIM the ADC scorers switch to the Arrow numpy
+    kernel (the 512-d A/B measured the HOF expression interpreter-bound
+    at m·dsub lambdas per pair — 13x slower triggers at PQ's own design
+    point). The kernel must score within float ulps of the expression
+    form, produce the IDENTICAL pair set through the margin prefilter +
+    exact confirm, and keep the loud guards."""
+    import cassandra_analytics_spark.operators.pq as pq_mod
+    from cassandra_analytics_spark.operators.pq import (
+        pq_adc_dot_expr,
+        pq_pairs_from_cells,
+    )
+
+    rows, df = _corpus(spark, n=150, dim=256, seed=13)
+    cb = train_pq_codebook(df, m=8, ks=16, sample_size=150, seed=3)
+    assert cb.dim == 256 > pq_mod._PQ_EXPR_MAX_DIM
+    enc = pq_encode(df, cb, keep_vec=True, with_residual=True)
+    assigned = enc.withColumn("cell", F.lit(0))
+
+    # asym scorer: Arrow kernel vs the expression form (forced by a
+    # raised threshold) — same values to float-ulp tolerance
+    arrow = {
+        r["vec_id"]: r["d"]
+        for r in enc.select(
+            "vec_id",
+            pq_adc_dot_expr(cb, "embedding", "pqcode").alias("d"),
+        ).collect()
+    }
+    monkeypatch.setattr(pq_mod, "_PQ_EXPR_MAX_DIM", 100_000)
+    expr = {
+        r["vec_id"]: r["d"]
+        for r in enc.select(
+            "vec_id",
+            pq_adc_dot_expr(cb, "embedding", "pqcode").alias("d"),
+        ).collect()
+    }
+    monkeypatch.undo()
+    assert set(arrow) == set(expr) and len(arrow) == 150
+    for k in arrow:
+        assert abs(arrow[k] - expr[k]) < 1e-9, (k, arrow[k], expr[k])
+
+    # pair stage: identical published pairs through both scorers
+    got_arrow = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in pq_pairs_from_cells(assigned, cb, 0.2).collect()
+    }
+    monkeypatch.setattr(pq_mod, "_PQ_EXPR_MAX_DIM", 100_000)
+    got_expr = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in pq_pairs_from_cells(assigned, cb, 0.2).collect()
+    }
+    monkeypatch.undo()
+    assert got_arrow == got_expr and len(got_arrow) > 0
+
+    # the loud guards survive the kernel switch
+    bigger = train_pq_codebook(df, m=8, ks=64, sample_size=150, seed=3)
+    enc_big = pq_encode(df, bigger, keep_vec=True, with_residual=True)
+    with pytest.raises(Exception, match="ks=16 codewords"):
+        enc_big.select(
+            pq_adc_dot_expr(cb, "embedding", "pqcode").alias("d")
+        ).collect()
+    with pytest.raises(Exception, match="ks=16 codewords"):
+        pq_pairs_from_cells(
+            enc_big.withColumn("cell", F.lit(0)), cb, 0.2
+        ).collect()
