@@ -16,8 +16,11 @@ compute genuine functions of the raw bytes —
 * byte-level statistics (mean byte value, Shannon entropy of the byte
   histogram) vectorized with numpy inside the Arrow batch.
 
-Pixel-array decode (``decode_image``) remains a clearly-marked stub: it
-raises ``NotImplementedError`` until a codec library is present.
+Pixel-array decode (``decode_image``) has a REAL path behind an
+optional dependency (round 15): with ``pillow`` importable it decodes
+to an RGB array and reports pixel-level stats (skip-gated test); in
+this codec-less container it raises the documented
+``NotImplementedError`` — the sanctioned no-dep fallback.
 
 Design for 100 TB: blobs ride in their own column so column pruning keeps
 them out of metadata-only scans (parquet column chunks are skipped
@@ -169,23 +172,47 @@ def inspect_image_bytes(content: bytes) -> dict:
 
 
 def decode_image(content: bytes, fake: bool = False) -> dict:
-    """Decode one image blob to pixel statistics. STUB: real pixel decode
-    needs an image codec (PIL/opencv), not present in this container.
-    Header-level inspection does NOT need this — see
-    ``inspect_image_bytes``."""
-    try:
-        import PIL.Image  # noqa: F401
+    """Decode one image blob to pixel statistics.
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if have_pil and not fake:  # pragma: no cover - no PIL in container
-        raise NotImplementedError("real decode path not wired yet")
+    Real path (round 15): when ``pillow`` is importable the blob is
+    decoded to an RGB pixel array and the stats are PIXEL-level —
+    ``{n_bytes, w, h, n_channels, mean_pixel, pixel_entropy}`` (mean
+    over all channels; Shannon entropy of the 256-bin channel-value
+    histogram). The dependency is OPTIONAL: this container carries no
+    codec library (SURVEY-sanctioned), so without it the call raises
+    the documented ``NotImplementedError`` — callers that only need
+    byte-level features use ``inspect_image_bytes`` (codec-free,
+    always available). ``fake=True`` returns the deterministic
+    byte-stat fake regardless (the plumbing-test path — schema
+    ``{n_bytes, mean_byte, entropy}``)."""
     if not fake:
-        raise NotImplementedError(
-            "pixel decoding requires a codec library (PIL/opencv); "
-            "byte-level features come from inspect_image_bytes instead"
-        )
+        try:
+            import PIL.Image
+        except ImportError:
+            raise NotImplementedError(
+                "pixel decoding requires a codec library (PIL/opencv); "
+                "byte-level features come from inspect_image_bytes "
+                "instead (pip install pillow enables the real path)"
+            ) from None
+        import io
+
+        import numpy as np
+
+        with PIL.Image.open(io.BytesIO(content)) as img:
+            rgb = img.convert("RGB")
+            w, h = rgb.size
+            px = np.asarray(rgb, dtype=np.uint8)
+        counts = np.bincount(px.reshape(-1), minlength=256)
+        tot = counts.sum()
+        p = counts[counts > 0] / tot
+        return {
+            "n_bytes": len(content),
+            "w": int(w),
+            "h": int(h),
+            "n_channels": int(px.shape[2]) if px.ndim == 3 else 1,
+            "mean_pixel": float(px.mean()),
+            "pixel_entropy": float(-(p * np.log2(p)).sum()),
+        }
     n = len(content)
     if n == 0:
         return {"n_bytes": 0, "mean_byte": 0.0, "entropy": 0.0}

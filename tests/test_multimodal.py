@@ -113,13 +113,44 @@ def test_inspect_image_bytes_stats():
     assert inspect_image_bytes(b"\x07" * 100)["entropy"] == 0.0
 
 
+def _have_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x01")
+    if not _have_pil():
+        # no codec in the container: the documented loud refusal
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x00\x01")
     stats = decode_image(bytes(range(256)), fake=True)
     assert stats["n_bytes"] == 256
     assert stats["mean_byte"] == 127.5
     assert math.isclose(stats["entropy"], 8.0)
+
+
+@pytest.mark.skipif(not _have_pil(), reason="pillow not installed")
+def test_decode_real_path_with_pillow():
+    """Round 15: the optional-dependency real decode — a tiny
+    solid-color PNG built with pillow itself decodes to exact
+    pixel-level stats (constant image -> zero entropy, known mean)."""
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+    blob = buf.getvalue()
+    stats = decode_image(blob)
+    assert (stats["w"], stats["h"], stats["n_channels"]) == (4, 3, 3)
+    assert stats["n_bytes"] == len(blob)
+    assert math.isclose(stats["mean_pixel"], (10 + 20 + 30) / 3)
+    # three values at 1/3 probability each -> log2(3) bits
+    assert math.isclose(stats["pixel_entropy"], math.log2(3))
 
 
 def test_extract_image_features(mm_df):
