@@ -154,16 +154,24 @@ def run_semantic_dedup_stream(
     are a pure function of the vector, so replayed rows re-quantize
     byte-identically).
 
-    WHEN TO QUANTIZE (measured, PERF.md r13/r14): the codes pay off
-    when the duplicate fraction is realistic — at ~2% dups the r14
-    A/B measured a 3.31x shuffle-byte cut on the non-bootstrap
-    triggers (the prefilter kills ~98% of candidate pairs, so the
-    exact confirm re-reads a sliver). On a dup-SATURATED corpus
-    (~99% copies, the soak stress shape) nearly every pair survives
-    to the confirm, which re-reads the float column for everything:
-    scan bytes go UP ~2.7x and wall +24% for a 1.91x shuffle cut —
-    leave ``quantize=False`` there. Verdicts are identical either
-    way; the flag only moves bytes.
+    WHEN TO QUANTIZE vs PQ (measured at BOTH ends, PERF.md r13-r15):
+    the codes pay off when the duplicate fraction is realistic — at
+    ~2% dups the r14 A/B measured SQ8's 3.31x shuffle-byte cut on the
+    non-bootstrap triggers (the prefilter kills ~98% of candidate
+    pairs, so the exact confirm re-reads a sliver). On a dup-SATURATED
+    corpus (~99% copies, the soak stress shape) nearly every pair
+    survives to the confirm, which re-reads the float column for
+    everything: scan bytes go UP ~2.7x and wall +24% for a 1.91x
+    shuffle cut — leave ``quantize=False`` there. The CODE SCHEME
+    crossover is dimension (round-15 512-d A/B, PERF.md): at 64-d SQ8
+    wins (3.31x vs PQ's 2.21x — the pair-struct gap is small and PQ
+    pays extra confirm geometry); at 512-d PQ wins BOTH bytes and
+    wall (5.04x vs 4.45x shuffle cut; 302 s vs 571 s trigger wall —
+    SQ8's per-pair margin expression is 512 interpreted lambdas at
+    that dim, while PQ's pair structs stay ~40 B and its high-dim
+    scorer is an Arrow numpy kernel). Guidance: ``quantize=True`` for
+    embeddings ≤ ~128-d, ``pq=`` above that. Verdicts are identical
+    in every scheme; the flags only move bytes and wall.
 
     ``centroids`` is the coarse codebook (a k-means fit, or any fixed
     external set — the SemDeDup posture: the codebook is chosen once for
