@@ -168,3 +168,94 @@ def test_compact_refusals_and_spec_stash_discipline(spark, tmp_path):
     # operator recovery: restore the stash, reads work again
     assert rename_path(spark, f"{path}_spec__compacting", f"{path}_spec")
     assert query_pq_index(spark, path, [1.0] * 16, k=3).count() == 3
+
+
+def test_stream_survives_mid_life_layout_compaction(spark, tmp_path):
+    """Maintenance integration: a running semantic-dedup stream's IVF-PQ
+    layout can be compacted BETWEEN triggers (the daily-ingest shape:
+    appends accrue small files, an off-peak compaction rewrites them)
+    and the stream keeps publishing the correct pairs afterwards — the
+    spec/codebook survive byte-identical, so the frozen-codebook append
+    contract and the cached-codebook geometry check both still hold."""
+    import random as _random
+
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        collected_semantic_pairs,
+        process_semantic_batch,
+    )
+
+    rng = _random.Random(3)
+    dim = 8
+    base_a = [1.0] + [0.0] * (dim - 1)
+    base_b = [0.0] * (dim - 1) + [1.0]
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            v = [x + rng.uniform(-0.01, 0.01) for x in base_a]
+        elif i % 3 == 1:
+            v = [x + rng.uniform(-0.01, 0.01) for x in base_b]
+        else:
+            v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [(0, base_a), (1, base_b)]
+
+    ivf = str(tmp_path / "ivfpq")
+    cache: dict = {}
+    kwargs = dict(
+        index_path=ivf,
+        pairs_out=str(tmp_path / "pairs"),
+        centroids=centroids,
+        threshold=0.98,
+        pq={"m": 4, "ks": 16, "sample_size": 60, "seed": 1},
+        codebook_cache=cache,
+    )
+    process_semantic_batch(df.filter("vec_id < 20"), 0, **kwargs)
+    process_semantic_batch(
+        df.filter("vec_id >= 20 AND vec_id < 40"), 1, **kwargs
+    )
+    # off-peak maintenance between triggers
+    stats = compact_ann_index(spark, ivf)
+    assert stats["format"] == "ivf-pq-v1"
+    assert stats["files_after"] < stats["files_before"]
+    # the stream continues: trigger 2 appends + publishes as usual
+    process_semantic_batch(df.filter("vec_id >= 40"), 2, **kwargs)
+
+    got = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in collected_semantic_pairs(spark, kwargs["pairs_out"])
+        .dropDuplicates(["a", "b"])
+        .collect()
+    }
+    # one-shot reference over the SAME corpus (standard float math)
+    from cassandra_analytics_spark.operators.pq import (
+        pq_pairs_from_cells,
+        save_ivf_pq_index,
+    )
+
+    ref_path = str(tmp_path / "ref")
+    save_ivf_pq_index(
+        df, ref_path, centroids=centroids, m=4, ks=16,
+        sample_size=60, seed=1, residuals=True,
+    )
+    want = {
+        (r.a, r.b, round(r.cosine_sim, 9))
+        for r in pq_pairs_from_cells(
+            spark.read.parquet(ref_path),
+            _load_cb(spark, ref_path),
+            0.98,
+        ).collect()
+    }
+    assert got == want and len(want) > 50
+
+
+def _load_cb(spark, index_path):
+    from cassandra_analytics_spark.operators.pq import (
+        _resolve_ivf_pq_codebook,
+        read_ivf_pq_spec,
+    )
+
+    return _resolve_ivf_pq_codebook(
+        spark, index_path, read_ivf_pq_spec(spark, index_path), None,
+        caller="test",
+    )
