@@ -949,6 +949,7 @@ def _quantized_pairs_from_cells(
     dot_fn,
     norm_fn,
     skew_observation,
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cell near-dup pairs over a QUANTIZED layout: the quadratic
     pair expansion carries the int8 CODES (+ five doubles) through the
@@ -1023,16 +1024,29 @@ def _quantized_pairs_from_cells(
             )
         ).cast("boolean")
     )
-    # x̂·ŷ = sa·sb·Σ(ua·ub) + sa·mb·Σua + sb·ma·Σub + d·ma·mb
-    uu = F.aggregate(
-        F.zip_with(
-            pa["q"], pb["q"],
-            lambda x, y: (x.cast("double") + F.lit(128.0))
-            * (y.cast("double") + F.lit(128.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # x̂·ŷ = sa·sb·Σ(ua·ub) + sa·mb·Σua + sb·ma·Σub + d·ma·mb.
+    # ``dim`` (round 15, from the layout spec) gates Σ(ua·ub) to the
+    # Arrow kernel above quantize._EXPR_MAX_DIM — the zip_with form is
+    # d interpreted lambdas PER PAIR (the 512-d A/B measured the SQ8
+    # arm's triggers at 571 s vs the kerneled PQ arm's 302 s; Spark
+    # HOFs are not codegen'd). None keeps the expression.
+    from cassandra_analytics_spark.operators.quantize import (
+        _EXPR_MAX_DIM,
+        _sq8_u_dot_udf,
     )
+
+    if dim is not None and dim > _EXPR_MAX_DIM:
+        uu = _sq8_u_dot_udf()(pa["q"], pb["q"])
+    else:
+        uu = F.aggregate(
+            F.zip_with(
+                pa["q"], pb["q"],
+                lambda x, y: (x.cast("double") + F.lit(128.0))
+                * (y.cast("double") + F.lit(128.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     dq = F.size(pa["q"]).cast("double")
     dot_rec = (
         pa["s"] * pb["s"] * uu
@@ -1120,7 +1134,8 @@ def semantic_dedup_on_index(
             "build it with build_ivf_index first"
         )
     if use_codes:
-        if not _spec_quantized(_read_ivf_spec_optional(spark, index_path)):
+        spec = _read_ivf_spec_optional(spark, index_path)
+        if not _spec_quantized(spec):
             raise ValueError(
                 f"use_codes=True needs a quantized layout, but the index "
                 f"at {index_path!r} has no code columns (spec "
@@ -1131,6 +1146,7 @@ def semantic_dedup_on_index(
             _quantized_pairs_from_cells(
                 index, threshold, id_col, vec_col, max_cluster,
                 dot_fn, norm_fn, skew_observation,
+                dim=(spec or {}).get("dim"),
             )
         )
     pairs = semantic_pairs_from_cells(
@@ -1453,7 +1469,7 @@ def ivf_knn_join(
 
                 approx = approx_cosine_codes_vs_query_col(
                     F.col("__qv"), F.col("__qsum"), F.col("__qn"),
-                    _QCODE, _QMIN, _QSCALE,
+                    _QCODE, _QMIN, _QSCALE, dim=dim,
                 )
                 phase1_payload = qpayload  # SQ8 reconstruction needs __qv
             else:

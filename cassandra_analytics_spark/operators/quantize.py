@@ -160,6 +160,101 @@ def approx_cosine_from_codes(
     return F.try_divide(dot_approx, F.sqrt(norm_sq) * F.lit(qnorm))
 
 
+# SQ8's per-PAIR scorers share PQ's round-15 high-dim finding (see
+# operators/pq.py, _PQ_EXPR_MAX_DIM): Spark higher-order functions are
+# not whole-stage-codegen'd, so zip_with/aggregate over a d-element
+# code array costs d interpreted lambdas PER PAIR — the 512-d
+# streaming A/B measured the SQ8 arm's triggers at 571 s vs the
+# Arrow-kerneled PQ arm's 302 s. Above this dim the pair-shaped SQ8
+# scorers switch to Arrow-batched numpy kernels (same math, same
+# bound, float-ulp parity); callers gate by the layout spec's dim
+# (None = unknown = keep the expression, the pre-round-15 behavior).
+_EXPR_MAX_DIM = 128
+
+
+def _sq8_u_dot_udf():
+    """Arrow-batched ``Σ (u_a · u_b)`` over two int8 code columns
+    (u = code + 128) — the pair-stage kernel. Mixed-dimension pairs
+    raise the same data-corruption message as the expression guard."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udot(ca, cb):
+        import pandas as pd
+
+        out = np.full(len(ca), np.nan)
+        mask = (ca.notna() & cb.notna()).to_numpy()
+        if mask.any():
+            a = np.asarray(
+                [list(v) for v in ca[mask]], dtype=np.float64
+            ) + 128.0
+            b = np.asarray(
+                [list(v) for v in cb[mask]], dtype=np.float64
+            ) + 128.0
+            if a.ndim != 2 or b.ndim != 2 or a.shape != b.shape:
+                raise ValueError(
+                    "code-vector dimension mismatch between candidate "
+                    "pair members — mixed-dimension embedding columns "
+                    "are data corruption; fix or filter them first"
+                )
+            out[mask] = (a * b).sum(axis=1)
+        res = pd.Series(out)
+        return res.where(pd.notna(res), None)
+
+    return _udot
+
+
+def _sq8_query_cosine_udf():
+    """Arrow-batched :func:`approx_cosine_codes_vs_query_col` — the
+    whole reconstructed cosine in one kernel: inputs (query vec, query
+    sum, query norm, codes, min, scale) per row, output the code-space
+    cosine (None where any input is NULL or the denominator is 0,
+    matching try_divide)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _score(qv, qs, qn, codes, mn, sc):
+        import pandas as pd
+
+        out = np.full(len(codes), np.nan)
+        mask = (
+            codes.notna() & qv.notna() & qs.notna() & qn.notna()
+            & mn.notna() & sc.notna()
+        ).to_numpy()
+        if mask.any():
+            u = np.asarray(
+                [list(v) for v in codes[mask]], dtype=np.float64
+            ) + 128.0
+            v = np.asarray([list(x) for x in qv[mask]], dtype=np.float64)
+            if u.ndim != 2 or v.ndim != 2 or u.shape != v.shape:
+                raise ValueError(
+                    "code/query dimension mismatch in the quantized "
+                    "kNN scorer — mixed-dimension embedding columns "
+                    "are data corruption; fix or filter them first"
+                )
+            s = sc[mask].to_numpy(dtype=np.float64)
+            m = mn[mask].to_numpy(dtype=np.float64)
+            qsum = qs[mask].to_numpy(dtype=np.float64)
+            qnorm = qn[mask].to_numpy(dtype=np.float64)
+            d = float(u.shape[1])
+            dot_approx = s * (u * v).sum(axis=1) + m * qsum
+            norm_sq = (
+                s * s * (u * u).sum(axis=1)
+                + 2.0 * s * m * u.sum(axis=1)
+                + d * m * m
+            )
+            denom = np.sqrt(norm_sq) * qnorm
+            with np.errstate(divide="ignore", invalid="ignore"):
+                res = np.where(denom != 0.0, dot_approx / denom, np.nan)
+            out[mask] = res
+        res = pd.Series(out)
+        return res.where(pd.notna(res), None)
+
+    return _score
+
+
 def approx_cosine_codes_vs_query_col(
     qvec_col,
     qsum_col,
@@ -167,14 +262,23 @@ def approx_cosine_codes_vs_query_col(
     code_col: str = "qvec",
     min_col: str = "embedding_min",
     scale_col: str = "embedding_scale",
+    dim: int | None = None,
 ):
     """:func:`approx_cosine_from_codes` with the query as COLUMNS instead
     of a literal — the kNN-JOIN shape, where each candidate row carries
     its routed query vector (``qvec_col`` array<double>), its precomputed
     element sum (``qsum_col``) and norm (``qnorm_col``) from the
     broadcast routing table. Dimension validation happens driver-side in
-    the join planner (the query set is collected there anyway), so this
-    expression carries no per-row guard."""
+    the join planner (the query set is collected there anyway), so the
+    expression form carries no per-row guard. ``dim`` (round 15, from
+    the layout spec) switches to the Arrow kernel above
+    ``_EXPR_MAX_DIM`` — the expression form is d interpreted lambdas
+    per pair (see the module comment); None keeps the expression."""
+    if dim is not None and dim > _EXPR_MAX_DIM:
+        return _sq8_query_cosine_udf()(
+            qvec_col, qsum_col, qnorm_col,
+            F.col(code_col), F.col(min_col), F.col(scale_col),
+        )
     u = F.transform(
         F.col(code_col), lambda c: c.cast("double") + F.lit(128.0)
     )

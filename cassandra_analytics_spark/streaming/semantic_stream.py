@@ -479,6 +479,7 @@ def _publish_and_append(
         in_pairs = _quantized_pairs_from_cells(
             assigned, threshold, id_col, vec_col, max_cell,
             dot_fn, norm_fn, None,
+            dim=(raw_spec or {}).get("dim"),
         )
     else:
         in_pairs = semantic_pairs_from_cells(
@@ -504,6 +505,7 @@ def _publish_and_append(
         cross = _cross_pairs_quantized(
             spark, assigned, index_path, touched, threshold,
             id_col, vec_col, dotf, normf, max_cell,
+            dim=(raw_spec or {}).get("dim"),
         )
     else:
         cross = _cross_pairs_float(
@@ -574,7 +576,7 @@ def _cross_pairs_float(
 
 def _cross_pairs_quantized(
     spark, assigned, index_path, touched, threshold,
-    id_col, vec_col, dotf, normf, max_cell,
+    id_col, vec_col, dotf, normf, max_cell, dim=None,
 ):
     """Batch-vs-corpus pairs over a QUANTIZED layout: the corpus side of
     the batch x occupancy expansion carries the int8 CODES (+ four
@@ -661,7 +663,7 @@ def _cross_pairs_quantized(
     )
     approx = approx_cosine_codes_vs_query_col(
         F.col("__bvec"), F.col("__bsum"), F.col("__bstd"),
-        _QCODE, _QMIN, _QSCALE,
+        _QCODE, _QMIN, _QSCALE, dim=dim,
     )
     margin = F.try_divide(
         F.lit(2.0) * F.col("__cr"), F.col("__cnrm_rec")

@@ -356,3 +356,82 @@ def test_knn_join_query_batching_identical_to_unbatched(spark, tmp_path):
 
     with pytest.raises(ValueError, match="query_batch_size"):
         ivf_knn_join(queries, path, k=5, query_batch_size=0)
+
+
+def test_sq8_high_dim_arrow_kernels_match_expression(spark):
+    """Round 15: above quantize._EXPR_MAX_DIM the SQ8 pair scorers
+    switch to Arrow numpy kernels (the 512-d A/B measured the zip_with
+    form at d interpreted lambdas per pair — 571 s triggers). Kernel
+    and expression must agree to float ulps and produce the IDENTICAL
+    pair set; the mixed-dimension guard stays loud."""
+    import random as _random
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        _quantized_pairs_from_cells,
+    )
+    from cassandra_analytics_spark.operators.quantize import (
+        _EXPR_MAX_DIM,
+        approx_cosine_codes_vs_query_col,
+        quantize_embeddings,
+    )
+
+    dim = 256
+    assert dim > _EXPR_MAX_DIM
+    rng = _random.Random(21)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coded = (
+        quantize_embeddings(df, keep_vec=True)
+        # the pair scorer reads the IVF LAYOUT's code column names
+        .withColumnRenamed("embedding_min", "qmin")
+        .withColumnRenamed("embedding_scale", "qscale")
+        .withColumn("cell", F.lit(0))
+    )
+
+    key = lambda r: (r.a, r.b, round(r.cosine_sim, 9))  # noqa: E731
+    expr_pairs = sorted(
+        map(key, _quantized_pairs_from_cells(
+            coded, 0.1, "vec_id", "embedding", 10_000, None, None, None,
+        ).collect())
+    )
+    arrow_pairs = sorted(
+        map(key, _quantized_pairs_from_cells(
+            coded, 0.1, "vec_id", "embedding", 10_000, None, None, None,
+            dim=dim,
+        ).collect())
+    )
+    assert arrow_pairs == expr_pairs and len(expr_pairs) > 0
+
+    # the code-vs-query scorer: kernel values within float ulps of the
+    # expression on a self-join shape (each row scored vs its own vec)
+    from cassandra_analytics_spark.operators.similarity import norm as _n
+
+    qside = coded.select(
+        "vec_id", "qvec",
+        F.col("qmin").alias("embedding_min"),
+        F.col("qscale").alias("embedding_scale"),
+        F.col("embedding").alias("__qv"),
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x
+        ).alias("__qsum"),
+        _n(F.col("embedding")).alias("__qn"),
+    )
+    for d_arg in (None, dim):
+        got = {
+            r["vec_id"]: r["c"]
+            for r in qside.select(
+                "vec_id",
+                approx_cosine_codes_vs_query_col(
+                    F.col("__qv"), F.col("__qsum"), F.col("__qn"),
+                    dim=d_arg,
+                ).alias("c"),
+            ).collect()
+        }
+        if d_arg is None:
+            want = got
+        else:
+            assert set(got) == set(want)
+            for k in got:
+                assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
