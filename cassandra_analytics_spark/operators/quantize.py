@@ -130,6 +130,53 @@ def approx_cosine_from_codes(
         )
     qnorm = math.sqrt(sum(x * x for x in qv))
     qsum = sum(qv)
+    if len(qv) > _EXPR_MAX_DIM:
+        # high dim: the three HOF reductions are d interpreted lambdas
+        # PER ROW of the phase-1 scan (the round-15 finding — see the
+        # module comment below); the Arrow kernel computes the same
+        # cosine, raising the same loud message on a length mismatch
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        qarr = np.asarray(qv, dtype=np.float64)
+
+        @pandas_udf("double")
+        def _score(codes, mn, sc):
+            import pandas as pd
+
+            out = np.full(len(codes), np.nan)
+            mask = (codes.notna() & mn.notna() & sc.notna()).to_numpy()
+            if mask.any():
+                lens = {len(v) for v in codes[mask]}
+                if lens != {len(qarr)}:
+                    bad = sorted(lens - {len(qarr)})[0]
+                    raise ValueError(
+                        f"approx_cosine_from_codes: query vector is "
+                        f"{len(qarr)}-d but found a code vector of "
+                        f"length {bad}"
+                    )
+                u = np.asarray(
+                    [list(v) for v in codes[mask]], dtype=np.float64
+                ) + 128.0
+                s = sc[mask].to_numpy(dtype=np.float64)
+                m = mn[mask].to_numpy(dtype=np.float64)
+                d = float(len(qarr))
+                dot_approx = s * (u @ qarr) + m * qsum
+                norm_sq = (
+                    s * s * (u * u).sum(axis=1)
+                    + 2.0 * s * m * u.sum(axis=1)
+                    + d * m * m
+                )
+                denom = np.sqrt(norm_sq) * qnorm
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    res = np.where(
+                        denom != 0.0, dot_approx / denom, np.nan
+                    )
+                out[mask] = res
+            res = pd.Series(out)
+            return res.where(pd.notna(res), None)
+
+        return _score(F.col(code_col), F.col(min_col), F.col(scale_col))
     qlit = lit_vector(qv)
     dim_ok = F.size(F.col(code_col)) == F.lit(len(qv))
     guarded_codes = F.when(

@@ -435,3 +435,52 @@ def test_sq8_high_dim_arrow_kernels_match_expression(spark):
             assert set(got) == set(want)
             for k in got:
                 assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_sq8_single_query_kernel_matches_expression(spark, monkeypatch):
+    """The single-query phase-1 scorer (approx_cosine_from_codes) gets
+    the same high-dim Arrow kernel: identical top-k and float-ulp-equal
+    scores vs the expression form, loud length-mismatch guard kept."""
+    import random as _random
+
+    import cassandra_analytics_spark.operators.quantize as q_mod
+    from cassandra_analytics_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    dim = 256
+    rng = _random.Random(8)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coded = quantize_embeddings(df, keep_vec=True)
+    qvec = rows[0][1]
+
+    key = lambda r: (r.vec_id, round(r.cosine_sim, 9))  # noqa: E731
+    kernel = sorted(map(key, quantized_topk(
+        coded, qvec, k=10, vec_col="embedding", rescore_factor=8,
+    ).collect()))
+    monkeypatch.setattr(q_mod, "_EXPR_MAX_DIM", 100_000)
+    expr = sorted(map(key, quantized_topk(
+        coded, qvec, k=10, vec_col="embedding", rescore_factor=8,
+    ).collect()))
+    monkeypatch.undo()
+    assert kernel == expr and len(kernel) == 10
+
+    # length mismatch raises the same message through the kernel
+    import pytest as _pytest
+
+    from cassandra_analytics_spark.operators.quantize import (
+        approx_cosine_from_codes,
+    )
+
+    short = quantize_embeddings(
+        spark.createDataFrame(
+            [(0, [1.0] * 200)], "vec_id long, embedding array<double>"
+        ),
+        keep_vec=True,
+    )
+    with _pytest.raises(Exception, match="256-d but found a code vector"):
+        short.select(
+            approx_cosine_from_codes([1.0] * 256).alias("c")
+        ).collect()
