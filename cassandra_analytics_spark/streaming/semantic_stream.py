@@ -578,40 +578,49 @@ def _cross_pairs_quantized(
     spark, assigned, index_path, touched, threshold,
     id_col, vec_col, dotf, normf, max_cell, dim=None,
 ):
-    """Batch-vs-corpus pairs over a QUANTIZED layout: the corpus side of
-    the batch x occupancy expansion carries the int8 CODES (+ four
-    doubles) instead of the float vectors — the streaming twin of
-    ``ann_index._quantized_pairs_from_cells``'s measured 3.4x byte cut,
-    applied to the join that dominates each trigger at corpus scale.
+    """Batch-vs-corpus pairs over a QUANTIZED layout: BOTH sides of the
+    batch x occupancy expansion carry int8 CODES (+ four doubles)
+    instead of float vectors — the batch is code-complete already
+    (``assign_with_index_spec`` derives codes from the persisted spec),
+    so the streaming twin of ``ann_index._quantized_pairs_from_cells``
+    applies end to end, including its TWO-SIDED proven bound: with
+    per-element quantization error <= s/2 each side's reconstruction
+    error is r = s*sqrt(d)/2 and
 
-    Exactness-preserving by the SAME proven bound, one-sided because
-    the batch side stays exact float: with per-element quantization
-    error <= s/2 the corpus reconstruction error is ||y - y_hat|| <= r =
-    s*sqrt(d)/2, so |cos(x, y) - cos(x, y_hat)| <= 2r/||y_hat|| — a
-    pair survives to confirmation iff its code-space cosine >=
+        |cos(x, y) - cos(x_hat, y_hat)| <= 2r_x/||x_hat|| + 2r_y/||y_hat||
+
+    — a pair survives to confirmation iff its code-space cosine >=
     threshold - that margin - 1e-9 (double-rounding headroom): no true
     pair can be dropped, false survivors die in the exact confirm, and
     the published verdicts are IDENTICAL to the float path (pinned by
     the shared driver oracle and the boundary test). Custom
-    dot_fn/norm_fn enter ONLY the exact confirm, exactly the batch
-    twin's split — the bound is stated for true cosine.
+    dot_fn/norm_fn enter ONLY the exact confirm — the bound is stated
+    for true cosine.
 
-    The confirm joins the float column back by (cell, id), restricted
-    to the touched partitions: survivor-proportional, and duplicate-id
-    layout rows from replays (same id, same vector, possibly re-coded
-    byte-identically) can only produce equal-cosine duplicates that the
-    caller's dropDuplicates((a, b)) collapses — the module's replay
-    contract, unchanged."""
+    WHY symmetric (round 15): the r13 one-sided form kept the batch
+    side exact float, which carried the batch's FLOAT vector through
+    the pair expansion — ~4 KB/pair at 512-d, and once the high-dim
+    Arrow kernel took over the scorer it shipped that vector per pair
+    through Arrow too (the same failure the PQ cross stage had). Codes
+    on both sides keep the expansion at ~1 B/dim + four doubles per
+    side; ``dim`` (from the layout spec) gates the u-dot to the Arrow
+    kernel above ``quantize._EXPR_MAX_DIM``.
+
+    The confirm joins the float columns back by (cell, id) for the
+    corpus (restricted to the touched partitions) and by id for the
+    batch: survivor-proportional, and duplicate-id layout rows from
+    replays (same id, same vector, re-coded byte-identically) can only
+    produce equal-cosine duplicates that the caller's
+    dropDuplicates((a, b)) collapses — the module's replay contract,
+    unchanged."""
     from cassandra_analytics_spark.operators.ann_index import (
         _QCODE,
         _QMIN,
         _QSCALE,
     )
     from cassandra_analytics_spark.operators.quantize import (
-        approx_cosine_codes_vs_query_col,
-    )
-    from cassandra_analytics_spark.operators.similarity import (
-        norm as _std_norm,
+        _EXPR_MAX_DIM,
+        _sq8_u_dot_udf,
     )
 
     corpus = spark.read.parquet(index_path).filter(
@@ -620,8 +629,9 @@ def _cross_pairs_quantized(
     occupancy = corpus.groupBy("cell").agg(
         F.count(F.lit(1)).alias("__occ")
     )
-    # phase 1 projects CODES only — the float column stays out of the
-    # expansion scan entirely (the quantized_topk plan discipline)
+
+    # per-row code stats (map-side, once per ROW, never per pair):
+    # u = code + 128, reconstructed norm from the closed form, r
     u = F.transform(
         F.col(_QCODE), lambda cc: cc.cast("double") + F.lit(128.0)
     )
@@ -631,6 +641,7 @@ def _cross_pairs_quantized(
     s, m = F.col(_QSCALE), F.col(_QMIN)
     nrm = F.sqrt(s * s * suu + F.lit(2.0) * s * m * su + d * m * m)
     r = s * F.sqrt(d) / F.lit(2.0)
+
     c = (
         corpus.filter(F.col(_QCODE).isNotNull())
         .join(
@@ -641,45 +652,64 @@ def _cross_pairs_quantized(
         .select(
             F.col(id_col).alias("__cid_"),
             "cell",
-            F.col(_QCODE),
-            F.col(_QMIN),
-            F.col(_QSCALE),
-            nrm.alias("__cnrm_rec"),
+            F.col(_QCODE).alias("__cq"),
+            s.alias("__cs"),
+            m.alias("__cm"),
+            su.alias("__csu"),
+            nrm.alias("__cnrm"),
             r.alias("__cr"),
         )
     )
-    # batch side: float vectors (batch-sized) + the element sum and the
-    # STANDARD float norm the approx/margin math is stated over
-    bsum = F.aggregate(
-        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x
-    )
-    b = assigned.select(
+    b = assigned.filter(F.col(_QCODE).isNotNull()).select(
         F.col(id_col).alias("__bid_"),
-        F.col(vec_col).alias("__bvec"),
-        F.col("__nrm").alias("__bnrm"),
-        bsum.alias("__bsum"),
-        _std_norm(F.col(vec_col)).alias("__bstd"),
         "cell",
+        F.col(_QCODE).alias("__bq"),
+        s.alias("__bs"),
+        m.alias("__bm"),
+        su.alias("__bsu"),
+        nrm.alias("__brec"),
+        r.alias("__br"),
     )
-    approx = approx_cosine_codes_vs_query_col(
-        F.col("__bvec"), F.col("__bsum"), F.col("__bstd"),
-        _QCODE, _QMIN, _QSCALE, dim=dim,
+    # x_hat . y_hat = sb*sc*Sum(ub*uc) + sb*mc*Sum(ub) + sc*mb*Sum(uc)
+    #                 + d*mb*mc  (the _quantized_pairs_from_cells form)
+    if dim is not None and dim > _EXPR_MAX_DIM:
+        uu = _sq8_u_dot_udf()(F.col("__bq"), F.col("__cq"))
+    else:
+        uu = F.aggregate(
+            F.zip_with(
+                F.col("__bq"), F.col("__cq"),
+                lambda x, y: (x.cast("double") + F.lit(128.0))
+                * (y.cast("double") + F.lit(128.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    dq = F.size(F.col("__bq")).cast("double")
+    dot_rec = (
+        F.col("__bs") * F.col("__cs") * uu
+        + F.col("__bs") * F.col("__cm") * F.col("__bsu")
+        + F.col("__cs") * F.col("__bm") * F.col("__csu")
+        + dq * F.col("__bm") * F.col("__cm")
     )
-    margin = F.try_divide(
-        F.lit(2.0) * F.col("__cr"), F.col("__cnrm_rec")
-    ) + F.lit(1e-9)
+    approx = F.try_divide(dot_rec, F.col("__brec") * F.col("__cnrm"))
+    margin = (
+        F.try_divide(F.lit(2.0) * F.col("__br"), F.col("__brec"))
+        + F.try_divide(F.lit(2.0) * F.col("__cr"), F.col("__cnrm"))
+        + F.lit(1e-9)
+    )
     survivors = (
         b.join(c, "cell")
         .filter(F.col("__bid_") != F.col("__cid_"))
         .withColumn("__approx", approx)
+        .withColumn("__margin", margin)
         .filter(
             F.col("__approx").isNotNull()
-            & (F.col("__approx") >= F.lit(threshold) - margin)
+            & (F.col("__approx") >= F.lit(threshold) - F.col("__margin"))
         )
-        .select("__bid_", "__bvec", "__bnrm", "__cid_", "cell")
+        .select("__bid_", "__cid_", "cell")
     )
-    # exact confirm from the float column — survivor-proportional join
-    # on (cell, id), still partition-pruned to the touched cells
+    # exact confirm from the float columns — survivor-proportional:
+    # corpus by (cell, id) (partition-pruned), batch by id
     floats = spark.read.parquet(index_path).filter(
         F.col("cell").isin(touched)
     ).select(
@@ -687,12 +717,18 @@ def _cross_pairs_quantized(
         "cell",
         F.col(vec_col).alias("__cvec"),
     )
+    bfloats = assigned.select(
+        F.col(id_col).alias("__bid_"),
+        F.col(vec_col).alias("__bvec"),
+        F.col("__nrm").alias("__bnrm"),
+    )
     cos = F.try_divide(
         dotf(F.col("__bvec"), F.col("__cvec")),
         F.col("__bnrm") * normf(F.col("__cvec")),
     )
     return (
         survivors.join(floats, ["cell", "__cid_"])
+        .join(bfloats, "__bid_")
         .withColumn("cosine_sim", cos)
         .filter(F.col("cosine_sim") >= threshold)
         .select(
