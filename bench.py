@@ -242,8 +242,13 @@ def _classify_bytes(bytes_total: dict | None,
         return None
     pb = prior_bytes.get("shuffle_write_bytes")
     nb = bytes_total.get("shuffle_write_bytes")
-    if not isinstance(pb, (int, float)) or pb <= 0 or nb is None:
+    if not isinstance(pb, (int, float)) or nb is None:
         return None
+    if pb <= 0:
+        # a zero prior is only adjudicable when the current run is
+        # also zero (a shuffle-free plan staying shuffle-free —
+        # ann_pq_topk's shape); anything else has no ratio to judge
+        return "weather" if nb == 0 else None
     return "plan" if abs(nb - pb) / pb > 0.02 else "weather"
 
 

@@ -59,8 +59,12 @@ def test_classify_bytes_plan_vs_weather():
     assert _classify_bytes({"shuffle_write_bytes": 900_000}, prior) == "plan"
     assert _classify_bytes(None, prior) is None
     assert _classify_bytes({"shuffle_write_bytes": 1}, None) is None
+    # zero prior: adjudicable only when still zero (a shuffle-free
+    # plan staying shuffle-free); a nonzero current has no ratio
     assert _classify_bytes({"shuffle_write_bytes": 1},
                            {"shuffle_write_bytes": 0}) is None
+    assert _classify_bytes({"shuffle_write_bytes": 0},
+                           {"shuffle_write_bytes": 0}) == "weather"
 
 
 def test_extended_families_registered_and_disjoint():
