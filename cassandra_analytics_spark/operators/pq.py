@@ -414,12 +414,13 @@ def _pq_asym_adc_udf(codebook: PQCodebook):
 
 
 def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
-    """The ADC dot ``v · x̂`` as a PURE-CODEGEN expression over a float
-    vector column and a corpus code column — for callers whose "query
-    side" is itself a DataFrame (the streaming SemDeDup batch, each of
-    whose rows scores corpus codes): ``Σ_i v_sub_i · c_i[code_i]``,
-    computed per pair against ONE flattened m·ks·dsub codebook literal
-    (131 KB at m=16/ks=256/d=64 — plan-sized, shared by every row).
+    """The asymmetric ADC dot ``v · x̂`` as a Column over a float vector
+    column and a corpus code column — for callers whose "query side" is
+    itself a DataFrame of FLOAT vectors: ``Σ_i v_sub_i · c_i[code_i]``,
+    per pair against ONE flattened m·ks·dsub codebook literal (131 KB
+    at m=16/ks=256/d=64 — plan-sized, shared by every row) at low dim,
+    or the Arrow kernel above ``_PQ_EXPR_MAX_DIM`` (the round-15 512-d
+    finding — see the module comment).
 
     Why not a per-row LUT column: a LUT is m·ks doubles PER ROW (32 KB
     at m=16/ks=256), and Catalyst sizes the frame from pre-UDF stats —
@@ -427,10 +428,16 @@ def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
     LUT frame and died in the BroadcastExchange build (round-14
     measured failure). Per-row LUTs only pay when the query set is
     driver-collected and rides a one-row-per-query payload (the
-    ``ivf_knn_join(use_pq=True)`` shape); DataFrame-vs-DataFrame
-    scoring uses this expression instead — m·dsub = dim multiplies per
-    pair, the same arithmetic as a float dot, with the corpus side
-    still shipping only m bytes + stored norms."""
+    ``ivf_knn_join(use_pq=True)`` shape).
+
+    HIGH-DIM CAVEAT (round 15): this asymmetric shape ships the FLOAT
+    vector into every pair it scores — ~4 KB/pair at 512-d — which is
+    why the streaming SemDeDup stages moved to the SYMMETRIC
+    code-vs-code form (:func:`pq_sym_adc_col` under the two-sided
+    measured bound; both sides ~m bytes). Prefer the symmetric form
+    whenever the query side can be encoded with the same codebook;
+    this one remains for float-query-vs-codes scoring where encoding
+    the query side is not an option."""
     ks, dsub = codebook.ks, codebook.dsub
     vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     ccol = F.col(code_col) if isinstance(code_col, str) else code_col
