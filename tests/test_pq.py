@@ -782,3 +782,36 @@ def test_high_dim_arrow_adc_matches_expression_path(spark, monkeypatch):
         pq_pairs_from_cells(
             enc_big.withColumn("cell", F.lit(0)), cb, 0.2
         ).collect()
+
+
+def test_dim_dispatch_is_visible_in_the_plan(spark):
+    """Pin the round-15 dispatch at the PLAN level so a silent
+    regression (e.g. the threshold constant drifting, or the kernel
+    path quietly dropped) fails loudly: above _PQ_EXPR_MAX_DIM the pair
+    plan must contain an Arrow Python-UDF node; at low dim it must NOT
+    (pure JVM expressions)."""
+    import contextlib
+    import io
+
+    from cassandra_analytics_spark.operators.pq import pq_pairs_from_cells
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for dim, wants_arrow in ((16, False), (256, True)):
+        rows, df = _corpus(spark, n=60, dim=dim, seed=5)
+        cb = train_pq_codebook(df, m=4, ks=16, sample_size=60, seed=3)
+        # localCheckpoint materializes the ENCODING (itself an Arrow
+        # UDF) out of the lineage, so any Arrow node left in the pair
+        # plan belongs to the SCORER dispatch under test
+        assigned = (
+            pq_encode(df, cb, keep_vec=True, with_residual=True)
+            .withColumn("cell", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        plan = plan_of(pq_pairs_from_cells(assigned, cb, 0.5))
+        has_arrow = "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+        assert has_arrow == wants_arrow, (dim, plan[:2000])
