@@ -62,3 +62,14 @@ def list_files(spark: SparkSession, path_str: str,
         if suffix is None or p.endswith(suffix):
             out.append(p)
     return out
+
+
+def glob_paths(spark: SparkSession, pattern: str) -> list[str]:
+    """The paths a Hadoop glob matches (empty when none) — the
+    store-agnostic twin of ``glob.glob`` for directory enumeration
+    (doc-store batch dirs, layout cells)."""
+    fs, path = _fs_and_path(spark, pattern)
+    statuses = fs.globStatus(path)
+    if statuses is None:
+        return []
+    return [st.getPath().toString() for st in statuses]

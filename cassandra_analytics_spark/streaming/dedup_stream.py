@@ -205,3 +205,127 @@ def collected_pairs(spark, pairs_out: str, id_type: str = "long") -> DataFrame:
             [], f"a {id_type}, b {id_type}, jaccard double, batch_id int"
         )
     return spark.read.parquet(pattern)
+
+
+def compact_doc_store(
+    spark,
+    doc_store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_files: int = 1,
+    index_table: str | None = None,
+    spec: LshIndexSpec = LshIndexSpec(),
+) -> dict:
+    """Maintenance compaction for the text-dedup stream's durable state
+    (round 15 — the text twin of ``ann_index.compact_ann_index``): the
+    doc store accrues one ``batch-*`` directory per trigger forever,
+    and every trigger's confirm re-reads ALL of them through the
+    latest-batch-wins merge — the small-files problem on the stream's
+    own hot path. Compaction resolves the winners ONCE (exactly the
+    read path's rank: (coalesce(__batch_id, -1), text) max_by, so
+    superseded texts and replay duplicates drop) and rewrites them as
+    ``num_files`` files in a single ``batch-compacted-N`` directory,
+    each row KEEPING its original ``__batch_id`` so later appends still
+    out-rank compacted rows exactly as they out-ranked the originals.
+
+    CONCURRENT-READER/WRITER SAFETY (the ``compact_table``
+    commit-before-remove discipline): the compacted directory is
+    written under an invisible name (``__compacting`` — the readers
+    glob ``batch-*``), renamed into place FIRST, and only then are the
+    old directories removed — a reader never sees a gap, at worst
+    duplicates its own merge collapses; a trigger that appends a new
+    batch dir mid-compaction is safe because the old-dir list is
+    snapshotted BEFORE the read (a dir that lands later is either
+    included in the winners and kept, or untouched entirely). A crash
+    at any point leaves a store that reads correctly and a compaction
+    that can simply re-run. The compacted dir name is non-numeric so
+    it can never collide with a stream-written ``batch-%010d``.
+
+    ``index_table`` (optional): also REBUILD the LSH index from the
+    compacted winners (``build_index`` overwrite — the documented
+    restart semantics): the index accumulates replay-duplicate banded
+    rows and superseded texts' stale signatures forever, and the
+    rebuild is the sanctioned way to shed them (same contract as the
+    restart path: post-compaction batches behave like a fresh stream
+    over the same corpus). Pass the SAME ``spec`` the stream runs
+    with — the rebuilt table pins it.
+
+    Returns ``{"dirs_before", "dirs_after", "files_before",
+    "files_after", "rows_after"}``."""
+    from cassandra_analytics_spark.fs import (
+        delete_path,
+        glob_paths,
+        list_files,
+        rename_path,
+    )
+
+    if num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
+    pattern = doc_store.rstrip("/") + "/batch-*"
+    # snapshot the old dirs BEFORE reading: a batch dir appended after
+    # this point is either read into the winners (and kept on disk —
+    # harmless duplicates) or untouched entirely
+    old_dirs = glob_paths(spark, pattern)
+    if not old_dirs:
+        raise ValueError(
+            f"{doc_store!r} has no batch-* directories — not a doc store "
+            "this stream has written to (nothing to compact)"
+        )
+    files_before = len(list_files(spark, doc_store, suffix=".parquet"))
+    stored = spark.read.option("mergeSchema", "true").parquet(pattern)
+    if "__batch_id" not in stored.columns:
+        stored = stored.withColumn("__batch_id", F.lit(None).cast("int"))
+    # the READ path's exact rank (see _latest_store_texts): pre-stamp
+    # rows rank -1, ties break greatest-text-wins; the winner keeps its
+    # own __batch_id so future appends out-rank it correctly
+    rank = F.struct(
+        F.coalesce(F.col("__batch_id"), F.lit(-1)).alias("b"),
+        F.col(text_col).alias("t"),
+    )
+    winners = (
+        stored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col(text_col).alias("t"),
+                    F.col("__batch_id").alias("b"),
+                ),
+                rank,
+            ).alias("__w")
+        )
+        .select(
+            id_col,
+            F.col("__w.t").alias(text_col),
+            F.col("__w.b").alias("__batch_id"),
+        )
+    )
+    tmp = doc_store.rstrip("/") + "/__compacting"
+    delete_path(spark, tmp)
+    winners.repartition(num_files).write.mode("overwrite").parquet(tmp)
+    n_existing = len(
+        glob_paths(spark, doc_store.rstrip("/") + "/batch-compacted-*")
+    )
+    target = doc_store.rstrip("/") + f"/batch-compacted-{n_existing:06d}"
+    if not rename_path(spark, tmp, target):
+        raise ValueError(
+            f"compact_doc_store: could not move the compacted directory "
+            f"into place at {target!r} — recover from {tmp!r}"
+        )
+    for d in old_dirs:
+        if d != target:
+            delete_path(spark, d)
+    if index_table is not None:
+        # the restart-path semantics: rebuild the index over exactly
+        # the corpus the compacted store now reads as
+        rebuilt = spark.read.parquet(target).select(id_col, text_col)
+        build_index(rebuilt, index_table, spec, id_col, text_col)
+    rows_after = spark.read.parquet(target).count()
+    return {
+        "dirs_before": len(old_dirs),
+        "dirs_after": len(glob_paths(spark, pattern)),
+        "files_before": files_before,
+        "files_after": len(
+            list_files(spark, doc_store, suffix=".parquet")
+        ),
+        "rows_after": rows_after,
+    }

@@ -495,3 +495,84 @@ def test_legacy_doc_store_tie_breaks_greatest_text(spark, tmp_path):
              for r in _latest_store_texts(spark, store, "doc_id", "text").collect()}
     assert texts[1] == "zulu text"   # greatest text wins among -1 ranks
     assert texts[2] == "stamped"
+
+
+def test_compact_doc_store_mid_stream_preserves_semantics(spark, tmp_path):
+    """Round 15: the doc store accrues one batch dir per trigger
+    forever; compact_doc_store rewrites the latest-wins winners into
+    one dir (keeping each row's original __batch_id) and optionally
+    rebuilds the LSH index — and a stream that continues AFTER the
+    compaction publishes exactly the pairs it would have anyway."""
+    from cassandra_analytics_spark.streaming.dedup_stream import (
+        _latest_store_texts,
+        compact_doc_store,
+    )
+
+    src = str(tmp_path / "incoming")
+    docs = str(tmp_path / "docs")
+    table = "lsh_idx_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    b1 = [Row(doc_id=i, text=f"{BASE} item {i} " + "pad " * (i % 3))
+          for i in range(6)]
+    # doc 2 re-ingested with CHANGED text in batch 2: latest must win
+    # through the compaction
+    b2 = [Row(doc_id=2, text=BASE + " rewritten entirely"),
+          Row(doc_id=50, text=BASE + " tweaked"),
+          Row(doc_id=51, text=BASE + " tweaked slightly")]
+    b3 = [Row(doc_id=90, text=BASE + " tweaked slightly more")]
+
+    _write_batch(spark, src, b1)
+    _write_batch(spark, src, b2)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_incremental_dedup_stream(
+        stream, index_table=table, doc_store=docs,
+        pairs_out=str(tmp_path / "pairs"), spec=SPEC, threshold=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()  # triggers 1-2 -> two batch dirs
+
+        before = {
+            r.doc_id: r.text
+            for r in _latest_store_texts(
+                spark, docs, "doc_id", "text"
+            ).collect()
+        }
+        stats = compact_doc_store(
+            spark, docs, index_table=table, spec=SPEC
+        )
+        assert stats["dirs_after"] == 1 < stats["dirs_before"]
+        assert stats["rows_after"] == len(before)  # superseded rows gone
+        after = {
+            r.doc_id: r.text
+            for r in _latest_store_texts(
+                spark, docs, "doc_id", "text"
+            ).collect()
+        }
+        assert after == before
+        assert after[2] == BASE + " rewritten entirely"  # latest won
+
+        # the stream continues over the compacted store + rebuilt index
+        _write_batch(spark, src, b3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.a, r.b) for r in collected_pairs(
+        spark, str(tmp_path / "pairs")
+    ).collect()}
+    # the cross-compaction pairs landed: 90 is a near-dup of 50 and 51
+    # (ingested before the compaction), found via the REBUILT index
+    assert (50, 90) in got and (51, 90) in got
+
+    # refusals
+    with pytest.raises(ValueError, match="no batch-"):
+        compact_doc_store(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="num_files"):
+        compact_doc_store(spark, docs, num_files=0)
