@@ -1316,7 +1316,12 @@ def ivf_knn_join(
         pq_codebook = _resolve_ivf_pq_codebook(
             spark, index_path, pq_spec, None, caller="ivf_knn_join"
         )
+        # residual-encoded layout (round 15): q·x̂ = q·centroid[cell] +
+        # ADC(q, residual codes) — the per-(query, cell) anchor term
+        # rides the THIN routing pairs (one double per pair)
+        pq_residual = pq_spec["encoding"] == "residual"
     else:
+        pq_residual = False
         spec = _read_ivf_spec_optional(spark, index_path)
         _validate_read_math(spec, dot_fn, norm_fn, sim_id, index_path)
         if use_codes and not _spec_quantized(spec):
@@ -1393,6 +1398,8 @@ def ivf_knn_join(
             for b in pq_codebook.centroids
         ]
         _dsub = pq_codebook.dsub
+        _cent_map = {int(c): [float(x) for x in v] for c, v in centroids}
+
     def _chunk_topk(chunk_rows: list) -> DataFrame:
         # one full probe/rank/rescore pipeline over ONE chunk of the
         # collected query set: partition pruning, routing pairs, and
@@ -1421,16 +1428,24 @@ def ivf_knn_join(
             else:
                 payload.append((r[query_id], vec, float(r["__qn"]), sum(vec)))
             for cell in nearest_cells_for(vec, centroids, num_probes):
-                routing.append((r[query_id], cell))
-        route_df = spark.createDataFrame(
-            routing,
-            StructType(
-                [
-                    StructField(query_id, qid_type),
-                    StructField("cell", IntegerType()),
-                ]
-            ),
-        )
+                if pq_residual:
+                    cvec = _cent_map[cell]
+                    routing.append(
+                        (
+                            r[query_id],
+                            cell,
+                            float(sum(a * b for a, b in zip(vec, cvec))),
+                        )
+                    )
+                else:
+                    routing.append((r[query_id], cell))
+        route_fields = [
+            StructField(query_id, qid_type),
+            StructField("cell", IntegerType()),
+        ]
+        if pq_residual:
+            route_fields.append(StructField("__qcoff", DoubleType()))
+        route_df = spark.createDataFrame(routing, StructType(route_fields))
         tail_field = (
             StructField("__lut", ArrayType(DoubleType()))
             if use_pq
@@ -1447,7 +1462,7 @@ def ivf_knn_join(
                 ]
             ),
         )
-        touched = sorted({c for _, c in routing})
+        touched = sorted({t[1] for t in routing})
         candidates = index.filter(F.col("cell").isin(touched))
         cos = F.try_divide(
             dotf(F.col(vec_col), F.col("__qv")),
@@ -1484,6 +1499,10 @@ def ivf_knn_join(
                     ),
                 )
                 adc = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+                if pq_residual:
+                    # the anchor term from the routing pair (the stored
+                    # norms already describe the FULL reconstruction)
+                    adc = adc + F.col("__qcoff")
                 approx = F.try_divide(adc, F.col("pq_norm") * F.col("__qn"))
                 # the float query vector stays OUT of the phase-1 join
                 phase1_payload = qpayload.select(query_id, "__lut", "__qn")
@@ -1520,7 +1539,9 @@ def ivf_knn_join(
             # broadcast; thinned, the fan is ~20 B/row and the payload
             # stays one row per query). No driver hop (the kNN join is
             # batch-shaped, so the distributed rescore is the only mode).
-            surv_fan = survivors.join(route_df, query_id)
+            surv_fan = survivors.join(
+                route_df.select(query_id, "cell"), query_id
+            )
             scored = (
                 candidates.select(F.col("cell"), F.col(id_col), F.col(vec_col))
                 .join(F.broadcast(surv_fan), ["cell", id_col])

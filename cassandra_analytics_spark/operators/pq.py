@@ -154,6 +154,8 @@ def pq_encode(
     norm_col: str = "pq_norm",
     keep_vec: bool = False,
     with_residual: bool = False,
+    anchor_col: str | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` tinyint codes (code − 128) plus the
     reconstructed norm ``‖x̂‖`` (one double, computed here once so
@@ -162,6 +164,19 @@ def pq_encode(
     NULL codes/norm; a vector whose length differs from the codebook's
     dim raises loudly inside the batch.
 
+    ``anchor_col`` (round 15 — the FAISS IVF-ADC residual-encoding
+    primitive): when set, the CODES quantize ``x − anchor`` (for IVF
+    layouts the anchor is the row's coarse centroid, so the codebook
+    spans the much tighter residual distribution) while every stored
+    STATISTIC still describes the full reconstruction ``x̂ = anchor +
+    ĉ``: ``norm_col`` = ‖x̂‖, ``pq_tnorm`` = ‖x‖, ``pq_err`` =
+    ‖x − x̂‖ — so every downstream consumer of the stored doubles
+    (two-phase rescore windows, the measured-residual bound) works
+    UNCHANGED; only ADC scoring must add the anchor's contribution
+    (``q·x̂ = q·anchor + Σᵢ q_subᵢ·cᵢ[codeᵢ]`` — a per-cell constant
+    for IVF layouts). A NULL anchor on a non-NULL vector raises (it
+    would silently encode the raw vector against a residual codebook).
+
     ``with_residual=True`` additionally stores the TRUE norm ``‖x‖``
     (``pq_tnorm``) and the MEASURED reconstruction residual
     ``‖x − x̂‖`` (``pq_err``) — two doubles per row that turn PQ's
@@ -169,7 +184,10 @@ def pq_encode(
     ``q``, ``|q·x − q·x̂| ≤ ‖q‖·pq_err``, so ``cos(q, x) ≤
     ADC/(‖q‖·pq_tnorm) + pq_err/pq_tnorm`` — an exactness-preserving
     prefilter margin with NO closed-form codebook assumption (the SQ8
-    margin's PQ twin, used by the streaming SemDeDup PQ path)."""
+    margin's PQ twin, used by the streaming SemDeDup PQ path).
+
+    ``extra_cols`` pass through to the output unchanged (e.g. the IVF
+    ``cell`` column when encoding an already-assigned frame)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -183,43 +201,40 @@ def pq_encode(
         else "struct<codes: array<tinyint>, nrm: double>"
     )
 
-    @pandas_udf(struct_type)
-    def _enc(vecs):
+    def _encode_block(mat, anc):
+        """mat: (B, dim) float64; anc: (B, dim) or None. Returns
+        (codes int16, nrm, tnrm, err) over the FULL reconstruction."""
+        res = mat if anc is None else mat - anc
+        codes = np.empty((mat.shape[0], m), dtype=np.int16)
+        nrm2 = np.zeros(mat.shape[0], dtype=np.float64)
+        err2 = np.zeros(mat.shape[0], dtype=np.float64)
+        for i in range(m):
+            sub = res[:, i * dsub:(i + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb[i].T
+                + (cb[i] * cb[i]).sum(axis=1)
+            )
+            a = d2.argmin(axis=1)
+            codes[:, i] = a - 128
+            recon = cb[i][a]
+            if anc is not None:
+                recon = recon + anc[:, i * dsub:(i + 1) * dsub]
+            nrm2 += (recon * recon).sum(axis=1)
+            # exact per-subspace residual ‖x_sub − x̂_sub‖² computed
+            # directly (NOT the d2 expansion-trick value, whose
+            # cancellation can go slightly negative); with an anchor
+            # x̂_sub = anc_sub + c[a], so the diff is res_sub − c[a]
+            diff = sub - cb[i][a]
+            err2 += (diff * diff).sum(axis=1)
+        nrm = np.sqrt(nrm2)
+        tnrm = np.sqrt((mat * mat).sum(axis=1))
+        err = np.sqrt(err2)
+        return codes, nrm, tnrm, err
+
+    def _emit(mask, codes, nrm, tnrm, err):
         import pandas as pd
 
-        mask = vecs.notna()
-        if mask.any():
-            mat = np.asarray(
-                [list(v) for v in vecs[mask]], dtype=np.float64
-            )
-            if mat.ndim != 2 or mat.shape[1] != dim:
-                raise ValueError(
-                    f"pq_encode: codebook is {dim}-d but found vectors "
-                    f"of shape {mat.shape} — dimension mismatch"
-                )
-            codes = np.empty((mat.shape[0], m), dtype=np.int16)
-            nrm2 = np.zeros(mat.shape[0], dtype=np.float64)
-            err2 = np.zeros(mat.shape[0], dtype=np.float64)
-            for i in range(m):
-                sub = mat[:, i * dsub:(i + 1) * dsub]
-                d2 = (
-                    (sub * sub).sum(axis=1, keepdims=True)
-                    - 2.0 * sub @ cb[i].T
-                    + (cb[i] * cb[i]).sum(axis=1)
-                )
-                a = d2.argmin(axis=1)
-                codes[:, i] = a - 128
-                nrm2 += (cb[i][a] * cb[i][a]).sum(axis=1)
-                if with_residual:
-                    # exact per-subspace residual ‖sub − c[a]‖² computed
-                    # directly (NOT the d2 expansion-trick value, whose
-                    # cancellation can go slightly negative)
-                    diff = sub - cb[i][a]
-                    err2 += (diff * diff).sum(axis=1)
-            nrm = np.sqrt(nrm2)
-            if with_residual:
-                tnrm = np.sqrt((mat * mat).sum(axis=1))
-                err = np.sqrt(err2)
         it = iter(range(int(mask.sum())))
         enc_codes = (
             [[int(c) for c in codes[j]] for j in range(codes.shape[0])]
@@ -243,7 +258,48 @@ def pq_encode(
                     out[k].append(None)
         return pd.DataFrame(out)
 
-    enc = _enc(F.col(vec_col))
+    def _to_mat(series, what):
+        mat = np.asarray([list(v) for v in series], dtype=np.float64)
+        if mat.ndim != 2 or mat.shape[1] != dim:
+            raise ValueError(
+                f"pq_encode: codebook is {dim}-d but found {what} "
+                f"of shape {mat.shape} — dimension mismatch"
+            )
+        return mat
+
+    if anchor_col is None:
+
+        @pandas_udf(struct_type)
+        def _enc(vecs):
+            mask = vecs.notna()
+            codes = nrm = tnrm = err = None
+            if mask.any():
+                mat = _to_mat(vecs[mask], "vectors")
+                codes, nrm, tnrm, err = _encode_block(mat, None)
+            return _emit(mask, codes, nrm, tnrm, err)
+
+        enc = _enc(F.col(vec_col))
+    else:
+
+        @pandas_udf(struct_type)
+        def _enc(vecs, anchors):
+            mask = vecs.notna()
+            codes = nrm = tnrm = err = None
+            if mask.any():
+                if not anchors[mask].notna().all():
+                    raise ValueError(
+                        "pq_encode: NULL anchor on a non-NULL vector — "
+                        "encoding the raw vector against a RESIDUAL "
+                        "codebook would silently mis-code it; fix the "
+                        "anchor column (every assigned row has a "
+                        "centroid)"
+                    )
+                mat = _to_mat(vecs[mask], "vectors")
+                anc = _to_mat(anchors[mask], "anchors")
+                codes, nrm, tnrm, err = _encode_block(mat, anc)
+            return _emit(mask, codes, nrm, tnrm, err)
+
+        enc = _enc(F.col(vec_col), F.col(anchor_col))
     cols = [F.col(id_col)]
     if keep_vec:
         cols.append(F.col(vec_col))
@@ -260,6 +316,7 @@ def pq_encode(
                 enc.getField("err").alias("pq_err"),
             ]
         )
+    cols.extend(F.col(c) for c in extra_cols)
     return df.select(*cols)
 
 
@@ -679,6 +736,7 @@ def pq_adc_topk(
     dot_fn=None,
     norm_fn=None,
     rescore_mode: str = "pushdown",
+    extra_dot=None,
 ) -> DataFrame:
     """Two-phase cosine top-k over a PQ-encoded corpus: phase 1 ranks by
     ADC — the query's per-subspace dot products against every codeword
@@ -695,7 +753,14 @@ def pq_adc_topk(
     the driver gate pins hash-exactness at the gate SFs and the
     planted-cluster recall sweep measures it at scale
     (PERF.md). NULL/unscorable rows never rank; a code vector whose
-    length differs from m raises loudly."""
+    length differs from m raises loudly.
+
+    ``extra_dot`` (round 15, residual-encoded IVF-PQ layouts): an
+    optional Column ADDED to the ADC sum before normalization — the
+    anchor's contribution ``q·centroid[cell]``, a per-cell constant
+    the caller derives from the row's partition column. The stored
+    ``norm_col`` already describes the full reconstruction, so only
+    the dot needs the correction."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rescore_factor < 1:
@@ -754,6 +819,8 @@ def pq_adc_topk(
         ),
     )
     adc = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    if extra_dot is not None:
+        adc = adc + extra_dot
     approx = F.try_divide(adc, F.col(norm_col) * F.lit(qnorm))
     scored = (
         qdf.select(F.col(id_col), approx.alias("__approx"))
@@ -974,8 +1041,20 @@ def append_to_pq_index(
 _IVF_PQ_SPEC_SCHEMA = (
     "format string, dim int, m int, ks int, num_centroids int, "
     "keep_vec boolean, assignment string, sim_id string, "
-    "residuals boolean"
+    "residuals boolean, encoding string"
 )
+
+
+def _anchor_joined(tagged: DataFrame, centroids, anchor_col: str) -> DataFrame:
+    """Attach each assigned row's coarse centroid as ``anchor_col`` (a
+    broadcast join against the metadata-sized centroid table) — the
+    residual-encoding anchor."""
+    spark = tagged.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell int, __anchor array<double>",
+    ).withColumnRenamed("__anchor", anchor_col)
+    return tagged.join(F.broadcast(cent_df), "cell")
 
 
 def save_ivf_pq_index(
@@ -997,6 +1076,7 @@ def save_ivf_pq_index(
     norm_fn=None,
     sim_id: str | None = None,
     residuals: bool = False,
+    encoding: str = "raw",
 ) -> tuple[list[tuple[int, list[float]]], PQCodebook]:
     """The FAISS IVF-PQ composition as a persisted layout: the corpus
     is cell-partitioned by nearest coarse centroid (the IVF side — a
@@ -1032,7 +1112,23 @@ def save_ivf_pq_index(
     codes (``pq_encode(with_residual=True)``), turning the layout's
     approximation into a per-row PROVEN bound — required by the
     streaming SemDeDup PQ path's exactness-preserving prefilter. The
-    flag is part of the spec; appends follow it automatically."""
+    flag is part of the spec; appends follow it automatically.
+
+    ``encoding`` (round 15): ``"raw"`` (default, every pre-r15 layout)
+    PQ-encodes the vectors directly; ``"residual"`` is the TRUE FAISS
+    IVF-ADC composition — the codebook trains on and the codes
+    quantize ``x − centroid[cell]`` (residuals span a far tighter
+    distribution than raw vectors, so the same m·ks codebook spends
+    its codewords where the data actually is; measured recall gain in
+    PERF.md), while the stored ``pq_norm``/``pq_tnorm``/``pq_err``
+    still describe the FULL reconstruction ``x̂ = centroid + ĉ`` so
+    the rescore windows and the measured bound are unchanged. Reads
+    add the per-cell constant ``q·centroid[cell]`` to the ADC sum
+    (query_ivf_pq_index / ivf_knn_join do this automatically from the
+    spec); the streaming SemDeDup pair stages REFUSE residual layouts
+    (their symmetric code-vs-code scorer has no anchor channel — use
+    encoding="raw" for stream-maintained layouts). The mode is pinned
+    in the spec; appends follow it automatically."""
     from cassandra_analytics_spark.fs import delete_path
     from cassandra_analytics_spark.operators.similarity import (
         assign_nearest_cells,
@@ -1043,6 +1139,10 @@ def save_ivf_pq_index(
     if assignment not in ("expr", "vectorized"):
         raise ValueError(
             f"assignment must be 'expr' or 'vectorized', got {assignment!r}"
+        )
+    if encoding not in ("raw", "residual"):
+        raise ValueError(
+            f"encoding must be 'raw' or 'residual', got {encoding!r}"
         )
     custom = dot_fn is not None or norm_fn is not None
     if custom:
@@ -1075,21 +1175,11 @@ def save_ivf_pq_index(
             "an IVF layout needs at least one cell"
         )
     centroids = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
-    if codebook is None:
-        codebook = train_pq_codebook(
-            df, vec_col=vec_col, m=m, ks=ks, sample_size=sample_size,
-            iterations=iterations, seed=seed, id_col=id_col,
-        )
-    delete_path(spark, f"{index_path}_spec")
-    encoded = pq_encode(
-        df, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True,
-        with_residual=residuals,
-    )
-    # cell from the FLOAT vector (same routing math as reads), then the
-    # float column dropped if the caller asked for a codes-only layout
+    # cell from the FLOAT vector FIRST (same routing math as reads) —
+    # residual encoding needs the assigned centroid as its anchor
     if custom:
         tagged = assign_nearest_cells(
-            encoded, centroids, id_col, vec_col, dot_fn, norm_fn,
+            df, centroids, id_col, vec_col, dot_fn, norm_fn,
             cell_col="cell", passthrough=True,
         )
     else:
@@ -1097,13 +1187,42 @@ def save_ivf_pq_index(
             _ivf_cell_for_mode,
         )
 
-        tagged = encoded.withColumn(
+        tagged = df.withColumn(
             "cell", _ivf_cell_for_mode(vec_col, centroids, assignment,
                                        None, None),
         )
+    anchor = None
+    if encoding == "residual":
+        anchor = "__anchor"
+        tagged = _anchor_joined(tagged, centroids, anchor)
+        if codebook is None:
+            # the codebook trains on the RESIDUALS — the whole point:
+            # the residual cloud is tighter than the raw vectors, so
+            # the same m x ks codewords quantize it with smaller error
+            resid = tagged.withColumn(
+                "__res",
+                F.zip_with(
+                    F.col(vec_col), F.col(anchor), lambda a, b: a - b
+                ),
+            )
+            codebook = train_pq_codebook(
+                resid, vec_col="__res", m=m, ks=ks,
+                sample_size=sample_size, iterations=iterations,
+                seed=seed, id_col=id_col,
+            )
+    elif codebook is None:
+        codebook = train_pq_codebook(
+            df, vec_col=vec_col, m=m, ks=ks, sample_size=sample_size,
+            iterations=iterations, seed=seed, id_col=id_col,
+        )
+    delete_path(spark, f"{index_path}_spec")
+    encoded = pq_encode(
+        tagged, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True,
+        with_residual=residuals, anchor_col=anchor, extra_cols=("cell",),
+    )
     if not keep_vec:
-        tagged = tagged.drop(vec_col)
-    tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+        encoded = encoded.drop(vec_col)
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
     spark.createDataFrame(
         centroids, "cid int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_centroids")
@@ -1117,7 +1236,8 @@ def save_ivf_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_codebook")
     spark.createDataFrame(
         [("ivf-pq-v1", codebook.dim, codebook.m, codebook.ks,
-          len(centroids), keep_vec, assignment, sim_id, residuals)],
+          len(centroids), keep_vec, assignment, sim_id, residuals,
+          encoding)],
         _IVF_PQ_SPEC_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
     return centroids, codebook
@@ -1148,6 +1268,9 @@ def read_ivf_pq_spec(spark, index_path: str) -> dict:
     spec.setdefault("assignment", "expr")
     spec.setdefault("sim_id", None)
     spec.setdefault("residuals", False)
+    # layouts written before round 15 are raw-encoded by construction
+    if spec.get("encoding") is None:
+        spec["encoding"] = "raw"
     return spec
 
 
@@ -1258,23 +1381,32 @@ def assign_with_ivf_pq_spec(
             "dot_fn/norm_fn/sim_id (rebuild with save_ivf_pq_index("
             "dot_fn=..., norm_fn=..., sim_id=...) to switch)"
         )
-    encoded = pq_encode(
-        df, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True,
-        with_residual=spec["residuals"],
-    )
     if mode == "custom":
-        return assign_nearest_cells(
-            encoded, centroids, id_col, vec_col, dot_fn, norm_fn,
+        tagged = assign_nearest_cells(
+            df, centroids, id_col, vec_col, dot_fn, norm_fn,
             cell_col="cell", passthrough=True,
         )
-    from cassandra_analytics_spark.operators.ann_index import (
-        _ivf_cell_for_mode,
-    )
+    else:
+        from cassandra_analytics_spark.operators.ann_index import (
+            _ivf_cell_for_mode,
+        )
 
-    # the SPEC's pinned mode (expr or vectorized) through the shared
-    # expression builder — build and append can never disagree
-    return encoded.withColumn(
-        "cell", _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
+        # the SPEC's pinned mode (expr or vectorized) through the shared
+        # expression builder — build and append can never disagree
+        tagged = df.withColumn(
+            "cell", _ivf_cell_for_mode(vec_col, centroids, mode, None, None)
+        )
+    anchor = None
+    if spec["encoding"] == "residual":
+        # the spec's pinned encoding: residual layouts code x − centroid
+        # with the FROZEN codebook — an append that coded raw would
+        # silently mis-decode at read time
+        anchor = "__anchor"
+        tagged = _anchor_joined(tagged, centroids, anchor)
+    return pq_encode(
+        tagged, codebook, id_col=id_col, vec_col=vec_col, keep_vec=True,
+        with_residual=spec["residuals"], anchor_col=anchor,
+        extra_cols=("cell",),
     )
 
 
@@ -1370,13 +1502,32 @@ def query_ivf_pq_index(
         (r.cid, list(r.centroid))
         for r in spark.read.parquet(f"{index_path}_centroids").collect()
     ]
-    cells = nearest_cells_for(
-        [float(x) for x in query_vec], centroids, num_probes
-    )
+    qv = [float(x) for x in query_vec]
+    cells = nearest_cells_for(qv, centroids, num_probes)
     qdf = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    extra = None
+    if spec["encoding"] == "residual":
+        # q·x̂ = q·centroid[cell] + ADC(q, residual codes): the anchor
+        # term is a per-cell constant over the ≤num_probes probed
+        # cells — a tiny map literal keyed on the partition column
+        offs = {
+            int(cid): sum(a * b for a, b in zip(qv, c))
+            for cid, c in centroids
+            if cid in set(cells)
+        }
+        extra = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for cid, off in sorted(offs.items())
+                    for x in (F.lit(cid), F.lit(off))
+                ]
+            ),
+            F.col("cell"),
+        )
     return pq_adc_topk(
         qdf, codebook, query_vec, k=k, id_col=id_col,
         vec_col=vec_col if rescore else None,
         rescore_factor=rescore_factor, dot_fn=dot_fn, norm_fn=norm_fn,
-        rescore_mode=rescore_mode,
+        rescore_mode=rescore_mode, extra_dot=extra,
     )

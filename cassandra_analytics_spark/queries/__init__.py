@@ -61,9 +61,10 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # untouched implementations) lead round 16. After r15 no registered
 # query's newest driver row is older than r12.
 _ROUND_PRIORITY: list[str] = [
-    # --- (0) never driver-proved: new r15 compaction queries ---
+    # --- (0) never driver-proved: new r15 queries ---
     "ann_pq_compact_topk",           # r15: flat-PQ compaction roundtrip
     "ann_ivf_pq_compact_topk",       # r15: IVF-PQ cell-kept compaction
+    "ann_ivf_pq_residual_topk",      # r15: FAISS IVF-ADC residual encoding
     # --- (1) r10 cohort: oldest driver rows in the repo (22) ---
     "agg_approx_distinct",
     "agg_approx_distinct_bounded",

@@ -1478,6 +1478,51 @@ def ann_ivf_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_pq_residual_topk",
+    oracle=_COSINE_ORACLE,
+    doc="The TRUE FAISS IVF-ADC composition (round 15, "
+    "save_ivf_pq_index(encoding='residual')): codes quantize "
+    "x - centroid[cell] against a RESIDUAL-trained codebook (the "
+    "residual cloud is tighter than the raw vectors, so the same m*ks "
+    "codewords reconstruct with measurably smaller error — pinned by "
+    "test on clustered data), the stored norms describe the full "
+    "reconstruction, and the probe adds the per-cell anchor term "
+    "q*centroid[cell] to the ADC sum (a map literal over the probed "
+    "cells). Probe-all + rescore must hash-match the brute-force "
+    "oracle — the same exactness contract as the raw-encoded layout, "
+    "now over the recall-stronger encoding.",
+)
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.pq import (
+        query_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    path = tempfile.mkdtemp(prefix="cas_ivfpq_res_") + "/ivfpq"
+    try:
+        save_ivf_pq_index(
+            corpus, path, num_centroids=8, m=16, ks=32,
+            sample_size=5_000, iterations=10, seed=42,
+            encoding="residual",
+        )
+        return query_ivf_pq_index(
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "ann_pq_compact_topk",
     oracle=_COSINE_ORACLE,
     doc="Flat-PQ layout build + append + COMPACT + read, ORACLE-EXACT "

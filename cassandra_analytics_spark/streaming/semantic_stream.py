@@ -464,6 +464,16 @@ def _publish_and_append(
                 "bound needs pq_tnorm/pq_err; rebuild with "
                 "save_ivf_pq_index(residuals=True)"
             )
+        if raw_spec.get("encoding", "raw") != "raw":
+            raise ValueError(
+                f"IVF-PQ layout at {index_path!r} is "
+                f"{raw_spec['encoding']!r}-encoded — the streaming pair "
+                "stages score symmetric code-vs-code ADC, which has no "
+                "anchor channel for residual-encoded codes; "
+                "stream-maintained layouts need encoding='raw' "
+                "(residual encoding is the single-query/kNN-join "
+                "recall lever)"
+            )
         # a caller-passed codebook (the stream's per-trigger cache) is
         # geometry-validated, not re-collected; None falls back to the
         # per-call rehydration (ad-hoc single-batch callers)
