@@ -598,6 +598,93 @@ def pq_sym_adc_col(codebook: PQCodebook, code_a, code_b):
     )
 
 
+def pq_code_sqnorm_col(
+    codebook: PQCodebook, code_col, caller: str = "pq_code_sqnorm_col"
+):
+    """Per-row squared norm of the DECODED code component
+    ``‖D(codes)‖² = Σ_i ‖c_i[code_i]‖²`` as a Column — m lookups into a
+    flat m·ks literal of precomputed per-codeword squared norms.
+    Dim-INDEPENDENT cost (the norms are folded at plan build), so this
+    stays a pure expression at every dim — no Arrow dispatch needed
+    (contrast ``_PQ_EXPR_MAX_DIM``: the per-pair ADC is m·dsub lambdas,
+    this is m). Per-ROW, so callers compute it once BEFORE any pair
+    expansion. NULL code vectors yield NULL (the callers' NULL
+    contract); out-of-range codes raise via the shared guard."""
+    ks = codebook.ks
+    ccol = F.col(code_col) if isinstance(code_col, str) else code_col
+    sq_lit = F.lit(
+        [
+            float(sum(x * x for x in cent))
+            for book in codebook.centroids
+            for cent in book
+        ]
+    )
+    ccol = _guard_code_range(ccol, ks, caller)
+    return F.aggregate(
+        F.transform(
+            ccol,
+            lambda c, i: F.element_at(
+                sq_lit, i * F.lit(ks) + c.cast("int") + F.lit(129)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_sym_recon_dot(
+    codebook: PQCodebook,
+    code_a,
+    code_b,
+    nh_a,
+    nh_b,
+    ds_a,
+    ds_b,
+    encoding: str = "raw",
+):
+    """Symmetric reconstruction dot ``x̂·ŷ`` for a SAME-CELL pair under
+    either pinned encoding (round 16 — the residual × streaming
+    composition, VERDICT r15 item 2).
+
+    ``raw``: ``x̂·ŷ`` IS the code-vs-code ADC (:func:`pq_sym_adc_col`)
+    — byte-identical to the pre-r16 scorer.
+
+    ``residual``: codes quantize ``x − c`` with the pair's SHARED cell
+    centroid c (the streaming pair stages only ever pair within a
+    cell), so writing ``x̂ = c + r̂_x``:
+
+        ``x̂·ŷ = ‖c‖² + c·r̂_x + c·r̂_y + r̂_x·r̂_y``, and from
+        ``‖x̂‖² = ‖c‖² + 2·c·r̂_x + ‖r̂_x‖²``:
+        ``c·r̂_x = (‖x̂‖² − ‖c‖² − ‖r̂_x‖²)/2`` —
+
+    substituting both, the centroid terms CANCEL:
+
+        ``x̂·ŷ = SDC(q_x, q_y) + (‖x̂‖² + ‖ŷ‖² − ‖r̂_x‖² −
+        ‖r̂_y‖²) / 2``
+
+    where ``‖x̂‖`` is the stored ``pq_norm`` (pq_encode stores the FULL
+    reconstruction norm under every encoding) and ``‖r̂‖² = SDC(q, q) =
+    Σ_i ‖c_i[code_i]‖²`` is the per-ROW :func:`pq_code_sqnorm_col` —
+    no centroid join, no anchor LUT, no new stored column: the anchor
+    channel the asymmetric read path carries explicitly
+    (``ann_index.py`` residual reads) reduces to stored doubles for
+    same-cell pairs. The measured-residual prefilter bound is UNCHANGED
+    (``pq_err``/``pq_tnorm`` describe the full reconstruction
+    regardless of encoding); the only float drift vs an explicit-anchor
+    evaluation is sqrt-then-square ulp noise on ``pq_norm``, orders
+    below the bound's 1e-9 headroom."""
+    if encoding not in ("raw", "residual"):
+        raise ValueError(
+            f"encoding must be 'raw' or 'residual', got {encoding!r}"
+        )
+    base = pq_sym_adc_col(codebook, code_a, code_b)
+    if encoding == "raw":
+        return base
+    return base + (
+        nh_a * nh_a + nh_b * nh_b - ds_a - ds_b
+    ) * F.lit(0.5)
+
+
 def pq_pairs_from_cells(
     assigned: DataFrame,
     codebook: PQCodebook,
@@ -608,6 +695,7 @@ def pq_pairs_from_cells(
     dot_fn=None,
     norm_fn=None,
     skew_observation=None,
+    encoding: str = "raw",
 ) -> DataFrame:
     """Within-cell near-dup pairs over a PQ-encoded, RESIDUAL-carrying
     frame (``pq_encode(with_residual=True)`` columns + ``cell``): the
@@ -633,7 +721,14 @@ def pq_pairs_from_cells(
     shuffled payload. Custom ``dot_fn``/``norm_fn`` enter ONLY the
     exact confirm (the bound is stated for standard float math; the
     1e-9 headroom covers ulp drift). Requires unique ids (the confirm
-    joins by id); NULL-code/NULL-vector rows never pair."""
+    joins by id); NULL-code/NULL-vector rows never pair.
+
+    ``encoding`` (round 16) must match the frame's pinned code
+    encoding: ``"residual"`` frames carry one extra per-row double
+    (``‖D(codes)‖²``, computed pre-expansion) through the pair struct
+    and score via :func:`pq_sym_recon_dot`'s centroid-cancelling
+    identity — same bound, same confirm, verdicts identical to the
+    float stage under either encoding."""
     from cassandra_analytics_spark.operators.dedup import (
         _bucket_candidate_pairs,
     )
@@ -642,20 +737,34 @@ def pq_pairs_from_cells(
         norm as _norm,
     )
 
+    if encoding not in ("raw", "residual"):
+        raise ValueError(
+            f"encoding must be 'raw' or 'residual', got {encoding!r}"
+        )
     dotf = dot_fn or _dot
     normf = norm_fn or _norm
     m_ = codebook.m
+    residual_enc = encoding == "residual"
+    struct_fields = [
+        F.col("pqcode").alias("q"),
+        F.col("pq_norm").alias("nh"),
+        F.col("pq_tnorm").alias("tn"),
+        F.col("pq_err").alias("r"),
+        F.col("cell").alias("c"),
+    ]
+    if residual_enc:
+        # ‖D(codes)‖² per ROW, before the quadratic expansion — the
+        # one extra double the centroid-cancelling identity needs
+        struct_fields.append(
+            pq_code_sqnorm_col(
+                codebook, F.col("pqcode"), "pq_pairs_from_cells"
+            ).alias("ds")
+        )
     tagged = assigned.filter(
         F.col(vec_col).isNotNull() & F.col("pqcode").isNotNull()
     ).select(
         id_col,
-        F.struct(
-            F.col("pqcode").alias("q"),
-            F.col("pq_norm").alias("nh"),
-            F.col("pq_tnorm").alias("tn"),
-            F.col("pq_err").alias("r"),
-            F.col("cell").alias("c"),
-        ).alias("__p"),
+        F.struct(*struct_fields).alias("__p"),
         F.col("cell").alias("__cell"),
     )
     pairs = _bucket_candidate_pairs(
@@ -682,8 +791,15 @@ def pq_pairs_from_cells(
     # prefilter (which would silently break the exactness bound).
     # High dim routes through the Arrow kernel instead (guards inside;
     # see _PQ_EXPR_MAX_DIM — the HOF expression is interpreter-bound
-    # at m·dsub lambdas per pair, the 512-d A/B finding)
-    dot_rec = pq_sym_adc_col(codebook, pa["q"], pb["q"])
+    # at m·dsub lambdas per pair, the 512-d A/B finding). Residual
+    # frames add the centroid-cancelling correction from the per-row
+    # stored doubles (pq_sym_recon_dot's derivation).
+    dot_rec = pq_sym_recon_dot(
+        codebook, pa["q"], pb["q"], pa["nh"], pb["nh"],
+        pa["ds"] if residual_enc else None,
+        pb["ds"] if residual_enc else None,
+        encoding=encoding,
+    )
     approx = F.when(
         len_guard, F.try_divide(dot_rec, pa["tn"] * pb["tn"])
     )

@@ -48,75 +48,24 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # front-loads the names that most need one — a discipline enforced by
 # tests/test_evidence_freshness.py (red when a name's newest driver
 # row is >4 rounds old and it is not in the upcoming window).
-# Round-15 priority (VERDICT r14 item 1): (0) the two NEW round-15
-# layout-compaction queries (never driver-proved names must lead the
-# window); (1) the 22 names whose newest driver row is r10 — the
-# oldest cohort in the repo, the r14 hand-off ("lead round 15"), one
-# round from the staleness boundary; (2) 26 of the 43 r12-cohort
-# names — the complex-operator subset (persisted-layout roundtrips,
-# incremental dedup, quantized top-k, streaming, sketches), scheduled
-# now to amortize the cohort before it hits the boundary at r17
-# (VERDICT r14: "schedule ~28 of them now"). The remaining 17 r12
-# names (TPC-H q8-q22 + the window suite, all simple-SQL with
-# untouched implementations) lead round 16. After r15 no registered
-# query's newest driver row is older than r12.
+# Round-16 priority (VERDICT r15 item 1): (0) NEW round-16 queries
+# (never driver-proved names must lead the window); (1) the 18 names
+# whose newest driver row is r12 — TPC-H q8/q9/q11-q16/q19-q22, the
+# window suite and token_range_histogram — which hit the 4-round
+# staleness boundary at r16; (2) 28 of the 46 r13-cohort names,
+# complex-operator subset first (streaming, ANN/kNN-join, dedup,
+# replicas, multimodal, text search), to amortize that cohort before
+# it hits the boundary at r18. The remaining 18 r13 names (TPC-H
+# q1-q7 + scalar/array/json suites, simple-SQL with untouched
+# implementations) lead round 17. After r16 no registered query's
+# newest driver row is older than r13.
 _ROUND_PRIORITY: list[str] = [
-    # --- (0) never driver-proved: new r15 queries ---
-    "ann_pq_compact_topk",           # r15: flat-PQ compaction roundtrip
-    "ann_ivf_pq_compact_topk",       # r15: IVF-PQ cell-kept compaction
-    "ann_ivf_pq_residual_topk",      # r15: FAISS IVF-ADC residual encoding
-    # --- (1) r10 cohort: oldest driver rows in the repo (22) ---
-    "agg_approx_distinct",
-    "agg_approx_distinct_bounded",
-    "agg_approx_quantile",
-    "agg_approx_quantile_bounded",
-    "agg_cube_status",
-    "agg_distinct_suppliers",
-    "agg_hll_sketch_union_bounded",
-    "agg_rollup_orders_time",
-    "join_anti_no_orders",
-    "join_cross_region_status",
-    "join_full_outer_nation_counts",
-    "join_semi_open_orders",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "scalar_string_funcs",
-    "setop_except_customers",
-    "setop_intersect_customers",
-    "setop_union_segments",
-    "sql_grouping_sets",
-    "streaming_dedup_union",
-    "window_lag_order_gap",
-    # --- (2) r12 cohort, complex-operator subset (26 of 43) ---
-    "agg_hll_sketch_union",
-    "agg_median_percentiles",
-    "ann_ivf_quantized_topk",
-    "ann_lsh_append_topk",
-    "bulk_write_roundtrip",
-    "cosine_topk_embeddings",
-    "decontaminate_bloom",
-    "dedup_incremental_lsh",
-    "dedup_incremental_lsh_confirmed",
-    "dedup_incremental_pipeline",
-    "dedup_intradoc_segments",
-    "dedup_minhash_lsh",
-    "dedup_semantic_append_index",
-    "dedup_semantic_on_index",
-    "dedup_semantic_on_index_quantized",
-    "dedup_simhash",
-    "embedding_quantize_stats",
-    "events_hourly_stats",
-    "pack_greedy_bins",
-    "quantized_topk_join_rescored",
-    "quantized_topk_rescored",
-    "stat_moments_lineitem",
-    "stratified_hash_sample_langs",
-    "streaming_interval_join",
-    "streaming_sessionize",
-    "token_range_histogram",
-    # --- past the 50-row window: the remaining 17 r12 names as
-    # dropout backfill (lead round 16) ---
+    # --- (0) never driver-proved: new r16 queries ---
+    "streaming_semantic_dedup_residual",   # r16: residual IVF-PQ stream bootstrap
+    "ann_ivf_pq_residual_append_compact_topk",  # r16: residual+append+compact
+    "ann_ivf_kmeans_topk",                 # r16: k-means coarse quantizer
+    "streaming_pairs_compacted",           # r16: pairs-store compaction mid-stream
+    # --- (1) r12 cohort: hits the staleness boundary this round (18) ---
     "q8_market_share",
     "q9_product_type_profit",
     "q11_important_stock",
@@ -129,11 +78,61 @@ _ROUND_PRIORITY: list[str] = [
     "q20_potential_promotion",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "token_range_histogram",
     "window_moving_avg",
     "window_percent_rank",
     "window_range_frame_revenue",
     "window_running_revenue",
     "window_topk_orders_per_customer",
+    # --- (2) r13 cohort, complex-operator subset (28 of 46) ---
+    "ann_ivf_knn_join_exact",
+    "ann_ivf_knn_join_string_ids",
+    "coordinated_write_roundtrip",
+    "decontaminate_benchmark",
+    "dedup_boilerplate_segments",
+    "dedup_cluster_assignment",
+    "dedup_exact_docs",
+    "dedup_minhash_confirmed",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_span_fraction",
+    "events_json_extract",
+    "events_json_struct",
+    "events_sessionize",
+    "explode_embeddings",
+    "hybrid_rrf_search",
+    "mixture_sample_langs",
+    "multimodal_blob_stats",
+    "multimodal_image_features",
+    "replica_read_all",
+    "replica_read_each_quorum",
+    "replica_read_vnode",
+    "streaming_stateful_profile",
+    "text_bm25_search",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "text_tfidf_search",
+    "unpivot_segment_metrics",
+    # --- past the 50-row window: the remaining 18 r13 names as
+    # dropout backfill (lead round 17) ---
+    "acctbal_width_buckets",
+    "array_agg_sorted",
+    "array_function_suite",
+    "bool_aggs",
+    "conditional_agg_filter",
+    "map_entry_extraction",
+    "null_handling_funcs",
+    "pivot_returnflag_status",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "window_ranking_functions",
 ]
 
 

@@ -31,6 +31,21 @@ from cassandra_analytics_spark.queries._util import davg_sql, dsum_sql
 DECV = "decimal(28,12)"
 DECV_SQL = "DECIMAL(28,12)"
 
+# The shared phase-1 window for every persisted-PQ query whose codebook
+# the r14 id-salted training sample moved (k*8 left two boundary swaps
+# unabsorbed at sf0.001; widened to k*24 in r15). ONE constant so a
+# future codebook move re-validates every dependent window together,
+# and so the margin is a MEASURED number instead of a mid-round
+# surprise: the round-16 sweep (VERDICT r15 item 5) found the actual
+# failure boundary at k*13-14 for ann_pq_index_topk at sf0.001 — r15's
+# 24 was only ~1.8x clear — so the shipped window is 32 (~2.3x the
+# measured boundary; phase 2 rescores 320 rows instead of 240, noise).
+# tests/test_queries_oracle.py::test_pq_rescore_window_margin re-runs
+# the driver compare for all eight dependents at HALF this window —
+# if that test reds up, the margin has eroded below 2x and this
+# constant needs re-widening.
+PQ_RESCORE_FACTOR = 32
+
 
 def _py_psq_norm(vec: list[float]) -> float:
     """Driver-side scalar twin of :func:`_psq_norm`: double squares ->
@@ -1330,7 +1345,7 @@ def ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moved the layout codebook, and the k*8 window left two boundary
     # swaps unabsorbed at sf0.001 — same widening as the append twin
     return query_pq_index(
-        spark, path, qvec, k=10, rescore_factor=24,
+        spark, path, qvec, k=10, rescore_factor=PQ_RESCORE_FACTOR,
         dot_fn=_pdot, norm_fn=_psq_norm,
     )
 
@@ -1370,7 +1385,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rescore_factor=24: same salted-codebook window widening as
     # ann_pq_index_topk / the append twins
     return query_ivf_pq_index(
-        spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
+        spark, path, qvec, k=10, num_probes=8, rescore_factor=PQ_RESCORE_FACTOR,
         dot_fn=_pdot, norm_fn=_psq_norm,
     )
 
@@ -1422,7 +1437,7 @@ def ann_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # roundtrip hash-exact at BOTH gate SFs (sf0.001 measured two
         # boundary-rank swaps at k*8)
         return query_pq_index(
-            spark, path, qvec, k=10, rescore_factor=24,
+            spark, path, qvec, k=10, rescore_factor=PQ_RESCORE_FACTOR,
             dot_fn=_pdot, norm_fn=_psq_norm,
         ).localCheckpoint(eager=True)
     finally:
@@ -1470,7 +1485,7 @@ def ann_ivf_pq_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rescore_factor=24: same half-trained-codebook window widening
         # as ann_pq_append_topk
         return query_ivf_pq_index(
-            spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=PQ_RESCORE_FACTOR,
             dot_fn=_pdot, norm_fn=_psq_norm,
         ).localCheckpoint(eager=True)
     finally:
@@ -1515,7 +1530,7 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             encoding="residual",
         )
         return query_ivf_pq_index(
-            spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=PQ_RESCORE_FACTOR,
             dot_fn=_pdot, norm_fn=_psq_norm,
         ).localCheckpoint(eager=True)
     finally:
@@ -1573,7 +1588,7 @@ def ann_pq_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rescore_factor=24: build-half codebook, same window widening
         # as ann_pq_append_topk
         return query_pq_index(
-            spark, path, qvec, k=10, rescore_factor=24,
+            spark, path, qvec, k=10, rescore_factor=PQ_RESCORE_FACTOR,
             dot_fn=_pdot, norm_fn=_psq_norm,
         ).localCheckpoint(eager=True)
     finally:
@@ -1626,7 +1641,115 @@ def ann_ivf_pq_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"compaction did not shrink the file count: {stats}"
             )
         return query_ivf_pq_index(
-            spark, path, qvec, k=10, num_probes=8, rescore_factor=24,
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=PQ_RESCORE_FACTOR,
+            dot_fn=_pdot, norm_fn=_psq_norm,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    oracle=_COSINE_ORACLE,
+    doc="IVF top-k over a KMEANS-trained coarse codebook (round 16, "
+    "build_ivf_index(train='kmeans') — VERDICT r15 item 4, the FAISS "
+    "IVF training posture): the coarse centroids come from "
+    "kmeans++-seeded SPHERICAL k-means over a bounded id-salted seeded "
+    "sample (similarity.train_coarse_centroids — cosine geometry, the "
+    "metric the assignment actually uses), deterministic under the "
+    "seed, persisted and pinned like any codebook. Run at probe-all so "
+    "the result must hash-match the brute-force oracle regardless of "
+    "where the trained centroids land. Gate measurement "
+    "(scripts/measure_ann_recall_clustered.py, PERF.md r16): on a "
+    "Zipf-skewed clustered corpus the trained codebook holds recall "
+    "1.0 at ONE probe on tail-cluster queries where the sampled "
+    "default reads 0.963@1.",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    n_cells = 8
+    path = tempfile.mkdtemp(prefix="cas_ivf_km_") + "/ivf"
+    try:
+        build_ivf_index(
+            corpus, path, num_centroids=n_cells, train="kmeans",
+            train_sample_size=5_000, train_iterations=10, seed=42,
+        )
+        return (
+            query_ivf_index(
+                spark, path, qvec, k=10, num_probes=n_cells,
+                dot_fn=_pdot, norm_fn=_psq_norm,
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "ann_ivf_pq_residual_append_compact_topk",
+    oracle=_COSINE_ORACLE,
+    doc="The full RESIDUAL-encoding lifecycle in one oracle-exact "
+    "roundtrip (round 16, VERDICT r15 item 7 — the last untested "
+    "composition cell): build a residual-encoded IVF-PQ layout on "
+    "half the corpus, APPEND the other half (assign_with_ivf_pq_spec "
+    "follows the spec's pinned encoding — appended rows code x - "
+    "centroid against the FROZEN residual codebook), COMPACT "
+    "(cell-kept rewrite, sidecars byte-untouched, so the anchor term "
+    "and per-row stored doubles ride through), then probe-all + "
+    "rescore — must hash-match the same brute-force oracle as every "
+    "other member of the PQ family.",
+)
+def ann_ivf_pq_residual_append_compact_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        compact_ann_index,
+    )
+    from cassandra_analytics_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        query_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "vec_id BIGINT, cosine_sim DOUBLE")
+    qvec = [float(x) for x in qrows[0]["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    first = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    second = corpus.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = tempfile.mkdtemp(prefix="cas_ivfpq_rac_") + "/ivfpq"
+    try:
+        save_ivf_pq_index(
+            first, path, num_centroids=8, m=16, ks=32,
+            sample_size=5_000, iterations=10, seed=42,
+            encoding="residual",
+        )
+        append_to_ivf_pq_index(second, path)
+        stats = compact_ann_index(spark, path)
+        if stats["files_after"] >= stats["files_before"]:
+            raise AssertionError(
+                f"compaction did not shrink the file count: {stats}"
+            )
+        return query_ivf_pq_index(
+            spark, path, qvec, k=10, num_probes=8, rescore_factor=PQ_RESCORE_FACTOR,
             dot_fn=_pdot, norm_fn=_psq_norm,
         ).localCheckpoint(eager=True)
     finally:
@@ -3121,6 +3244,9 @@ def _streaming_semantic_dedup_split(spark: SparkSession, sf_dir: str):
                 pass
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # expose the working dir for callers that act between the triggers
+    # (streaming_pairs_compacted compacts the pairs store there)
+    build.tmp = tmp
     return build, probe, cleanup
 
 
@@ -3221,6 +3347,86 @@ def streaming_semantic_dedup_quantized(
 def streaming_semantic_dedup_pq(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _streaming_semantic_dedup_pq_run(
+        spark, sf_dir,
+        pq_opts=dict(m=16, ks=32, sample_size=5_000, iterations=10, seed=42),
+        tmp_prefix="cas_stream_semdedup_pq_",
+    )
+
+
+@query(
+    "streaming_semantic_dedup_residual",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="streaming_semantic_dedup_pq over a RESIDUAL-encoded IVF-PQ "
+    "layout (round 16 — the residual x streaming composition, VERDICT "
+    "r15 item 2): the stream bootstraps save_ivf_pq_index(encoding="
+    "'residual') — codes quantize x - centroid, the FAISS IVF-ADC "
+    "posture whose recall-per-byte more than doubles for reads — and "
+    "BOTH pair stages score pq_sym_recon_dot's centroid-cancelling "
+    "identity (same-cell pairs share the anchor, so x_hat.y_hat = "
+    "SDC + (||x_hat||^2 + ||y_hat||^2 - ||D(qx)||^2 - ||D(qy)||^2)/2 "
+    "from stored doubles; no centroid join). The measured-residual "
+    "prefilter bound and exact float confirm are unchanged, so the "
+    "published removal verdicts must hash-match the same brute-force "
+    "DuckDB twin as the float/SQ8/raw-PQ streams.",
+)
+def streaming_semantic_dedup_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _streaming_semantic_dedup_pq_run(
+        spark, sf_dir,
+        pq_opts=dict(
+            m=16, ks=32, sample_size=5_000, iterations=10, seed=42,
+            encoding="residual",
+        ),
+        tmp_prefix="cas_stream_semdedup_res_",
+    )
+
+
+@query(
+    "streaming_pairs_compacted",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    doc="streaming_semantic_dedup with the published-pairs store "
+    "COMPACTED mid-stream (round 16, compact_pairs_store — VERDICT "
+    "r15 item 3: the pairs store was the last durable store accruing "
+    "one batch-* dir per trigger forever on the consumers' glob-read "
+    "hot path): after the bootstrap trigger publishes, the store's "
+    "batch dirs are rewritten verbatim (row-preserving, batch_id "
+    "intact, commit-before-remove) into one batch-compacted-N dir; "
+    "the incremental trigger then publishes NEXT TO it, and the "
+    "removal verdicts over the collected pairs must hash-match the "
+    "same brute-force DuckDB twin — a row lost, duplicated into a "
+    "different verdict, or mis-merged by the compaction breaks the "
+    "hash.",
+)
+def streaming_pairs_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cassandra_analytics_spark.streaming.dedup_stream import (
+        compact_pairs_store,
+    )
+
+    build, probe, cleanup = _streaming_semantic_dedup_split(spark, sf_dir)
+    try:
+        build()
+        # between triggers: fold the bootstrap's published dirs into
+        # one compacted dir; the incremental trigger appends next to it
+        pairs_dir = os.path.join(build.tmp, "pairs")
+        if os.path.isdir(pairs_dir):  # empty-corpus guard (no bootstrap)
+            stats = compact_pairs_store(spark, pairs_dir)
+            assert stats["dirs_after"] == 1, stats
+        return probe()
+    finally:
+        cleanup()
+
+
+def _streaming_semantic_dedup_pq_run(
+    spark: SparkSession, sf_dir: str, pq_opts: dict, tmp_prefix: str
+) -> DataFrame:
+    """Shared body of the PQ-layout streaming SemDeDup queries: two
+    file-source micro-batches through a real foreachBatch run over an
+    IVF-PQ layout bootstrapped with ``pq_opts``, verdicts over the
+    accumulated pairs."""
     import os
     import shutil
     import tempfile
@@ -3237,7 +3443,7 @@ def streaming_semantic_dedup_pq(
     if not centroids:
         return spark.createDataFrame([], "removed BIGINT, cell INT, kept_rep BIGINT")
 
-    tmp = tempfile.mkdtemp(prefix="cas_stream_semdedup_pq_")
+    tmp = tempfile.mkdtemp(prefix=tmp_prefix)
     src = os.path.join(tmp, "incoming")
     corpus.filter(F.col("vec_id") < 1_000_000).coalesce(1).write.mode(
         "append"
@@ -3262,7 +3468,7 @@ def streaming_semantic_dedup_pq(
             dot_fn=_pdot,
             norm_fn=_psq_norm,
             sim_id=_PORTABLE_SIM_ID,
-            pq=dict(m=16, ks=32, sample_size=5_000, iterations=10, seed=42),
+            pq=pq_opts,
         )
         try:
             q.processAllAvailable()
@@ -3549,7 +3755,7 @@ def ann_ivf_pq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ivf_knn_join(
                 queries_df, path, k=5, num_probes=n_cells,
                 dot_fn=_pdot, norm_fn=_psq_norm,
-                use_pq=True, rescore_factor=24,
+                use_pq=True, rescore_factor=PQ_RESCORE_FACTOR,
             )
             .orderBy("qid", "vec_id")
             .localCheckpoint(eager=True)

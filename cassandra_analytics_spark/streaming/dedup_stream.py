@@ -329,3 +329,80 @@ def compact_doc_store(
         ),
         "rows_after": rows_after,
     }
+
+
+def compact_pairs_store(spark, pairs_out: str, num_files: int = 1) -> dict:
+    """Maintenance compaction for a stream's published-pairs store
+    (round 16 — the last durable store still accruing unbounded dirs,
+    VERDICT r15 item 3): BOTH streaming families publish one
+    ``batch-%010d`` directory per trigger forever (this module's
+    ``pairs_out`` and the semantic stream's — same glob shape, same
+    publish contract), and every ``collected_pairs`` /
+    ``collected_semantic_pairs`` read globs them ALL — at one trigger a
+    minute that is ~half a million directories a year on the consumer's
+    hot path.
+
+    Pairs are append-only FACTS (idempotent per-batch publish; readers
+    ``dropDuplicates(["a", "b"])`` downstream), so compaction is
+    ROW-PRESERVING: no winner resolution, every published row —
+    including its ``batch_id`` — is rewritten verbatim into a single
+    ``batch-compacted-N`` directory with ``num_files`` files
+    (``mergeSchema`` keeps schema-evolved columns, matching the
+    readers' plain multi-dir read). Works unchanged on either family's
+    store because it never interprets the columns.
+
+    CONCURRENT-READER/WRITER SAFETY (the ``compact_doc_store``
+    commit-before-remove discipline, shared verbatim): old dirs are
+    snapshotted BEFORE the read (a trigger publishing mid-compaction
+    is either included and left on disk — duplicate rows the readers'
+    dropDuplicates collapses — or untouched entirely); the compacted
+    rows land under the invisible ``__compacting`` name (readers glob
+    ``batch-*``), rename into place FIRST, old dirs removed LAST. A
+    replayed trigger whose ORIGINAL dir was compacted away simply
+    re-publishes it — duplicate (a, b) rows with the same batch_id,
+    collapsed downstream. A crash at any point leaves a store that
+    reads correctly and a compaction that re-runs.
+
+    Returns ``{"dirs_before", "dirs_after", "files_before",
+    "files_after", "rows_after"}``."""
+    from cassandra_analytics_spark.fs import (
+        delete_path,
+        glob_paths,
+        list_files,
+        rename_path,
+    )
+
+    if num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
+    pattern = pairs_out.rstrip("/") + "/batch-*"
+    old_dirs = glob_paths(spark, pattern)
+    if not old_dirs:
+        raise ValueError(
+            f"{pairs_out!r} has no batch-* directories — not a pairs "
+            "store a stream has published to (nothing to compact)"
+        )
+    files_before = len(list_files(spark, pairs_out, suffix=".parquet"))
+    rows = spark.read.option("mergeSchema", "true").parquet(pattern)
+    tmp = pairs_out.rstrip("/") + "/__compacting"
+    delete_path(spark, tmp)
+    rows.repartition(num_files).write.mode("overwrite").parquet(tmp)
+    n_existing = len(
+        glob_paths(spark, pairs_out.rstrip("/") + "/batch-compacted-*")
+    )
+    target = pairs_out.rstrip("/") + f"/batch-compacted-{n_existing:06d}"
+    if not rename_path(spark, tmp, target):
+        raise ValueError(
+            f"compact_pairs_store: could not move the compacted "
+            f"directory into place at {target!r} — recover from {tmp!r}"
+        )
+    for d in old_dirs:
+        if d != target:
+            delete_path(spark, d)
+    rows_after = spark.read.parquet(target).count()
+    return {
+        "dirs_before": len(old_dirs),
+        "dirs_after": len(glob_paths(spark, pattern)),
+        "files_before": files_before,
+        "files_after": len(list_files(spark, pairs_out, suffix=".parquet")),
+        "rows_after": rows_after,
+    }

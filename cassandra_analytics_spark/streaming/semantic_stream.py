@@ -73,7 +73,9 @@ def _spec_exists(spark, index_path: str) -> bool:
         return False
 
 
-_PQ_OPTION_KEYS = frozenset({"m", "ks", "sample_size", "iterations", "seed"})
+_PQ_OPTION_KEYS = frozenset(
+    {"m", "ks", "sample_size", "iterations", "seed", "encoding"}
+)
 
 
 def _validate_pq_options(pq: dict | None) -> None:
@@ -122,7 +124,12 @@ def run_semantic_dedup_stream(
     ``pq`` (round 14, mutually exclusive with ``quantize``) bootstraps
     an IVF-PQ layout instead (``pq.save_ivf_pq_index`` with
     ``residuals=True``; keys ``m``/``ks``/``sample_size``/
-    ``iterations``/``seed`` pass through, all optional): each cell
+    ``iterations``/``seed``/``encoding`` pass through, all optional —
+    ``encoding="residual"`` bootstraps the FAISS IVF-ADC residual
+    layout, round 16: codes quantize x − centroid, recall-per-byte
+    doubles for reads, and both pair stages score the centroid-
+    cancelling ``pq_sym_recon_dot`` so verdicts stay float-identical):
+    each cell
     then carries m-byte PQ codes PLUS the per-row measured
     reconstruction bound (``pq_tnorm``/``pq_err``), and the
     batch-vs-corpus pair stage ranks candidates from the codes with an
@@ -464,16 +471,6 @@ def _publish_and_append(
                 "bound needs pq_tnorm/pq_err; rebuild with "
                 "save_ivf_pq_index(residuals=True)"
             )
-        if raw_spec.get("encoding", "raw") != "raw":
-            raise ValueError(
-                f"IVF-PQ layout at {index_path!r} is "
-                f"{raw_spec['encoding']!r}-encoded — the streaming pair "
-                "stages score symmetric code-vs-code ADC, which has no "
-                "anchor channel for residual-encoded codes; "
-                "stream-maintained layouts need encoding='raw' "
-                "(residual encoding is the single-query/kNN-join "
-                "recall lever)"
-            )
         # a caller-passed codebook (the stream's per-trigger cache) is
         # geometry-validated, not re-collected; None falls back to the
         # per-call rehydration (ad-hoc single-batch callers)
@@ -481,9 +478,17 @@ def _publish_and_append(
             spark, index_path, raw_spec, pq_codebook,
             caller="_publish_and_append",
         )
+        # residual-encoded layouts (round 16): both pair stages score
+        # the same symmetric code-vs-code ADC plus the centroid-
+        # cancelling correction from stored per-row doubles
+        # (pq_sym_recon_dot — same-cell pairs share the anchor, so no
+        # centroid join is needed); the measured-residual bound and
+        # the exact float confirm are unchanged, so verdicts stay
+        # float-identical under either pinned encoding
         in_pairs = pq_pairs_from_cells(
             assigned, pq_codebook, threshold, id_col, vec_col,
             max_cluster=max_cell, dot_fn=dot_fn, norm_fn=norm_fn,
+            encoding=raw_spec.get("encoding") or "raw",
         )
     elif quantized:
         in_pairs = _quantized_pairs_from_cells(
@@ -796,10 +801,19 @@ def _cross_pairs_pq(
     stays code-only (the quantized_topk plan discipline); the confirm
     joins the float columns back by (cell, id) / batch id —
     survivor-proportional. Refuses a layout saved without residuals
-    (the bound's columns are not there)."""
+    (the bound's columns are not there).
+
+    Residual-encoded layouts (round 16): the pair join is on cell
+    EQUALITY, so both members share the centroid anchor and the
+    reconstruction dot is the stored-doubles form of
+    :func:`~cassandra_analytics_spark.operators.pq.pq_sym_recon_dot`
+    — each side carries ONE extra per-row double (``‖D(codes)‖²``,
+    computed in the pre-expansion scan); bound and confirm unchanged,
+    verdicts float-identical."""
     from cassandra_analytics_spark.operators.pq import (
         _resolve_ivf_pq_codebook,
-        pq_sym_adc_col,
+        pq_code_sqnorm_col,
+        pq_sym_recon_dot,
     )
 
     if not spec.get("residuals"):
@@ -812,6 +826,8 @@ def _cross_pairs_pq(
     codebook = _resolve_ivf_pq_codebook(
         spark, index_path, spec, codebook, caller="_cross_pairs_pq"
     )
+    encoding = spec.get("encoding") or "raw"
+    residual_enc = encoding == "residual"
     corpus = spark.read.parquet(index_path).filter(
         F.col("cell").isin(touched)
     )
@@ -819,7 +835,22 @@ def _cross_pairs_pq(
         F.count(F.lit(1)).alias("__occ")
     )
     # phase 1 projects CODES + the three stored doubles only — the
-    # float column stays out of the expansion scan entirely
+    # float column stays out of the expansion scan entirely (residual
+    # layouts add one pre-expansion double per side: ‖D(codes)‖²)
+    c_cols = [
+        F.col(id_col).alias("__cid_"),
+        F.col("cell"),
+        F.col("pqcode").alias("__cq"),
+        F.col("pq_norm").alias("__cnh"),
+        F.col("pq_tnorm").alias("__ctn"),
+        F.col("pq_err").alias("__cr"),
+    ]
+    if residual_enc:
+        c_cols.append(
+            pq_code_sqnorm_col(
+                codebook, F.col("pqcode"), "_cross_pairs_pq"
+            ).alias("__cds")
+        )
     c = (
         corpus.filter(F.col("pqcode").isNotNull())
         .join(
@@ -827,14 +858,7 @@ def _cross_pairs_pq(
             .select("cell"),
             "cell",
         )
-        .select(
-            F.col(id_col).alias("__cid_"),
-            "cell",
-            F.col("pqcode").alias("__cq"),
-            F.col("pq_norm").alias("__cnh"),
-            F.col("pq_tnorm").alias("__ctn"),
-            F.col("pq_err").alias("__cr"),
-        )
+        .select(*c_cols)
     )
     # batch side: CODES + stored norms only (the batch is encoded with
     # the frozen codebook by assign_with_ivf_pq_spec, residuals per the
@@ -845,17 +869,30 @@ def _cross_pairs_pq(
     # 512-d trigger — and the measured A/B had PQ wall-losing at its
     # own design point; symmetric SDC is the within-batch stage's
     # discipline applied to the cross stage)
-    b = assigned.filter(F.col("pqcode").isNotNull()).select(
+    b_cols = [
         F.col(id_col).alias("__bid_"),
         F.col("pqcode").alias("__bq"),
         F.col("pq_norm").alias("__bnh"),
         F.col("pq_tnorm").alias("__btn"),
         F.col("pq_err").alias("__br"),
-        "cell",
-    )
+        F.col("cell"),
+    ]
+    if residual_enc:
+        b_cols.append(
+            pq_code_sqnorm_col(
+                codebook, F.col("pqcode"), "_cross_pairs_pq"
+            ).alias("__bds")
+        )
+    b = assigned.filter(F.col("pqcode").isNotNull()).select(*b_cols)
     # two-sided measured bound (the pq_pairs_from_cells derivation):
     # |b·x − b̂·x̂| ≤ ‖b̂‖·r_x + ‖x̂‖·r_b + r_b·r_x  (Cauchy-Schwarz)
-    adc = pq_sym_adc_col(codebook, F.col("__bq"), F.col("__cq"))
+    adc = pq_sym_recon_dot(
+        codebook, F.col("__bq"), F.col("__cq"),
+        F.col("__bnh"), F.col("__cnh"),
+        F.col("__bds") if residual_enc else None,
+        F.col("__cds") if residual_enc else None,
+        encoding=encoding,
+    )
     approx = F.try_divide(adc, F.col("__btn") * F.col("__ctn"))
     margin = F.try_divide(
         F.col("__bnh") * F.col("__cr")

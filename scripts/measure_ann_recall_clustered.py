@@ -34,17 +34,31 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_clustered_corpus(n: int, n_clusters: int, dim: int, seed: int = 7):
-    """(vec_id, embedding, cluster) rows + the true centers. vec_id
-    encodes the cluster (vec_id % n_clusters) so ground truth is easy."""
+def make_clustered_corpus(
+    n: int, n_clusters: int, dim: int, seed: int = 7, skew: bool = False
+):
+    """(vec_id, embedding, cluster) rows + the true centers. Balanced:
+    vec_id % n_clusters encodes the cluster. ``skew=True`` draws
+    cluster membership Zipf-like (cluster c gets weight 1/(c+1)) — the
+    realistic shape where a SAMPLED codebook allocates centroids to the
+    big head clusters and starves the tail (round 16, the k-means
+    gate's second arm)."""
     rng = random.Random(seed)
     centers = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
     ]
     noise_sigma = 0.05  # << center scale 1.0: siblings are true neighbors
+    if skew:
+        weights = [1.0 / (c + 1) for c in range(n_clusters)]
+        members = rng.choices(range(n_clusters), weights=weights, k=n)
+        # guarantee every cluster has at least k members so ground
+        # truth top-k stays within the cluster
+        for c in range(n_clusters):
+            for j in range(30):
+                members[(c * 30 + j) % n] = c
     rows = []
     for i in range(n):
-        c = i % n_clusters
+        c = members[i] if skew else i % n_clusters
         vec = [x + rng.gauss(0.0, noise_sigma) for x in centers[c]]
         rows.append((i, vec, c))
     return rows, centers
@@ -56,25 +70,40 @@ def main() -> int:
     dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     n_queries = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     k = int(sys.argv[5]) if len(sys.argv) > 5 else 20
+    skew = len(sys.argv) > 6 and sys.argv[6] == "skew"
 
     from cassandra_analytics_spark.operators.ann_index import (
         build_ivf_index,
         query_ivf_index,
     )
-    from cassandra_analytics_spark.operators.similarity import brute_force_topk
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        train_coarse_centroids,
+    )
     from cassandra_analytics_spark.session import get_session
 
     spark = get_session(app_name="ann-recall-clustered")
     spark.sparkContext.setLogLevel("ERROR")
 
-    rows, centers = make_clustered_corpus(n, n_clusters, dim)
+    rows, centers = make_clustered_corpus(n, n_clusters, dim, skew=skew)
     emb = spark.createDataFrame(
         [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
     ).repartition(8).cache()
     emb.count()
 
     # queries: one member of each of the first n_queries clusters
-    queries = [(i, rows[i][1]) for i in range(n_queries)]
+    # (balanced: ids 0..n_q-1 hit distinct clusters; skew: pick one
+    # member per TAIL cluster — the clusters a sampled codebook
+    # starves)
+    if skew:
+        wanted = list(range(n_clusters - n_queries, n_clusters))
+        by_cluster = {}
+        for i, _, c in rows:
+            if c in wanted and c not in by_cluster:
+                by_cluster[c] = i
+        queries = [(by_cluster[c], rows[by_cluster[c]][1]) for c in wanted]
+    else:
+        queries = [(i, rows[i][1]) for i in range(n_queries)]
     exact: dict[int, set] = {}
     for qid, vec in queries:
         exact[qid] = {r.vec_id for r in brute_force_topk(emb, vec, k=k).collect()}
@@ -83,11 +112,17 @@ def main() -> int:
     num_centroids = n_clusters  # codebook size matches planted structure
     layouts = {
         "sampled": dict(num_centroids=num_centroids),
+        "kmeans": dict(
+            centroids=train_coarse_centroids(
+                emb, num_centroids, sample_size=10_000, iterations=15
+            )
+        ),
         "centers": dict(centroids=list(enumerate(centers))),
     }
     results = {
         "n_corpus": n, "n_clusters": n_clusters, "dim": dim, "k": k,
         "n_queries": n_queries, "num_centroids": num_centroids,
+        "skew": skew,
     }
     for name, kwargs in layouts.items():
         path = os.path.join(root, name)

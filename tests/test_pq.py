@@ -921,11 +921,13 @@ def test_ivf_pq_residual_reconstruction_is_tighter(spark, tmp_path):
     assert errs["residual"] < errs["raw"], errs
 
 
-def test_ivf_pq_residual_knn_join_and_streaming_refusal(spark, tmp_path):
+def test_ivf_pq_residual_knn_join_and_streaming_compose(spark, tmp_path):
     """The kNN join adds the per-(query, cell) anchor term through the
     thin routing pairs — probe-all over a residual layout must match
-    the plain float kNN join exactly; the streaming pair stages refuse
-    residual layouts loudly (no anchor channel in the symmetric SDC)."""
+    the plain float kNN join exactly; the streaming pair stages (round
+    16) score residual layouts via the centroid-cancelling
+    pq_sym_recon_dot, so the SAME batch against a raw-encoded twin of
+    the layout must publish the SAME pair set."""
     from cassandra_analytics_spark.operators.ann_index import (
         build_ivf_index,
         ivf_knn_join,
@@ -971,22 +973,141 @@ def test_ivf_pq_residual_knn_join_and_streaming_refusal(spark, tmp_path):
     )
     assert batched == want
 
-    # the streaming pair stage refuses the residual layout loudly
+    # round 16: the streaming pair stages accept residual layouts —
+    # the same batch against a raw-encoded twin (same corpus, same
+    # coarse centroids, same codebook seed) must publish the SAME
+    # pair set; the residual arm's verdicts ride pq_sym_recon_dot's
+    # centroid-cancelling correction through both stages
     from cassandra_analytics_spark.streaming.semantic_stream import (
         process_semantic_batch,
     )
 
-    res_stream_path = str(tmp_path / "res_stream")
-    save_ivf_pq_index(
-        corpus, res_stream_path, num_centroids=6, m=4, ks=16,
-        sample_size=300, iterations=8, seed=42,
-        residuals=True, encoding="residual",
-    )
-    with pytest.raises(ValueError, match="residual.*-encoded|'residual'-encoded"):
+    batch = queries.withColumnRenamed("qid", "vec_id")
+    got_pairs = {}
+    for tag, enc in (("res", "residual"), ("raw", "raw")):
+        path = str(tmp_path / f"{tag}_stream")
+        save_ivf_pq_index(
+            corpus, path, num_centroids=6, m=4, ks=16,
+            sample_size=300, iterations=8, seed=42,
+            residuals=True, encoding=enc,
+        )
+        out = str(tmp_path / f"pairs_{tag}")
         process_semantic_batch(
-            queries.withColumnRenamed("qid", "vec_id"), 1,
-            index_path=res_stream_path,
-            pairs_out=str(tmp_path / "pairs"),
-            centroids=[(0, rows[0][1])],
-            threshold=0.9,
+            batch, 1, index_path=path, pairs_out=out,
+            centroids=[(0, rows[0][1])], threshold=0.2,
+        )
+        got_pairs[tag] = {
+            (r.a, r.b, round(r.cosine_sim, 9))
+            for r in spark.read.parquet(
+                out + "/batch-0000000001"
+            ).collect()
+        }
+    assert got_pairs["res"] == got_pairs["raw"]
+    assert len(got_pairs["raw"]) > 0  # threshold low enough to pair
+
+
+def test_pq_sym_recon_dot_parity_and_sqnorm(spark):
+    """Round 16 (the residual x streaming composition): the
+    centroid-cancelling identity must reproduce the TRUE reconstruction
+    dot x_hat . y_hat to float precision on residual-encoded frames —
+    at low dim (expression ADC) AND above _PQ_EXPR_MAX_DIM (Arrow
+    kernel). pq_code_sqnorm_col must equal sum_i ||c_i[code_i]||^2,
+    raw encoding must stay byte-identical to plain SDC, and a bogus
+    encoding raises."""
+    import numpy as np
+
+    from cassandra_analytics_spark.operators.pq import (
+        pq_code_sqnorm_col,
+        pq_sym_adc_col,
+        pq_sym_recon_dot,
+    )
+
+    for dim, m in ((16, 4), (160, 8)):  # 160 > _PQ_EXPR_MAX_DIM=128
+        rng = np.random.default_rng(7)
+        cents = {0: rng.normal(0, 1, dim), 1: rng.normal(0, 1, dim)}
+        rows = []
+        for i in range(120):
+            cell = i % 2
+            v = cents[cell] + rng.normal(0, 0.2, dim)
+            rows.append(
+                (
+                    i,
+                    cell,
+                    [float(x) for x in v],
+                    [float(x) for x in cents[cell]],
+                )
+            )
+        df = spark.createDataFrame(
+            rows,
+            "vec_id long, cell int, embedding array<double>, "
+            "anchor array<double>",
+        )
+        cb = train_pq_codebook(
+            df, m=m, ks=16, vec_col="embedding", sample_size=120, seed=1
+        )
+        enc = pq_encode(
+            df, cb, vec_col="embedding", keep_vec=True,
+            with_residual=True, anchor_col="anchor",
+            extra_cols=("cell", "anchor"),
+        )
+        pdf = enc.toPandas()
+        cbm = np.asarray(cb.centroids)
+
+        def decode(codes):
+            return np.concatenate(
+                [cbm[i][c + 128] for i, c in enumerate(codes)]
+            )
+
+        recon = {
+            r.vec_id: np.array(r.anchor) + decode(r.pqcode)
+            for r in pdf.itertuples()
+        }
+        # per-row decoded-component squared norm
+        ds_rows = enc.select(
+            "vec_id", pq_code_sqnorm_col(cb, F.col("pqcode")).alias("ds")
+        ).collect()
+        for r in ds_rows:
+            want = float(
+                np.dot(
+                    d := decode(
+                        pdf.set_index("vec_id").loc[r.vec_id, "pqcode"]
+                    ),
+                    d,
+                )
+            )
+            assert abs(r.ds - want) < 1e-9
+
+        a = enc.select(
+            F.col("vec_id").alias("ida"), F.col("pqcode").alias("qa"),
+            F.col("pq_norm").alias("nha"), "cell",
+            pq_code_sqnorm_col(cb, F.col("pqcode")).alias("dsa"),
+        )
+        b = enc.select(
+            F.col("vec_id").alias("idb"), F.col("pqcode").alias("qb"),
+            F.col("pq_norm").alias("nhb"), "cell",
+            pq_code_sqnorm_col(cb, F.col("pqcode")).alias("dsb"),
+        )
+        pairs = a.join(b, "cell").filter(F.col("ida") < F.col("idb"))
+        scored = pairs.select(
+            "ida", "idb",
+            pq_sym_recon_dot(
+                cb, F.col("qa"), F.col("qb"), F.col("nha"), F.col("nhb"),
+                F.col("dsa"), F.col("dsb"), encoding="residual",
+            ).alias("dot"),
+            pq_sym_adc_col(cb, F.col("qa"), F.col("qb")).alias("sdc"),
+            pq_sym_recon_dot(
+                cb, F.col("qa"), F.col("qb"), F.col("nha"), F.col("nhb"),
+                None, None, encoding="raw",
+            ).alias("raw_dot"),
+        ).collect()
+        assert len(scored) > 1000
+        for r in scored:
+            true = float(recon[r.ida] @ recon[r.idb])
+            assert abs(r.dot - true) < 1e-9, (dim, r.ida, r.idb)
+            assert r.raw_dot == r.sdc  # raw == plain SDC, bit-for-bit
+
+    with pytest.raises(ValueError, match="raw.*residual|residual.*raw"):
+        pq_sym_recon_dot(
+            cb, F.col("qa"), F.col("qb"), F.col("nha"), F.col("nhb"),
+            None, None, encoding="opq",
         )

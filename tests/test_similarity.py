@@ -546,3 +546,83 @@ def test_skew_signal_on_ngram_and_incremental_caps(spark):
         assert got2["skipped_rows"] >= 6
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_train_coarse_centroids_deterministic_and_covering(spark):
+    """Round 16 (build_ivf_index(train='kmeans')): the spherical
+    k-means coarse trainer is deterministic under its seed, returns
+    unit-norm centroids with dense 0..k-1 cids, shrinks k to the
+    corpus when small, covers SKEWED planted clusters (the gate's
+    winning scenario: every tail cluster gets a centroid within
+    cos >= 0.99), and refuses empty/zero-vector corpora loudly."""
+    import math
+    import random
+
+    import pytest
+
+    from cassandra_analytics_spark.operators.similarity import (
+        train_coarse_centroids,
+    )
+
+    rng = random.Random(3)
+    dim, n_clusters = 16, 8
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    weights = [1.0 / (c + 1) for c in range(n_clusters)]
+    rows = []
+    for i in range(2000):
+        c = rng.choices(range(n_clusters), weights=weights)[0] if i >= 8 * 20 \
+            else i % n_clusters  # every cluster gets >= 20 members
+        rows.append(
+            (i, [x + rng.gauss(0, 0.05) for x in centers[c]])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = train_coarse_centroids(df, n_clusters, seed=7, iterations=10)
+    b = train_coarse_centroids(df, n_clusters, seed=7, iterations=10)
+    assert a == b  # deterministic
+    assert [cid for cid, _ in a] == list(range(n_clusters))
+    for _, v in a:
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # unit norm
+
+    def cos(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        return sum(a * b for a, b in zip(u, v)) / (du * dv)
+
+    # every planted cluster (head AND tail) is covered by some centroid
+    for c in centers:
+        assert max(cos(c, v) for _, v in a) > 0.99
+
+    # k shrinks to the corpus
+    tiny = train_coarse_centroids(df.limit(3), 8, seed=1)
+    assert len(tiny) == 3
+
+    with pytest.raises(ValueError, match="no non-NULL"):
+        train_coarse_centroids(
+            spark.createDataFrame(
+                [(1, None)], "vec_id long, embedding array<double>"
+            ),
+            4,
+        )
+    with pytest.raises(ValueError, match="all-zero"):
+        train_coarse_centroids(
+            spark.createDataFrame(
+                [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+            ),
+            2,
+        )
+    with pytest.raises(ValueError, match="num_centroids"):
+        train_coarse_centroids(df, 0)
+
+    # build_ivf_index integration: train= validation + ambiguity refusal
+    from cassandra_analytics_spark.operators.ann_index import build_ivf_index
+
+    with pytest.raises(ValueError, match="train must be"):
+        build_ivf_index(df, "/tmp/never-written", train="lloyd")
+    with pytest.raises(ValueError, match="ambiguous"):
+        build_ivf_index(
+            df, "/tmp/never-written", train="kmeans",
+            centroids=[(0, [1.0] * dim)],
+        )
