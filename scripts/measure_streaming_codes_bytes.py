@@ -185,6 +185,13 @@ def main() -> int:
             # codes + 3 doubles vs SQ8's 64 B + 2 doubles vs 512 B float
             ("pq", {"pq": dict(m=16, ks=256, sample_size=20_000,
                                iterations=15, seed=42)}),
+            # round 16: the residual-encoded layout through the SAME
+            # stream (pq_sym_recon_dot pair scoring) — same bytes
+            # shape as pq plus one pre-expansion double per side;
+            # verdicts must stay identical
+            ("pq_residual", {"pq": dict(m=16, ks=256, sample_size=20_000,
+                                        iterations=15, seed=42,
+                                        encoding="residual")}),
         )
         for label, arm_kw in arms:
             run_dir = os.path.join(work, label)
@@ -240,7 +247,7 @@ def main() -> int:
         )
         n_expected = expected.count()
         ok = True
-        for label in ("quantized", "pq"):
+        for label in ("quantized", "pq", "pq_residual"):
             q = results[label]
             same_pairs = (
                 f["pairs"].select("a", "b").exceptAll(

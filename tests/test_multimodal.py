@@ -124,8 +124,12 @@ def _have_pil() -> bool:
 
 def test_decode_stub_contract():
     if not _have_pil():
-        # no codec in the container: the documented loud refusal
-        with pytest.raises(NotImplementedError):
+        # no codec in the container: the documented loud refusal —
+        # and it must be the MISSING-DEPENDENCY refusal (the message
+        # names the enabling install), never a code error hiding
+        # behind the skip (r16, VERDICT r15 item 8: don't let the
+        # pillow skip rot)
+        with pytest.raises(NotImplementedError, match="pip install pillow"):
             decode_image(b"\x00\x01")
     stats = decode_image(bytes(range(256)), fake=True)
     assert stats["n_bytes"] == 256
