@@ -1193,6 +1193,7 @@ def save_ivf_pq_index(
     sim_id: str | None = None,
     residuals: bool = False,
     encoding: str = "raw",
+    train: str = "sample",
 ) -> tuple[list[tuple[int, list[float]]], PQCodebook]:
     """The FAISS IVF-PQ composition as a persisted layout: the corpus
     is cell-partitioned by nearest coarse centroid (the IVF side — a
@@ -1205,8 +1206,13 @@ def save_ivf_pq_index(
 
     ``centroids=None`` samples ``num_centroids`` coarse centroids
     (:func:`~cassandra_analytics_spark.operators.similarity.
-    sample_centroids` — the codebook-fit stand-in; pass a k-means fit
-    for production routing, the r9 recall lesson); ``codebook=None``
+    sample_centroids`); ``train="kmeans"`` (round 16) instead FITS
+    them with :func:`~cassandra_analytics_spark.operators.similarity.
+    train_coarse_centroids` — the same learned coarse quantizer
+    ``build_ivf_index(train="kmeans")`` gates on the clustered recall
+    harness, and the natural partner of ``encoding="residual"``
+    (residual codes quantize x − centroid, so tighter cells mean
+    tighter residual clouds and smaller pq_err). ``codebook=None``
     trains the PQ codebooks here. ``assignment`` mirrors
     ``build_ivf_index``'s modes: ``"expr"`` (default) is the shared
     linear-size argmax expression — fine to k≈128, ties to the
@@ -1281,10 +1287,29 @@ def save_ivf_pq_index(
             "sim_id is only meaningful with custom dot_fn/norm_fn — "
             "the built-in modes are identified by the assignment name"
         )
-    if centroids is None:
-        centroids = sample_centroids(
-            df, num_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+    if train not in ("sample", "kmeans"):
+        raise ValueError(
+            f"train must be 'sample' or 'kmeans', got {train!r}"
         )
+    if centroids is not None and train != "sample":
+        raise ValueError(
+            "train='kmeans' fits the coarse codebook — passing "
+            "centroids= too is ambiguous; drop one"
+        )
+    if centroids is None:
+        if train == "kmeans":
+            from cassandra_analytics_spark.operators.similarity import (
+                train_coarse_centroids,
+            )
+
+            centroids = train_coarse_centroids(
+                df, num_centroids, id_col=id_col, vec_col=vec_col,
+                sample_size=sample_size, iterations=iterations, seed=seed,
+            )
+        else:
+            centroids = sample_centroids(
+                df, num_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+            )
     if not centroids:
         raise ValueError(
             "save_ivf_pq_index: no coarse centroids (empty corpus?) — "

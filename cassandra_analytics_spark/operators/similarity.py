@@ -266,10 +266,14 @@ def train_coarse_centroids(
     Returns ``[(cid, centroid)]`` with cids 0..k-1, ready for
     ``build_ivf_index(centroids=...)`` / ``save_ivf_pq_index`` — the
     codebook is pinned by the layout like any external one. ``k``
-    shrinks to the sample size when the corpus is smaller. Unit-norm
-    centroids change nothing for assignment (cosine is scale-
-    invariant in the centroid) and make the persisted codebook
-    self-describing."""
+    shrinks to the sample size when the corpus is smaller. The fit
+    runs on the SPHERE (unit rows, unit centroids — the routing
+    metric), but the RETURNED centroids are each final cell's raw
+    mean: cosine routing is scale-invariant in the centroid, while
+    residual encoding uses the centroid as an ANCHOR, where a
+    unit-norm direction would leave ~(‖x‖ − 1)-sized residuals on
+    unnormalized corpora (measured: the pq_err A/B in tests/test_pq.py
+    flips sign without the rescale)."""
     import numpy as np
 
     if num_centroids < 1:
@@ -330,9 +334,22 @@ def train_coarse_centroids(
             # dead (or degenerate) centroid: re-seed from the sample
             # point the current codebook covers WORST
             cents[j] = xn[best.argmin()]
-    return [
-        (i, [float(v) for v in cents[i]]) for i in range(k)
-    ]
+    # Return the centroids at the RAW data scale (mean of each cell's
+    # UNnormalized members along the learned direction): cosine
+    # routing is scale-invariant in the centroid, but residual
+    # encoding (save_ivf_pq_index(encoding="residual")) uses the
+    # centroid as an ANCHOR — a unit-norm direction would leave
+    # ~(‖x‖ − 1)-sized residuals on unnormalized corpora, defeating
+    # the tight-residual-cloud win the trainer exists to buy
+    # (discovered by the pq_err A/B in tests/test_pq.py). An empty
+    # final cell keeps the unit direction.
+    final_assign = (xn @ cents.T).argmax(axis=1)
+    out = []
+    for j in range(k):
+        mask = final_assign == j
+        c = x[mask].mean(axis=0) if mask.any() else cents[j]
+        out.append((j, [float(v) for v in c]))
+    return out
 
 
 def nearest_centroid_cell(

@@ -1111,3 +1111,80 @@ def test_pq_sym_recon_dot_parity_and_sqnorm(spark):
             cb, F.col("qa"), F.col("qb"), F.col("nha"), F.col("nhb"),
             None, None, encoding="opq",
         )
+
+
+def test_ivf_pq_kmeans_trained_coarse_residual(spark, tmp_path):
+    """Round 16: save_ivf_pq_index(train='kmeans') fits the coarse
+    quantizer with the same learned codebook build_ivf_index gates on
+    — the natural partner of encoding='residual' (tighter cells →
+    tighter residual clouds). On a clustered corpus the combination
+    must stay probe-all oracle-exact, and its mean stored pq_err must
+    beat the sampled-coarse twin at identical geometry (the
+    recall-per-byte mechanism, asserted not assumed)."""
+    import random
+
+    from cassandra_analytics_spark.operators.pq import save_ivf_pq_index
+    from cassandra_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from cassandra_analytics_spark.operators.pq import query_ivf_pq_index
+
+    rng = random.Random(5)
+    dim, n_clusters = 16, 6
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = [
+        (
+            i,
+            [
+                x + rng.gauss(0, 0.05)
+                for x in centers[i % n_clusters]
+            ],
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    errs = {}
+    for tag, kw in (
+        ("kmeans", dict(train="kmeans")),
+        ("sampled", dict()),
+    ):
+        path = str(tmp_path / tag)
+        save_ivf_pq_index(
+            df, path, num_centroids=n_clusters, m=4, ks=16,
+            sample_size=600, iterations=10, seed=42,
+            residuals=True, encoding="residual", **kw,
+        )
+        errs[tag] = (
+            spark.read.parquet(path)
+            .agg(F.avg("pq_err").alias("e"))
+            .collect()[0]
+            .e
+        )
+        got = [
+            (r.vec_id, round(r.cosine_sim, 9))
+            for r in query_ivf_pq_index(
+                spark, path, rows[0][1], k=6, num_probes=n_clusters,
+                rescore_factor=20,
+            ).collect()
+            if r.vec_id != 0
+        ][:5]
+        want = [
+            (r.vec_id, round(r.cosine_sim, 9))
+            for r in brute_force_topk(
+                df.filter(F.col("vec_id") != 0), rows[0][1], k=5
+            ).collect()
+        ]
+        assert got == want, tag
+    # the learned coarse quantizer's residual cloud is tighter
+    assert errs["kmeans"] < errs["sampled"]
+
+    with pytest.raises(ValueError, match="train must be"):
+        save_ivf_pq_index(df, str(tmp_path / "x"), train="lloyd")
+    with pytest.raises(ValueError, match="ambiguous"):
+        save_ivf_pq_index(
+            df, str(tmp_path / "x"), train="kmeans",
+            centroids=[(0, [1.0] * dim)],
+        )

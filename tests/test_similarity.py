@@ -583,8 +583,14 @@ def test_train_coarse_centroids_deterministic_and_covering(spark):
     b = train_coarse_centroids(df, n_clusters, seed=7, iterations=10)
     assert a == b  # deterministic
     assert [cid for cid, _ in a] == list(range(n_clusters))
+    # centroids come back at the RAW data scale (residual-anchor
+    # contract): each should sit near its cluster's norm, not at 1
+    data_norms = sorted(
+        math.sqrt(sum(x * x for x in c)) for c in centers
+    )
     for _, v in a:
-        assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # unit norm
+        nrm = math.sqrt(sum(x * x for x in v))
+        assert data_norms[0] * 0.5 < nrm < data_norms[-1] * 1.5
 
     def cos(u, v):
         du = math.sqrt(sum(x * x for x in u))
