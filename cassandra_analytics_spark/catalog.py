@@ -40,7 +40,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Source-layer type normalization (the analog of the reference's CQL→Spark
     converters, SURVEY §1.3): parquet TIMESTAMP(NANOS) columns arrive as
     longs under ``nanosAsLong`` and are truncated to microsecond timestamps
-    — the same floor-truncation DuckDB applies when casting TIMESTAMP_NS."""
+    — the same floor-truncation DuckDB applies when casting TIMESTAMP_NS.
+
+    The resolved DataFrame is memoized per (session, path, file mtime) —
+    catalog METADATA caching, the same thing ``spark.table`` over a
+    metastore or the file-source listing cache gives for free (guide §6).
+    Without it every query rebuild re-lists the path and re-reads the
+    parquet footer schema (~150 ms per table per call, measured r16 —
+    ~40% of the bench's per-query wall was this driver-side rebuild).
+    Execution is untouched: the DataFrame is lazy and every action still
+    scans the parquet files; the mtime key drops the entry the moment a
+    fixture is regenerated."""
+    path = table_path(sf_dir, name)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    cache: dict = spark.__dict__.setdefault("_graft_table_cache", {})
+    key = (os.path.abspath(path), mtime)
+    if mtime is not None and key in cache:
+        return cache[key]
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -50,7 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(path)
     if name == "events":
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # FLOOR division nanos→micros: `ts div 1000` truncates toward
@@ -68,7 +88,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP (session tz is UTC above, so values are unchanged)
             # so event-time functions (unix_micros, watermarks) resolve.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if mtime is not None:
+        cache[key] = df
     return df
+
+
+def spread_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """:func:`load_table`, re-spread across the cluster when the file
+    layout cannot provide scan parallelism on its own.
+
+    The fixture tables are single-file, SINGLE-ROW-GROUP parquet, so a
+    scan stage is one task no matter how `maxPartitionBytes` /
+    `minPartitionNum` split the byte range — every task but the one
+    holding the row-group start reads zero records. Operators whose
+    per-row work dwarfs the decode (shingling + hashing, regex scrubs,
+    per-token explodes) were measured spending their whole scan stage on
+    ONE of 32 cores (r16 stage profile). This is guide §2.5's "one huge
+    unsplittable file … repartition immediately after the read", applied
+    scale-adaptively: the round-robin repartition (to defaultParallelism)
+    is added ONLY when the scan's actual split count is below the
+    cluster's parallelism — on a real multi-row-group / multi-file table
+    at 100 TB the condition is false and the plan is untouched. The
+    partition count probe runs once per (path, mtime) and is memoized
+    with the table itself.
+    """
+    df = load_table(spark, sf_dir, name)
+    path = table_path(sf_dir, name)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    cache: dict = spark.__dict__.setdefault("_graft_table_cache", {})
+    key = ("spread", os.path.abspath(path), mtime)
+    spread = cache.get(key)
+    if spread is None:
+        par = spark.sparkContext.defaultParallelism
+        try:
+            n_splits = df.rdd.getNumPartitions()
+        except Exception:
+            n_splits = par
+        spread = df.repartition(par) if n_splits * 2 <= par else df
+        cache[key] = spread
+    return spread
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -327,6 +327,7 @@ def tfidf_scores(
     text_col: str = "text",
     log_idf: bool = False,
     fp_scale: int = 1_000_000,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document TF-IDF relevance for a bag of query terms.
 
@@ -361,7 +362,13 @@ def tfidf_scores(
     dstats = per_doc.agg(
         *[F.count_if(F.col(f"__tf_{i}") > 0).alias(f"__df_{i}") for i in range(k)]
     )
-    n_docs = df.select(F.count(F.lit(1)).alias("n"))  # metadata-only scan
+    # ``stats_df``: frame for the corpus count N (defaults to ``df``).
+    # When the caller spreads ``df`` for the explode-heavy pass (a
+    # repartition in the plan), passing the RAW scan here keeps the
+    # count metadata-only (parquet aggregate pushdown) — a count through
+    # a Repartition node must materialize the exchange (r16).
+    n_src = stats_df if stats_df is not None else df
+    n_docs = n_src.select(F.count(F.lit(1)).alias("n"))  # metadata-only scan
 
     def contrib(i: int) -> Column:
         idf = (F.col("n") + 1).cast("double") / (F.col(f"__df_{i}") + 1)

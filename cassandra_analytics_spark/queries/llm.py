@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.catalog import load_table, spread_scan
 from cassandra_analytics_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -124,7 +124,9 @@ def dedup_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(shingle → 32 min-hashes → 8 bands → bucket equi-join).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # spread_scan: the shingle+hash pass dwarfs the decode and the
+    # fixture is a single-row-group file (1-task scan) — r16, guide §2.5
+    d = spread_scan(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, num_hashes=32, bands=8, shingle_n=3)
 
 
@@ -135,7 +137,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hamming confirm.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
     # Manku-style multi-block keys: 8 blocks taken 2 at a time = C(8,2)
     # = 28 16-bit bucket tables — the pigeonhole guarantee for the
     # declared hamming<=6 radius (8-2 >= 6) WITH corpus-scale bucket
@@ -207,7 +209,7 @@ NGRAM_PAIRS_SQL = r"""
     "with the same window-lead construction in SQL.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
     return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6, max_shingle_df=100)
 
 
@@ -666,9 +668,15 @@ def dedup_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import tfidf_scores
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread the explode-heavy per-doc pass; stats_df keeps the N count
+    # on the raw scan (metadata-only via parquet aggregate pushdown)
+    d = spread_scan(spark, sf_dir, "documents")
     return (
-        tfidf_scores(d, ["spark", "merge", "vector"])
+        tfidf_scores(
+            d,
+            ["spark", "merge", "vector"],
+            stats_df=load_table(spark, sf_dir, "documents"),
+        )
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )
@@ -728,7 +736,7 @@ def text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import bm25_scores
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
     return (
         bm25_scores(d, ["spark", "merge", "vector"], fp_scale=1_000_000)
         .orderBy(F.desc("score"), "doc_id")
@@ -950,7 +958,7 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import repetition_stats
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
     return repetition_stats(d)
 
 
@@ -975,7 +983,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting (whitespace tokenizer) aggregated per language.",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
     return (
         d.withColumn("__tokens", token_count(F.col("text")))
         .groupBy("lang")
@@ -1132,7 +1140,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import language_id
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
     return (
         d.withColumn("lang_guess", language_id(F.col("text")))
         .groupBy("lang", "lang_guess")

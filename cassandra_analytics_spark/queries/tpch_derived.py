@@ -500,9 +500,12 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q21 (adapted: 'late' = shipped >60 days after order date — "
     "fixtures lack commit/receipt dates; three-nation filter): the "
-    "EXISTS/NOT-EXISTS pair is resolved with one per-order aggregate "
-    "(distinct suppliers, distinct late suppliers) broadcast-joined back "
-    "— one orderkey shuffle instead of two lineitem self-joins.",
+    "EXISTS/NOT-EXISTS pair is resolved with a (order, supplier) late-line "
+    "aggregate folded into a per-order aggregate — ONE lineitem scan, two "
+    "narrow exchanges, no countDistinct Expand and no join back to the "
+    "line-level rows (r16: the qualifying supplier and its late-line count "
+    "ride the per-order aggregate as max/sum-over-the-single-late-supplier, "
+    "so the lines relation is never consumed twice).",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_f = (
@@ -517,16 +520,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(o_f, li.l_orderkey == o_f.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
-    # per-order supplier stats: how many distinct suppliers total / late
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supps"
-        ),
+    # per-(order, supplier): how many of this supplier's lines are late.
+    # count_if is an ordinary partial-aggregating count — map-side combine
+    # happens before the only lineitem-scale exchange.
+    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count_if("is_late").alias("n_late")
     )
-    # l1: late lines of suppliers in the probed nations, joined to the
-    # per-order stats; EXISTS(other supplier) == n_supps > 1;
-    # NOT EXISTS(other late supplier) == the only late supplier is l1's
+    # per-order fold: EXISTS(other supplier) == n_supps > 1; NOT
+    # EXISTS(other late supplier) == exactly one late supplier — and when
+    # that holds, the qualifying l1 rows are precisely THAT supplier's
+    # late lines, so max(when(late, suppkey)) / max(when(late, n_late))
+    # recover the join-back columns without touching the lines again.
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.count_if(F.col("n_late") > 0).alias("n_late_supps"),
+        F.max(F.when(F.col("n_late") > 0, F.col("l_suppkey"))).alias("late_supp"),
+        F.max(F.when(F.col("n_late") > 0, F.col("n_late"))).alias("late_lines"),
+    )
     nat_supp = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -540,12 +550,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        lines.filter(F.col("is_late"))
-        .join(per_order, ["l_orderkey"])
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
-        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(nat_supp), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

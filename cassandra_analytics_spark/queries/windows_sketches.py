@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cassandra_analytics_spark.catalog import load_table
+from cassandra_analytics_spark.catalog import load_table, spread_scan
 from cassandra_analytics_spark.queries import query
 from cassandra_analytics_spark.queries._util import M
 
@@ -130,7 +130,9 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of the scrubbed text; single scan, pure JVM regex (no UDF).",
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # spread: three regex passes per document on a single-row-group file
+    # otherwise run in a 1-task scan stage (r16, guide §2.5)
+    d = spread_scan(spark, sf_dir, "documents")
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.col("text"), "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"

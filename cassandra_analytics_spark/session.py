@@ -39,6 +39,14 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (r16, measured dead end): lowering
+        # spark.sql.adaptive.coalescePartitions.minPartitionSize (1 MB
+        # default) to keep tiny-byte / big-compute AQE stages on >1 task
+        # was A/B'd interleaved at sf0.1 and LOST on 6 of 8 hot queries
+        # (q21 +0.49 s, dedup_simhash +0.32 s, dedup_minhash +0.18 s):
+        # at local scale per-task scheduling overhead beats the extra
+        # parallelism, and at cluster scale byte-based coalescing already
+        # yields many partitions. Keep the default.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # AQE's empty-relation propagation ELIMINATES CollectMetrics nodes
         # when a downstream stage turns out empty at runtime, so every
