@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_analytics_spark.local_data import local_df
+
 # the index layout and query signatures share ONE definition — the
 # sign-LSH builders in operators/similarity.py (a private copy here once
 # desynchronized the two call sites one refactor at a time)
@@ -67,8 +69,8 @@ def build_ann_index(
         df.select(F.col(id_col), F.col(vec_col), F.lit(0).alias("sig")).write.mode(
             "overwrite"
         ).parquet(index_path)
-        spark.createDataFrame(
-            [("ann-lsh-v1", num_planes, seed, None)], _LSH_SPEC_SCHEMA
+        local_df(
+            spark, [("ann-lsh-v1", num_planes, seed, None)], _LSH_SPEC_SCHEMA
         ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
         return
     dim = len(probe[vec_col])
@@ -78,8 +80,8 @@ def build_ann_index(
         _signature_column(vec_col, dim, num_planes, seed).alias("sig"),
     )
     tagged.write.mode("overwrite").partitionBy("sig").parquet(index_path)
-    spark.createDataFrame(
-        [("ann-lsh-v1", num_planes, seed, dim)], _LSH_SPEC_SCHEMA
+    local_df(
+        spark, [("ann-lsh-v1", num_planes, seed, dim)], _LSH_SPEC_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
 
 
@@ -230,8 +232,17 @@ def _ivf_cell_for_mode(
         # the UDF raises on ragged batches itself
         return vectorized_cell_udf(centroids)(F.col(vec_col))
     if assignment == "expr":
+        # nearest_cell_auto (r16): above _CELL_EXPR_MAX_WORK multiply-
+        # adds per row the argmax expression's interpreted HOF lambdas
+        # dominate the build (measured 4.3 s to assign 2,000 rows at
+        # k=16 × d=64) and the BIT-IDENTICAL Arrow parity kernel takes
+        # over — same sims, same ties, same layout, pinned by test
+        from cassandra_analytics_spark.operators.similarity import (
+            nearest_cell_auto,
+        )
+
         return _dim_guarded(
-            nearest_centroid_cell(F.col(vec_col), centroids), vec_col, dim
+            nearest_cell_auto(F.col(vec_col), centroids), vec_col, dim
         )
     # "custom" is handled by assign_nearest_cells at the caller (it needs
     # the whole frame for the norm-once discipline)
@@ -416,12 +427,14 @@ def build_ivf_index(
         if quantize:
             tagged = _with_layout_codes(tagged, vec_col)
         tagged.write.mode("overwrite").partitionBy("cell").parquet(index_path)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_centroids")
     dim = len(centroids[0][1]) if centroids else None
-    spark.createDataFrame(
+    local_df(
+        spark,
         [("ivf-v1", assignment, sim_id, dim, len(centroids), seed, quantize)],
         _IVF_SPEC_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
@@ -1488,13 +1501,14 @@ def ivf_knn_join(
         ]
         if pq_residual:
             route_fields.append(StructField("__qcoff", DoubleType()))
-        route_df = spark.createDataFrame(routing, StructType(route_fields))
+        route_df = local_df(spark, routing, StructType(route_fields))
         tail_field = (
             StructField("__lut", ArrayType(DoubleType()))
             if use_pq
             else StructField("__qsum", DoubleType())
         )
-        qpayload = spark.createDataFrame(
+        qpayload = local_df(
+            spark,
             payload,
             StructType(
                 [

@@ -152,7 +152,9 @@ def distributed_cumsum(
     # name-only schema inference dies on an empty list — the empty
     # result must flow through with the right columns instead
     # (round-10 hostile re-review)
-    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    from cassandra_analytics_spark.local_data import local_df
+
+    off_df = local_df(spark, offsets, "__pid int, __offset long")
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))

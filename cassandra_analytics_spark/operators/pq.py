@@ -42,6 +42,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_analytics_spark.local_data import local_df
+
 
 @dataclass(frozen=True)
 class PQCodebook:
@@ -999,10 +1001,11 @@ def save_pq_index(
         for i in range(codebook.m)
         for j in range(codebook.ks)
     ]
-    spark.createDataFrame(
-        cb_rows, "sub int, code int, centroid array<double>"
+    local_df(
+        spark, cb_rows, "sub int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_codebook")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [("pq-v1", codebook.dim, codebook.m, codebook.ks, keep_vec)],
         _PQ_SPEC_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_spec")
@@ -1166,7 +1169,8 @@ def _anchor_joined(tagged: DataFrame, centroids, anchor_col: str) -> DataFrame:
     broadcast join against the metadata-sized centroid table) — the
     residual-encoding anchor."""
     spark = tagged.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cell int, __anchor array<double>",
     ).withColumnRenamed("__anchor", anchor_col)
@@ -1364,18 +1368,19 @@ def save_ivf_pq_index(
     if not keep_vec:
         encoded = encoded.drop(vec_col)
     encoded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
-    spark.createDataFrame(
-        centroids, "cid int, centroid array<double>"
+    local_df(
+        spark, centroids, "cid int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_centroids")
     cb_rows = [
         (i, j, list(codebook.centroids[i][j]))
         for i in range(codebook.m)
         for j in range(codebook.ks)
     ]
-    spark.createDataFrame(
-        cb_rows, "sub int, code int, centroid array<double>"
+    local_df(
+        spark, cb_rows, "sub int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}_codebook")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [("ivf-pq-v1", codebook.dim, codebook.m, codebook.ks,
           len(centroids), keep_vec, assignment, sim_id, residuals,
           encoding)],

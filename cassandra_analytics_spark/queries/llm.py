@@ -82,6 +82,12 @@ def _pdot(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
+# the portable pair is integer-exact at scale 10^-12 — the marker lets
+# assign_nearest_cells dispatch big assignments to the bit-identical
+# Arrow kernel (operators/similarity._scaled_decimal_cell_udf, r16)
+_pdot.__scaled_decimal__ = 12
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -1950,6 +1956,9 @@ def _psq_norm(a: Column) -> Column:
             lambda acc, v: (acc + v).cast(DECV),
         ).cast("double")
     )
+
+
+_psq_norm.__scaled_decimal__ = 12  # see _pdot's marker
 
 
 EMBEDDING_CONFIRMED_ORACLE = f"""

@@ -73,6 +73,17 @@ def window_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * M + F.lit(0.5)
             ).alias("rev_fp"),
         )
+        # ONE exchange serves both the (suppkey, day) aggregate and the
+        # per-suppkey window (guide §2.4: operations keyed the same way
+        # share the partitioning): hash-repartitioning by l_suppkey
+        # satisfies the aggregate's clustered distribution AND the
+        # window's, so the agg's own (suppkey, day) exchange disappears.
+        # Map-side partial aggregation is a poor trade here — (suppkey,
+        # day) granularity barely collapses lineitem rows (~1 line per
+        # supplier-day), so the raw-row exchange carries ≈ the same
+        # bytes the partial-agg exchange did, one hop earlier (r16;
+        # plan diff: 3 Exchange → 2 in plans/r16).
+        .repartition("l_suppkey")
         .groupBy("l_suppkey", "ship_day")
         .agg(F.sum("rev_fp").alias("rev_fp"))
     )

@@ -119,7 +119,9 @@ def token_point_lookups(
     if not combos or spark is None:
         return []
     # evaluate tokens driver-side in one tiny job
-    rows = spark.createDataFrame(combos, ", ".join(
+    from cassandra_analytics_spark.local_data import local_df
+
+    rows = local_df(spark, combos, ", ".join(
         f"c{i} {_spark_type(v)}" for i, v in enumerate(combos[0])
     ))
     toks = rows.select(

@@ -142,8 +142,10 @@ def run_incremental_dedup_stream(
     if not boot.catalog.tableExists(index_table):
         corpus = _latest_store_texts(boot, doc_store, id_col, text_col)
         if corpus is None:
-            corpus = boot.createDataFrame(
-                [], stream.select(id_col, text_col).schema
+            from cassandra_analytics_spark.local_data import local_df
+
+            corpus = local_df(
+                boot, [], stream.select(id_col, text_col).schema
             )
         build_index(corpus, index_table, spec, id_col, text_col)
 
@@ -165,7 +167,9 @@ def run_incremental_dedup_stream(
             return
         texts = _latest_store_texts(spark, doc_store, id_col, text_col)
         if texts is None:
-            texts = spark.createDataFrame([], batch.schema)
+            from cassandra_analytics_spark.local_data import local_df
+
+            texts = local_df(spark, [], batch.schema)
         confirmed = ingest_batch(
             spark, index_table, batch, texts, spec, threshold, id_col, text_col
         )
@@ -201,8 +205,10 @@ def collected_pairs(spark, pairs_out: str, id_type: str = "long") -> DataFrame:
 
     pattern = pairs_out.rstrip("/") + "/batch-*"
     if not glob_exists(spark, pattern):
-        return spark.createDataFrame(
-            [], f"a {id_type}, b {id_type}, jaccard double, batch_id int"
+        from cassandra_analytics_spark.local_data import local_df
+
+        return local_df(
+            spark, [], f"a {id_type}, b {id_type}, jaccard double, batch_id int"
         )
     return spark.read.parquet(pattern)
 

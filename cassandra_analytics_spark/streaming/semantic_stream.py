@@ -958,7 +958,10 @@ def collected_semantic_pairs(
 
     pattern = pairs_out.rstrip("/") + "/batch-*"
     if not glob_exists(spark, pattern):
-        return spark.createDataFrame(
+        from cassandra_analytics_spark.local_data import local_df
+
+        return local_df(
+            spark,
             [],
             f"a {id_type}, b {id_type}, cell int, cosine_sim double, "
             "batch_id int",
