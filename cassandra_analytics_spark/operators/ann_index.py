@@ -178,10 +178,13 @@ def _with_layout_codes(tagged: DataFrame, vec_col: str) -> DataFrame:
     ~1 byte/dim from the pruned cells and touches the float column only
     to rescore survivors."""
     from cassandra_analytics_spark.operators.quantize import (
-        quantization_exprs,
+        quantization_kernel_cols,
     )
 
-    codes, vmin, scale = quantization_exprs(vec_col)
+    # r16: the Arrow encode kernel — the HOF expression form cost ~2 s
+    # of the sf0.1 quantized-layout build (3 interpreted passes x dim
+    # lambdas per row); bit-identical, measured 4-6x faster at 64-d
+    codes, vmin, scale = quantization_kernel_cols(vec_col)
     return tagged.withColumns(
         {_QCODE: codes, _QMIN: vmin, _QSCALE: scale}
     )
@@ -604,26 +607,37 @@ def assign_with_index_spec(
     dot_fn=None,
     norm_fn=None,
     sim_id: str | None = None,
+    spec: dict | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Tag ``df`` with the ``cell`` each row would occupy in the layout at
     ``index_path``, using the PINNED codebook and assignment mode from the
     persisted spec — the assignment half of :func:`append_to_ivf_index`
     (which writes the result), shared with the streaming semantic-dedup
     path (which needs the assignment for the batch-vs-corpus join before
-    appending). All spec/mode/sim_id mismatch checks apply."""
+    appending). All spec/mode/sim_id mismatch checks apply.
+
+    ``spec``/``centroids`` (r16) preload the layout's frozen metadata so
+    a caller that already holds them (the streaming trigger's per-stream
+    cache) skips the two per-call metadata reads; both are immutable
+    once the layout exists (appends never rewrite sidecars, compaction
+    stashes them aside byte-identical) — the PQ codebook-preload
+    contract applied to the coarse layer."""
     spark = df.sparkSession
-    spec = read_ivf_spec(spark, index_path)
-    centroids = [
-        (r.cid, list(r.centroid))
-        for r in spark.read.parquet(f"{index_path}_centroids").collect()
-    ]
+    if spec is None:
+        spec = read_ivf_spec(spark, index_path)
+    if centroids is None:
+        centroids = [
+            (r.cid, list(r.centroid))
+            for r in spark.read.parquet(f"{index_path}_centroids").collect()
+        ]
     if not centroids:
         raise ValueError(
             f"{index_path!r} was built over an empty corpus (no centroids, "
             "unpartitioned layout) — rebuild with build_ivf_index over the "
             "union instead of appending"
         )
-    centroids.sort(key=lambda t: t[0])
+    centroids = sorted(centroids, key=lambda t: t[0])
     mode = spec["assignment"]
     custom = dot_fn is not None or norm_fn is not None
     if mode == "custom":
@@ -1133,9 +1147,18 @@ def _quantized_pairs_from_cells(
     # exact confirm from the float column — survivor-proportional joins
     va = index.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
     vb = index.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    # marked scaled-decimal math confirms in the bit-identical Arrow
+    # kernels (r16): the expression pays 3d interpreted decimal lambdas
+    # per surviving pair (dot + both norms per PAIR)
+    from cassandra_analytics_spark.operators.similarity import (
+        pair_dot_auto,
+        row_norm_auto,
+    )
+
+    _pd, _rn = pair_dot_auto(dotf), row_norm_auto(normf)
     exact = F.try_divide(
-        dotf(F.col("__va"), F.col("__vb")),
-        normf(F.col("__va")) * normf(F.col("__vb")),
+        _pd(F.col("__va"), F.col("__vb")),
+        _rn(F.col("__va")) * _rn(F.col("__vb")),
     )
     return (
         survivors.join(va, "a")

@@ -829,9 +829,18 @@ def pq_pairs_from_cells(
     vb = assigned.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("__vb")
     )
+    # marked scaled-decimal math confirms in the bit-identical Arrow
+    # kernels (r16): the expression pays 3d interpreted decimal lambdas
+    # per surviving pair (dot + both norms per PAIR)
+    from cassandra_analytics_spark.operators.similarity import (
+        pair_dot_auto,
+        row_norm_auto,
+    )
+
+    _pd, _rn = pair_dot_auto(dotf), row_norm_auto(normf)
     exact = F.try_divide(
-        dotf(F.col("__va"), F.col("__vb")),
-        normf(F.col("__va")) * normf(F.col("__vb")),
+        _pd(F.col("__va"), F.col("__vb")),
+        _rn(F.col("__va")) * _rn(F.col("__vb")),
     )
     return (
         survivors.join(va, "a")
@@ -1389,6 +1398,23 @@ def save_ivf_pq_index(
     return centroids, codebook
 
 
+def _normalize_ivf_pq_spec(spec: dict) -> dict:
+    """Back-fill the contract fields older layouts lack, on a COPY of an
+    already-format-verified ``ivf-pq-v1`` spec row dict — shared by
+    :func:`read_ivf_pq_spec` and callers that hold the raw spec row
+    already (the streaming trigger's per-stream metadata cache, r16)."""
+    spec = dict(spec)
+    # layouts written before round 14 lack the assignment/residual
+    # fields — normalize so every reader sees the full contract
+    spec.setdefault("assignment", "expr")
+    spec.setdefault("sim_id", None)
+    spec.setdefault("residuals", False)
+    # layouts written before round 15 are raw-encoded by construction
+    if spec.get("encoding") is None:
+        spec["encoding"] = "raw"
+    return spec
+
+
 def read_ivf_pq_spec(spark, index_path: str) -> dict:
     """The persisted spec of an IVF-PQ layout; loud on missing/corrupt
     (including a plain-PQ layout presented at an IVF-PQ read path)."""
@@ -1408,16 +1434,7 @@ def read_ivf_pq_spec(spark, index_path: str) -> dict:
             f"(expected one 'ivf-pq-v1' row, found {rows!r}) — flat PQ "
             "layouts read through query_pq_index"
         )
-    spec = rows[0].asDict()
-    # layouts written before round 14 lack the assignment/residual
-    # fields — normalize so every reader sees the full contract
-    spec.setdefault("assignment", "expr")
-    spec.setdefault("sim_id", None)
-    spec.setdefault("residuals", False)
-    # layouts written before round 15 are raw-encoded by construction
-    if spec.get("encoding") is None:
-        spec["encoding"] = "raw"
-    return spec
+    return _normalize_ivf_pq_spec(rows[0].asDict())
 
 
 def _resolve_ivf_pq_codebook(
@@ -1472,6 +1489,8 @@ def assign_with_ivf_pq_spec(
     norm_fn=None,
     sim_id: str | None = None,
     codebook: PQCodebook | None = None,
+    spec: dict | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Tag ``df`` with the cell each row would occupy in the IVF-PQ
     layout at ``index_path`` AND its codes/norms under the FROZEN
@@ -1484,20 +1503,30 @@ def assign_with_ivf_pq_spec(
     custom math (a silent mode mismatch would split the same corpus
     across different cells depending on which call wrote it). The
     residual columns follow the spec. The float vector column is
-    always present in the output (callers drop it per ``keep_vec``)."""
+    always present in the output (callers drop it per ``keep_vec``).
+
+    ``spec``/``centroids`` (r16) preload the layout's frozen metadata —
+    spec rows, coarse centroid table — so a caller that already holds
+    them (the streaming trigger's per-stream cache) skips the two
+    per-call metadata reads; both are immutable once the layout exists
+    (appends never rewrite sidecars, compaction stashes them aside
+    byte-identical), the same contract as ``codebook=``."""
     from cassandra_analytics_spark.operators.similarity import (
         assign_nearest_cells,
     )
 
     spark = df.sparkSession
-    spec = read_ivf_pq_spec(spark, index_path)
+    if spec is None:
+        spec = read_ivf_pq_spec(spark, index_path)
     codebook = _resolve_ivf_pq_codebook(
         spark, index_path, spec, codebook, caller="assign_with_ivf_pq_spec"
     )
-    centroids = sorted(
-        (int(r.cid), [float(x) for x in r.centroid])
-        for r in spark.read.parquet(f"{index_path}_centroids").collect()
-    )
+    if centroids is None:
+        centroids = [
+            (int(r.cid), [float(x) for x in r.centroid])
+            for r in spark.read.parquet(f"{index_path}_centroids").collect()
+        ]
+    centroids = sorted(centroids, key=lambda t: t[0])
     if not centroids:
         raise ValueError(
             f"assign_with_ivf_pq_spec: no coarse centroids at "

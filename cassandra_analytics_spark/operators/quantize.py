@@ -12,9 +12,12 @@ CENTERS (``(code + 0.5) * scale + min``) while this module decodes at
 bin edges (``(code + 128) * scale + min``); the scheme here is
 self-consistent and oracle-pinned, just offset half a bin from FAISS's.
 
-Everything is a pure codegen expression — no UDFs, no shuffles: the
-quantization is a per-row ``transform`` over the array, so it rides any
-existing scan. Reconstruction error is bounded by ``scale/2`` per
+No shuffles anywhere: encode and scoring are per-row, so they ride
+any existing scan. The encode runs in an Arrow kernel (r16 — the HOF
+expression form pays 3 interpreted passes of dim lambdas per row;
+``quantization_exprs`` remains as the bit-parity anchor), and the
+scorers are codegen expressions up to ``_EXPR_MAX_DIM`` with Arrow
+kernels above. Reconstruction error is bounded by ``scale/2`` per
 element (round-to-nearest over a 255-step grid), pinned by test.
 
 Numeric contract: elements are cast to DOUBLE before any arithmetic so
@@ -70,6 +73,104 @@ def quantization_exprs(vec_col: str):
     )
 
 
+_ENCODE_GUARD_MSG = (
+    "quantize_embeddings: vector contains NULL/NaN/Inf "
+    "elements — min/max over them silently poisons the scale; "
+    "clean the column first"
+)
+
+
+def _sq8_encode_udf():
+    """Arrow-batched BIT-IDENTICAL twin of :func:`quantization_exprs` —
+    the r16 follow-up to the scorer kernels for the ENCODE side: the
+    expression form is THREE interpreted HOF passes (guard scan, codes
+    transform, plus min/max) of dim lambdas per row (Spark HOFs are not
+    whole-stage-codegen'd), measured ~2 s of the sf0.1 quantized-layout
+    build. One kernel call returns ``struct<qvec, vmin, vscale>``.
+
+    Parity (pinned by tests/test_quantize.py::test_encode_kernel_*):
+
+    * min/max/scale/(x−min)/scale are all single IEEE double ops —
+      bit-identical between numpy and Spark;
+    * ``F.round`` on a double is BigDecimal.valueOf (shortest repr)
+      HALF_UP — reproduced as fast ``floor(y + 0.5)`` away from .5
+      boundaries, exact ``Decimal(repr(y))`` inside the ambiguity band
+      (the ``_half_up_scaled`` discipline at scale 0);
+    * NULL vectors → NULL struct; EMPTY vectors → ([], NULL, NULL);
+      NULL/NaN/Inf ELEMENTS raise the expression guard's exact message;
+    * constant vectors pin scale = 1.0 (codes all −128), like the
+      expression."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _round_half_up(y: "np.ndarray") -> "np.ndarray":
+        """HALF_UP of non-negative doubles, Spark F.round parity."""
+        import decimal
+
+        cand = np.floor(y + 0.5)
+        frac = np.abs(y - np.floor(y) - 0.5)
+        band = 4.0 * np.spacing(y) + 1e-9
+        amb = frac <= band
+        if amb.any():
+            one = decimal.Decimal(1)
+            flat = cand.reshape(-1)
+            yf = y.reshape(-1)
+            for idx in np.flatnonzero(amb.reshape(-1)):
+                flat[idx] = float(
+                    decimal.Decimal(repr(float(yf[idx]))).quantize(
+                        one, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+        return cand
+
+    @pandas_udf(
+        "struct<qvec: array<tinyint>, vmin: double, vscale: double>"
+    )
+    def _encode(vs):
+        import pandas as pd
+
+        out = []
+        for v in vs:
+            if v is None:
+                # a NULL struct row is indistinguishable from all-NULL
+                # fields at the extraction sites (_with_layout_codes /
+                # quantize_embeddings project the fields immediately)
+                out.append((None, None, None))
+                continue
+            if len(v) == 0:
+                out.append(([], None, None))
+                continue
+            arr = np.asarray(v, dtype="float64")
+            if not np.isfinite(arr).all():
+                # NULL elements arrive as NaN through Arrow — same
+                # refusal either way, the expression guard's message
+                raise ValueError(_ENCODE_GUARD_MSG)
+            vmin = float(arr.min())
+            vmax = float(arr.max())
+            raw_scale = (vmax - vmin) / 255.0
+            scale = 1.0 if raw_scale == 0.0 else raw_scale
+            y = (arr - vmin) / scale
+            codes = (_round_half_up(y) - 128.0).astype("int8")
+            out.append((codes.tolist(), vmin, scale))
+        return pd.DataFrame(out, columns=["qvec", "vmin", "vscale"])
+
+    return _encode
+
+
+def quantization_kernel_cols(vec_col: str):
+    """``(codes, vmin, scale)`` Columns from the Arrow encode kernel —
+    the measured batch-encode replacement for :func:`quantization_exprs`
+    (r16 interleaved A/B on the 2,000-row 64-d sf0.1 corpus: expression
+    1.7-2.7 s vs kernel 0.43-0.48 s, parity diffs 0 over the full
+    corpus with bit-compared min/scale). All three columns project from
+    ONE struct, so the ArrowEvalPython evaluates once per row and the
+    NaN/Inf refusal fires regardless of which fields the consumer
+    keeps — the same pruning-proof posture as the expression form's
+    per-column guard wrap."""
+    st = _sq8_encode_udf()(F.col(vec_col))
+    return st["qvec"], st["vmin"], st["vscale"]
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -83,15 +184,18 @@ def quantize_embeddings(
     ``scale`` is ``(max - min)/255``; constant vectors (max == min) pin
     ``scale = 1`` so every code is −128 and dequantization returns the
     constant exactly. ``keep_vec=True`` carries the original float
-    column through (for re-scoring pipelines)."""
-    codes, vmin, scale = quantization_exprs(vec_col)
+    column through (for re-scoring pipelines). Encodes through the
+    Arrow kernel (r16, bit-identical — see
+    :func:`quantization_kernel_cols`); the expression form remains as
+    the parity anchor."""
+    codes, vmin, scale = quantization_kernel_cols(vec_col)
     cols = [F.col(id_col)]
     if keep_vec:
         cols.append(F.col(vec_col))
-    # the guard wraps EVERY output column, not just the codes: Catalyst
-    # column pruning drops unused projections, so a consumer selecting
-    # only (id, min, scale) would otherwise skip the refusal entirely and
-    # carry NaN-poisoned metadata (round-10 ADVICE)
+    # all three outputs project from ONE kernel struct: a consumer
+    # selecting only (id, min, scale) still evaluates the kernel, so
+    # the NaN refusal cannot be pruned away (round-10 ADVICE, kept by
+    # construction in the kernel form)
     cols.extend(
         [
             codes.alias(code_col),

@@ -705,6 +705,10 @@ def assign_nearest_cells(
         for r in cdf.select("cid", normf(F.col("v")).alias("n")).collect()
     }
     nrm_name = keep_norm_as or "__anc_nrm"
+    # row-side norms route marked scaled-decimal math to the Arrow
+    # kernel (r16) — per-ROW d interpreted decimal lambdas otherwise;
+    # the k-row centroid-norm job above stays an expression (tiny)
+    row_normf = row_norm_auto(normf)
     dim = len(centroids[0][1])
     # r16 dispatch: the portable-decimal (dot_fn, norm_fn) pair marks
     # itself with __scaled_decimal__; above the expression-lambda work
@@ -723,11 +727,11 @@ def assign_nearest_cells(
         )
         need_norm = passthrough or keep_norm_as is not None
         if passthrough:
-            base = df.withColumn(nrm_name, normf(F.col(vec_col)))
+            base = df.withColumn(nrm_name, row_normf(F.col(vec_col)))
         elif need_norm:
             base = df.select(
                 F.col(id_col), F.col(vec_col),
-                normf(F.col(vec_col)).alias(nrm_name),
+                row_normf(F.col(vec_col)).alias(nrm_name),
             )
         else:
             base = (
@@ -738,6 +742,9 @@ def assign_nearest_cells(
         if need_norm and keep_norm_as is None:
             out = out.drop(nrm_name)
         return out
+    # expression branch (work <= _CELL_EXPR_MAX_WORK): keep the plan
+    # pure-JVM — at this size the per-row decimal norm is cheap and a
+    # Python boundary would be the only cost (dispatch-by-work rule)
     base = (
         df.withColumn(nrm_name, normf(F.col(vec_col)))
         if passthrough
@@ -782,6 +789,255 @@ def assign_nearest_cells(
     return out
 
 
+def _half_up_scaled(prod, scale: int):
+    """Per-element HALF_UP scaled ints of a float array/matrix, exact —
+    the numpy reproduction of Spark's ``CAST(double AS decimal(., s))``
+    (BigDecimal.valueOf shortest-repr HALF_UP): fast ``sign·floor(|p·
+    10^s| + 0.5)`` wherever the value is provably clear of a .5 rounding
+    boundary; exact ``Decimal(repr(p))`` for the rare ambiguous
+    elements. Shared by the scaled-decimal cell/dot/norm kernels."""
+    import decimal
+
+    import numpy as np
+
+    mul = float(10 ** scale)
+    scaled = prod * mul
+    a = np.abs(scaled)
+    cand = np.floor(a + 0.5)
+    # sound ambiguity band: |shortest-repr rounding| + |product
+    # scaling rounding| ≤ ~2 ulp of the scaled value; anything
+    # beyond int53 also needs the exact path
+    band = 4.0 * np.spacing(a) + 1e-9
+    frac = np.abs(a - np.floor(a) - 0.5)
+    amb = (frac <= band) | (a > 2.0 ** 52) | ~np.isfinite(a)
+    out = np.where(scaled >= 0, cand, -cand)
+    if amb.any():
+        q = decimal.Decimal(1).scaleb(-scale)
+        flat = out.reshape(-1)
+        pf = prod.reshape(-1)
+        for idx in np.flatnonzero(amb.reshape(-1)):
+            flat[idx] = float(
+                decimal.Decimal(repr(float(pf[idx])))
+                .quantize(q, rounding=decimal.ROUND_HALF_UP)
+                .scaleb(scale)
+            )
+    return out
+
+
+def _slow_scaled_decimal_fold(prods, scale: int, int_digits: int):
+    """Exact left fold of ``CAST(p AS decimal(., scale))`` products —
+    the kernel's slow path, replicating the ANSI expression semantics
+    element by element in index order: a non-finite product casts to
+    NULL (poisoning the running sum, but elements are all cast FIRST —
+    zip_with materializes the products array before the fold — so a
+    later element overflow still raises); a product or prefix sum that
+    does not fit ``decimal(scale + int_digits, scale)`` raises, exactly
+    like Spark's ANSI decimal overflow. Returns the folded double, or
+    None for a NULL-poisoned sum."""
+    import decimal
+
+    # a wide context: quantizing e.g. 1e20 to scale 12 needs 33 digits,
+    # beyond the default 28-digit context (InvalidOperation) — the ANSI
+    # overflow verdict must come from OUR limit check, not the context
+    ctx = decimal.Context(prec=80)
+    q = decimal.Decimal(1).scaleb(-scale)
+    limit = decimal.Decimal(10) ** int_digits
+    cast = []
+    for p in prods:
+        p = float(p)
+        if math.isnan(p) or math.isinf(p):
+            cast.append(None)
+            continue
+        d = decimal.Decimal(repr(p)).quantize(
+            q, rounding=decimal.ROUND_HALF_UP, context=ctx
+        )
+        if abs(d) >= limit:
+            raise ArithmeticError(
+                f"[NUMERIC_VALUE_OUT_OF_RANGE] {d} cannot be represented "
+                f"as Decimal({scale + int_digits}, {scale}) (scaled-"
+                "decimal kernel, parity with the ANSI cast)"
+            )
+        cast.append(d)
+    acc = decimal.Decimal(0)
+    for d in cast:
+        if d is None or acc is None:
+            acc = None
+            continue
+        acc = acc + d
+        if abs(acc) >= limit:
+            raise ArithmeticError(
+                f"[NUMERIC_VALUE_OUT_OF_RANGE] {acc} cannot be "
+                f"represented as Decimal({scale + int_digits}, {scale}) "
+                "(scaled-decimal kernel, parity with the ANSI cast)"
+            )
+    return None if acc is None else float(acc)
+
+
+# conservative fast-path envelope for the scaled-int reproduction: every
+# per-element scaled value and every prefix sum must stay inside int53
+# so the float arithmetic is exact; anything outside replays the exact
+# decimal fold (which also owns the ANSI overflow raise at 10^16)
+_SD_FAST_LIMIT = 2.0 ** 52
+
+
+def _scaled_decimal_fold_batch(mats, scale: int, int_digits: int):
+    """Vectorized scaled-decimal fold over a 2-D product matrix (rows ×
+    dim): fast exact scaled-int row sums where provably safe, the exact
+    per-row decimal fold elsewhere. Returns a float list with None for
+    NULL-poisoned rows; raises on decimal overflow (ANSI parity)."""
+    import numpy as np
+
+    mul = float(10 ** scale)
+    n, d = mats.shape
+    if d == 0:
+        return [0.0] * n
+    finite = np.isfinite(mats)
+    allfinite = finite.all(axis=1)
+    # scaled magnitude envelope (cheap upper-bound check BEFORE calling
+    # _half_up_scaled, whose exact path is per-element): rows whose
+    # largest |product|·10^s clears int53 go straight to the slow fold
+    with np.errstate(invalid="ignore"):
+        maxmag = np.where(
+            allfinite, np.abs(mats).max(axis=1, initial=0.0) * mul, np.inf
+        )
+    fast = allfinite & (maxmag <= _SD_FAST_LIMIT / max(d, 1))
+    # the /d bound also keeps every PREFIX sum inside int53 — no cumsum
+    # pass needed; borderline rows just take the exact fold
+    out: list = [None] * n
+    if fast.any():
+        scaled = _half_up_scaled(mats[fast], scale)
+        sums = scaled.sum(axis=1)
+        vals = sums / mul
+        for i, v in zip(np.flatnonzero(fast), vals):
+            out[i] = float(v)
+    for i in np.flatnonzero(~fast):
+        out[i] = _slow_scaled_decimal_fold(mats[i], scale, int_digits)
+    return out
+
+
+def _scaled_decimal_pair_dot_udf(scale: int, int_digits: int = 16):
+    """Arrow-batched BIT-IDENTICAL twin of the portable-decimal PAIR dot
+    (``_pdot``: double products → ``CAST(decimal(28,scale))`` HALF_UP →
+    exact decimal left-fold → double) — the r16 follow-up to
+    :func:`_scaled_decimal_cell_udf` for the per-PAIR scoring that
+    dominates the streaming trigger (every candidate pair pays d
+    interpreted DECIMAL lambdas in the expression form; Spark HOFs are
+    not codegen'd).
+
+    Semantics reproduce the expression exactly (probed under ANSI mode,
+    pinned by tests/test_pair_parity_kernel.py):
+
+    * either side NULL → NULL; RAGGED pairs → NULL (zip_with pads the
+      shorter side with NULLs, a NULL product poisons the fold);
+    * empty arrays → 0.0;
+    * a NaN/±Inf product casts to NULL (poisoning the sum → NULL) —
+      ANSI's double→decimal cast nulls non-finites rather than raising;
+    * a product or running prefix sum ≥ 10^int_digits raises (ANSI
+      decimal overflow), even when a NaN product precedes it (zip_with
+      materializes all products before the fold);
+    * everything else is the exact integer sum at scale 10^-scale,
+      divided back in one correctly-rounded double op (both engines
+      round the same real value once)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out: list = [None] * len(va)
+        by_dim: dict[int, list[int]] = {}
+        arrs_a: dict[int, list] = {}
+        arrs_b: dict[int, list] = {}
+        for i, (a, b) in enumerate(zip(va, vb)):
+            if a is None or b is None:
+                continue
+            if len(a) != len(b):
+                continue  # zip_with null-pad → NULL
+            d = len(a)
+            by_dim.setdefault(d, []).append(i)
+            arrs_a.setdefault(d, []).append(
+                np.asarray(a, dtype="float64")
+            )
+            arrs_b.setdefault(d, []).append(
+                np.asarray(b, dtype="float64")
+            )
+        for d, idxs in by_dim.items():
+            if d == 0:
+                for i in idxs:
+                    out[i] = 0.0
+                continue
+            prods = np.asarray(arrs_a[d]) * np.asarray(arrs_b[d])
+            vals = _scaled_decimal_fold_batch(prods, scale, int_digits)
+            for i, v in zip(idxs, vals):
+                out[i] = v
+        res = pd.Series(out, dtype="float64")
+        return res.where(pd.notna(res), None)
+
+    return _pair_dot
+
+
+def _scaled_decimal_norm_udf(scale: int, int_digits: int = 16):
+    """Arrow-batched BIT-IDENTICAL twin of the portable-decimal row NORM
+    (``_psq_norm``: sqrt of the scaled-decimal fold of the squares) —
+    the per-ROW sibling of :func:`_scaled_decimal_pair_dot_udf`, same
+    semantics with b = a and a final IEEE sqrt (java Math.sqrt and
+    np.sqrt both round the same double once)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _row_norm(va: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out: list = [None] * len(va)
+        by_dim: dict[int, list[int]] = {}
+        arrs: dict[int, list] = {}
+        for i, a in enumerate(va):
+            if a is None:
+                continue
+            d = len(a)
+            by_dim.setdefault(d, []).append(i)
+            arrs.setdefault(d, []).append(np.asarray(a, dtype="float64"))
+        for d, idxs in by_dim.items():
+            if d == 0:
+                for i in idxs:
+                    out[i] = 0.0
+                continue
+            m = np.asarray(arrs[d])
+            vals = _scaled_decimal_fold_batch(m * m, scale, int_digits)
+            for i, v in zip(idxs, vals):
+                out[i] = None if v is None else float(np.sqrt(v))
+        res = pd.Series(out, dtype="float64")
+        return res.where(pd.notna(res), None)
+
+    return _row_norm
+
+
+def pair_dot_auto(dot_fn):
+    """``dot_fn`` routed by the ``__scaled_decimal__`` marker: the
+    portable-decimal pair marks itself integer-exact at scale 10^-s, so
+    per-pair scoring dispatches to the bit-identical Arrow kernel
+    (interpreted decimal HOFs cost d lambdas PER PAIR — measured r16:
+    the streaming trigger's candidate scoring dominated the trigger
+    wall); unmarked math returns unchanged. The dispatch mirrors
+    ``assign_nearest_cells``'s cell-kernel rule, applied to pairs."""
+    sd = getattr(dot_fn, "__scaled_decimal__", None)
+    if sd is None:
+        return dot_fn
+    kernel = _scaled_decimal_pair_dot_udf(sd)
+    return lambda a, b: kernel(a, b)
+
+
+def row_norm_auto(norm_fn):
+    """:func:`pair_dot_auto`'s sibling for per-row norms."""
+    sd = getattr(norm_fn, "__scaled_decimal__", None)
+    if sd is None:
+        return norm_fn
+    kernel = _scaled_decimal_norm_udf(sd)
+    return lambda a: kernel(a)
+
+
 def _scaled_decimal_cell_udf(
     centroids: list[tuple[int, list[float]]],
     cnorms: dict[int, float],
@@ -821,33 +1077,9 @@ def _scaled_decimal_cell_udf(
     dim = len(cvecs[0])
     k = len(cvecs)
     mul = float(10 ** scale)
-    qexp = -scale
 
     def _dec_scaled(prod: "np.ndarray") -> "np.ndarray":
-        """Per-element HALF_UP scaled ints of a float matrix, exact."""
-        import decimal
-
-        scaled = prod * mul
-        a = np.abs(scaled)
-        cand = np.floor(a + 0.5)
-        # sound ambiguity band: |shortest-repr rounding| + |product
-        # scaling rounding| ≤ ~2 ulp of the scaled value; anything
-        # beyond int53 also needs the exact path
-        band = 4.0 * np.spacing(a) + 1e-9
-        frac = np.abs(a - np.floor(a) - 0.5)
-        amb = (frac <= band) | (a > 2.0 ** 52) | ~np.isfinite(a)
-        out = np.where(scaled >= 0, cand, -cand)
-        if amb.any():
-            q = decimal.Decimal(1).scaleb(qexp)
-            flat = out.reshape(-1)
-            pf = prod.reshape(-1)
-            for idx in np.flatnonzero(amb.reshape(-1)):
-                flat[idx] = float(
-                    decimal.Decimal(repr(float(pf[idx])))
-                    .quantize(q, rounding=decimal.ROUND_HALF_UP)
-                    .scaleb(scale)
-                )
-        return out
+        return _half_up_scaled(prod, scale)
 
     @pandas_udf("int")
     def _cell(vs: pd.Series) -> pd.Series:
@@ -969,8 +1201,11 @@ def semantic_pairs_from_cells(
         raise ValueError(f"max_cluster must be >= 2, got {max_cluster}")
     from cassandra_analytics_spark.operators.dedup import _bucket_candidate_pairs
 
-    dotf = dot_fn or dot
-    normf = norm_fn or norm
+    # marked scaled-decimal math scores pairs in the bit-identical Arrow
+    # kernel (r16): the expression form pays d interpreted decimal
+    # lambdas PER PAIR — the dominant cost of decimal-math pair stages
+    dotf = pair_dot_auto(dot_fn or dot)
+    normf = row_norm_auto(norm_fn or norm)
     nrm = F.col(norm_col) if norm_col else normf(F.col(vec_col))
     # mixed-dimension vectors would get their pair cosine NULL'd by
     # zip_with's null-padding and silently drop every pair they touch

@@ -56,21 +56,14 @@ from pyspark.sql.streaming import StreamingQuery
 from cassandra_analytics_spark.operators.ann_index import (
     assign_with_index_spec,
     build_ivf_index,
-    read_ivf_spec,
 )
 from cassandra_analytics_spark.operators.similarity import (
     dot as _fast_dot,
     norm as _fast_norm,
+    pair_dot_auto,
+    row_norm_auto,
     semantic_pairs_from_cells,
 )
-
-
-def _spec_exists(spark, index_path: str) -> bool:
-    try:
-        read_ivf_spec(spark, index_path)
-        return True
-    except ValueError:
-        return False
 
 
 _PQ_OPTION_KEYS = frozenset(
@@ -272,13 +265,18 @@ def process_semantic_batch(
     the crash seams are testable without a streaming harness.
 
     ``codebook_cache`` (optional, a caller-owned mutable dict) amortizes
-    the PQ codebook rehydration across triggers: the codebook is FROZEN
-    once the layout exists, so the stream runner passes one dict for the
-    stream's lifetime and the m·ks-row collect happens once (keyed by
-    index_path — a cache shared across layouts can never cross-feed).
-    Preloads are still geometry-validated against the spec every trigger
-    (a cheap compare, no collect). Callers without a cache (ad-hoc
-    single batches) pay the per-call collect, same as before.
+    the layout's FROZEN metadata across triggers: the PQ codebook, the
+    spec row, and the coarse centroid table are all immutable once the
+    layout exists (appends never rewrite sidecars; compaction stashes
+    them aside byte-identical), so the stream runner passes one dict for
+    the stream's lifetime and each metadata collect happens once —
+    before the r16 extension every trigger re-read the spec parquet 3-4
+    times and the centroid table once (~5 small driver jobs per trigger
+    of pure rehydration). Keys are (kind, index_path) — a cache shared
+    across layouts can never cross-feed. Codebook preloads are still
+    geometry-validated against the spec every trigger (a cheap compare,
+    no collect). Callers without a cache (ad-hoc single batches) pay
+    the per-call reads, same as before.
 
     ``on_published`` (optional) runs AFTER the batch's pairs land at
     ``pairs_out/batch-<id>`` and BEFORE the layout append — the exact
@@ -309,7 +307,38 @@ def process_semantic_batch(
             "are mutually exclusive — a layout carries one code scheme"
         )
     _validate_pq_options(pq)
-    if not _spec_exists(spark, index_path):
+
+    # per-stream FROZEN-metadata cache (r16): the spec row and coarse
+    # centroid table are immutable once the layout exists — rehydrating
+    # them 4-5 times per trigger was pure driver-job overhead (guide
+    # §1.2 step 2). A None cache (ad-hoc callers) degrades to per-call
+    # reads; a value is only cached once it was actually read.
+    def _cached_meta(kind: str, loader):
+        if codebook_cache is None:
+            return loader()
+        key = (kind, index_path)
+        v = codebook_cache.get(key)
+        if v is None:
+            v = loader()
+            if v is not None:
+                codebook_cache[key] = v
+        return v
+
+    from cassandra_analytics_spark.operators.ann_index import (
+        _read_ivf_spec_optional,
+    )
+
+    try:
+        raw_spec = _cached_meta(
+            "ivf_spec",
+            lambda: _read_ivf_spec_optional(spark, index_path),
+        )
+    except ValueError:
+        # corrupt spec == absent for bootstrap purposes: the overwrite
+        # IS the recovery (exactly _spec_exists's pre-r16 behavior —
+        # read_ivf_spec's ValueError was caught there too)
+        raw_spec = None
+    if raw_spec is None:
         # bootstrap: the first batch IS the corpus — build the layout
         # (overwrite-idempotent on replay), report its internal pairs.
         # A bootstrap that crashed between the layout write and the spec
@@ -361,14 +390,7 @@ def process_semantic_batch(
         ).parquet(out_dir)
         return
 
-    from cassandra_analytics_spark.operators.ann_index import (
-        _read_ivf_spec_optional,
-    )
-
-    layout_fmt = (_read_ivf_spec_optional(spark, index_path) or {}).get(
-        "format"
-    )
-    is_pq_layout = layout_fmt == "ivf-pq-v1"
+    is_pq_layout = raw_spec.get("format") == "ivf-pq-v1"
     if pq is not None and not is_pq_layout:
         raise ValueError(
             f"pq= was passed but the layout at {index_path!r} is not an "
@@ -380,14 +402,25 @@ def process_semantic_batch(
             f"quantize=True was passed but the layout at {index_path!r} "
             "is an IVF-PQ layout — drop quantize to follow the spec"
         )
+
+    def _load_centroids():
+        return sorted(
+            (int(r.cid), [float(x) for x in r.centroid])
+            for r in spark.read.parquet(
+                f"{index_path}_centroids"
+            ).collect()
+        )
+
+    cents = _cached_meta("ivf_centroids", _load_centroids)
     pq_cb = None
     if is_pq_layout:
         from cassandra_analytics_spark.operators.pq import (
+            _normalize_ivf_pq_spec,
             _resolve_ivf_pq_codebook,
             assign_with_ivf_pq_spec,
-            read_ivf_pq_spec,
         )
 
+        pq_spec = _normalize_ivf_pq_spec(raw_spec)
         cache_key = ("pq_codebook", index_path)
         pq_cb = (
             codebook_cache.get(cache_key)
@@ -396,7 +429,7 @@ def process_semantic_batch(
         )
         if pq_cb is None:
             pq_cb = _resolve_ivf_pq_codebook(
-                spark, index_path, read_ivf_pq_spec(spark, index_path),
+                spark, index_path, pq_spec,
                 None, caller="process_semantic_batch",
             )
             if codebook_cache is not None:
@@ -404,12 +437,13 @@ def process_semantic_batch(
         assigned = assign_with_ivf_pq_spec(
             batch, index_path, id_col=id_col, vec_col=vec_col,
             dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
-            codebook=pq_cb,
-        ).withColumn("__nrm", normf(F.col(vec_col)))
+            codebook=pq_cb, spec=pq_spec, centroids=cents,
+        ).withColumn("__nrm", row_norm_auto(normf)(F.col(vec_col)))
     else:
         assigned = assign_with_index_spec(
-            batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id
-        ).withColumn("__nrm", normf(F.col(vec_col)))
+            batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id,
+            spec=raw_spec, centroids=cents,
+        ).withColumn("__nrm", row_norm_auto(normf)(F.col(vec_col)))
     # the batch plan feeds FOUR actions (touched-cells collect, within-
     # batch pairs, batch-vs-corpus join, layout append) — unpersisted,
     # each re-reads the micro-batch source AND re-runs the assignment
@@ -423,6 +457,7 @@ def process_semantic_batch(
             spark, assigned, batch_id, index_path, out_dir,
             threshold, id_col, vec_col, dot_fn, norm_fn, dotf, normf,
             max_cell, on_published, pq_codebook=pq_cb,
+            raw_spec=raw_spec,
         )
     finally:
         assigned.unpersist()
@@ -431,7 +466,7 @@ def process_semantic_batch(
 def _publish_and_append(
     spark, assigned, batch_id, index_path, out_dir,
     threshold, id_col, vec_col, dot_fn, norm_fn, dotf, normf,
-    max_cell, on_published, pq_codebook=None,
+    max_cell, on_published, pq_codebook=None, raw_spec=None,
 ) -> None:
     # On a QUANTIZED layout, BOTH pair stages carry the int8 codes
     # instead of float vectors through their exchanges — the batch
@@ -447,7 +482,10 @@ def _publish_and_append(
         _spec_quantized,
     )
 
-    raw_spec = _read_ivf_spec_optional(spark, index_path)
+    if raw_spec is None:
+        # direct callers without the trigger's cached spec (tests, ad
+        # hoc batches) pay the read, exactly the pre-r16 behavior
+        raw_spec = _read_ivf_spec_optional(spark, index_path)
     is_pq = (raw_spec or {}).get("format") == "ivf-pq-v1"
     quantized = (not is_pq) and _spec_quantized(raw_spec)
     # within-batch pairs (shared expansion: same-id pairs dropped,
@@ -553,11 +591,16 @@ def _cross_pairs_float(
     occupancy = corpus.groupBy("cell").agg(
         F.count(F.lit(1)).alias("__occ")
     )
+    # marked scaled-decimal math runs in the bit-identical Arrow
+    # kernels (r16): the expression forms cost d interpreted decimal
+    # lambdas per corpus ROW (norm) and per candidate PAIR (dot) — the
+    # dominant cost of the float path's trigger
+    pair_dotf = pair_dot_auto(dotf)
     corpus = (
         corpus.join(occupancy, "cell")
         .filter(F.col("__occ") <= F.lit(max_cell))
         .drop("__occ")
-        .withColumn("__cnrm", normf(F.col(vec_col)))
+        .withColumn("__cnrm", row_norm_auto(normf)(F.col(vec_col)))
     )
     b = assigned.select(
         F.col(id_col).alias("__bid_"),
@@ -572,7 +615,7 @@ def _cross_pairs_float(
         "cell",
     )
     cos = F.try_divide(
-        dotf(F.col("__bvec"), F.col("__cvec")),
+        pair_dotf(F.col("__bvec"), F.col("__cvec")),
         F.col("__bnrm") * F.col("__cnrm"),
     )
     return (
@@ -738,8 +781,8 @@ def _cross_pairs_quantized(
         F.col("__nrm").alias("__bnrm"),
     )
     cos = F.try_divide(
-        dotf(F.col("__bvec"), F.col("__cvec")),
-        F.col("__bnrm") * normf(F.col("__cvec")),
+        pair_dot_auto(dotf)(F.col("__bvec"), F.col("__cvec")),
+        F.col("__bnrm") * row_norm_auto(normf)(F.col("__cvec")),
     )
     return (
         survivors.join(floats, ["cell", "__cid_"])
@@ -927,8 +970,8 @@ def _cross_pairs_pq(
         F.col("__nrm").alias("__bnrm"),
     )
     cos = F.try_divide(
-        dotf(F.col("__bvec"), F.col("__cvec")),
-        F.col("__bnrm") * normf(F.col("__cvec")),
+        pair_dot_auto(dotf)(F.col("__bvec"), F.col("__cvec")),
+        F.col("__bnrm") * row_norm_auto(normf)(F.col("__cvec")),
     )
     return (
         survivors.join(floats, ["cell", "__cid_"])

@@ -217,3 +217,70 @@ def test_quantize_guard_survives_column_pruning(spark):
     for col in ("embedding_min", "embedding_scale"):
         with pytest.raises(Exception, match="poisons the scale"):
             q.select("vec_id", col).collect()
+
+
+def test_encode_kernel_parity_and_single_eval(spark):
+    """r16: the Arrow encode kernel must be BIT-IDENTICAL to the
+    quantization_exprs expression form (codes, min, scale — min/scale
+    compared by IEEE bits), the guard must raise the same message, and
+    the three projected fields must evaluate the kernel ONCE."""
+    import random
+
+    import pytest as _pytest
+
+    from cassandra_analytics_spark.operators.quantize import (
+        quantization_exprs,
+        quantization_kernel_cols,
+    )
+
+    rng = random.Random(16)
+    rows = []
+    for i in range(200):
+        dim = rng.choice([1, 3, 16, 64])
+        mag = 10 ** rng.randint(-8, 6)
+        rows.append((i, [rng.uniform(-1, 1) * mag for _ in range(dim)]))
+    rows += [
+        (900, None),                        # NULL vector
+        (901, []),                          # empty
+        (902, [7.25] * 5),                  # constant -> scale 1.0
+        (903, [0.0, 255.0]),                # y lands exactly on integers
+        (904, [0.0, 0.5, 255.0]),           # y = 0.5009... near boundary
+        (905, [-3.0, 3.0]),                 # negatives
+        (906, [1e-300, 2e-300]),            # denormal-adjacent scales
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def snap(c, m, s):
+        out = {}
+        for r in df.select(
+            "vec_id", c.alias("q"), m.alias("m"), s.alias("s")
+        ).collect():
+            out[r.vec_id] = (
+                None if r.q is None else tuple(r.q),
+                None if r.m is None else r.m.hex(),
+                None if r.s is None else r.s.hex(),
+            )
+        return out
+
+    e = snap(*quantization_exprs("embedding"))
+    k = snap(*quantization_kernel_cols("embedding"))
+    assert e == k
+    assert e[902][0] == (-128,) * 5 and e[902][2] == (1.0).hex()
+
+    # guard parity: NaN/Inf/NULL elements raise the same message
+    for bad in ([float("nan"), 1.0], [float("inf")], [None, 1.0]):
+        bdf = spark.createDataFrame(
+            [(0, bad)], "vec_id long, embedding array<double>"
+        )
+        c, m, s = quantization_kernel_cols("embedding")
+        with _pytest.raises(Exception, match="poisons the scale"):
+            bdf.select(c, m, s).collect()
+
+    # single evaluation: three fields from one struct -> ONE
+    # ArrowEvalPython in the plan
+    c, m, s = quantization_kernel_cols("embedding")
+    plan = (
+        df.select("vec_id", c.alias("q"), m.alias("m"), s.alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan

@@ -843,3 +843,70 @@ def test_stream_residual_layout_same_pairs_margin_and_reads(spark, tmp_path):
         if r.vec_id != 0
     ][:5]
     assert got_k == want_k
+
+
+def test_layout_metadata_reads_amortized_across_triggers(
+    spark, tmp_path, monkeypatch
+):
+    """r16: the spec row and coarse centroid table are FROZEN once the
+    layout exists, so a cached stream must read each ONCE per stream
+    start instead of 4-5 small driver jobs per trigger. Counted by
+    wrapping the spec reader and the centroid parquet read."""
+    import cassandra_analytics_spark.operators.ann_index as ann_mod
+    import cassandra_analytics_spark.streaming.semantic_stream as ss_mod
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        process_semantic_batch,
+    )
+
+    rows = _corpus_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    spec_reads = {"n": 0}
+    orig_spec = ann_mod._read_ivf_spec_optional
+
+    def counting_spec(spark_, index_path):
+        spec_reads["n"] += 1
+        return orig_spec(spark_, index_path)
+
+    # the stream module resolves the reader through ann_mod at call time
+    monkeypatch.setattr(ann_mod, "_read_ivf_spec_optional", counting_spec)
+
+    cache: dict = {}
+    kwargs = dict(
+        index_path=str(tmp_path / "ivf"),
+        pairs_out=str(tmp_path / "pairs"),
+        centroids=CENTROIDS,
+        threshold=0.98,
+        codebook_cache=cache,
+    )
+    batches = [
+        df.filter(F.col("vec_id") < 20),
+        df.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)),
+        df.filter(F.col("vec_id") >= 40),
+    ]
+    process_semantic_batch(batches[0], 0, **kwargs)  # bootstrap
+    n_after_bootstrap = spec_reads["n"]
+    process_semantic_batch(batches[1], 1, **kwargs)
+    first_trigger = spec_reads["n"] - n_after_bootstrap
+    assert first_trigger == 1, spec_reads  # ONE read, then cached
+    assert ("ivf_spec", kwargs["index_path"]) in cache
+    assert ("ivf_centroids", kwargs["index_path"]) in cache
+    process_semantic_batch(batches[2], 2, **kwargs)
+    assert spec_reads["n"] == n_after_bootstrap + 1, spec_reads
+
+    # verdicts still match the one-shot batch twin over the union
+    got = {
+        (r.removed, r.kept_rep)
+        for r in removal_verdicts(
+            collected_semantic_pairs(
+                spark, kwargs["pairs_out"]
+            ).dropDuplicates(["a", "b"])
+        ).collect()
+    }
+    want = {
+        (r.removed, r.kept_rep)
+        for r in removal_verdicts(
+            semantic_dedup_pairs(df, CENTROIDS, threshold=0.98)
+        ).collect()
+    }
+    assert got == want and len(want) > 10
