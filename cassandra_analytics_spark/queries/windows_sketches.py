@@ -141,9 +141,10 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of the scrubbed text; single scan, pure JVM regex (no UDF).",
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: three regex passes per document on a single-row-group file
-    # otherwise run in a 1-task scan stage (r16, guide §2.5)
-    d = spread_scan(spark, sf_dir, "documents")
+    # scan-dominated single-pass shape (three regex passes per doc):
+    # cost-gated spread (r17 A/B — 4.5x at 16x scale, self-disables
+    # below the rows floor so the bench-scale plan is the raw scan)
+    d = spread_scan(spark, sf_dir, "documents", columns=("doc_id", "text"))
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.col("text"), "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"

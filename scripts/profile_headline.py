@@ -61,7 +61,11 @@ def main() -> None:
 
     from cassandra_analytics_spark.operators._cache import clear_operator_caches
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"),
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     out = {}
