@@ -37,10 +37,27 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     if not rows:
         # JVM-only empty frame: createDataFrame([], schema) plans an
         # empty PYTHON partition that still launches a worker on every
-        # action touching it (~1 s measured r16)
-        return spark.range(0).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
-        )
+        # action touching it (~1 s measured r16). A zero-row pyarrow
+        # Table plans `LocalTableScan <empty>` (no workers, measured
+        # r17) AND preserves the schema's nullability exactly — the
+        # r16 `range(0).select(lit(None).cast(...))` form silently made
+        # every column nullable (round-16 ADVICE).
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            empty = pa.Table.from_pylist([], schema=to_arrow_schema(st))
+            return spark.createDataFrame(empty, st)
+        except Exception:
+            # Arrow cannot represent this schema: keep the JVM-only
+            # projection form (all-NULLABLE columns — acceptable for
+            # the fallback; the pickled path would launch workers)
+            return spark.range(0).select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in st.fields
+                ]
+            )
     try:
         import pandas as pd
         pdf = pd.DataFrame(

@@ -803,22 +803,33 @@ def _half_up_scaled(prod, scale: int):
     mul = float(10 ** scale)
     scaled = prod * mul
     a = np.abs(scaled)
-    cand = np.floor(a + 0.5)
+    with np.errstate(invalid="ignore"):
+        cand = np.floor(a + 0.5)
     # sound ambiguity band: |shortest-repr rounding| + |product
     # scaling rounding| ≤ ~2 ulp of the scaled value; anything
     # beyond int53 also needs the exact path
     band = 4.0 * np.spacing(a) + 1e-9
     frac = np.abs(a - np.floor(a) - 0.5)
-    amb = (frac <= band) | (a > 2.0 ** 52) | ~np.isfinite(a)
+    finite = np.isfinite(a)
+    amb = finite & ((frac <= band) | (a > 2.0 ** 52))
     out = np.where(scaled >= 0, cand, -cand)
+    # non-finite elements scale to NaN (never the exact path, where
+    # Decimal('Infinity').quantize raises InvalidOperation — r16
+    # ADVICE); the fold callers pre-filter or accept NaN poisoning
+    out = np.where(finite, out, np.nan)
     if amb.any():
         q = decimal.Decimal(1).scaleb(-scale)
+        # wide context: quantizing a value ≥ 1e16 at scale 12 needs 28+
+        # digits — the default 28-digit context would raise
+        # InvalidOperation instead of letting the caller's limit check
+        # produce the NUMERIC_VALUE_OUT_OF_RANGE parity error
+        ctx = decimal.Context(prec=80)
         flat = out.reshape(-1)
         pf = prod.reshape(-1)
         for idx in np.flatnonzero(amb.reshape(-1)):
             flat[idx] = float(
                 decimal.Decimal(repr(float(pf[idx])))
-                .quantize(q, rounding=decimal.ROUND_HALF_UP)
+                .quantize(q, rounding=decimal.ROUND_HALF_UP, context=ctx)
                 .scaleb(scale)
             )
     return out
@@ -1042,6 +1053,7 @@ def _scaled_decimal_cell_udf(
     centroids: list[tuple[int, list[float]]],
     cnorms: dict[int, float],
     scale: int,
+    int_digits: int = 16,
 ):
     """Arrow-batched twin of the PORTABLE-DECIMAL assignment
     (``assign_nearest_cells`` with the ``_pdot``/``_psq_norm`` pair) —
@@ -1076,10 +1088,21 @@ def _scaled_decimal_cell_udf(
     cn = np.asarray([float(cnorms[int(cid)]) for cid, _ in ordered])
     dim = len(cvecs[0])
     k = len(cvecs)
-    mul = float(10 ** scale)
 
-    def _dec_scaled(prod: "np.ndarray") -> "np.ndarray":
-        return _half_up_scaled(prod, scale)
+    def _fold(mats: "np.ndarray") -> "np.ndarray":
+        # r17 (round-16 ADVICE): the dot/norm sums route through the
+        # SHARED scaled-decimal fold — it Nones non-finite products
+        # (the expression's ANSI cast → NULL sim → -2 pin, instead of
+        # the raw _half_up_scaled path crashing on Decimal('Infinity')),
+        # owns the NUMERIC_VALUE_OUT_OF_RANGE raise at 10^int_digits,
+        # and replays the exact decimal fold outside the int53 envelope
+        # (the raw float-sum form lost integer exactness there).
+        import numpy as np
+
+        vals = _scaled_decimal_fold_batch(mats, scale, int_digits)
+        return np.asarray(
+            [np.nan if x is None else x for x in vals], dtype="float64"
+        )
 
     @pandas_udf("int")
     def _cell(vs: pd.Series) -> pd.Series:
@@ -1100,13 +1123,13 @@ def _scaled_decimal_cell_udf(
             vmat = np.asarray(
                 [np.asarray(vs.iloc[i], dtype="float64") for i in good]
             )
-            nsq = _dec_scaled(vmat * vmat).sum(axis=1)
-            rnorm = np.sqrt(nsq / mul)
+            with np.errstate(invalid="ignore"):
+                rnorm = np.sqrt(_fold(vmat * vmat))
             sims = np.empty((len(good), k))
             for j in range(k):
-                dots = _dec_scaled(vmat * cvecs[j][None, :]).sum(axis=1)
+                dots = _fold(vmat * cvecs[j][None, :])
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    sims[:, j] = (dots / mul) / (rnorm * cn[j])
+                    sims[:, j] = dots / (rnorm * cn[j])
             sims[~np.isfinite(sims)] = -2.0
             out[np.asarray(good)] = cids[np.argmax(sims, axis=1)]
         return pd.Series(out)

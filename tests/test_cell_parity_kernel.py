@@ -220,3 +220,69 @@ def test_kernel_rejects_bad_codebook(spark):
         validate_codebook([(1, [1.0, 0.0]), (1, [0.0, 1.0])])
     with pytest.raises(ValueError):
         _expr_parity_cell_udf([(1, [1.0, 0.0]), (1, [0.0, 1.0])])
+
+
+def test_scaled_decimal_kernel_nonfinite_parity(spark):
+    """±Inf vector elements (their products cast to NULL under ANSI →
+    NULL sims → -2 pin) must assign to the SAME cell as the expression
+    form instead of crashing the kernel — the raw fast path used to hit
+    Decimal('Infinity').quantize → InvalidOperation (round-16 ADVICE).
+    """
+    from cassandra_analytics_spark.operators.similarity import (
+        assign_nearest_cells,
+    )
+
+    pdot, pnorm, pdot_c, pnorm_c = _portable_fns()
+    inf = float("inf")
+    dim, k = 8, 80  # work 640 > cutoff -> kernel dispatch
+    cents = [
+        (j, [0.25 * ((i + j) % 4 + 1) for i in range(dim)]) for j in range(k)
+    ]
+    rows = [
+        (1, [inf] + [1.0] * (dim - 1)),   # +Inf -> NULL norm -> all -2
+        (2, [-inf] + [0.5] * (dim - 1)),  # -Inf likewise
+        (3, [1.0, inf] + [0.0] * (dim - 2)),  # Inf*c stays Inf -> NULL
+        (4, [1.0] * dim),                 # clean control row
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kern = {
+        r.vec_id: r.cell
+        for r in assign_nearest_cells(
+            emb, cents, "vec_id", "embedding", pdot, pnorm
+        ).collect()
+    }
+    expr = {
+        r.vec_id: r.cell
+        for r in assign_nearest_cells(
+            emb, cents, "vec_id", "embedding", pdot_c, pnorm_c
+        ).collect()
+    }
+    assert kern == expr
+    # the Inf rows pin to the LOWEST cid (-2 everywhere), the control
+    # row gets a real assignment
+    assert kern[1] == kern[2] == kern[3] == min(c for c, _ in cents)
+
+
+def test_scaled_decimal_kernel_overflow_raises_both(spark):
+    """A finite element whose square overflows decimal(28,12) (≥ 1e16
+    after HALF_UP) raises NUMERIC_VALUE_OUT_OF_RANGE in BOTH forms —
+    the kernel must not silently sum it in float (round-16 ADVICE:
+    int53-envelope escape)."""
+    from cassandra_analytics_spark.operators.similarity import (
+        assign_nearest_cells,
+    )
+
+    pdot, pnorm, pdot_c, pnorm_c = _portable_fns()
+    dim, k = 8, 80
+    cents = [(j, [float(j == i) for i in range(dim)]) for j in range(k)]
+    emb = spark.createDataFrame(
+        [(1, [1e10] * dim)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        assign_nearest_cells(
+            emb, cents, "vec_id", "embedding", pdot_c, pnorm_c
+        ).collect()
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        assign_nearest_cells(
+            emb, cents, "vec_id", "embedding", pdot, pnorm
+        ).collect()
