@@ -48,73 +48,21 @@ def query(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Quer
 # front-loads the names that most need one — a discipline enforced by
 # tests/test_evidence_freshness.py (red when a name's newest driver
 # row is >4 rounds old and it is not in the upcoming window).
-# Round-16 priority (VERDICT r15 item 1): (0) NEW round-16 queries
-# (never driver-proved names must lead the window); (1) the 18 names
-# whose newest driver row is r12 — TPC-H q8/q9/q11-q16/q19-q22, the
-# window suite and token_range_histogram — which hit the 4-round
-# staleness boundary at r16; (2) 28 of the 46 r13-cohort names,
-# complex-operator subset first (streaming, ANN/kNN-join, dedup,
-# replicas, multimodal, text search), to amortize that cohort before
-# it hits the boundary at r18. The remaining 18 r13 names (TPC-H
-# q1-q7 + scalar/array/json suites, simple-SQL with untouched
-# implementations) lead round 17. After r16 no registered query's
-# newest driver row is older than r13.
+# Round-17 priority (VERDICT r16 item 7): (1) the 18 names whose
+# newest driver row is r13 — TPC-H q1-q7 + the scalar/array/json
+# suites — which hit the 4-round staleness boundary at r18 and were
+# queued "lead round 17" by the r16 rotation; (2) 32 of the 50
+# r14-cohort names, complex-operator subset first (the ANN/PQ family,
+# the streaming family, dedup/embedding confirms, the training-data
+# pipeline and text paths — including the two spread_scan-touched
+# queries lang_id_heuristic / text_token_stats so the r17 plan change
+# gets a driver row — plus the benched temporal/LWW trio). The
+# remaining 18 r14 names (simple-SQL: case_when/date_trunc/setop_all
+# suites and the untouched cassandra-semantics scalars) lead round 18
+# together with the r15 cohort. After r17 no registered query's
+# newest driver row is older than r14.
 _ROUND_PRIORITY: list[str] = [
-    # --- (0) never driver-proved: new r16 queries ---
-    "streaming_semantic_dedup_residual",   # r16: residual IVF-PQ stream bootstrap
-    "ann_ivf_pq_residual_append_compact_topk",  # r16: residual+append+compact
-    "ann_ivf_kmeans_topk",                 # r16: k-means coarse quantizer
-    "streaming_pairs_compacted",           # r16: pairs-store compaction mid-stream
-    # --- (1) r12 cohort: hits the staleness boundary this round (18) ---
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "token_range_histogram",
-    "window_moving_avg",
-    "window_percent_rank",
-    "window_range_frame_revenue",
-    "window_running_revenue",
-    "window_topk_orders_per_customer",
-    # --- (2) r13 cohort, complex-operator subset (28 of 46) ---
-    "ann_ivf_knn_join_exact",
-    "ann_ivf_knn_join_string_ids",
-    "coordinated_write_roundtrip",
-    "decontaminate_benchmark",
-    "dedup_boilerplate_segments",
-    "dedup_cluster_assignment",
-    "dedup_exact_docs",
-    "dedup_minhash_confirmed",
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_span_fraction",
-    "events_json_extract",
-    "events_json_struct",
-    "events_sessionize",
-    "explode_embeddings",
-    "hybrid_rrf_search",
-    "mixture_sample_langs",
-    "multimodal_blob_stats",
-    "multimodal_image_features",
-    "replica_read_all",
-    "replica_read_each_quorum",
-    "replica_read_vnode",
-    "streaming_stateful_profile",
-    "text_bm25_search",
-    "text_pii_scrub",
-    "text_repetition_stats",
-    "text_tfidf_search",
-    "unpivot_segment_metrics",
-    # --- past the 50-row window: the remaining 18 r13 names as
-    # dropout backfill (lead round 17) ---
+    # --- (1) r13 cohort: hits the staleness boundary at r18 (18) ---
     "acctbal_width_buckets",
     "array_agg_sorted",
     "array_function_suite",
@@ -133,6 +81,59 @@ _ROUND_PRIORITY: list[str] = [
     "scalar_date_funcs",
     "scalar_math_funcs",
     "window_ranking_functions",
+    # --- (2) r14 cohort, complex-operator subset (32 of 50) ---
+    "ann_ivf_pq_append_topk",
+    "ann_ivf_pq_knn_join",
+    "ann_ivf_pq_topk",
+    "ann_ivf_quantized_knn_join",
+    "ann_ivf_topk",
+    "ann_pq_append_topk",
+    "ann_pq_index_topk",
+    "ann_pq_topk",
+    "streaming_hourly_stats",
+    "streaming_incremental_dedup",
+    "streaming_semantic_dedup",
+    "streaming_semantic_dedup_pq",
+    "streaming_semantic_dedup_quantized",
+    "dedup_fingerprint_md5",
+    "dedup_simhash_confirmed",
+    "embedding_near_dup",
+    "embedding_near_dup_confirmed",
+    "embedding_label_norms",
+    "bundle_write_restore",
+    "cell_pivot_roundtrip",
+    "pack_training_chunks",
+    "corpus_budget_select",
+    "train_val_test_split",
+    "training_data_pipeline",
+    "stratified_sample_langs",
+    "text_bpe_tokens",
+    "text_quality_features",
+    "lang_id_heuristic",
+    "text_token_stats",
+    "asof_purchase_click",
+    "range_join_error_bursts",
+    "lww_latest_events",
+    # --- past the 50-row window: the remaining 18 r14 names as
+    # dropout backfill (lead round 18) ---
+    "case_when_tiering",
+    "date_trunc_variants",
+    "distinct_part_attrs",
+    "having_big_customers",
+    "regexp_extract_groups",
+    "rollup_time_hierarchy",
+    "setop_except_all",
+    "setop_intersect_all",
+    "setop_union_by_name",
+    "lww_partial_upsert",
+    "lmt_last_modified",
+    "nested_map_clustering",
+    "nested_struct_explode",
+    "pk_in_list_pushdown",
+    "skew_salted_returnflag",
+    "static_column_propagation",
+    "topk_global_orders",
+    "partition_size_orders",
 ]
 
 
