@@ -299,16 +299,20 @@ def _bucket_candidate_pairs(
     x = F.element_at("xs", F.col("__i") + 1)
     y = F.element_at("xs", F.col("__j") + 1)
     first_is_a = x["i"] < y["i"]
+    pa = F.when(first_is_a, x).otherwise(y)
+    pb = F.when(first_is_a, y).otherwise(x)
     return (
+        # ONE projection (r17): the pa/pb structs and their field
+        # extraction used to be two chained selects — every Dataset op
+        # re-analyzes the whole upstream tree (28 bucket keys, packed
+        # sketch sums), so fusing the pair-ordering step halves that
+        # tail's analyzer passes; codegen's subexpression elimination
+        # evaluates each when() once per row either way.
         j_expl.select(
-            F.when(first_is_a, x).otherwise(y).alias("__pa"),
-            F.when(first_is_a, y).otherwise(x).alias("__pb"),
-        )
-        .select(
-            F.col("__pa")["i"].alias("a"),
-            F.col("__pb")["i"].alias("b"),
-            F.col("__pa")["p"].alias("pa"),
-            F.col("__pb")["p"].alias("pb"),
+            pa["i"].alias("a"),
+            pb["i"].alias("b"),
+            pa["p"].alias("pa"),
+            pb["p"].alias("pb"),
         )
         # a row can never be a near-dup OF ITSELF: a corpus carrying the
         # same id twice (an at-least-once replay duplicating an index
@@ -457,18 +461,15 @@ def jaccard_from_counts(
     (``dedup_index.confirm_candidates``) — the oracles depend on this
     exact formula and the ``>=`` boundary, so it must not fork.
     """
+    jac = (
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    ).cast("double")
+    # one projection + one filter (was withColumn → filter → select, r17)
     return (
         common.join(sizes.withColumnsRenamed({"id": "a", "n_sh": "n_a"}), "a")
         .join(sizes.withColumnsRenamed({"id": "b", "n_sh": "n_b"}), "b")
-        .withColumn(
-            "jaccard",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).cast("double"),
-        )
+        .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
     )
 
 
@@ -783,31 +784,36 @@ def simhash_near_dup_pairs(
     import itertools
 
     bits_per_block = 64 // num_blocks
-    block_vals = [
-        F.shiftrightunsigned(F.col("sk"), b * bits_per_block).bitwiseAND(
-            F.lit((1 << bits_per_block) - 1)
-        )
-        for b in range(num_blocks)
-    ]
-    keys = []
+    mask = (1 << bits_per_block) - 1
+
+    # The C(num_blocks, blocks_per_key) bucket keys as ONE generated SQL
+    # array (r17): the Column-API form cost a py4j round-trip per
+    # operator — ~224 driver RPCs ≈ 0.12 s of plan-build latency per
+    # query for the 28-key config — for an identical logical plan.
+    def block_sql(b: int) -> str:
+        return f"(shiftrightunsigned(sk, {b * bits_per_block}) & {mask})"
+
+    key_sqls = []
     for combo in itertools.combinations(range(num_blocks), blocks_per_key):
-        packed = block_vals[combo[0]]
+        packed = block_sql(combo[0])
         for b in combo[1:]:
-            packed = F.shiftleft(packed, bits_per_block) + block_vals[b]
-        keys.append(packed)
+            packed = f"(shiftleft({packed}, {bits_per_block}) + {block_sql(b)})"
+        key_sqls.append(packed)
     sk = simhash_sketches(df, id_col=id_col, text_col=text_col)
     blocks = sk.select(
         "id",
         "sk",
-        F.posexplode(F.array(*keys)).alias("block", "val"),
+        F.posexplode(F.expr(f"array({', '.join(key_sqls)})")).alias(
+            "block", "val"
+        ),
     )
     pairs = _bucket_candidate_pairs(
         blocks, ["block", "val"], "id", "sk", max_bucket,
         skew_observation=skew_observation,
     )
     hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+    # one projection + one filter (was withColumn → filter → select —
+    # two extra full-tree analyzer passes, r17)
+    return pairs.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
