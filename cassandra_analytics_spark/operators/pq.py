@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_analytics_spark.local_data import local_df
+from cassandra_analytics_spark.operators.similarity import lit_vector
 
 
 @dataclass(frozen=True)
@@ -512,7 +513,9 @@ def pq_adc_dot_expr(codebook: PQCodebook, vec_col, code_col):
         for cent in book
         for x in cent
     ]
-    flat_lit = F.lit(flat)
+    # ONE driver call (r17): F.lit(list) issues a py4j round-trip per
+    # element — ~1 s of plan-build latency for a 2,048-double codebook
+    flat_lit = lit_vector(flat)
     # loud on codes from a larger-ks codebook (shared guard) — without
     # it element_at returns NULL and the pair silently drops
     ccol = _guard_code_range(ccol, ks, "pq_adc_dot_expr")
@@ -587,7 +590,7 @@ def pq_sym_adc_col(codebook: PQCodebook, code_a, code_b):
     guards."""
     if codebook.dim > _PQ_EXPR_MAX_DIM:
         return _pq_sym_adc_udf(codebook)(code_a, code_b)
-    flat_lit = F.lit(
+    flat_lit = lit_vector(  # one driver call, not one per element (r17)
         [
             float(x)
             for book in codebook.centroids
@@ -614,7 +617,7 @@ def pq_code_sqnorm_col(
     contract); out-of-range codes raise via the shared guard."""
     ks = codebook.ks
     ccol = F.col(code_col) if isinstance(code_col, str) else code_col
-    sq_lit = F.lit(
+    sq_lit = lit_vector(  # one driver call, not one per element (r17)
         [
             float(sum(x * x for x in cent))
             for book in codebook.centroids
@@ -917,7 +920,9 @@ def pq_adc_topk(
         for i in range(m)
         for j in range(ks)
     ]
-    lut_lit = F.lit(lut)
+    # ONE driver call (r17): the 512-double LUT via F.lit(list) cost
+    # ~0.26 s of py4j chatter per probe build (one RPC per element)
+    lut_lit = lit_vector(lut)
     dim_ok = F.size(F.col(code_col)) == F.lit(m)
     # dim guard here, then the SHARED code-range guard (r13/r14 ADVICE
     # lows): a larger-ks encode would index past this LUT and NULL the
