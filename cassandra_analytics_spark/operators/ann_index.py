@@ -609,6 +609,7 @@ def assign_with_index_spec(
     sim_id: str | None = None,
     spec: dict | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    cnorms: dict[int, float] | None = None,
 ) -> DataFrame:
     """Tag ``df`` with the ``cell`` each row would occupy in the layout at
     ``index_path``, using the PINNED codebook and assignment mode from the
@@ -667,7 +668,8 @@ def assign_with_index_spec(
         )
 
         tagged = assign_nearest_cells(
-            df, centroids, id_col, vec_col, dot_fn, norm_fn, cell_col="cell"
+            df, centroids, id_col, vec_col, dot_fn, norm_fn,
+            cell_col="cell", cnorms=cnorms,
         )
     else:
         cell = _ivf_cell_for_mode(vec_col, centroids, mode, None, None)

@@ -1496,6 +1496,7 @@ def assign_with_ivf_pq_spec(
     codebook: PQCodebook | None = None,
     spec: dict | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    cnorms: dict[int, float] | None = None,
 ) -> DataFrame:
     """Tag ``df`` with the cell each row would occupy in the IVF-PQ
     layout at ``index_path`` AND its codes/norms under the FROZEN
@@ -1564,7 +1565,7 @@ def assign_with_ivf_pq_spec(
     if mode == "custom":
         tagged = assign_nearest_cells(
             df, centroids, id_col, vec_col, dot_fn, norm_fn,
-            cell_col="cell", passthrough=True,
+            cell_col="cell", passthrough=True, cnorms=cnorms,
         )
     else:
         from cassandra_analytics_spark.operators.ann_index import (

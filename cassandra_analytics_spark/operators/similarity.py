@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -655,6 +655,31 @@ def validate_codebook(centroids: list[tuple[int, list[float]]]) -> None:
         )
 
 
+def centroid_norms(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[float]]],
+    norm_fn=None,
+) -> dict[int, float]:
+    """Each centroid's norm evaluated with the SAME ``norm_fn``
+    expression as the row side (bit-identical float math) — one k-row
+    JVM job. The result is FROZEN for a frozen codebook, so streaming
+    callers cache it per layout alongside the spec/centroid cache
+    (r17: re-running this k-row job every trigger was pure metadata
+    overhead, ~0.13 s per trigger)."""
+    normf = norm_fn or norm
+    from cassandra_analytics_spark.local_data import local_df
+
+    cdf = local_df(
+        spark,
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cid int, v array<double>",
+    )
+    return {
+        r["cid"]: r["n"]
+        for r in cdf.select("cid", normf(F.col("v")).alias("n")).collect()
+    }
+
+
 def assign_nearest_cells(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -665,6 +690,7 @@ def assign_nearest_cells(
     cell_col: str = "cell",
     keep_norm_as: str | None = None,
     passthrough: bool = False,
+    cnorms: dict[int, float] | None = None,
 ) -> DataFrame:
     """Tag every row with its nearest-centroid cell — the norm-once
     assignment shared by :func:`semantic_dedup_pairs` and the custom-math
@@ -693,17 +719,11 @@ def assign_nearest_cells(
     dotf = dot_fn or dot
     normf = norm_fn or norm
     spark = df.sparkSession
-    from cassandra_analytics_spark.local_data import local_df
-
-    cdf = local_df(
-        spark,
-        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
-        "cid int, v array<double>",
-    )
-    cnorms = {
-        r["cid"]: r["n"]
-        for r in cdf.select("cid", normf(F.col("v")).alias("n")).collect()
-    }
+    if cnorms is None:
+        # ``cnorms=`` lets a caller that already holds the frozen
+        # codebook's norms (the streaming trigger's per-stream cache)
+        # skip this per-call k-row job (r17)
+        cnorms = centroid_norms(spark, centroids, norm_fn)
     nrm_name = keep_norm_as or "__anc_nrm"
     # row-side norms route marked scaled-decimal math to the Arrow
     # kernel (r16) — per-ROW d interpreted decimal lambdas otherwise;

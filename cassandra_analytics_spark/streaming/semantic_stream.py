@@ -291,14 +291,15 @@ def process_semantic_batch(
     spark = batch_df.sparkSession
     # in-batch duplicate ids collapse to a deterministic winner
     # (greatest vector wins) so replays republish identical pairs
-    batch = (
-        batch_df.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .groupBy(id_col)
-        .agg(F.max(vec_col).alias(vec_col))
+    scorable = batch_df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
     )
-    if batch.isEmpty():
+    # emptiness probed BEFORE the dedup aggregate (r17): the grouped
+    # frame is empty iff the filtered source is, and probing the source
+    # keeps the per-trigger probe job shuffle-free
+    if scorable.isEmpty():
         return
+    batch = scorable.groupBy(id_col).agg(F.max(vec_col).alias(vec_col))
     out_dir = os.path.join(pairs_out, f"batch-{batch_id:010d}")
 
     if pq is not None and quantize:
@@ -412,6 +413,20 @@ def process_semantic_batch(
         )
 
     cents = _cached_meta("ivf_centroids", _load_centroids)
+    # the codebook's norms are as frozen as the codebook: computed with
+    # the layout's own norm expression ONCE per stream instead of a
+    # k-row job per trigger (r17; only the custom-math mode consumes
+    # them — built-in modes fold norms into the assignment expression)
+    cnorms = None
+    if raw_spec.get("assignment") == "custom":
+        from cassandra_analytics_spark.operators.similarity import (
+            centroid_norms,
+        )
+
+        cnorms = _cached_meta(
+            "ivf_cnorms",
+            lambda: centroid_norms(spark, cents, norm_fn),
+        )
     pq_cb = None
     if is_pq_layout:
         from cassandra_analytics_spark.operators.pq import (
@@ -438,11 +453,12 @@ def process_semantic_batch(
             batch, index_path, id_col=id_col, vec_col=vec_col,
             dot_fn=dot_fn, norm_fn=norm_fn, sim_id=sim_id,
             codebook=pq_cb, spec=pq_spec, centroids=cents,
+            cnorms=cnorms,
         ).withColumn("__nrm", row_norm_auto(normf)(F.col(vec_col)))
     else:
         assigned = assign_with_index_spec(
             batch, index_path, id_col, vec_col, dot_fn, norm_fn, sim_id,
-            spec=raw_spec, centroids=cents,
+            spec=raw_spec, centroids=cents, cnorms=cnorms,
         ).withColumn("__nrm", row_norm_auto(normf)(F.col(vec_col)))
     # the batch plan feeds FOUR actions (touched-cells collect, within-
     # batch pairs, batch-vs-corpus join, layout append) — unpersisted,
@@ -596,23 +612,24 @@ def _cross_pairs_float(
     # lambdas per corpus ROW (norm) and per candidate PAIR (dot) — the
     # dominant cost of the float path's trigger
     pair_dotf = pair_dot_auto(dotf)
-    corpus = (
-        corpus.join(occupancy, "cell")
-        .filter(F.col("__occ") <= F.lit(max_cell))
-        .drop("__occ")
-        .withColumn("__cnrm", row_norm_auto(normf)(F.col(vec_col)))
-    )
     b = assigned.select(
         F.col(id_col).alias("__bid_"),
         F.col(vec_col).alias("__bvec"),
         F.col("__nrm").alias("__bnrm"),
         "cell",
     )
-    c = corpus.select(
-        F.col(id_col).alias("__cid_"),
-        F.col(vec_col).alias("__cvec"),
-        F.col("__cnrm"),
-        "cell",
+    # occupancy-cap filter, projection and corpus norm in ONE select
+    # (r17: each chained Dataset op re-analyzes the whole tree — this
+    # plan is rebuilt per trigger)
+    c = (
+        corpus.join(occupancy, "cell")
+        .filter(F.col("__occ") <= F.lit(max_cell))
+        .select(
+            F.col(id_col).alias("__cid_"),
+            F.col(vec_col).alias("__cvec"),
+            row_norm_auto(normf)(F.col(vec_col)).alias("__cnrm"),
+            "cell",
+        )
     )
     cos = F.try_divide(
         pair_dotf(F.col("__bvec"), F.col("__cvec")),
@@ -621,14 +638,13 @@ def _cross_pairs_float(
     return (
         b.join(c, "cell")
         .filter(F.col("__bid_") != F.col("__cid_"))
-        .withColumn("cosine_sim", cos)
-        .filter(F.col("cosine_sim") >= threshold)
         .select(
             F.least("__bid_", "__cid_").alias("a"),
             F.greatest("__bid_", "__cid_").alias("b"),
             "cell",
-            "cosine_sim",
+            cos.alias("cosine_sim"),
         )
+        .filter(F.col("cosine_sim") >= threshold)
     )
 
 

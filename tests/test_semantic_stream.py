@@ -910,3 +910,78 @@ def test_layout_metadata_reads_amortized_across_triggers(
         ).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_centroid_norm_job_amortized_across_triggers(
+    spark, tmp_path, monkeypatch
+):
+    """r17: the codebook's norms are as frozen as the codebook — a
+    custom-math stream with a cache computes them with ONE k-row job
+    (the first post-bootstrap trigger) instead of one per trigger, and
+    the cached values feed the SAME assignment (pair output unchanged).
+    """
+    import cassandra_analytics_spark.operators.similarity as sim_mod
+    from cassandra_analytics_spark.queries.llm import (
+        _PORTABLE_SIM_ID,
+        _pdot,
+        _psq_norm,
+    )
+    from cassandra_analytics_spark.streaming.semantic_stream import (
+        process_semantic_batch,
+    )
+
+    rows = _corpus_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    calls = {"n": 0}
+    orig = sim_mod.centroid_norms
+
+    def counting(spark_, cents, norm_fn=None):
+        calls["n"] += 1
+        return orig(spark_, cents, norm_fn)
+
+    monkeypatch.setattr(sim_mod, "centroid_norms", counting)
+
+    cache: dict = {}
+    kwargs = dict(
+        index_path=str(tmp_path / "ivf"),
+        pairs_out=str(tmp_path / "pairs"),
+        centroids=CENTROIDS,
+        threshold=0.98,
+        dot_fn=_pdot,
+        norm_fn=_psq_norm,
+        sim_id=_PORTABLE_SIM_ID,
+        codebook_cache=cache,
+    )
+    batches = [
+        df.filter(F.col("vec_id") < 20),
+        df.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)),
+        df.filter(F.col("vec_id") >= 40),
+    ]
+    process_semantic_batch(batches[0], 0, **kwargs)  # bootstrap
+    n_after_bootstrap = calls["n"]
+    process_semantic_batch(batches[1], 1, **kwargs)
+    assert calls["n"] == n_after_bootstrap + 1, calls  # ONE job, cached
+    assert ("ivf_cnorms", kwargs["index_path"]) in cache
+    process_semantic_batch(batches[2], 2, **kwargs)
+    assert calls["n"] == n_after_bootstrap + 1, calls  # served from cache
+
+    # verdicts still match the one-shot batch twin over the union
+    got = {
+        (r.removed, r.kept_rep)
+        for r in removal_verdicts(
+            collected_semantic_pairs(
+                spark, kwargs["pairs_out"]
+            ).dropDuplicates(["a", "b"])
+        ).collect()
+    }
+    want = {
+        (r.removed, r.kept_rep)
+        for r in removal_verdicts(
+            semantic_dedup_pairs(
+                df, CENTROIDS, threshold=0.98,
+                dot_fn=_pdot, norm_fn=_psq_norm,
+            )
+        ).collect()
+    }
+    assert got == want
